@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{GraphQueries, RelationalQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Driver contract (see SURVEY.md §7 and the harness docs):
+ *  - `entry`: flagship query, smoke-checked at sf0.001;
+ *  - `queries`: one entry per implemented operator from SURVEY.md §2
+ *    (and per training-pipeline extension), each `(spark, sfDir) =>
+ *    DataFrame` over the parquet tables in sfDir;
+ *  - `oracleSql`: DuckDB-equivalent SQL per query; omitted for
+ *    non-SQL-expressible operators (Pregel phases), which get a
+ *    rows-only check.
+ *
+ * Column names are aliased identically on both sides — the driver's
+ * comparison sorts columns by name before hashing.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full batch DWCC community detection on the
+   * co-purchase graph (SURVEY.md §3.1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    GraphQueries.wccPartition(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ GraphQueries.queries
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ GraphQueries.oracles
 }

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.graph.EdgeOps
+import graft.wcc._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph-shaped oracle-checked queries over the harness tables
+ * (SURVEY.md §2 operators S2/S3, G1/G2/G3, A1/A2/A3, F1/F8 — plus
+ * the non-SQL-expressible Pregel pipeline as rows-only entries).
+ *
+ * The shared input is the deterministic co-purchase graph (parts
+ * co-occurring in an order, `EdgeOps.coPurchaseEdges`) so the DuckDB
+ * oracle can derive the identical edge set in SQL.
+ */
+object GraphQueries {
+
+  /** Synthetic deterministic community assignment used by the
+   * community-stat queries so the oracle can replicate it: cid = vid % 100. */
+  private val SyntheticModulus = 100L
+
+  def symmetrizedEdges(spark: SparkSession, sfDir: String): DataFrame =
+    EdgeOps.symmetrize(EdgeOps.coPurchaseEdges(spark, sfDir))
+      .orderBy("src", "dst")
+
+  def degrees(spark: SparkSession, sfDir: String): DataFrame =
+    EdgeOps.degrees(EdgeOps.symmetrize(EdgeOps.coPurchaseEdges(spark, sfDir)))
+      .orderBy("vid")
+
+  def adjacency(spark: SparkSession, sfDir: String): DataFrame =
+    EdgeOps.adjacencyStr(EdgeOps.symmetrize(EdgeOps.coPurchaseEdges(spark, sfDir)))
+      .orderBy("vid")
+
+  /** G1: per-vertex triangle counts (vertices in >=1 triangle). */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = EdgeOps.coPurchaseGraph(spark, sfDir)
+    val stats = TriangleStats.run(g).fullStats
+      .filter(_._2._1 > 0)
+      .map { case (id, (t, _)) => (id, t.toLong) }
+    spark.createDataFrame(stats).toDF("vid", "t").orderBy("vid")
+  }
+
+  /** F1: clustering coefficient (t, vt, cc) for triangle vertices. */
+  def clusteringCoefficient(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = EdgeOps.coPurchaseGraph(spark, sfDir)
+    val stats = TriangleStats.run(g).fullStats
+      .filter(_._2._1 > 0)
+      .map { case (id, (t, vt)) => (id, t.toLong, vt.toLong) }
+    spark.createDataFrame(stats).toDF("vid", "t", "vt")
+      .withColumn("cc", floor(
+        when(col("vt") < 2, 0.0)
+          .otherwise(lit(2.0) * col("t") / (col("vt") * (col("vt") - 1))) * 1e9 + 0.5) / 1e9)
+      .orderBy("vid")
+  }
+
+  private def withSyntheticPartition(spark: SparkSession, sfDir: String) = {
+    val g = EdgeOps.coPurchaseGraph(spark, sfDir)
+    g.mapVertices((id, _) => VertexData(id, 0, 0, id % SyntheticModulus))
+  }
+
+  /** A1/F8: community stats (r, a, b) under the synthetic partition. */
+  def communityStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = CommunityOps.computeCommunityStats(withSyntheticPartition(spark, sfDir))
+    spark.createDataFrame(stats.toSeq.map { case (c, cd) =>
+      (c, cd.r.toLong, cd.a, cd.b.toLong)
+    }).toDF("cid", "r", "a", "b").orderBy("cid")
+  }
+
+  /** A3: per-(vertex, neighbor-community) edge counts, exploded. */
+  def vertexCommunityDegrees(spark: SparkSession, sfDir: String): DataFrame = {
+    val deg = CommunityOps.vertexCommunityDegrees(withSyntheticPartition(spark, sfDir))
+      .flatMap { case (id, m) => m.map { case (c, n) => (id, c, n.toLong) } }
+    spark.createDataFrame(deg).toDF("vid", "cid", "deg").orderBy("vid", "cid")
+  }
+
+  /** G4+G5 flagship (not SQL-expressible — rows-only check): full
+   * batch DWCC partition of the co-purchase graph. */
+  def wccPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = DistributedWCC.run(EdgeOps.coPurchaseGraph(spark, sfDir))
+    val rows = out.graph.vertices.map { case (id, vd) => (id, vd.cId) }
+    spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid")
+  }
+
+  /** G4 alone (rows-only): partition after the Pregel seeding phase. */
+  def wccInitialPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = EdgeOps.coPurchaseGraph(spark, sfDir)
+    val init = InitialPartition.run(TriangleStats.run(g).pruned)
+    val rows = init.vertices.map { case (id, vd) => (id, vd.cId) }
+    spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid")
+  }
+
+  /** Shared oracle CTE defining the identical edge sets in DuckDB. */
+  val EdgeCte: String =
+    """WITH raw AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), edges AS (
+      |  SELECT src, dst FROM raw UNION SELECT dst AS src, src AS dst FROM raw
+      |)""".stripMargin
+
+  private val AssignCte: String =
+    s""", verts AS (SELECT DISTINCT src AS vid FROM edges),
+       |assign AS (SELECT vid, vid % $SyntheticModulus AS cid FROM verts)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "g_edges_sym" -> s"$EdgeCte SELECT src, dst FROM edges",
+    "g_degrees" -> s"$EdgeCte SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src",
+    "g_adjacency" ->
+      s"""$EdgeCte SELECT src AS vid,
+         |string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS adj
+         |FROM edges GROUP BY src""".stripMargin,
+    "g_triangles" ->
+      s"""$EdgeCte SELECT e1.src AS vid, CAST(count(*)/2 AS BIGINT) AS t
+         |FROM edges e1
+         |JOIN edges e2 ON e2.src = e1.dst
+         |JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+         |GROUP BY e1.src""".stripMargin,
+    "g_clustering_coeff" ->
+      s"""$EdgeCte, common AS (
+         |  SELECT e1.src AS u, e1.dst AS v, count(*) AS c
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.src = e1.src
+         |  JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+         |  GROUP BY e1.src, e1.dst
+         |)
+         |SELECT u AS vid, CAST(sum(c)/2 AS BIGINT) AS t, count(*) AS vt,
+         |  floor((CASE WHEN count(*) < 2 THEN 0.0
+         |    ELSE 2.0 * (sum(c)/2) / (count(*) * (count(*) - 1)) END) * 1e9 + 0.5) / 1e9 AS cc
+         |FROM common GROUP BY u""".stripMargin,
+    "g_community_stats" ->
+      s"""$EdgeCte $AssignCte,
+         |ec AS (SELECT r.src, r.dst, a1.cid AS sc, a2.cid AS dc
+         |       FROM raw r JOIN assign a1 ON r.src = a1.vid
+         |                  JOIN assign a2 ON r.dst = a2.vid),
+         |sizes AS (SELECT cid, count(*) AS r FROM assign GROUP BY cid),
+         |intc AS (SELECT sc AS cid, count(*) AS a FROM ec WHERE sc = dc GROUP BY sc),
+         |extc AS (SELECT cid, count(*) AS b FROM (
+         |  SELECT sc AS cid FROM ec WHERE sc <> dc
+         |  UNION ALL SELECT dc AS cid FROM ec WHERE sc <> dc) GROUP BY cid)
+         |SELECT s.cid, s.r, CAST(coalesce(i.a, 0) AS DOUBLE) AS a,
+         |  coalesce(x.b, 0) AS b
+         |FROM sizes s LEFT JOIN intc i ON s.cid = i.cid
+         |             LEFT JOIN extc x ON s.cid = x.cid""".stripMargin,
+    "g_vertex_comm_degrees" ->
+      s"""$EdgeCte $AssignCte
+         |SELECT e.src AS vid, a2.cid AS cid, count(*) AS deg
+         |FROM edges e JOIN assign a2 ON e.dst = a2.vid
+         |GROUP BY e.src, a2.cid""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_edges_sym" -> symmetrizedEdges _,
+    "g_degrees" -> degrees _,
+    "g_adjacency" -> adjacency _,
+    "g_triangles" -> triangles _,
+    "g_clustering_coeff" -> clusteringCoefficient _,
+    "g_community_stats" -> communityStats _,
+    "g_vertex_comm_degrees" -> vertexCommunityDegrees _,
+    "g_wcc_partition" -> wccPartition _,
+    "g_wcc_initial_partition" -> wccInitialPartition _
+  )
+}

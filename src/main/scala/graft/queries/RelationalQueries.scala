@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/**
+ * Relational operator surface over the harness tables — the
+ * DataFrame re-expression of the reference's dataflow operator
+ * classes (SURVEY.md §2.2-2.6: P1/P2 projections+filters, J1-J5
+ * joins, A1/A5/A6/A7 aggregations, U1 union, W1 argmax) plus the
+ * window functions a training-data pipeline needs.
+ *
+ * Every double-valued aggregate is rounded on BOTH the Spark and the
+ * DuckDB side: parallel reduction order differs between engines, so
+ * unrounded floating sums would hash-mismatch at the last bit.
+ *
+ * Scale notes: filters/projections sit directly on the parquet scan
+ * (PushedFilters visible in .explain); dimension joins
+ * (nation/region/customer) are broadcast; fact-fact joins shuffle on
+ * their keys and AQE handles skew at the 100 TB end.
+ */
+object RelationalQueries {
+
+
+  /** Deterministic rounding identical to the oracle side: both
+   * engines evaluate floor(x*10^d + 0.5)/10^d with the same IEEE
+   * doubles, so results are bit-equal (Spark's rnd() does exact
+   * decimal HALF_UP while DuckDB scales in binary — they disagree on
+   * representational ties). */
+  private def rnd(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + 0.5) / p
+  }
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as
+   * Long (`spark.sql.legacy.parquet.nanosAsLong`, set by
+   * Verify/Bench). Truncate ns -> us exactly like DuckDB does when it
+   * loads the same file, so event-time queries agree. */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = t(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** P1+A1: pricing summary (classic scan -> group agg; map-side
+   * partial aggregation; only referenced columns are read). */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        rnd(sum(col("l_quantity")), 4).as("sum_qty"),
+        rnd(sum(col("l_extendedprice")), 2).as("sum_base"),
+        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        rnd(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P2: predicate + projection pushed into the parquet scan. */
+  def filterPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .where(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        rnd(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 4)
+          .as("charge"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** J1/J2 analog: fact -> dim joins (broadcast) -> group agg. */
+  def joinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val customer = t(spark, sfDir, "customer")
+    val nation = t(spark, sfDir, "nation")
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        rnd(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** P3: semi/anti join (broadcast-set membership in the reference,
+   * `IncrementalWCC.scala:87-88`). */
+  def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = t(spark, sfDir, "customer")
+    val orders = t(spark, sfDir, "orders").select(col("o_custkey"))
+    val withO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .withColumn("grp", lit("with"))
+    val withoutO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .withColumn("grp", lit("without"))
+    withO.unionByName(withoutO)
+      .select(col("c_mktsegment"), col("grp"), col("n_customers"))
+      .orderBy("c_mktsegment", "grp")
+  }
+
+  /** W1: deterministic argmax per group (reference's top-1-by-order
+   * center selection, `DistributedWCC.scala:226-228`). */
+  def argmaxPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_name"))
+    t(spark, sfDir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("c_nationkey"), col("c_name"),
+        rnd(col("c_acctbal"), 4).as("acctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Window top-k per group. */
+  def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        rnd(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** U1+A7+A6: union -> distinct -> global count. */
+  def unionDistinctCount(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders").select(col("o_custkey").as("k"))
+      .union(t(spark, sfDir, "customer").select(col("c_custkey").as("k")))
+      .distinct()
+      .agg(count(lit(1)).as("n"))
+
+  /** A5: global min/max/sum/count in one pass. */
+  def globalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem").agg(
+      rnd(min(col("l_quantity")), 4).as("min_qty"),
+      rnd(max(col("l_quantity")), 4).as("max_qty"),
+      rnd(sum(col("l_extendedprice")), 2).as("sum_price"),
+      count(lit(1)).as("n"))
+
+  /** Event-table aggregation (grouping by low-cardinality key). */
+  def eventsByType(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        rnd(sum(col("value")), 4).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  /** Tumbling event-time window aggregation (batch form of the
+   * Structured Streaming query; window start as timestamp). */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_pricing_summary" -> pricingSummary _,
+    "r_filter_pushdown" -> filterPushdown _,
+    "r_join_agg" -> joinAgg _,
+    "r_semi_anti" -> semiAnti _,
+    "r_argmax_per_group" -> argmaxPerGroup _,
+    "r_topk_per_group" -> topkPerGroup _,
+    "r_union_distinct_count" -> unionDistinctCount _,
+    "r_global_agg" -> globalAgg _,
+    "r_events_by_type" -> eventsByType _,
+    "r_events_hourly" -> eventsHourly _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "r_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc,
+        |  floor((avg(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "r_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1e4 + 0.5) / 1e4 AS charge
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+    "r_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "r_semi_anti" ->
+      """SELECT c_mktsegment, 'with' AS grp, count(*) AS n_customers FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, 'without' AS grp, count(*) AS n_customers FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "r_argmax_per_group" ->
+      """SELECT c_nationkey, c_name, floor((c_acctbal) * 1e4 + 0.5) / 1e4 AS acctbal FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_name) AS rn
+        |  FROM customer) WHERE rn = 1""".stripMargin,
+    "r_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS totalprice
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "r_union_distinct_count" ->
+      """SELECT count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders UNION SELECT c_custkey AS k FROM customer)""".stripMargin,
+    "r_global_agg" ->
+      """SELECT floor((min(l_quantity)) * 1e4 + 0.5) / 1e4 AS min_qty, floor((max(l_quantity)) * 1e4 + 0.5) / 1e4 AS max_qty,
+        |  floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_price, count(*) AS n
+        |FROM lineitem""".stripMargin,
+    "r_events_by_type" ->
+      """SELECT event_type, count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "r_events_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+        |  count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,126 @@
+package graft.wcc
+
+import org.apache.spark.graphx._
+
+/**
+ * Community-level aggregations over a partitioned graph (A1/A3/A8,
+ * G7 in SURVEY.md §2).
+ *
+ * Graphs are stored with canonical single-direction undirected edges;
+ * every aggregation sends to both endpoints, which reproduces the
+ * reference's doubled-edge per-source aggregations
+ * (`DistributedWCC.scala:331-573`) without the /2 halving corrections
+ * it needs (`:564`, `:505`).
+ */
+object CommunityOps {
+
+  /** Community stats (cId -> (r, a, b)) collected to the driver.
+   * #communities << |V|, so a driver-side map + broadcast is the
+   * right distribution strategy at any scale (reference
+   * `DistributedWCC.scala:535-573`: two group-reduces + collect).
+   *
+   * One pass for sizes, one for edges; both partial-aggregate
+   * map-side before the shuffle. */
+  def computeCommunityStats(graph: Graph[VertexData, Int]): Map[Long, CommunityData] = {
+    val sizes: Map[Long, Int] = graph.vertices
+      .map { case (_, vd) => (vd.cId, 1) }
+      .reduceByKey(_ + _)
+      .collectAsMap().toMap
+
+    // INT edges count once toward their community; EXT edges count
+    // once toward EACH endpoint community (reference
+    // `DistributedWCC.scala:553-564` after un-doubling).
+    val edgeCounts: Map[(Boolean, Long), Int] = graph.triplets
+      .flatMap { t =>
+        val cs = t.srcAttr.cId; val cd = t.dstAttr.cId
+        if (cs == cd) Iterator(((true, cs), 1))
+        else Iterator(((false, cs), 1), ((false, cd), 1))
+      }
+      .reduceByKey(_ + _)
+      .collectAsMap().toMap
+
+    sizes.map { case (c, r) =>
+      val a = edgeCounts.getOrElse((true, c), 0)
+      val b = edgeCounts.getOrElse((false, c), 0)
+      (c, CommunityData(r, a.toDouble, b))
+    }
+  }
+
+  /** Per-vertex map of neighbor-community -> edge count (A3,
+   * reference `DistributedWCC.scala:348-356`). Used by the movement
+   * step; map-side combine keeps message volume at
+   * O(E * avg distinct communities per neighborhood). */
+  def vertexCommunityDegrees(graph: Graph[VertexData, Int]): VertexRDD[Map[Long, Int]] =
+    graph.aggregateMessages[Map[Long, Int]](
+      ctx => {
+        ctx.sendToSrc(Map(ctx.dstAttr.cId -> 1))
+        ctx.sendToDst(Map(ctx.srcAttr.cId -> 1))
+      },
+      mergeCountMaps)
+
+  private[wcc] def mergeCountMaps(a: Map[Long, Int], b: Map[Long, Int]): Map[Long, Int] =
+    if (a.size >= b.size) b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0) + v) }
+    else a.foldLeft(b) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0) + v) }
+
+  /**
+   * G7: global WCC = (sum over vertices of WCC_V) / vertexCount.
+   *
+   * Two aggregateMessages passes (same-community adjacency arrays,
+   * then per-edge array intersections for intra-community triangle
+   * counts) + a broadcast of the community-stats map — the reference's
+   * `computeGlobalWCC` (`DistributedWCC.scala:422-460`) with its two
+   * edge-decoration joins replaced by triplet access.
+   *
+   * @param vertexCount divisor — the ORIGINAL (unpruned) vertex count
+   *                    (reference passes `this.vertexCount`, `:41`)
+   */
+  def computeGlobalWCC(graph: Graph[VertexData, Int],
+      stats: Map[Long, CommunityData], vertexCount: Long): Double = {
+    val sc = graph.vertices.sparkContext
+    val bStats = sc.broadcast(stats)
+
+    // same-community neighbor ids per vertex (`:509-533`)
+    val commNbors: VertexRDD[Array[Long]] = graph.aggregateMessages[Array[Long]](
+      ctx => if (ctx.srcAttr.cId == ctx.dstAttr.cId) {
+        ctx.sendToSrc(Array(ctx.dstId)); ctx.sendToDst(Array(ctx.srcId))
+      },
+      _ ++ _)
+
+    val gA: Graph[(VertexData, Array[Long]), Int] =
+      graph.outerJoinVertices(commNbors)((_, vd, a) =>
+        (vd, a.map(_.sorted).getOrElse(Array.empty[Long])))
+
+    // intra-community triangles per vertex (`:462-507`): per
+    // same-community edge, intersect the two same-community
+    // neighborhoods excluding the endpoints; each triangle is seen
+    // once per incident edge, hence /2.
+    val commTri: VertexRDD[Int] = gA.aggregateMessages[Int](
+      ctx => if (ctx.srcAttr._1.cId == ctx.dstAttr._1.cId) {
+        val c = intersectCountExcluding(ctx.srcAttr._2, ctx.dstAttr._2, ctx.srcId, ctx.dstId)
+        ctx.sendToSrc(c); ctx.sendToDst(c)
+      },
+      _ + _)
+
+    val sumWcc = gA.outerJoinVertices(commTri)((_, va, tcOpt) =>
+        (va._1, va._2.length, tcOpt.getOrElse(0) / 2))
+      .vertices
+      .map { case (_, (vd, vtC, tC)) =>
+        WCCMetric.computeWccV(vd, bStats.value(vd.cId), vtC, tC)
+      }
+      .sum()
+    bStats.destroy()
+    sumWcc / vertexCount
+  }
+
+  private[wcc] def intersectCountExcluding(a: Array[Long], b: Array[Long],
+      x1: Long, x2: Long): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { if (x != x1 && x != x2) c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}

@@ -1,0 +1,162 @@
+package graft.wcc
+
+import org.apache.spark.graphx._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Batch DWCC community detection (SURVEY.md §3.1): preprocess
+ * (triangle stats + prune) -> clustering-coefficient-seeded initial
+ * partition (Pregel) -> WCC hill-climbing refinement
+ * (REMOVE/TRANSFER/STAY movements, accepted while the global WCC
+ * improves).
+ *
+ * Behavioral contract: reference `DistributedWCC.scala:21-577`
+ * (Prat-Perez et al., arXiv:1411.0557). Deliberate deviations, per
+ * SURVEY.md §4/§7: phase outputs are cached (the reference recomputes
+ * the whole DAG on every action), intermediate debug CSV sinks become
+ * caller-visible DataFrames/RDDs instead of hard-coded paths, and
+ * lineage is truncated with localCheckpoint inside the loop.
+ */
+object DistributedWCC {
+
+  /** Reference `DistributedWCC.scala:27-29`. */
+  val Threshold = 0.01f
+  val DefaultMaxRetries = 5
+
+  final case class Output(
+      /** final partition on the ORIGINAL vertex set: pruned vertices
+       * come back as their own singleton communities (graft-back,
+       * reference `DistributedWCC.scala:64-77`) */
+      graph: Graph[VertexData, Int],
+      communityStats: Map[Long, CommunityData],
+      bestWcc: Double,
+      globalCC: Double,
+      /** (vId, (t, vt)) over the full input graph — the reference's
+       * TriangleCountResult dump surface */
+      triangleStats: VertexRDD[(Int, Int)],
+      /** partition after the Pregel seeding phase — the reference's
+       * InitialPartitionResult dump surface */
+      initialPartition: Graph[VertexData, Int])
+
+  def run(graph: Graph[Int, Int], maxRetries: Int = DefaultMaxRetries,
+      maxPregelIterations: Int = 50): Output = {
+    val vertexCount = graph.numVertices
+
+    // Phase: preprocessing (`DistributedWCC.scala:88-130`)
+    val tri = TriangleStats.run(graph)
+    val pruned = tri.pruned
+    pruned.cache()
+
+    // Phase: community initialization (`:138-152`)
+    val initGraph = InitialPartition.run(pruned, maxPregelIterations)
+
+    // Phase: WCC iteration (`:260-329`)
+    val (best, bestCs, bestWcc, globalCC) =
+      refinePartition(initGraph, vertexCount, maxRetries)
+
+    // Graft results onto the original graph: every input vertex is in
+    // the output; pruned ones as singletons (`:64-77`).
+    val resultGraph = graph.outerJoinVertices(best.vertices) { (id, _, vdOpt) =>
+      vdOpt.getOrElse(VertexData(id, 0, 0, id))
+    }
+
+    Output(resultGraph, bestCs, bestWcc, globalCC, tri.fullStats, initGraph)
+  }
+
+  /** Refinement loop (G5, reference `DistributedWCC.scala:260-329`):
+   * movements are accepted while global WCC improves; an improvement
+   * above Threshold resets the retry budget. */
+  private def refinePartition(initGraph: Graph[VertexData, Int], vertexCount: Long,
+      maxRetries: Int): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
+    // globalCC = (sum of cc over PRUNED vertices) / ORIGINAL count
+    // (reference `:261-262` — the sum runs on the optimized graph).
+    val globalCC = initGraph.vertices.map(_._2.cc).sum() / vertexCount
+
+    var bestPartition = initGraph
+    var bestCs = CommunityOps.computeCommunityStats(bestPartition)
+    var bestWcc = CommunityOps.computeGlobalWCC(bestPartition, bestCs, vertexCount)
+
+    var foundNewBestPartition = true
+    var retriesLeft = maxRetries
+    var iter = 0
+    do {
+      val movementGraph = getBestMovements(bestPartition, bestCs, globalCC, vertexCount)
+      movementGraph.cache()
+      iter += 1
+      // truncate lineage: each accepted iteration chains joins +
+      // aggregations; at 5-50 iterations the DAG must not compound
+      // (SURVEY.md §7.3).
+      movementGraph.vertices.localCheckpoint()
+      movementGraph.edges.localCheckpoint()
+
+      val newCs = CommunityOps.computeCommunityStats(movementGraph)
+      val newWcc = CommunityOps.computeGlobalWCC(movementGraph, newCs, vertexCount)
+      retriesLeft -= 1
+
+      if (newWcc > bestWcc) {
+        if (newWcc / bestWcc - 1 > Threshold) retriesLeft = maxRetries
+        val prev = bestPartition
+        bestPartition = movementGraph
+        bestWcc = newWcc
+        bestCs = newCs
+        if (prev ne initGraph) {
+          prev.unpersistVertices(blocking = false)
+          prev.edges.unpersist(blocking = false)
+        }
+      } else {
+        foundNewBestPartition = false
+        movementGraph.unpersistVertices(blocking = false)
+        movementGraph.edges.unpersist(blocking = false)
+      }
+    } while (foundNewBestPartition && retriesLeft > 0)
+
+    (bestPartition, bestCs, bestWcc, globalCC)
+  }
+
+  /** One movement step (reference `DistributedWCC.scala:331-365`):
+   * per-vertex neighbor-community degree maps + broadcast community
+   * stats -> local REMOVE/TRANSFER/STAY decision. */
+  private def getBestMovements(graph: Graph[VertexData, Int],
+      stats: Map[Long, CommunityData], globalCC: Double,
+      vertexCount: Long): Graph[VertexData, Int] = {
+    val sc = graph.vertices.sparkContext
+    val bStats = sc.broadcast(stats)
+    val vcDegrees = CommunityOps.vertexCommunityDegrees(graph)
+    graph.outerJoinVertices(vcDegrees) { (_, vd, degOpt) =>
+      degOpt match {
+        case Some(deg) => bestMovement(vd, deg, bStats.value, globalCC, vertexCount)
+        case None      => vd
+      }
+    }
+  }
+
+  /** F7 (reference `DistributedWCC.scala:368-405`): REMOVE iff
+   * wccR - wccT > 1e-5 and wccR > 0; else TRANSFER to the best
+   * candidate iff wccT > 0; else STAY. Candidates are the neighbor
+   * communities with r > 1 other than the current one. */
+  private[wcc] def bestMovement(vertex: VertexData, vcDegrees: Map[Long, Int],
+      communityStats: Map[Long, CommunityData], globalCC: Double,
+      vertexCount: Long): VertexData = {
+    val wccR = WCCMetric.computeWccR(vertex, vcDegrees, communityStats(vertex.cId),
+      globalCC, vertexCount)
+    var wccT = 0.0
+    var bestC = vertex.cId
+    // Candidate iteration in sorted cId order: the reference iterates
+    // an unspecified Map order, so ties on candidateWccT are
+    // implementation-defined there; sorting makes ours deterministic.
+    vcDegrees.toSeq.sortBy(_._1).foreach { case (cId, dIn) =>
+      val cData = communityStats(cId)
+      if (vertex.cId != cId && cData.r > 1) {
+        val dOut = vcDegrees.values.sum - dIn
+        val candidateWccT = wccR + WCCMetric.computeWccI(cData, dIn, dOut, globalCC, vertexCount)
+        if (candidateWccT > wccT) {
+          wccT = candidateWccT
+          bestC = cId
+        }
+      }
+    }
+    if (wccR - wccT > 0.00001 && wccR > 0.0) vertex.copy(cId = vertex.vId)
+    else if (wccT > 0.0) vertex.copy(cId = bestC)
+    else vertex
+  }
+}

@@ -1,0 +1,74 @@
+package graft.wcc
+
+/**
+ * Core record types of the WCC pipeline.
+ *
+ * Immutable re-modeling of the reference's mutable records
+ * (`VertexData.scala:13-54`, `VertexMessage.scala:7-49`,
+ * `CommunityData.scala:11-32` in the reference repo).
+ */
+
+/** Per-vertex triangle/community state.
+ *
+ * @param vId vertex id
+ * @param t   number of triangles through the vertex (full graph)
+ * @param vt  number of neighbors forming >=1 triangle with the vertex
+ *            (= degree in the pruned graph, reference
+ *            `DistributedWCC.scala:125-129`)
+ * @param cId current community id (initially own id)
+ */
+final case class VertexData(vId: Long, t: Int, vt: Int, cId: Long) {
+  /** F1: clustering coefficient, 0 when vt < 2
+   * (reference `VertexData.scala:16-22`). */
+  def cc: Double = if (vt < 2) 0.0 else 2.0 * t / (vt.toLong * (vt - 1))
+  def isCenter: Boolean = vId == cId
+}
+
+object VertexData {
+  /** Load-bearing total order deciding community centers
+   * (reference `VertexData.scala:57-59`). */
+  implicit val ordering: Ordering[VertexData] =
+    Ordering.by((d: VertexData) => (d.cc, d.vt, d.vId))
+}
+
+/** Pregel message for the initial-partition phase: the sender's
+ * decision-relevant coordinates. (cc, vt, vId) are immutable during
+ * the Pregel; only cId (and so center-ness) evolves. */
+final case class NborMsg(vId: Long, vt: Int, cc: Double, cId: Long) {
+  def isCenter: Boolean = vId == cId
+}
+
+object NborMsg {
+  def of(d: VertexData): NborMsg = NborMsg(d.vId, d.vt, d.cc, d.cId)
+  /** Same total order as VertexData (reference `VertexMessage.scala:46-48`). */
+  implicit val ordering: Ordering[NborMsg] =
+    Ordering.by((m: NborMsg) => (m.cc, m.vt, m.vId))
+}
+
+/** Initial-partition Pregel vertex state: VertexData + send-gate +
+ * cached neighbor messages keyed by sender id (the reference keeps a
+ * List, unique by vId — a Map is the same content addressable by key,
+ * reference `VertexData.scala:24-26`). */
+final case class PState(
+    data: VertexData,
+    changed: Boolean,
+    neighbors: Map[Long, NborMsg])
+
+/** Community statistics.
+ *
+ * @param r community size (vertex count)
+ * @param a number of internal (intra-community) undirected edges —
+ *          Double to match the reference's arithmetic exactly
+ *          (`CommunityData.scala:11`)
+ * @param b number of external (boundary) undirected edges
+ */
+final case class CommunityData(r: Int, a: Double, b: Int) {
+  /** F2: edge density d = 2a / r^2 (reference `CommunityData.scala:13`). */
+  def d: Double = 2 * a / math.pow(r, 2)
+
+  def removeVertex(dIn: Int, dOut: Int): CommunityData =
+    CommunityData(r - 1, a - dIn, b + dIn - dOut)
+
+  def addVertex(dIn: Int, dOut: Int): CommunityData =
+    CommunityData(r + 1, a + dIn, b - dIn + dOut)
+}

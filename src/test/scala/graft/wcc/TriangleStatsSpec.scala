@@ -1,0 +1,89 @@
+package graft.wcc
+
+import graft.SparkSpec
+import org.apache.spark.graphx.{Edge, Graph}
+
+object GraphFixtures {
+  /** Build a canonical GraphX graph from undirected edge pairs. */
+  def graphOf(spark: org.apache.spark.sql.SparkSession, edges: Seq[(Long, Long)]): Graph[Int, Int] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).distinct
+    Graph.fromEdges(
+      spark.sparkContext.parallelize(canon.map(e => Edge(e._1, e._2, 1))), 0)
+  }
+
+  /** Brute-force per-vertex triangle stats: (t, vt). */
+  def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, (Int, Int)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (v, es) => (v, es.map(_._2).toSet) }
+    adj.map { case (v, ns) =>
+      val triNbors = ns.filter(u => (adj(u) & ns).nonEmpty)
+      val t = ns.toSeq.map(u => (adj(u) & ns).size).sum / 2
+      (v, (t, triNbors.size))
+    }
+  }
+}
+
+class TriangleStatsSpec extends SparkSpec {
+  import GraphFixtures._
+
+  def check(edges: Seq[(Long, Long)]): Unit = {
+    val g = graphOf(spark, edges)
+    val res = TriangleStats.run(g)
+    val got = res.fullStats.collect().toMap
+    val want = bruteTriangles(edges)
+    assert(got === want)
+    // pruned graph: every vertex t>0, every edge closes a triangle
+    val prunedV = res.pruned.vertices.collect()
+    assert(prunedV.forall(_._2.t > 0))
+    // vt equals degree in the pruned graph
+    val prunedDeg = res.pruned.degrees.collect().toMap
+    prunedV.foreach { case (id, vd) =>
+      assert(vd.vt === prunedDeg.getOrElse(id, 0), s"vt mismatch at $id")
+    }
+  }
+
+  test("single triangle") { check(Seq((1L, 2L), (2L, 3L), (1L, 3L))) }
+
+  test("triangle plus pendant vertex") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    check(edges)
+    val g = graphOf(spark, edges)
+    val res = TriangleStats.run(g)
+    // pendant vertex 4 pruned away
+    assert(res.pruned.vertices.collect().map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(res.fullStats.collect().toMap.apply(4L) === ((0, 0)))
+  }
+
+  test("two triangles sharing a vertex") {
+    check(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L)))
+  }
+
+  test("4-clique: t=3, vt=3, cc=1 for all") {
+    val edges = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    check(edges)
+    val g = graphOf(spark, edges)
+    val res = TriangleStats.run(g)
+    res.pruned.vertices.collect().foreach { case (_, vd) =>
+      assert(vd.t === 3); assert(vd.vt === 3); assert(vd.cc === 1.0)
+    }
+  }
+
+  test("two disjoint triangles bridged by a non-triangle edge") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    check(edges)
+    val g = graphOf(spark, edges)
+    val res = TriangleStats.run(g)
+    // bridge 3-4 closes no triangle: removed by the edge predicate
+    assert(res.pruned.edges.collect().forall(e =>
+      !(e.srcId == 3L && e.dstId == 4L) && !(e.srcId == 4L && e.dstId == 3L)))
+    // but both endpoints survive (t>0)
+    assert(res.pruned.vertices.collect().map(_._1).toSet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("sortedIntersectCount") {
+    assert(TriangleStats.sortedIntersectCount(Array(1L, 3L, 5L), Array(2L, 3L, 5L, 7L)) === 2)
+    assert(TriangleStats.sortedIntersectCount(Array.empty[Long], Array(1L)) === 0)
+  }
+}
