@@ -24,8 +24,12 @@ object SparkEntry {
     GraphQueries.wccPartition(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphQueries.queries
+    RelationalQueries.queries ++ GraphQueries.queries ++ Map(
+      "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _))
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ GraphQueries.oracles
+    RelationalQueries.oracles ++ GraphQueries.oracles ++ Map(
+      // the streaming query drains the bounded source completely, so
+      // its final table equals the batch aggregation
+      "s_stream_hourly" -> RelationalQueries.oracles("r_events_hourly"))
 }

@@ -105,9 +105,10 @@ object EdgeOps {
       .select(col("src").cast("long"), col("dst").cast("long"))
       .rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val g = Graph.fromEdges(edges, defaultValue = 0,
-      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    // GraphX default storage level throughout the library: graph
+    // operators re-persist the RDDs they are handed and refuse to
+    // change an already-set level, so mixing levels breaks chains.
+    val g = Graph.fromEdges(edges, defaultValue = 0)
     val p = if (numPartitions > 0) numPartitions else edges.getNumPartitions
     g.partitionBy(PartitionStrategy.EdgePartition2D, p)
   }

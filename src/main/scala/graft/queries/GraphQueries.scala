@@ -90,6 +90,11 @@ object GraphQueries {
     spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid")
   }
 
+  /** G8+G9 (rows-only): incremental IDWCC over the co-purchase graph
+   * via the reference's bulk/stream split-and-replay driver loop. */
+  def wccIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    IncrementalWCC.testStream(spark, EdgeOps.coPurchaseEdges(spark, sfDir))
+
   /** Shared oracle CTE defining the identical edge sets in DuckDB. */
   val EdgeCte: String =
     """WITH raw AS (
@@ -159,6 +164,7 @@ object GraphQueries {
     "g_community_stats" -> communityStats _,
     "g_vertex_comm_degrees" -> vertexCommunityDegrees _,
     "g_wcc_partition" -> wccPartition _,
-    "g_wcc_initial_partition" -> wccInitialPartition _
+    "g_wcc_initial_partition" -> wccInitialPartition _,
+    "g_wcc_incremental" -> wccIncremental _
   )
 }

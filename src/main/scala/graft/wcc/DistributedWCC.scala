@@ -83,11 +83,13 @@ object DistributedWCC {
       val movementGraph = getBestMovements(bestPartition, bestCs, globalCC, vertexCount)
       movementGraph.cache()
       iter += 1
-      // truncate lineage: each accepted iteration chains joins +
-      // aggregations; at 5-50 iterations the DAG must not compound
-      // (SURVEY.md §7.3).
-      movementGraph.vertices.localCheckpoint()
-      movementGraph.edges.localCheckpoint()
+      // truncate lineage periodically: each accepted iteration chains
+      // joins + aggregations and the DAG must not compound over 5-50
+      // iterations (SURVEY.md §7.3). localCheckpoint is unusable here
+      // (it upgrades the storage level, which VertexRDD forbids), so
+      // use a reliable checkpoint when a dir is configured.
+      val sc0 = movementGraph.vertices.sparkContext
+      if (iter % 8 == 0 && sc0.getCheckpointDir.isDefined) movementGraph.checkpoint()
 
       val newCs = CommunityOps.computeCommunityStats(movementGraph)
       val newWcc = CommunityOps.computeGlobalWCC(movementGraph, newCs, vertexCount)

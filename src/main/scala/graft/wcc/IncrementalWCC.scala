@@ -1,0 +1,246 @@
+package graft.wcc
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.graphx._
+import org.apache.spark.rdd.RDD
+
+/**
+ * Incremental DWCC ("IDWCC", SURVEY.md §3.3): given a previously
+ * computed partition, merge a micro-batch of new edges, locally
+ * update triangle statistics for affected (border/new) vertices,
+ * re-seed with the existing communities and refine with a fixed
+ * number of movement iterations.
+ *
+ * Behavioral contract: reference `IncrementalWCC.scala:21-598`,
+ * including its quirk ledger (SURVEY.md §7.1), replicated because
+ * they ARE the reference's observable semantics:
+ *  - a border/new vertex whose delta stats are non-zero has its
+ *    community RESET to itself (`IncrementalWCC.scala:172` constructs
+ *    `new VertexData(vId, t, vt)` whose cId defaults to vId);
+ *  - `run` grafts results onto the PREVIOUS graph's vertex/edge set
+ *    (`:56-58` builds dataGraph from itGraph, not fullGraph) and
+ *    returns the INCOMING community stats, not the freshly computed
+ *    ones (`:69`);
+ *  - refinement is a fixed 5 iterations with no WCC acceptance test
+ *    (`:342-382`).
+ *
+ * Scale deviation (SURVEY.md §7.3): the reference collects the whole
+ * batch vertex set to the driver (`:86-89`); here the batch ids
+ * (small by definition of a micro-batch) become broadcast sets and
+ * every membership filter runs distributed.
+ */
+object IncrementalWCC {
+
+  final case class State(graph: Graph[VertexData, Int], stats: Map[Long, CommunityData])
+
+  /** Reference `IncrementalWCC.scala:73-77`: initial bulk run. */
+  def prepare(graph: Graph[Int, Int]): State = {
+    val out = DistributedWCC.run(graph)
+    State(out.graph, out.communityStats)
+  }
+
+  final case class MergeResult(
+      fullGraph: Graph[VertexData, Int],
+      newIds: Broadcast[Set[Long]],
+      borderIds: Broadcast[Set[Long]],
+      vertexCount: Long,
+      globalCC: Double)
+
+  /** Merge phase (reference `IncrementalWCC.scala:79-112`). */
+  private[wcc] def merge(state: State, newEdges: RDD[Edge[Int]]): MergeResult = {
+    val sc = state.graph.vertices.sparkContext
+    // batch vertex ids: micro-batch-sized, safe on the driver
+    val batchIds = newEdges.flatMap(e => Iterator(e.srcId, e.dstId)).distinct().collect().toSet
+    val bBatch = sc.broadcast(batchIds)
+    val borderIds = state.graph.vertices
+      .filter { case (id, _) => bBatch.value.contains(id) }
+      .map(_._1).collect().toSet
+    val newIds = batchIds -- borderIds
+    val bBorder = sc.broadcast(borderIds)
+    val bNew = sc.broadcast(newIds)
+
+    // graph union (`:94`); union of canonical edge sets stays
+    // duplicate-free because batch edges are new by construction
+    val fg: Graph[VertexData, Int] = Graph(
+      state.graph.vertices.union(
+        sc.parallelize(newIds.toSeq).map(id => (id, VertexData(id, 0, 0, id)))),
+      state.graph.edges.union(newEdges))
+    fg.cache()
+
+    val fullGraph = updateVertexData(fg, bBorder, bNew)
+    fullGraph.cache()
+    val vertexCount = fullGraph.numVertices
+    val globalCC = fullGraph.vertices.map(_._2.cc).sum() / vertexCount
+    MergeResult(fullGraph, bNew, bBorder, vertexCount, globalCC)
+  }
+
+  /** Delta triangle-stat update (reference `IncrementalWCC.scala:114-181`):
+   * only border/new vertices get (possibly partial) recounts, via
+   * intersections of their post-merge neighborhoods restricted by the
+   * reference's newEdge/borderEdge/newVt flag logic. */
+  private[wcc] def updateVertexData(graph: Graph[VertexData, Int],
+      bBorder: Broadcast[Set[Long]], bNew: Broadcast[Set[Long]]): Graph[VertexData, Int] = {
+    // post-merge neighborhoods for border/new vertices only (`:120-130`)
+    val nbrs: VertexRDD[Array[Long]] = graph.aggregateMessages[Array[Long]](
+      ctx => {
+        val touched = (id: Long) => bBorder.value.contains(id) || bNew.value.contains(id)
+        if (touched(ctx.srcId)) ctx.sendToSrc(Array(ctx.dstId))
+        if (touched(ctx.dstId)) ctx.sendToDst(Array(ctx.srcId))
+      }, _ ++ _)
+
+    val ng: Graph[(VertexData, Array[Long]), Int] =
+      graph.outerJoinVertices(nbrs)((_, vd, a) =>
+        (vd, a.map(_.sorted).getOrElse(Array.empty[Long])))
+
+    // per-edge delta counters with the reference's flag logic
+    // (`:132-160`): counter counts common neighbors w of a
+    // border-border or new-incident edge, incrementing only when the
+    // edge is new-incident or w itself is new; otherwise the shared
+    // newVt flag is cleared. i = 1 iff counter > 0 and newVt held.
+    val stats: VertexRDD[(Int, Int)] = ng.aggregateMessages[(Int, Int)](
+      ctx => {
+        val border = bBorder.value; val nw = bNew.value
+        val borderEdge = border.contains(ctx.srcId) && border.contains(ctx.dstId)
+        val newEdge = nw.contains(ctx.srcId) || nw.contains(ctx.dstId)
+        if (newEdge || borderEdge) {
+          val a = ctx.srcAttr._2; val b = ctx.dstAttr._2
+          var i = 0; var j = 0; var c = 0; var newVt = true
+          while (i < a.length && j < b.length) {
+            val x = a(i); val y = b(j)
+            if (x == y) {
+              if (x != ctx.srcId && x != ctx.dstId) {
+                if (newEdge || nw.contains(x)) c += 1 else newVt = false
+              }
+              i += 1; j += 1
+            } else if (x < y) i += 1 else j += 1
+          }
+          val ind = if (c > 0 && newVt) 1 else 0
+          ctx.sendToSrc((c, ind)); ctx.sendToDst((c, ind))
+        }
+      },
+      (x, y) => (x._1 + y._1, x._2 + y._2))
+
+    // join (`:163-178`): border vertices ADD deltas; new vertices get
+    // absolute counts; both get cId reset to self (VertexData
+    // constructor default — reference quirk). Untouched vertices keep
+    // their data.
+    graph.outerJoinVertices(stats) { (id, vd, sOpt) =>
+      sOpt match {
+        case Some((c, ind)) if c != 0 || ind != 0 =>
+          if (bBorder.value.contains(id))
+            VertexData(id, vd.t + c / 2, vd.vt + ind, id)
+          else
+            VertexData(id, c / 2, ind, id)
+        case _ => vd
+      }
+    }
+  }
+
+  /** Incremental initial partition (reference
+   * `IncrementalWCC.scala:185-227`): rebuild adjacency on the merged
+   * graph, keep only triangle-closing edges and t>0 vertices, then
+   * run the SAME Pregel — seeded by the surviving cIds. */
+  private[wcc] def performInitialPartition(graph: Graph[VertexData, Int],
+      maxIterations: Int = 50): Graph[VertexData, Int] = {
+    val adj: VertexRDD[Array[Long]] =
+      graph.collectNeighborIds(EdgeDirection.Either).mapValues(_.sorted)
+    val withAdj = graph.outerJoinVertices(adj)((_, vd, a) =>
+      (vd, a.getOrElse(Array.empty[Long])))
+    val flagged = withAdj.mapTriplets(t =>
+      TriangleStats.sortedIntersectCount(t.srcAttr._2, t.dstAttr._2) > 0)
+    val prunedB = flagged.subgraph(
+      epred = e => e.attr,
+      vpred = (_, v) => v._1.t > 0)
+    val pruned = Graph(prunedB.vertices.mapValues(_._1),
+      prunedB.edges.map(e => Edge(e.srcId, e.dstId, 1)))
+    InitialPartition.run(pruned, maxIterations)
+  }
+
+  /** Fixed-5 refinement (reference `IncrementalWCC.scala:332-393`):
+   * no WCC acceptance test; candidates are neighbor communities
+   * present in the current stats (always true here because stats are
+   * recomputed from the same graph each iteration). */
+  private[wcc] def refinePartition(initGraph: Graph[VertexData, Int],
+      globalCC: Double, vertexCount: Long): (Graph[VertexData, Int], Map[Long, CommunityData]) = {
+    val sc = initGraph.vertices.sparkContext
+    var bestCs = CommunityOps.computeCommunityStats(initGraph)
+    var g = initGraph
+    var it = 0
+    do {
+      it += 1
+      val bStats = sc.broadcast(bestCs)
+      val vcDegrees = CommunityOps.vertexCommunityDegrees(g)
+      val moved = g.outerJoinVertices(vcDegrees) { (_, vd, degOpt) =>
+        degOpt match {
+          case Some(deg) =>
+            // the reference restricts candidates to stats-present
+            // communities (`:372`), which is vacuous here: stats are
+            // recomputed from this same graph, so every neighbor cId
+            // is present — pass the full map.
+            DistributedWCC.bestMovement(vd, deg, bStats.value, globalCC, vertexCount)
+          case None => vd
+        }
+      }
+      moved.cache()
+      bestCs = CommunityOps.computeCommunityStats(moved)
+      if (g ne initGraph) {
+        g.unpersistVertices(blocking = false)
+        g.edges.unpersist(blocking = false)
+      }
+      g = moved
+    } while (it < 5)
+    (g, bestCs)
+  }
+
+  /** One micro-batch (reference `IncrementalWCC.scala:27-71`). */
+  def run(state: State, newEdges: RDD[Edge[Int]]): State = {
+    val m = merge(state, newEdges)
+    val init = performInitialPartition(m.fullGraph)
+    val (finalGraph, _) = refinePartition(init, m.globalCC, m.vertexCount)
+
+    // graft onto the PREVIOUS graph's vertex/edge set and return the
+    // STALE incoming stats (reference quirks, see object Scaladoc)
+    val resultGraph = state.graph.outerJoinVertices(finalGraph.vertices) { (id, _, vdOpt) =>
+      vdOpt.getOrElse(VertexData(id, 0, 0, id))
+    }
+    State(resultGraph, state.stats)
+  }
+
+  /**
+   * Micro-batch driver (G9, reference `CSVGraph.scala:47-103`): split
+   * the canonical edge set at splitVertex = floor(maxId * ratio);
+   * bulk-train on edges with both endpoints below the split; replay
+   * the remainder in `microBatchCount` vertex-id-range batches.
+   * Returns the final (vid, cid) partition.
+   */
+  def testStream(spark: org.apache.spark.sql.SparkSession,
+      canonicalEdges: org.apache.spark.sql.DataFrame,
+      bulkToStreamRatio: Double = 0.8,
+      microBatchCount: Int = 1): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, greatest, max}
+    val maxVertex = canonicalEdges
+      .agg(max(greatest(col("src"), col("dst")))).head().getLong(0)
+    val splitVertex = math.floor(maxVertex * bulkToStreamRatio)
+
+    val edgeRdd = canonicalEdges
+      .select(col("src").cast("long"), col("dst").cast("long")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    edgeRdd.cache()
+    val bulk = edgeRdd.filter(e => e.srcId < splitVertex && e.dstId < splitVertex)
+    val stream = edgeRdd.filter(e => e.srcId >= splitVertex || e.dstId >= splitVertex)
+
+    var state = prepare(Graph.fromEdges(bulk, 0))
+    val microBatchSize = math.floor((maxVertex - splitVertex) / microBatchCount)
+    (1 to microBatchCount).foreach { i =>
+      val lower = splitVertex + (i - 1) * microBatchSize
+      val higher = if (i == microBatchCount) maxVertex + 1.0
+        else splitVertex + i * microBatchSize
+      val batch = stream.filter(e =>
+        (e.srcId >= lower || e.dstId >= lower) &&
+          e.srcId < higher && e.dstId < higher)
+      state = run(state, batch)
+    }
+    val rows = state.graph.vertices.map { case (id, vd) => (id, vd.cId) }
+    spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid")
+  }
+}

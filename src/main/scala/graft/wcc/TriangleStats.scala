@@ -69,8 +69,10 @@ object TriangleStats {
       Edge(t.srcId, t.dstId, sortedIntersectCount(t.srcAttr, t.dstAttr))
     }
 
-    val counted: Graph[Int, Int] = Graph(graph.vertices, countedEdges,
-      0, StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    // default storage levels: Graph.apply re-persists the vertex RDD
+    // it is handed, and GraphX refuses to change an existing level —
+    // every graph in this library therefore uses the GraphX default.
+    val counted: Graph[Int, Int] = Graph(graph.vertices, countedEdges, 0)
     counted.cache()
 
     // G1+G3: per-vertex (2t, vt) in one pass — map-side combine free.

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.RelationalQueries
+import graft.wcc.{GraphFixtures, IncrementalWCC}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamOpsSpec extends SparkSpec {
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.hourlyEventCounts(spark, sfDir).collect()
+    val batch = RelationalQueries.eventsHourly(spark, sfDir).collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
+  test("foreachBatch incremental WCC matches the driver-loop result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // bulk triangle {1,2,3}, streamed batch adds triangle {3,4,5}
+    val bulk = GraphFixtures.graphOf(spark, Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val init = IncrementalWCC.prepare(bulk)
+
+    val stream = MemoryStream[(Long, Long)]
+    stream.addData((3L, 4L), (4L, 5L), (3L, 5L))
+    val edgesDf = stream.toDF().toDF("src", "dst")
+    val streamedState = StreamOps.incrementalWcc(edgesDf, init)
+
+    val loopState = IncrementalWCC.run(init,
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.graphx.Edge(3L, 4L, 1),
+        org.apache.spark.graphx.Edge(4L, 5L, 1),
+        org.apache.spark.graphx.Edge(3L, 5L, 1))))
+
+    val a = streamedState.graph.vertices.collect().map { case (id, vd) => (id, vd.cId) }.sortBy(_._1)
+    val b = loopState.graph.vertices.collect().map { case (id, vd) => (id, vd.cId) }.sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+}

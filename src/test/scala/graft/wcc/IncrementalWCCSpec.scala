@@ -1,0 +1,63 @@
+package graft.wcc
+
+import graft.SparkSpec
+import graft.graph.EdgeOps
+import org.apache.spark.graphx.{Edge, Graph}
+
+class IncrementalWCCSpec extends SparkSpec {
+  import GraphFixtures._
+
+  test("merge classifies border vs new and updates triangle deltas") {
+    // bulk: triangle {1,2,3}; batch adds triangle {3,4,5} -> 3 is
+    // border, 4 and 5 are new
+    val bulk = graphOf(spark, Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val state = IncrementalWCC.prepare(bulk)
+    val newEdges = spark.sparkContext.parallelize(Seq(
+      Edge(3L, 4L, 1), Edge(4L, 5L, 1), Edge(3L, 5L, 1)))
+    val m = IncrementalWCC.merge(state, newEdges)
+    assert(m.borderIds.value === Set(3L))
+    assert(m.newIds.value === Set(4L, 5L))
+    assert(m.vertexCount === 5L)
+    val verts = m.fullGraph.vertices.collect().toMap
+    // new vertices 4,5: one new triangle each
+    assert(verts(4L).t === 1)
+    assert(verts(5L).t === 1)
+    // border vertex 3: delta-adds the new triangle to its old count
+    assert(verts(3L).t === 2)
+    // untouched vertices keep their data
+    assert(verts(1L).t === 1)
+    assert(verts(2L).t === 1)
+  }
+
+  test("run returns previous vertex universe with updated communities") {
+    val bulk = graphOf(spark, Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val state = IncrementalWCC.prepare(bulk)
+    val newEdges = spark.sparkContext.parallelize(Seq(
+      Edge(3L, 4L, 1), Edge(4L, 5L, 1), Edge(3L, 5L, 1)))
+    val out = IncrementalWCC.run(state, newEdges)
+    // reference quirk: grafted onto the PREVIOUS graph's vertex set
+    assert(out.graph.vertices.collect().map(_._1).toSet === Set(1L, 2L, 3L))
+    // reference quirk: returns the stale incoming stats
+    assert(out.stats === state.stats)
+  }
+
+  test("testStream on email-Eu-core: full driver loop terminates with sane output") {
+    val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
+    val canon = EdgeOps.canonicalize(raw)
+    val result = IncrementalWCC.testStream(spark, canon, 0.8, 1)
+    val rows = result.collect()
+    // vertex universe = the bulk graph's vertices (both endpoints
+    // below splitVertex), per the reference's graft-back quirk
+    assert(rows.length > 0)
+    // communities may be centered on merged-graph vertices OUTSIDE the
+    // returned bulk universe (reference graft-back quirk) — every cid
+    // is some vertex of the full canonical graph
+    val allIds = canon.select("src").union(canon.select("dst"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => allIds.contains(r.getLong(1))))
+    // deterministic across runs
+    val again = IncrementalWCC.testStream(spark, canon, 0.8, 1).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+}
