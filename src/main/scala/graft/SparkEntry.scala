@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{GraphQueries, RelationalQueries}
+import graft.queries.{GraphQueries, PipelineQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -24,11 +24,13 @@ object SparkEntry {
     GraphQueries.wccPartition(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphQueries.queries ++ Map(
+    RelationalQueries.queries ++ GraphQueries.queries ++
+      PipelineQueries.queries ++ Map(
       "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _))
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ GraphQueries.oracles ++ Map(
+    RelationalQueries.oracles ++ GraphQueries.oracles ++
+      PipelineQueries.oracles ++ Map(
       // the streaming query drains the bounded source completely, so
       // its final table equals the batch aggregation
       "s_stream_hourly" -> RelationalQueries.oracles("r_events_hourly"))

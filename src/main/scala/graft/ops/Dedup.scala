@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for a training-data pipeline, each shaped
+ * for 100 TB corpora:
+ *
+ *  - exact: hash-groupBy — one shuffle on a 32-byte key, keep-min
+ *    survivor per group;
+ *  - MinHash + LSH banding: shingle -> k minhashes -> b bands; near
+ *    duplicates collide in >=1 band, so candidate generation is a
+ *    self-join on (band, band_hash) — the classic
+ *    shuffle-on-short-key pattern that avoids all-pairs comparison;
+ *  - SimHash: content-defined bit signature; hamming proximity =
+ *    near-duplication. The portable 16-bit variant here derives bits
+ *    from md5 hex characters so the DuckDB oracle can reproduce it
+ *    exactly (a production 64/128-bit variant only changes the bit
+ *    source, not the dataflow);
+ *  - n-gram Jaccard: exact verification for candidate pairs via a
+ *    shingle-level join (computes |A intersect B| without
+ *    materializing pairs of shingle sets).
+ *
+ * All hashing is md5-hex-based (lexicographic min on fixed-width hex
+ * = numeric min), identical in Spark and DuckDB.
+ */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text hash, survivor = min id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+
+  val NumHashes = 8
+  val BandRows = 2 // 4 bands x 2 rows
+
+  /** MinHash signatures: k seeded md5 minima over word-3-gram
+   * shingles. One explode + one groupBy with k min() aggregates (all
+   * map-side combined). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = TextOps.shingles(TextOps.words(col("text")), 3)
+    docs.select(col("doc_id"), explode(sh).as("s"))
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0:"), col("s")))).as("minh0"),
+        (1 until NumHashes).map(j =>
+          min(md5(concat(lit(s"$j:"), col("s")))).as(s"minh$j")): _*)
+  }
+
+  /** LSH band keys: (doc_id, band, band_hash), band_hash = md5 of the
+   * band's concatenated minhashes. Docs sharing any band key are
+   * candidate near-duplicates. */
+  def lshBands(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until BandRows).map(r => col(s"minh${b * BandRows + r}")): _*)).as("bh"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs from LSH bucket collisions. */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val b = lshBands(docs)
+    val a = b.as("a"); val c = b.as("b")
+    a.join(c, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (doc_a, doc_b):
+   * computed via a shingle-level equi-join, so the shuffle key is the
+   * shingle — no shingle-set materialization per pair. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.words(col("text")), 3)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na.n") + col("nb.n") - col("inter")).as("uni"),
+        TextOps.rnd(col("inter").cast("double") /
+          (col("na.n") + col("nb.n") - col("inter")), 9).as("jaccard"))
+  }
+
+  /** Adjacent-id pairs — a deterministic, linear-sized candidate set
+   * used by the oracle-checked Jaccard query. */
+  def consecutivePairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+
+  /** Portable 16-bit SimHash: bit j votes +1 when the j-th hex char
+   * of md5(token) is >= '8' (top bit of that nibble), -1 otherwise;
+   * the signature is the sign vector as a bit string. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.words(lower(col("text")))).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("h"))
+    val votes = (0 until 16).map(j =>
+      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$j"))
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 16).map(j =>
+          when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length bit strings (for
+   * SimHash proximity tests). */
+  def hammingBits(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: treat image/audio/video payloads as
+ * opaque `binary` columns with typed metadata, and run
+ * decode/feature-extract/frame-sample stages as batch-shaped
+ * partition-local transforms.
+ *
+ * The container has no image/audio codecs, so `decodeStub` is a
+ * clearly-marked DETERMINISTIC FAKE — it derives "decoded" metadata
+ * arithmetically from the payload bytes. Everything around it (the
+ * binary schema, fixed-size chunking for shuffle-friendly payload
+ * movement, the mapPartitions batch shape, partitioning) is real and
+ * tested; swapping the stub for a real codec changes one function.
+ *
+ * Scale: payloads never pass through a groupBy — chunking is a
+ * map-side explode with arithmetic bounds, and decode is
+ * partition-local. Binary columns are opaque to the optimizer, so
+ * metadata lives in separate columns where pruning/pushdown work.
+ */
+object Multimodal {
+
+  val ChunkBytes = 4096
+
+  /** Fake media record derived from the documents table: payload =
+   * utf-8 bytes of the text (stands in for image/audio bytes),
+   * media_type cycles deterministically. */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+
+  /** Typed metadata without touching payload content downstream. */
+  def withMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("n_bytes", octet_length(col("payload")))
+      .withColumn("n_chunks", ceil(col("n_bytes") / lit(ChunkBytes.toDouble)).cast("long"))
+
+  /** Fixed-size chunk rows (media_id, chunk_idx, chunk_len) — the
+   * shuffle-safe representation for moving large payloads. */
+  def chunks(media: DataFrame): DataFrame =
+    withMeta(media)
+      .select(col("media_id"), col("n_bytes"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("media_id"), col("chunk_idx"),
+        least(lit(ChunkBytes.toLong),
+          col("n_bytes") - col("chunk_idx") * ChunkBytes).as("chunk_len"))
+
+  final case class MediaRow(media_id: Long, payload: Array[Byte], media_type: String)
+  final case class DecodedRow(media_id: Long, media_type: String,
+      width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** DETERMINISTIC FAKE decode — replace with a real codec binding in
+   * production. Partition-local batch shape: one pass over the
+   * payload bytes per record, no data movement. */
+  def decodeStub(r: MediaRow): DecodedRow = {
+    var sum = 0L
+    var i = 0
+    while (i < r.payload.length) { sum += (r.payload(i) & 0xff).toLong; i += 1 }
+    val n = r.payload.length
+    DecodedRow(r.media_id, r.media_type,
+      width = 64 + n % 577, height = 64 + n % 433,
+      n_frames = if (r.media_type == "video") 1 + n % 25 else 1,
+      checksum = sum)
+  }
+
+  /** The decode stage: typed mapPartitions over binary payloads (the
+   * batch shape a pandas/Arrow UDF would have on the Python side). */
+  def decodeAll(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("media_type"))
+      .as[MediaRow]
+      .mapPartitions(_.map(decodeStub))
+  }
+
+  /** Frame sampling on the fake-decoded stream: every 5th frame. */
+  def sampleFrames(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeAll(spark, media)
+      .where(col("media_type") === "video")
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
+  }
+}

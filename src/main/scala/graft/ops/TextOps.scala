@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a large-scale training-data pipeline:
+ * token statistics, quality scoring, language identification,
+ * document fingerprinting. All are single-pass, codegen-friendly
+ * column expressions (no UDFs), so they scale embarrassingly
+ * parallel over a 100 TB corpus — the only shuffles are the final
+ * per-document aggregations where needed.
+ *
+ * Every function is expressible with the same logical SQL in DuckDB,
+ * which is how the oracle validates them (PipelineQueries).
+ */
+object TextOps {
+
+  /** Whitespace tokenization (leading/trailing trimmed). */
+  def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-gram shingles ("a b c" word triples by default). */
+  def shingles(w: Column, n: Int): Column =
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
+
+  /** Deterministic rounding shared with the DuckDB oracle (see
+   * RelationalQueries.rnd). */
+  def rnd(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + 0.5) / p
+  }
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+
+  /** Per-document statistics + linear quality score.
+   * Output: doc_id, n_chars_m, n_words, n_punct, stop_ratio,
+   * punct_ratio, quality. */
+  def textStats(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+    val nStop = size(filter(w, t => t.isin(Stopwords.map(x => x: Any): _*)))
+    val stopRatio = nStop.cast("double") / nWords
+    val punctRatio = nPunct.cast("double") / length(col("text"))
+    // linear quality heuristic: reasonable length + stopword density
+    // + low punctuation noise (pure *, /, least -> FP-identical in
+    // the oracle; no exp/log whose libm bits could differ)
+    val quality =
+      lit(0.4) * least(nWords.cast("double") / 50.0, lit(1.0)) +
+      lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.2) * when(punctRatio > 0.1, 0.0).otherwise(lit(1.0) - punctRatio * 10.0)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      nWords.as("n_words"),
+      nPunct.as("n_punct"),
+      rnd(stopRatio, 6).as("stop_ratio"),
+      rnd(punctRatio, 6).as("punct_ratio"),
+      rnd(quality, 6).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+   * (runs of alphanumerics, or single non-space symbols — the usual
+   * pre-tokenizer shape). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words(col("text"))).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+        .as("re_tokens"))
+
+  /** Stopword-profile language scores. The per-language profiles are
+   * tiny keyword lists; predicted = argmax with the deterministic
+   * tie-break en > de > fr > es. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "una", "y", "los", "que"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val w = words(lower(col("text")))
+    val scores = LangProfiles.map { case (lang, prof) =>
+      lang -> size(filter(w, t => t.isin(prof.map(x => x: Any): _*)))
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val predicted =
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    docs.select(col("doc_id"),
+      en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"),
+      predicted.as("predicted"), col("lang").as("labeled"))
+  }
+
+  /** Winnowing-style fingerprints: md5 of word 5-grams, keeping the
+   * ~1/16 whose hash ends in '0' (density-based selection — the
+   * selection is content-defined, so shared passages select the same
+   * fingerprints in any document, which is what makes the sketch
+   * usable for cross-document overlap detection at scale). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val sh = shingles(words(col("text")), 5)
+    docs
+      .select(col("doc_id"), explode(sh).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("fp"))
+      .where(col("fp").endsWith("0"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
+  }
+}

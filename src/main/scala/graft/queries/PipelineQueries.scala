@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data-pipeline queries over the `documents` and
+ * `embeddings` tables: dedup (exact / MinHash+LSH / SimHash /
+ * n-gram-Jaccard / embedding-cosine), similarity search (brute-force
+ * + LSH + IVF), text analysis, and multimodal-column plumbing.
+ *
+ * Everything except the LSH-bucket ANN variant (whose fixed
+ * hyperplanes are built driver-side) is SQL-expressible, so each
+ * query carries a DuckDB oracle mirroring the identical logical
+ * plan. Hashing is md5-hex in both engines; doubles are rounded with
+ * the shared floor(x*1e_d+0.5)/1e_d pattern; dot products fold
+ * left-to-right in both engines.
+ */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def embs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  val NearDupThreshold = 0.4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_text_stats" -> ((s, d) => TextOps.textStats(docs(s, d)).orderBy("doc_id")),
+    "p_token_counts" -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy("doc_id")),
+    "p_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id")),
+    "p_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d)).orderBy("doc_id")),
+    "p_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("h")),
+    "p_minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(docs(s, d)).orderBy("doc_id")),
+    "p_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+    "p_ngram_jaccard" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.ngramJaccard(dd, Dedup.consecutivePairs(dd)).orderBy("doc_a")
+    }),
+    "p_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
+    "p_ann_bruteforce" -> ((s, d) =>
+      Similarity.bruteForceTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")),
+    "p_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")),
+    "p_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")),
+    "p_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(embs(s, d), NearDupThreshold).orderBy("id_a", "id_b")),
+    "p_media_chunks" -> ((s, d) =>
+      Multimodal.chunks(Multimodal.asMedia(docs(s, d))).orderBy("media_id", "chunk_idx")),
+    "p_media_decode" -> ((s, d) =>
+      Multimodal.decodeAll(s, Multimodal.asMedia(docs(s, d))).toDF()
+        .select(col("media_id"), col("media_type"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"), col("checksum"))
+        .orderBy("media_id")),
+    "p_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(s, Multimodal.asMedia(docs(s, d)))
+        .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("media_id", "frame_idx"))
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val W = ", w AS (SELECT doc_id, text, lang, " +
+    "string_split_regex(trim(text), '\\s+') AS w FROM documents)"
+  private val Sh3 =
+    """, sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM w, unnest(generate_series(1, len(w) - 2)) t(i))""".stripMargin
+
+  private val Stop = TextOps.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  private val minhCols = (0 until Dedup.NumHashes)
+    .map(j => s"min(md5('$j:' || s)) AS minh$j").mkString(",\n  ")
+
+  private val bandRows = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
+    val parts = (0 until Dedup.BandRows).map(r => s"minh${b * Dedup.BandRows + r}")
+    s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || '|' || ")}) AS bh FROM sigs"
+  }.mkString("\n  UNION ALL ")
+
+  private val Cos =
+    "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+
+  def oracles: Map[String, String] = Map(
+    "p_text_stats" ->
+      s"""WITH base AS (SELECT 1)$W,
+         |r AS (SELECT doc_id, length(text) AS n_chars_m, len(w) AS n_words,
+         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         |  len(list_filter(w, t -> list_contains($Stop, t)))::DOUBLE / len(w) AS sr,
+         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS pr
+         |  FROM w)
+         |SELECT doc_id, n_chars_m, n_words, n_punct,
+         |  floor(sr * 1e6 + 0.5) / 1e6 AS stop_ratio,
+         |  floor(pr * 1e6 + 0.5) / 1e6 AS punct_ratio,
+         |  floor((0.4 * least(n_words::DOUBLE / 50.0, 1.0) + 0.4 * least(sr * 5.0, 1.0)
+         |    + 0.2 * (CASE WHEN pr > 0.1 THEN 0.0 ELSE 1.0 - pr * 10.0 END)) * 1e6 + 0.5) / 1e6 AS quality
+         |FROM r""".stripMargin,
+    "p_token_counts" ->
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+        |FROM documents""".stripMargin,
+    "p_lang_id" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |${TextOps.LangProfiles.map { case (l, prof) =>
+             val arr = prof.map(p => s"'$p'").mkString("[", ", ", "]")
+             s"  len(list_filter(w, t -> list_contains($arr, t))) AS s_$l"
+           }.mkString(",\n")}
+         |FROM w)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
+         |  lang AS labeled
+         |FROM s""".stripMargin,
+    "p_fingerprints" ->
+      s"""WITH base AS (SELECT 1)$W,
+         |sh AS (SELECT doc_id,
+         |  w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+         |  FROM w, unnest(generate_series(1, len(w) - 4)) t(i)),
+         |fp AS (SELECT doc_id, md5(s) AS fp FROM sh WHERE md5(s) LIKE '%0')
+         |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+         |FROM fp GROUP BY doc_id""".stripMargin,
+    "p_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "p_minhash_sigs" ->
+      s"""WITH base AS (SELECT 1)$W$Sh3
+         |SELECT doc_id,
+         |  $minhCols
+         |FROM sh GROUP BY doc_id""".stripMargin,
+    "p_lsh_pairs" ->
+      s"""WITH base AS (SELECT 1)$W$Sh3,
+         |sigs AS (SELECT doc_id, $minhCols FROM sh GROUP BY doc_id),
+         |bands AS ($bandRows)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin,
+    "p_ngram_jaccard" ->
+      s"""WITH base AS (SELECT 1)$W$Sh3,
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |i AS (SELECT doc_a, doc_b, count(*) AS inter
+         |  FROM pairs p JOIN ds sa ON sa.doc_id = p.doc_a
+         |               JOIN ds sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS uni,
+         |  floor((inter::DOUBLE / (na.n + nb.n - inter)) * 1e9 + 0.5) / 1e9 AS jaccard
+         |FROM i JOIN sizes na ON na.doc_id = doc_a
+         |       JOIN sizes nb ON nb.doc_id = doc_b""".stripMargin,
+    "p_simhash" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+         |tok AS (SELECT doc_id, md5(t) AS h FROM w, unnest(w) u(t)),
+         |v AS (SELECT doc_id,
+         |${(0 until 16).map(j =>
+             s"  sum(CASE WHEN substring(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
+             .mkString(",\n")}
+         |FROM tok GROUP BY doc_id)
+         |SELECT doc_id, concat(${(0 until 16).map(j =>
+             s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
+         |FROM v""".stripMargin,
+    "p_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+         |scored AS (SELECT query_id, vec_id AS neighbor_id,
+         |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
+         |  FROM q JOIN e ON vec_id <> query_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "p_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id % 10 = 0),
+         |scored AS (SELECT query_id, vec_id AS neighbor_id,
+         |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
+         |  FROM q JOIN e USING (label) WHERE vec_id <> query_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "p_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS v
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, floor(($Cos) * 1e9 + 0.5) / 1e9 AS cos
+         |FROM p WHERE floor(($Cos) * 1e9 + 0.5) / 1e9 >= $NearDupThreshold""".stripMargin,
+    "p_media_chunks" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n_bytes FROM documents),
+        |c AS (SELECT media_id, n_bytes,
+        |  unnest(generate_series(0, CAST(ceil(n_bytes / 4096.0) AS BIGINT) - 1)) AS chunk_idx
+        |  FROM m)
+        |SELECT media_id, chunk_idx,
+        |  least(4096, n_bytes - chunk_idx * 4096) AS chunk_len FROM c""".stripMargin,
+    "p_media_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |  octet_length(encode(text)) AS n,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type
+        |  FROM documents),
+        |ck AS (SELECT doc_id, CAST(sum(ascii(substring(text, i, 1))) AS BIGINT) AS checksum
+        |  FROM documents, unnest(generate_series(1, length(text))) t(i) GROUP BY doc_id)
+        |SELECT media_id, media_type, 64 + n % 577 AS width, 64 + n % 433 AS height,
+        |  CASE WHEN media_type = 'video' THEN 1 + n % 25 ELSE 1 END AS n_frames,
+        |  checksum
+        |FROM m JOIN ck ON ck.doc_id = m.media_id""".stripMargin,
+    "p_media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type
+        |  FROM documents),
+        |v AS (SELECT media_id, 1 + n % 25 AS n_frames FROM m WHERE media_type = 'video')
+        |SELECT media_id, n_frames,
+        |  unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx FROM v""".stripMargin
+  )
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, survivor = min id") {
+    val d = docsDf((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val out = Dedup.exact(d).collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard: identical docs = 1.0, disjoint dropped") {
+    val d = docsDf(
+      (1L, "one two three four five"),
+      (2L, "one two three four five"),
+      (3L, "totally different words here now"))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.ngramJaccard(d, pairs).collect()
+    assert(out.length === 1) // (2,3) has no common shingle -> inner-join drop
+    assert(out.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("minhash signature identical for identical docs, bands collide") {
+    val d = docsDf((1L, "one two three four five six"), (2L, "one two three four five six"))
+    val pairs = Dedup.lshCandidatePairs(d).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("simhash equal for identical docs; hammingBits counts diffs") {
+    val d = docsDf((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
+    val sh = Dedup.simhash(d).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L).length === 16)
+    val hd = spark.range(1).select(
+      Dedup.hammingBits(lit("1010"), lit("1001")).as("h")).head().getInt(0)
+    assert(hd === 2)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute force topk: k neighbors per query, scores descending") {
+    val out = Similarity.bruteForceTopK(e, k = 5, queryMod = 100).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.length === 5)
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh topk scores agree with brute-force cosine for returned pairs") {
+    val brute = Similarity.bruteForceTopK(e, k = 500, queryMod = 100).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val lsh = Similarity.lshTopK(e, k = 5, queryMod = 100).collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(s => assert(math.abs(s - r.getDouble(3)) < 1e-12))
+    }
+  }
+
+  test("ivf topk only returns same-cell neighbors") {
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val out = Similarity.ivfTopK(e, k = 5, queryMod = 100).collect()
+    out.foreach { r =>
+      assert(labels(r.getLong(0)) === labels(r.getLong(2)))
+    }
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("chunk lengths sum to payload size") {
+    val media = Multimodal.asMedia(docs)
+    val sums = Multimodal.chunks(media)
+      .groupBy("media_id").agg(sum("chunk_len").as("total"))
+      .join(Multimodal.withMeta(media).select(col("media_id"), col("n_bytes")), "media_id")
+      .where(col("total") =!= col("n_bytes"))
+    assert(sums.count() === 0)
+  }
+
+  test("decode stub is deterministic and covers all rows") {
+    val media = Multimodal.asMedia(docs)
+    val a = Multimodal.decodeAll(spark, media).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeAll(spark, media).collect().sortBy(_.media_id)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === docs.count())
+    assert(a.forall(d => d.width >= 64 && d.height >= 64 && d.n_frames >= 1))
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: n-grams in order, short docs empty") {
+    val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextOps.shingles(TextOps.words(col("text")), 3).as("sh")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(out(1L) === Seq("a b c", "b c d"))
+    assert(out(2L) === Seq.empty)
+  }
+
+  test("lang id prefers matching stopword profile") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house", "en"),
+      (2L, "der hund und die katze ist das", "de")).toDF("doc_id", "text", "lang")
+    val out = TextOps.langId(d).collect().map(r =>
+      (r.getLong(0), r.getAs[String]("predicted"))).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+  }
+}
