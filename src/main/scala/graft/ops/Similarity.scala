@@ -31,25 +31,32 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Codegen'd dot product (graft.functions.DotProduct) — identical
+   * left-to-right accumulation as the interpreted `aggregate` fold
+   * and DuckDB's list_dot_product. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayMath.dotProduct(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Norms are precomputed once per vector: cosine(a,b) =
+   * dot(a,b)/(nrm_a*nrm_b) evaluates the same doubles as computing
+   * sqrt(dot(x,x)) per pair, at 1/3 the dot products. */
   private def emb(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Exact top-k neighbors for vec_id % queryMod == 0 queries. */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10): DataFrame = {
     val e = emb(embeddings)
     val q = e.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = broadcast(q).crossJoin(e)
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        TextOps.rnd(cosine(col("qv"), col("v")), 9).as("score"))
+        TextOps.rnd(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -84,11 +91,12 @@ object Similarity {
       bits: Int = 8, dims: Int = 64): DataFrame = {
     val e = emb(embeddings).withColumn("bucket", lshBucket(col("v"), bits, dims))
     val q = e.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
     val scored = q.join(e, Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        TextOps.rnd(cosine(col("qv"), col("v")), 9).as("score"))
+        TextOps.rnd(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -100,11 +108,12 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10): DataFrame = {
     val e = emb(embeddings)
     val q = e.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label"))
     val scored = q.join(e, Seq("label"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        TextOps.rnd(cosine(col("qv"), col("v")), 9).as("score"))
+        TextOps.rnd(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -117,11 +126,11 @@ object Similarity {
    * join — same predicate, sub-quadratic candidates). */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = emb(embeddings)
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        TextOps.rnd(cosine(col("va"), col("vb")), 9).as("cos"))
+        TextOps.rnd(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -38,21 +38,39 @@ object DistributedWCC {
        * InitialPartitionResult dump surface */
       initialPartition: Graph[VertexData, Int])
 
+  /** Phase wall-clock logging, mirroring the reference's
+   * instrumentation points (`DistributedWCC.scala:43,59,281,295-302`,
+   * see BASELINE.md). */
+  private def timed[T](phase: String)(f: => T): T = {
+    val t0 = System.currentTimeMillis()
+    val r = f
+    System.err.println(s"[graft-wcc] $phase: ${System.currentTimeMillis() - t0} ms")
+    r
+  }
+
   def run(graph: Graph[Int, Int], maxRetries: Int = DefaultMaxRetries,
-      maxPregelIterations: Int = 50): Output = {
+      maxPregelIterations: Int = 50,
+      precomputedStats: Option[TriangleStats.Result] = None): Output = {
     val vertexCount = graph.numVertices
 
     // Phase: preprocessing (`DistributedWCC.scala:88-130`)
-    val tri = TriangleStats.run(graph)
+    val tri = timed("preprocess") {
+      val t = precomputedStats.getOrElse(TriangleStats.run(graph))
+      t.pruned.cache()
+      t.pruned.numVertices
+      t
+    }
     val pruned = tri.pruned
-    pruned.cache()
 
     // Phase: community initialization (`:138-152`)
-    val initGraph = InitialPartition.run(pruned, maxPregelIterations)
+    val initGraph = timed("initial-partition") {
+      InitialPartition.run(pruned, maxPregelIterations)
+    }
 
     // Phase: WCC iteration (`:260-329`)
-    val (best, bestCs, bestWcc, globalCC) =
+    val (best, bestCs, bestWcc, globalCC) = timed("refinement") {
       refinePartition(initGraph, vertexCount, maxRetries)
+    }
 
     // Graft results onto the original graph: every input vertex is in
     // the output; pruned ones as singletons (`:64-77`).
@@ -80,6 +98,7 @@ object DistributedWCC {
     var retriesLeft = maxRetries
     var iter = 0
     do {
+      val t0 = System.currentTimeMillis()
       val movementGraph = getBestMovements(bestPartition, bestCs, globalCC, vertexCount)
       movementGraph.cache()
       iter += 1
@@ -94,6 +113,8 @@ object DistributedWCC {
       val newCs = CommunityOps.computeCommunityStats(movementGraph)
       val newWcc = CommunityOps.computeGlobalWCC(movementGraph, newCs, vertexCount)
       retriesLeft -= 1
+      System.err.println(s"[graft-wcc] refine iter $iter: " +
+        s"${System.currentTimeMillis() - t0} ms, wcc=$newWcc (best=$bestWcc)")
 
       if (newWcc > bestWcc) {
         if (newWcc / bestWcc - 1 > Threshold) retriesLeft = maxRetries

@@ -72,16 +72,24 @@ object InitialPartition {
   }
 
   def run(pruned: Graph[VertexData, Int], maxIterations: Int = 50): Graph[VertexData, Int] = {
-    var g: Graph[PState, Int] = pruned
-      .mapVertices((_, vd) => PState(vd, changed = true, Map.empty))
-      .cache()
+    // The graph shipped to edge partitions carries only the lean
+    // (VertexData, changed) pair; the per-vertex neighbor caches
+    // (degree-sized maps) stay in a vertex-side VertexRDD and never
+    // cross the vertex->edge replication boundary — shipping them made
+    // each superstep ~20x more expensive on dense graphs.
+    var lean: Graph[(VertexData, Boolean), Int] =
+      pruned.mapVertices((_, vd) => (vd, true)).cache()
+    // full Pregel state (incl. neighbor caches), vertex-side only
+    var state: VertexRDD[PState] =
+      lean.vertices.mapValues((v: (VertexData, Boolean)) =>
+        PState(v._1, changed = true, Map.empty)).cache()
 
     // Superstep 1: every vertex broadcasts itself to all neighbors
     // (`DistributedWCC.scala:161-166`).
-    var msgs: VertexRDD[Map[Long, NborMsg]] = g.aggregateMessages(
+    var msgs: VertexRDD[Map[Long, NborMsg]] = lean.aggregateMessages(
       ctx => {
-        ctx.sendToDst(Map(ctx.srcId -> NborMsg.of(ctx.srcAttr.data)))
-        ctx.sendToSrc(Map(ctx.dstId -> NborMsg.of(ctx.dstAttr.data)))
+        ctx.sendToDst(Map(ctx.srcId -> NborMsg.of(ctx.srcAttr._1)))
+        ctx.sendToSrc(Map(ctx.dstId -> NborMsg.of(ctx.dstAttr._1)))
       },
       (a: Map[Long, NborMsg], b: Map[Long, NborMsg]) => a ++ b)
     msgs.cache()
@@ -89,15 +97,22 @@ object InitialPartition {
     var activeMessages = msgs.count()
     var i = 1
     while (activeMessages > 0 && i < maxIterations) {
-      val prevG = g
+      val prevLean = lean
+      val prevState = state
       val prevMsgs = msgs
-      // apply vprog to receivers; clear the consumed send-gate on
-      // non-receivers so a vertex only sends in the superstep it ran.
-      g = g.outerJoinVertices(msgs) { (_, st, m) =>
-        m match {
-          case Some(mm) => vprog(st, mm)
-          case None     => if (st.changed) st.copy(changed = false) else st
+
+      // vprog vertex-side: receivers update state+cache; the consumed
+      // send-gate clears on non-receivers so a vertex only sends in
+      // the superstep it ran.
+      state = state.leftJoin(msgs) { (_, st, mOpt) =>
+        mOpt match {
+          case Some(m) => vprog(st, m)
+          case None    => if (st.changed) st.copy(changed = false) else st
         }
+      }.cache()
+
+      lean = prevLean.outerJoinVertices(state) { (_, old, p) =>
+        p.map(s => (s.data, s.changed)).getOrElse(old)
       }.cache()
 
       // send phase (`DistributedWCC.scala:210-218`): a changed vertex
@@ -105,29 +120,37 @@ object InitialPartition {
       // rank comparison uses immutable (cc, vt, vId), so evaluating it
       // on live triplet attrs equals the reference's cached-message
       // comparison.
-      msgs = g.aggregateMessages[Map[Long, NborMsg]](
+      msgs = lean.aggregateMessages[Map[Long, NborMsg]](
         ctx => {
-          val sm = NborMsg.of(ctx.srcAttr.data)
-          val dm = NborMsg.of(ctx.dstAttr.data)
-          if (ctx.srcAttr.changed && ord.gt(sm, dm))
-            ctx.sendToDst(Map(ctx.srcId -> sm))
-          if (ctx.dstAttr.changed && ord.gt(dm, sm))
-            ctx.sendToSrc(Map(ctx.dstId -> dm))
+          val (sd, sc) = ctx.srcAttr
+          val (dd, dc) = ctx.dstAttr
+          if (sc || dc) {
+            val sm = NborMsg.of(sd)
+            val dm = NborMsg.of(dd)
+            if (sc && ord.gt(sm, dm)) ctx.sendToDst(Map(ctx.srcId -> sm))
+            if (dc && ord.gt(dm, sm)) ctx.sendToSrc(Map(ctx.dstId -> dm))
+          }
         },
         (a, b) => a ++ b)
       msgs.cache()
+      // materializes msgs, the new lean vertices, and (via lineage)
+      // the new state before the previous generation is dropped
       activeMessages = msgs.count()
+      state.count()
 
       prevMsgs.unpersist(blocking = false)
-      prevG.unpersistVertices(blocking = false)
-      prevG.edges.unpersist(blocking = false)
+      prevState.unpersist(blocking = false)
+      prevLean.unpersistVertices(blocking = false)
+      prevLean.edges.unpersist(blocking = false)
       i += 1
     }
+    System.err.println(s"[graft-wcc] initial-partition supersteps: $i")
     msgs.unpersist(blocking = false)
-    val out = g.mapVertices((_, st) => st.data)
+    val out = lean.mapVertices((_, st) => st._1)
     out.cache()
     out.vertices.count()
-    g.unpersistVertices(blocking = false)
+    lean.unpersistVertices(blocking = false)
+    state.unpersist(blocking = false)
     out
   }
 }

@@ -1,0 +1,72 @@
+/*
+ * Lives under org.apache.spark.sql so it can implement Catalyst
+ * interfaces whose signatures use private[sql] types
+ * (AbstractDataType, ExpressionUtils) — the standard pattern for
+ * out-of-tree native expressions.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/**
+ * Codegen'd dot product over two ARRAY<DOUBLE> columns.
+ *
+ * The similarity operators would otherwise fold arrays with
+ * `zip_with` + `aggregate`, which Spark evaluates via interpreted
+ * lambda dispatch per element — the hot loop of a 100 TB ANN job must
+ * not pay that. This native expression generates a tight Java loop
+ * inside whole-stage codegen (preference order per the build charter:
+ * compose built-ins < custom Expression < custom operator <
+ * mapPartitions).
+ *
+ * Left-to-right accumulation order is IDENTICAL to the `aggregate`
+ * fold it replaces and to DuckDB's list_dot_product, so oracle
+ * results are bit-equal.
+ */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+object GraftExpressions {
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
