@@ -60,11 +60,15 @@ object IncrementalWCC {
     val bNew = sc.broadcast(newIds)
 
     // graph union (`:94`); union of canonical edge sets stays
-    // duplicate-free because batch edges are new by construction
+    // duplicate-free because batch edges are new by construction.
+    // Re-partition the unioned edge set (EdgePartition2D bounds vertex
+    // replication) — a plain union leaves batch edges wherever the
+    // source RDD put them.
     val fg: Graph[VertexData, Int] = Graph(
       state.graph.vertices.union(
         sc.parallelize(newIds.toSeq).map(id => (id, VertexData(id, 0, 0, id)))),
       state.graph.edges.union(newEdges))
+      .partitionBy(PartitionStrategy.EdgePartition2D)
     fg.cache()
 
     val fullGraph = updateVertexData(fg, bBorder, bNew)
@@ -192,11 +196,18 @@ object IncrementalWCC {
     (g, bestCs)
   }
 
+  private def timed[T](phase: String)(f: => T): T = {
+    val t0 = System.currentTimeMillis()
+    val r = f
+    System.err.println(s"[graft-idwcc] $phase: ${System.currentTimeMillis() - t0} ms")
+    r
+  }
+
   /** One micro-batch (reference `IncrementalWCC.scala:27-71`). */
   def run(state: State, newEdges: RDD[Edge[Int]]): State = {
-    val m = merge(state, newEdges)
-    val init = performInitialPartition(m.fullGraph)
-    val (finalGraph, _) = refinePartition(init, m.globalCC, m.vertexCount)
+    val m = timed("merge")(merge(state, newEdges))
+    val init = timed("initial-partition")(performInitialPartition(m.fullGraph))
+    val (finalGraph, _) = timed("refine")(refinePartition(init, m.globalCC, m.vertexCount))
 
     // graft onto the PREVIOUS graph's vertex/edge set and return the
     // STALE incoming stats (reference quirks, see object Scaladoc)
@@ -229,7 +240,8 @@ object IncrementalWCC {
     val bulk = edgeRdd.filter(e => e.srcId < splitVertex && e.dstId < splitVertex)
     val stream = edgeRdd.filter(e => e.srcId >= splitVertex || e.dstId >= splitVertex)
 
-    var state = prepare(Graph.fromEdges(bulk, 0))
+    var state = prepare(
+      Graph.fromEdges(bulk, 0).partitionBy(PartitionStrategy.EdgePartition2D))
     val microBatchSize = math.floor((maxVertex - splitVertex) / microBatchCount)
     (1 to microBatchCount).foreach { i =>
       val lower = splitVertex + (i - 1) * microBatchSize
