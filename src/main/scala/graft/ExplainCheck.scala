@@ -1,0 +1,41 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump physical plans of representative queries and assert
+ * the plan properties the engine is designed around (pushdown,
+ * pruning, broadcast, whole-stage codegen). */
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val sf = "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def plan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count() // finalize the AQE plan before inspecting it
+      val p = df.queryExecution.executedPlan.toString
+      println(s"===== $name =====")
+      println(p.linesIterator.take(40).mkString("\n"))
+      p
+    }
+    val fp = plan("r_filter_pushdown")
+    assert(fp.contains("PushedFilters: [IsNotNull(l_quantity)"), "filter not pushed")
+    assert(fp.contains("ReadSchema") &&
+      !fp.contains("l_returnflag"), "column pruning failed")
+    val ja = plan("r_join_agg")
+    assert(ja.contains("BroadcastHashJoin"), "dim joins not broadcast")
+    val ann = plan("p_ann_bruteforce")
+    // AQE's toString omits WholeStageCodegen markers; assert the
+    // structural properties instead: native codegen-capable dot
+    // product, broadcast of the small query side, and partial top-k
+    // pushdown below the shuffle (WindowGroupLimit).
+    assert(ann.toLowerCase.contains("dotproduct"), "native dot product absent")
+    assert(ann.contains("BroadcastNestedLoopJoin"), "query side not broadcast")
+    assert(ann.contains("WindowGroupLimit"), "top-k not pushed below the shuffle")
+    println("ALL PLAN CHECKS PASSED")
+    spark.stop()
+  }
+}
