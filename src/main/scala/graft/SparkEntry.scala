@@ -26,12 +26,32 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++
       PipelineQueries.queries ++ Map(
-      "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _))
+      "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _),
+      "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _))
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ GraphQueries.oracles ++
       PipelineQueries.oracles ++ Map(
       // the streaming query drains the bounded source completely, so
       // its final table equals the batch aggregation
-      "s_stream_hourly" -> RelationalQueries.oracles("r_events_hourly"))
+      "s_stream_hourly" -> RelationalQueries.oracles("r_events_hourly"),
+      // closed sessions = every session except each user's last
+      // (the open one stays in flatMapGroupsWithState state)
+      "s_stream_sessions" ->
+        """WITH x AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), s AS (
+          |  SELECT user_id, us, value,
+          |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM x
+          |), agg AS (
+          |  SELECT user_id, sid, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+          |    count(*) AS n_events, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+          |  FROM s GROUP BY user_id, sid)
+          |SELECT user_id, start_us, end_us, n_events, sum_value FROM agg
+          |QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""".stripMargin)
 }

@@ -40,19 +40,27 @@ object Dedup {
    * map-side combined). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = TextOps.shingles(TextOps.words(col("text")), 3)
-    docs.select(col("doc_id"), explode(sh).as("s"))
+    minhashSignaturesFromShingles(
+      docs.select(col("doc_id"), explode(sh).as("s")))
+  }
+
+  /** Same, over pre-exploded (doc_id, s) shingle rows (lets callers
+   * share the shingle set across operators). */
+  def minhashSignaturesFromShingles(shingleRows: DataFrame): DataFrame =
+    shingleRows
       .groupBy("doc_id")
       .agg(
         min(md5(concat(lit("0:"), col("s")))).as("minh0"),
         (1 until NumHashes).map(j =>
           min(md5(concat(lit(s"$j:"), col("s")))).as(s"minh$j")): _*)
-  }
 
   /** LSH band keys: (doc_id, band, band_hash), band_hash = md5 of the
    * band's concatenated minhashes. Docs sharing any band key are
    * candidate near-duplicates. */
-  def lshBands(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
+  def lshBands(docs: DataFrame): DataFrame =
+    lshBandsFromSignatures(minhashSignatures(docs))
+
+  def lshBandsFromSignatures(sigs: DataFrame): DataFrame = {
     val bands = (0 until NumHashes / BandRows).map { b =>
       sigs.select(col("doc_id"), lit(b).as("band"),
         md5(concat_ws("|",
@@ -62,8 +70,10 @@ object Dedup {
   }
 
   /** Candidate pairs from LSH bucket collisions. */
-  def lshCandidatePairs(docs: DataFrame): DataFrame = {
-    val b = lshBands(docs)
+  def lshCandidatePairs(docs: DataFrame): DataFrame =
+    lshCandidatePairsFromBands(lshBands(docs))
+
+  def lshCandidatePairsFromBands(b: DataFrame): DataFrame = {
     val a = b.as("a"); val c = b.as("b")
     a.join(c, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -74,10 +84,15 @@ object Dedup {
   /** Exact n-gram Jaccard for given candidate pairs (doc_a, doc_b):
    * computed via a shingle-level equi-join, so the shuffle key is the
    * shingle — no shingle-set materialization per pair. */
-  def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.words(col("text")), 3)).as("s"))
-      .distinct()
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame =
+    ngramJaccardFromShingles(
+      docs.select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.words(col("text")), 3)).as("s")),
+      pairs)
+
+  /** Same, over pre-exploded (doc_id, s) shingle rows. */
+  def ngramJaccardFromShingles(shingleRows: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = shingleRows.distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -19,11 +19,40 @@ import org.apache.spark.sql.functions._
  */
 object PipelineQueries {
 
+  /** Documents/embeddings and the (expensive) exploded shingle set
+   * are shared by several queries in one Verify/Bench session —
+   * memoize per sfDir like GraphQueries does. */
+  private val memo = scala.collection.mutable.HashMap.empty[String, Any]
+  private def memoize[T](key: String)(f: => T): T =
+    memo.synchronized { memo.getOrElseUpdate(key, f).asInstanceOf[T] }
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    memoize(s"docs:$sfDir") {
+      val df = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+      df.count(); df
+    }
 
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Cached (doc_id, shingle) rows — the input of minhash sigs, LSH
+   * bands/pairs, and jaccard. */
+  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(s"shingles:$sfDir") {
+      val df = docs(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.explode(
+            TextOps.shingles(TextOps.words(
+              org.apache.spark.sql.functions.col("text")), 3)).as("s"))
+        .cache()
+      df.count(); df
+    }
+
+  private def minhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(s"sigs:$sfDir") {
+      val df = Dedup.minhashSignaturesFromShingles(shingleRows(spark, sfDir)).cache()
+      df.count(); df
+    }
 
   val NearDupThreshold = 0.4
 
@@ -33,12 +62,13 @@ object PipelineQueries {
     "p_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id")),
     "p_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d)).orderBy("doc_id")),
     "p_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("h")),
-    "p_minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(docs(s, d)).orderBy("doc_id")),
-    "p_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(docs(s, d)).orderBy("doc_a", "doc_b")),
-    "p_ngram_jaccard" -> ((s, d) => {
-      val dd = docs(s, d)
-      Dedup.ngramJaccard(dd, Dedup.consecutivePairs(dd)).orderBy("doc_a")
-    }),
+    "p_minhash_sigs" -> ((s, d) => minhashSigs(s, d).orderBy("doc_id")),
+    "p_lsh_pairs" -> ((s, d) =>
+      Dedup.lshCandidatePairsFromBands(
+        Dedup.lshBandsFromSignatures(minhashSigs(s, d))).orderBy("doc_a", "doc_b")),
+    "p_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardFromShingles(shingleRows(s, d),
+        Dedup.consecutivePairs(docs(s, d))).orderBy("doc_a")),
     "p_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
     "p_ann_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))

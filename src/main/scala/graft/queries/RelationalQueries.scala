@@ -160,7 +160,38 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 4).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Skew-resistant two-stage aggregation: salt the hot grouping key,
+   * partially aggregate per (key, salt), then combine. Identical
+   * result to the direct aggregation (the oracle computes the plain
+   * form) — this is the standard pattern for keys whose cardinality
+   * is far below the executor count at 100 TB. */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    li.withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity")).as("pq"), count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(rnd(sum(col("pq")), 4).as("sum_qty"), sum(col("pn")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Gap-based sessionization (30-minute inactivity) via the native
+   * session_window aggregation — works identically in batch and
+   * Structured Streaming. Session start = first event, end = last
+   * event + gap. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), rnd(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_salted_agg" -> saltedAgg _,
+    "r_sessionize" -> sessionize _,
     "r_pricing_summary" -> pricingSummary _,
     "r_filter_pushdown" -> filterPushdown _,
     "r_join_agg" -> joinAgg _,
@@ -174,6 +205,24 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "r_salted_agg" ->
+      """SELECT l_returnflag, floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "r_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, us, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |  count(*) AS n_events, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "r_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty,

@@ -46,6 +46,75 @@ object StreamOps {
     state
   }
 
+  final case class SessionEvent(user_id: Long, event_id: Long, us: Long, value: Double)
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /**
+   * Stateful gap-based sessionization via flatMapGroupsWithState —
+   * the KeyValueGroupedDataset custom-state surface (SURVEY.md §2.9's
+   * idiomatic extension). A new event beyond the gap closes the open
+   * session inline; each user's final (still-open) session stays in
+   * state, so the emitted rows are exactly "every session except each
+   * user's last" — which is what the DuckDB oracle computes.
+   *
+   * Within-batch events are sorted by (us, event_id); cross-batch
+   * event-time order is the caller's contract (the bounded
+   * AvailableNow drain processes everything in order here).
+   */
+  def sessionizeStream(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+
+    val name = "graft_stream_sessions"
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("value"))
+      .as[SessionEvent]
+
+    def handle(userId: Long, events: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      val sorted = events.toSeq.sortBy(e => (e.us, e.event_id))
+      val out = Seq.newBuilder[ClosedSession]
+      var open = state.getOption
+      sorted.foreach { e =>
+        open match {
+          case Some(s) if e.us - s.lastUs < SessionGapUs =>
+            open = Some(OpenSession(s.startUs, e.us, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            out += ClosedSession(userId, s.startUs, s.lastUs + SessionGapUs, s.n, s.sum)
+            open = Some(OpenSession(e.us, e.us, 1, e.value))
+          case None =>
+            open = Some(OpenSession(e.us, e.us, 1, e.value))
+        }
+      }
+      open.foreach(state.update)
+      out.result().iterator
+    }
+
+    val sessions = src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
+
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+        (floor(col("sum_value") * 1e4 + 0.5) / 1e4).as("sum_value"))
+      .orderBy("user_id", "start_us")
+  }
+
   private val EventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),

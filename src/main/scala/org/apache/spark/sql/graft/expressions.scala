@@ -69,4 +69,11 @@ object GraftExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register the native functions into an EXISTING session's
+   * function registry (the SparkSessionExtensions path only applies
+   * to sessions built with `.withExtensions`). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
 }
