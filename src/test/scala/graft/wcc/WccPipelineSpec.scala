@@ -67,6 +67,9 @@ class DistributedWCCSpec extends SparkSpec {
     assert(g.numEdges === 16064L) // undirected unique non-loop edges
 
     val out = DistributedWCC.run(g)
+    // external golden: SNAP publishes 105,461 triangles for
+    // email-Eu-core; per-vertex t sums to 3x that
+    assert(out.triangleStats.map(_._2._1.toLong).sum() === 3L * 105461)
     val verts = out.graph.vertices.collect()
     // every input vertex present exactly once with a valid community
     assert(verts.length === 986)
