@@ -189,7 +189,58 @@ object RelationalQueries {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_us")
 
+  /** Grouping sets: ROLLUP with grouping indicators. */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("l_quantity")), 4).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy("l_returnflag", "l_linestatus", "g_rf", "g_ls")
+
+  /** Interpolated percentiles per group (median + p90). */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        rnd(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        rnd(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        rnd(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"))
+      .orderBy("l_returnflag")
+
+  /** String-function surface: case, substring, replace, length,
+   * concat, LIKE-derived flags. */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        col("c_name").like("%1%").as("has_one"))
+      .orderBy("c_custkey")
+
+  /** Date/time surface over event time: truncation + field extraction. */
+  def datetimeFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(
+        col("event_id"),
+        date_trunc("day", col("ts")).as("day"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        hour(col("ts")).cast("long").as("h"),
+        unix_micros(col("ts")).as("us"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_rollup" -> rollupAgg _,
+    "r_percentiles" -> percentiles _,
+    "r_string_funcs" -> stringFuncs _,
+    "r_datetime_funcs" -> datetimeFuncs _,
     "r_salted_agg" -> saltedAgg _,
     "r_sessionize" -> sessionize _,
     "r_pricing_summary" -> pricingSummary _,
@@ -205,6 +256,32 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "r_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "r_percentiles" ->
+      """SELECT l_returnflag,
+        |  floor((quantile_cont(l_quantity, 0.5)) * 1e6 + 0.5) / 1e6 AS p50,
+        |  floor((quantile_cont(l_quantity, 0.9)) * 1e6 + 0.5) / 1e6 AS p90,
+        |  floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS price_p50
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "r_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+        |  substring(c_name, 1, 8) AS prefix,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  length(c_name) AS name_len,
+        |  concat_ws('|', c_mktsegment, c_name) AS joined,
+        |  c_name LIKE '%1%' AS has_one
+        |FROM customer""".stripMargin,
+    "r_datetime_funcs" ->
+      """SELECT event_id, date_trunc('day', ts) AS day,
+        |  CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+        |  CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h,
+        |  epoch_us(ts) AS us
+        |FROM events""".stripMargin,
     "r_salted_agg" ->
       """SELECT l_returnflag, floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty,
         |  count(*) AS n

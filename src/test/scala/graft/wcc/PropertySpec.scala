@@ -1,0 +1,86 @@
+package graft.wcc
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants from FIXTURES.md §4, on scalacheck-
+ * generated random small graphs (fixed seeds for reproducibility)
+ * checked against brute-force recomputation. */
+class PropertySpec extends SparkSpec {
+  import GraphFixtures._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[T](g: Gen[T], n: Int = 8)(check: T => Unit): Unit =
+    samples(g, n).foreach(check)
+
+  private val edgeGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(4, 16)
+    m <- Gen.choose(n, 3 * n)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(1L, n.toLong)
+      b <- Gen.choose(1L, n.toLong)
+    } yield (a, b))
+  } yield edges.filter(e => e._1 != e._2)
+
+  test("triangle stats match brute force on random graphs") {
+    forAll(edgeGen) { edges =>
+      if (edges.nonEmpty) {
+        val got = TriangleStats.run(graphOf(spark, edges)).fullStats.collect().toMap
+        val want = bruteTriangles(edges)
+        assert(got === want)
+      }
+    }
+  }
+
+  test("cc is in [0,1] and zero when vt < 2") {
+    forAll(Gen.zip(Gen.choose(0, 100), Gen.choose(0, 30)), 30) { case (t, vt) =>
+      val maxT = vt.toLong * (vt - 1) / 2
+      val tt = if (vt < 2) t else math.min(t, maxT).toInt
+      val cc = VertexData(1, tt, vt, 1).cc
+      if (vt < 2) assert(cc === 0.0)
+      else assert(cc >= 0.0 && cc <= 1.0 + 1e-12)
+    }
+  }
+
+  test("community stats: sizes sum to |V|, edge counts match brute force") {
+    forAll(edgeGen) { edges =>
+      if (edges.nonEmpty) {
+        val g = graphOf(spark, edges)
+          .mapVertices((id, _) => VertexData(id, 0, 0, id % 3))
+        val stats = CommunityOps.computeCommunityStats(g)
+        val und = edges.map(e => if (e._1 < e._2) e else e.swap).distinct
+        val verts = und.flatMap(e => Seq(e._1, e._2)).distinct
+        assert(stats.values.map(_.r).sum === verts.size)
+        // brute-force INT/EXT
+        val intBrute = und.count(e => e._1 % 3 == e._2 % 3)
+        assert(stats.values.map(_.a).sum === intBrute.toDouble)
+        val extPerC = und.filter(e => e._1 % 3 != e._2 % 3)
+          .flatMap(e => Seq(e._1 % 3, e._2 % 3))
+          .groupBy(identity).map { case (c, xs) => (c, xs.size) }
+        stats.foreach { case (c, cd) =>
+          assert(cd.b === extPerC.getOrElse(c, 0), s"b mismatch for $c")
+        }
+      }
+    }
+  }
+
+  test("DWCC output covers every vertex exactly once with a valid community") {
+    forAll(edgeGen, 4) { edges =>
+      if (edges.nonEmpty) {
+        val g = graphOf(spark, edges)
+        val out = DistributedWCC.run(g)
+        val verts = out.graph.vertices.collect()
+        assert(verts.length === g.numVertices)
+        val ids = verts.map(_._1).toSet
+        assert(verts.forall { case (_, vd) => ids.contains(vd.cId) })
+        // deterministic: same input -> same partition
+        val again = DistributedWCC.run(g).graph.vertices.collect()
+        assert(verts.sortBy(_._1).map(_._2.cId).toSeq ===
+          again.sortBy(_._1).map(_._2.cId).toSeq)
+      }
+    }
+  }
+}
