@@ -22,28 +22,28 @@ object CommunityOps {
    * One pass for sizes, one for edges; both partial-aggregate
    * map-side before the shuffle. */
   def computeCommunityStats(graph: Graph[VertexData, Int]): Map[Long, CommunityData] = {
-    val sizes: Map[Long, Int] = graph.vertices
-      .map { case (_, vd) => (vd.cId, 1) }
-      .reduceByKey(_ + _)
-      .collectAsMap().toMap
-
-    // INT edges count once toward their community; EXT edges count
-    // once toward EACH endpoint community (reference
-    // `DistributedWCC.scala:553-564` after un-doubling).
-    val edgeCounts: Map[(Boolean, Long), Int] = graph.triplets
+    // One job for both granularities: vertex rows tagged 0 (sizes),
+    // edge rows tagged 1/2 (INT/EXT). INT edges count once toward
+    // their community; EXT edges count once toward EACH endpoint
+    // community (reference `DistributedWCC.scala:553-564` after
+    // un-doubling).
+    val vertexPairs = graph.vertices
+      .map { case (_, vd) => ((0, vd.cId), 1) }
+    val edgePairs = graph.triplets
       .flatMap { t =>
         val cs = t.srcAttr.cId; val cd = t.dstAttr.cId
-        if (cs == cd) Iterator(((true, cs), 1))
-        else Iterator(((false, cs), 1), ((false, cd), 1))
+        if (cs == cd) Iterator(((1, cs), 1))
+        else Iterator(((2, cs), 1), ((2, cd), 1))
       }
+    val counts: Map[(Int, Long), Int] = vertexPairs.union(edgePairs)
       .reduceByKey(_ + _)
       .collectAsMap().toMap
 
-    sizes.map { case (c, r) =>
-      val a = edgeCounts.getOrElse((true, c), 0)
-      val b = edgeCounts.getOrElse((false, c), 0)
+    counts.collect { case ((0, c), r) => (c, r) }.map { case (c, r) =>
+      val a = counts.getOrElse((1, c), 0)
+      val b = counts.getOrElse((2, c), 0)
       (c, CommunityData(r, a.toDouble, b))
-    }
+    }.toMap
   }
 
   /** Per-vertex map of neighbor-community -> edge count (A3,

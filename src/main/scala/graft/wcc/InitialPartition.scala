@@ -133,10 +133,10 @@ object InitialPartition {
         },
         (a, b) => a ++ b)
       msgs.cache()
-      // materializes msgs, the new lean vertices, and (via lineage)
-      // the new state before the previous generation is dropped
+      // materializes msgs, the new lean vertices, and (as lean's
+      // lineage parent) the new state before the previous generation
+      // is dropped
       activeMessages = msgs.count()
-      state.count()
 
       prevMsgs.unpersist(blocking = false)
       prevState.unpersist(blocking = false)

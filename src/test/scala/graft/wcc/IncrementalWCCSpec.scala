@@ -60,4 +60,14 @@ class IncrementalWCCSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("testStream with multiple micro-batches runs the full replay loop") {
+    val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
+    val canon = EdgeOps.canonicalize(raw)
+    val result = IncrementalWCC.testStream(spark, canon, 0.8, 3).collect()
+    assert(result.length > 0)
+    // same bulk universe as the single-batch variant (graft-back quirk)
+    val single = IncrementalWCC.testStream(spark, canon, 0.8, 1).collect()
+    assert(result.map(_.getLong(0)).toSet === single.map(_.getLong(0)).toSet)
+  }
 }
