@@ -112,6 +112,16 @@ object GraphQueries {
     spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid")
   }
 
+  /** S1+S6: CSV sink + edge-list source round trip — write the
+   * canonical edge set as a space-delimited CSV (the reference's
+   * wire format), read it back through the CSV edge-list scan. */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    canonEdges(spark, sfDir)
+      .write.mode("overwrite").option("sep", " ").csv(dir)
+    EdgeOps.loadCsvEdges(spark, dir).orderBy("src", "dst")
+  }
+
   /** G8+G9 (rows-only): incremental IDWCC over the co-purchase graph
    * via the reference's bulk/stream split-and-replay driver loop. */
   def wccIncremental(spark: SparkSession, sfDir: String): DataFrame =
@@ -132,6 +142,7 @@ object GraphQueries {
        |assign AS (SELECT vid, vid % $SyntheticModulus AS cid FROM verts)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "g_csv_roundtrip" -> s"$EdgeCte SELECT src, dst FROM raw",
     "g_edges_sym" -> s"$EdgeCte SELECT src, dst FROM edges",
     "g_degrees" -> s"$EdgeCte SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src",
     "g_adjacency" ->
@@ -187,6 +198,7 @@ object GraphQueries {
     "g_vertex_comm_degrees" -> vertexCommunityDegrees _,
     "g_wcc_partition" -> wccPartition _,
     "g_wcc_initial_partition" -> wccInitialPartition _,
-    "g_wcc_incremental" -> wccIncremental _
+    "g_wcc_incremental" -> wccIncremental _,
+    "g_csv_roundtrip" -> csvRoundtrip _
   )
 }

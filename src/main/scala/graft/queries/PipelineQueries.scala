@@ -56,7 +56,22 @@ object PipelineQueries {
 
   val NearDupThreshold = 0.4
 
+  /** The composed training-corpus cleaning pass: exact-dedup
+   * survivors with sufficient length and quality — the shape of a
+   * real pretraining data filter (each stage is an independently
+   * oracle-checked operator; this query checks their composition). */
+  def corpusClean(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = docs(spark, sfDir)
+    val survivors = Dedup.exact(d).select(col("keep_id").as("doc_id"))
+    val stats = TextOps.textStats(d)
+      .where(col("n_words") >= 20 && col("quality") >= 0.8)
+      .select(col("doc_id"), col("quality"))
+    stats.join(survivors, Seq("doc_id"), "left_semi").orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_corpus_clean" -> corpusClean _,
     "p_text_stats" -> ((s, d) => TextOps.textStats(docs(s, d)).orderBy("doc_id")),
     "p_token_counts" -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy("doc_id")),
     "p_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id")),
@@ -119,6 +134,20 @@ object PipelineQueries {
     "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
 
   def oracles: Map[String, String] = Map(
+    "p_corpus_clean" ->
+      s"""WITH base AS (SELECT 1)$W,
+         |r AS (SELECT doc_id, len(w) AS n_words,
+         |  len(list_filter(w, t -> list_contains($Stop, t)))::DOUBLE / len(w) AS sr,
+         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS pr
+         |  FROM w),
+         |q AS (SELECT doc_id, n_words,
+         |  floor((0.4 * least(n_words::DOUBLE / 50.0, 1.0) + 0.4 * least(sr * 5.0, 1.0)
+         |    + 0.2 * (CASE WHEN pr > 0.1 THEN 0.0 ELSE 1.0 - pr * 10.0 END)) * 1e6 + 0.5) / 1e6 AS quality
+         |  FROM r),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT doc_id, quality FROM q
+         |WHERE n_words >= 20 AND quality >= 0.8
+         |  AND doc_id IN (SELECT doc_id FROM keep)""".stripMargin,
     "p_text_stats" ->
       s"""WITH base AS (SELECT 1)$W,
          |r AS (SELECT doc_id, length(text) AS n_chars_m, len(w) AS n_words,

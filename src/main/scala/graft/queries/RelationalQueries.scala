@@ -236,7 +236,35 @@ object RelationalQueries {
         unix_micros(col("ts")).as("us"))
       .orderBy("event_id")
 
+  /** JSON extraction from the events props column. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** Ordered-sequence funnel: users reaching view -> click (after the
+   * first view) -> purchase (after that click). */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = e.where(col("event_type") === "click").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id") && col("e.ts") > col("t1"))
+      .groupBy(col("e.user_id")).agg(min(col("ts")).as("t2"))
+    val p = e.where(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), col("e.user_id") === col("c.user_id") && col("e.ts") > col("t2"))
+      .groupBy(col("e.user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("users")).withColumn("stage", lit("view"))
+      .unionByName(c.agg(count(lit(1)).as("users")).withColumn("stage", lit("view_click")))
+      .unionByName(p.agg(count(lit(1)).as("users")).withColumn("stage", lit("view_click_purchase")))
+      .select(col("stage"), col("users"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_json_extract" -> jsonExtract _,
+    "r_funnel" -> funnel _,
     "r_rollup" -> rollupAgg _,
     "r_percentiles" -> percentiles _,
     "r_string_funcs" -> stringFuncs _,
@@ -256,6 +284,21 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "r_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "r_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 'view' AS stage, count(*) AS users FROM v
+        |UNION ALL SELECT 'view_click', count(*) FROM c
+        |UNION ALL SELECT 'view_click_purchase', count(*) FROM p""".stripMargin,
     "r_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty,
