@@ -119,19 +119,26 @@ object InitialPartition {
       // sends its state to every strictly lower-ranked neighbor. The
       // rank comparison uses immutable (cc, vt, vId), so evaluating it
       // on live triplet attrs equals the reference's cached-message
-      // comparison.
-      msgs = lean.aggregateMessages[Map[Long, NborMsg]](
-        ctx => {
-          val (sd, sc) = ctx.srcAttr
-          val (dd, dc) = ctx.dstAttr
-          if (sc || dc) {
-            val sm = NborMsg.of(sd)
-            val dm = NborMsg.of(dd)
-            if (sc && ord.gt(sm, dm)) ctx.sendToDst(Map(ctx.srcId -> sm))
-            if (dc && ord.gt(dm, sm)) ctx.sendToSrc(Map(ctx.dstId -> dm))
-          }
-        },
-        (a, b) => a ++ b)
+      // comparison. Senders necessarily received messages this
+      // superstep (non-receivers have their send-gate cleared), so
+      // restricting the scan to the receivers' active set skips
+      // quiescent edge partitions with identical output.
+      msgs = org.apache.spark.graphx.GraftGraphShims
+        .aggregateMessagesWithActiveSet[(VertexData, Boolean), Int, Map[Long, NborMsg]](
+          lean,
+          ctx => {
+            val (sd, sc) = ctx.srcAttr
+            val (dd, dc) = ctx.dstAttr
+            if (sc || dc) {
+              val sm = NborMsg.of(sd)
+              val dm = NborMsg.of(dd)
+              if (sc && ord.gt(sm, dm)) ctx.sendToDst(Map(ctx.srcId -> sm))
+              if (dc && ord.gt(dm, sm)) ctx.sendToSrc(Map(ctx.dstId -> dm))
+            }
+          },
+          (a, b) => a ++ b,
+          org.apache.spark.graphx.TripletFields.All,
+          prevMsgs)
       msgs.cache()
       // materializes msgs, the new lean vertices, and (as lean's
       // lineage parent) the new state before the previous generation
