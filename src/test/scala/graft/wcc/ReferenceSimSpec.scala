@@ -96,6 +96,70 @@ object ReferenceSim {
     }
     verts.map { case (id, v) => id -> v.cId }
   }
+
+  /** Sequential refinement loop mirroring the reference's
+   * acceptance/retry sequencing (`DistributedWCC.scala:260-329`).
+   * Shares WCCMetric and bestMovement with the distributed code, so
+   * the parity check exercises the loop orchestration and the
+   * stats/degree/triangle computations. */
+  def refine(adj: Map[Long, Seq[Long]], stats: Map[Long, (Int, Int)],
+      partition0: Map[Long, Long], vertexCount: Long,
+      maxRetries: Int = 5): Map[Long, Long] = {
+    val ids = stats.keys.toSeq.sorted
+    val und = adj.toSeq.flatMap { case (u, ns) => ns.map(v => (u, v)) }
+      .filter { case (u, v) => u < v }
+    def vd(id: Long, part: Map[Long, Long]): VertexData = {
+      val (t, vt) = stats(id); VertexData(id, t, vt, part(id))
+    }
+    val globalCC = ids.map(id => vd(id, partition0).cc).sum / vertexCount
+
+    def communityStats(part: Map[Long, Long]): Map[Long, CommunityData] = {
+      val sizes = ids.groupBy(part).map { case (c, xs) => c -> xs.size }
+      val intC = mutable.Map.empty[Long, Int].withDefaultValue(0)
+      val extC = mutable.Map.empty[Long, Int].withDefaultValue(0)
+      und.foreach { case (u, v) =>
+        if (part(u) == part(v)) intC(part(u)) += 1
+        else { extC(part(u)) += 1; extC(part(v)) += 1 }
+      }
+      sizes.map { case (c, r) => c -> CommunityData(r, intC(c).toDouble, extC(c)) }
+    }
+
+    def globalWcc(part: Map[Long, Long], cs: Map[Long, CommunityData]): Double = {
+      val commNbors: Map[Long, Set[Long]] = ids.map { u =>
+        u -> adj(u).filter(v => part(v) == part(u)).toSet
+      }.toMap
+      val tC = mutable.Map.empty[Long, Int].withDefaultValue(0)
+      und.foreach { case (u, v) =>
+        if (part(u) == part(v)) {
+          val c = (commNbors(u) & commNbors(v)).count(w => w != u && w != v)
+          tC(u) += c; tC(v) += c
+        }
+      }
+      ids.map { u =>
+        WCCMetric.computeWccV(vd(u, part), cs(part(u)), commNbors(u).size, tC(u) / 2)
+      }.sum / vertexCount
+    }
+
+    var best = partition0
+    var bestCs = communityStats(best)
+    var bestWcc = globalWcc(best, bestCs)
+    var retriesLeft = maxRetries
+    var found = true
+    do {
+      val moved: Map[Long, Long] = ids.map { u =>
+        val vcDeg = adj(u).groupBy(best).map { case (c, xs) => c -> xs.size }
+        u -> DistributedWCC.bestMovement(vd(u, best), vcDeg, bestCs, globalCC, vertexCount).cId
+      }.toMap
+      val newCs = communityStats(moved)
+      val newWcc = globalWcc(moved, newCs)
+      retriesLeft -= 1
+      if (newWcc > bestWcc) {
+        if (newWcc / bestWcc - 1 > DistributedWCC.Threshold) retriesLeft = maxRetries
+        best = moved; bestWcc = newWcc; bestCs = newCs
+      } else found = false
+    } while (found && retriesLeft > 0)
+    best
+  }
 }
 
 class ReferenceSimSpec extends SparkSpec {
@@ -121,6 +185,31 @@ class ReferenceSimSpec extends SparkSpec {
     val diffs = distributed.keys.filter(k => distributed(k) != simulated(k)).toSeq.sorted
     assert(diffs.isEmpty,
       s"${diffs.size} vertices diverge from the reference simulation, first 10: ${diffs.take(10)}")
+  }
+
+  test("full DWCC partition matches the sequential pipeline simulation (email-Eu-core)") {
+    val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
+    val g = EdgeOps.toGraph(EdgeOps.canonicalize(raw))
+    val tri = TriangleStats.run(g)
+    val adj = tri.pruned.edges.collect()
+      .flatMap(e => Seq((e.srcId, e.dstId), (e.dstId, e.srcId)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq }
+    val stats = tri.pruned.vertices.collect()
+      .map { case (id, vd) => id -> (vd.t, vd.vt) }.toMap
+
+    val simInit = ReferenceSim.initialPartition(adj, stats)
+    val simFinal = ReferenceSim.refine(adj, stats, simInit, g.numVertices)
+
+    val distributed = DistributedWCC.run(g).graph.vertices.collect()
+      .map { case (id, vd) => id -> vd.cId }.toMap
+    // compare on the pruned universe (grafted singletons equal by construction)
+    val diffs = simFinal.keys.filter(k => distributed(k) != simFinal(k)).toSeq.sorted
+    assert(diffs.isEmpty,
+      s"${diffs.size} of ${simFinal.size} vertices diverge after refinement, first 10: ${diffs.take(10)}")
+    // and every non-pruned vertex is its own singleton
+    (distributed.keySet -- simFinal.keySet).foreach { id =>
+      assert(distributed(id) === id)
+    }
   }
 
   test("simulation parity on micro-graphs too") {
