@@ -121,6 +121,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
+  /** Real IVF: coarse cells from MLlib k-means (fixed seed), probe
+   * the query's nearest cell. The index build is a one-time batch
+   * job; search cost divides by ~k vs brute force. At 100 TB the
+   * cell assignment column is written alongside the embeddings and
+   * the search is a cell-partitioned join, exactly as below. */
+  def ivfKmeansTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10,
+      cells: Int = 8): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb(embeddings)
+      .withColumn("features", array_to_vector(col("v")))
+      .cache()
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(e)
+    val assigned = model.transform(e).drop("features")
+    val q = assigned.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val scored = q.join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        TextOps.rnd(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold
    * (all-pairs here; at scale the LSH bucket join replaces the cross
    * join — same predicate, sub-quadratic candidates). */

@@ -94,6 +94,9 @@ object PipelineQueries {
     "p_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")),
+    "p_ann_ivf_kmeans" -> ((s, d) =>
+      Similarity.ivfKmeansTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")),
     "p_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(embs(s, d), NearDupThreshold).orderBy("id_a", "id_b")),
     "p_media_chunks" -> ((s, d) =>

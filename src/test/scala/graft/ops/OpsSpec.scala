@@ -68,6 +68,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans ivf topk: deterministic, scores agree with brute force") {
+    val brute = Similarity.bruteForceTopK(e, k = 500, queryMod = 100).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val a = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100).collect()
+    val b = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2)))
+        .foreach(s => assert(math.abs(s - r.getDouble(3)) < 1e-12))
+    }
+  }
+
   test("ivf topk only returns same-cell neighbors") {
     val labels = e.select("vec_id", "label").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
