@@ -31,10 +31,17 @@ object ReferenceSim {
   }
 
   /** Run the reference's semantics for maxIterations supersteps.
-   * adj: pruned-graph adjacency; stats: vId -> (t, vt). */
+   * adj: pruned-graph adjacency; stats: vId -> (t, vt); seed:
+   * starting community per vertex (the incremental path re-seeds with
+   * the previous partition; batch starts from self). */
   def initialPartition(adj: Map[Long, Seq[Long]], stats: Map[Long, (Int, Int)],
-      maxIterations: Int = 50): Map[Long, Long] = {
-    val verts = stats.map { case (id, (t, vt)) => id -> new V(id, t, vt) }
+      maxIterations: Int = 50,
+      seed: Map[Long, Long] = Map.empty): Map[Long, Long] = {
+    val verts = stats.map { case (id, (t, vt)) =>
+      val v = new V(id, t, vt)
+      seed.get(id).foreach(c => v.cId = c)
+      id -> v
+    }
     // mailbox(target) = combined map keyed by sender (`:243-255`)
     var mailbox = Map.empty[Long, Map[Long, Msg]]
 
@@ -146,10 +153,7 @@ object ReferenceSim {
     var retriesLeft = maxRetries
     var found = true
     do {
-      val moved: Map[Long, Long] = ids.map { u =>
-        val vcDeg = adj(u).groupBy(best).map { case (c, xs) => c -> xs.size }
-        u -> DistributedWCC.bestMovement(vd(u, best), vcDeg, bestCs, globalCC, vertexCount).cId
-      }.toMap
+      val moved = movements(adj, stats, best, bestCs, globalCC, vertexCount)
       val newCs = communityStats(moved)
       val newWcc = globalWcc(moved, newCs)
       retriesLeft -= 1
@@ -159,6 +163,141 @@ object ReferenceSim {
       } else found = false
     } while (found && retriesLeft > 0)
     best
+  }
+
+  private def movements(adj: Map[Long, Seq[Long]], stats: Map[Long, (Int, Int)],
+      part: Map[Long, Long], cs: Map[Long, CommunityData],
+      globalCC: Double, vertexCount: Long): Map[Long, Long] =
+    stats.keys.map { u =>
+      val vcDeg = adj.getOrElse(u, Seq.empty).groupBy(part).map { case (c, xs) => c -> xs.size }
+      if (vcDeg.isEmpty) u -> part(u) // no degrees -> joinWithVertices miss
+      else {
+        val (t, vt) = stats(u)
+        u -> DistributedWCC.bestMovement(VertexData(u, t, vt, part(u)),
+          vcDeg, cs, globalCC, vertexCount).cId
+      }
+    }.toMap
+
+  private def communityStatsOf(adj: Map[Long, Seq[Long]], ids: Iterable[Long],
+      part: Map[Long, Long]): Map[Long, CommunityData] = {
+    val sizes = ids.groupBy(part).map { case (c, xs) => c -> xs.size }
+    val intC = mutable.Map.empty[Long, Int].withDefaultValue(0)
+    val extC = mutable.Map.empty[Long, Int].withDefaultValue(0)
+    adj.toSeq.flatMap { case (u, ns) => ns.map(v => (u, v)) }
+      .filter { case (u, v) => u < v }
+      .foreach { case (u, v) =>
+        if (part(u) == part(v)) intC(part(u)) += 1
+        else { extC(part(u)) += 1; extC(part(v)) += 1 }
+      }
+    sizes.map { case (c, r) => c -> CommunityData(r, intC(c).toDouble, extC(c)) }
+  }
+
+  /** Incremental refinement: fixed 5 movement iterations, no
+   * acceptance test (reference `IncrementalWCC.scala:332-393`). */
+  def refineFixed(adj: Map[Long, Seq[Long]], stats: Map[Long, (Int, Int)],
+      partition0: Map[Long, Long], globalCC: Double, vertexCount: Long): Map[Long, Long] = {
+    var part = partition0
+    var cs = communityStatsOf(adj, stats.keys, part)
+    (1 to 5).foreach { _ =>
+      part = movements(adj, stats, part, cs, globalCC, vertexCount)
+      cs = communityStatsOf(adj, stats.keys, part)
+    }
+    part
+  }
+
+  /** The whole IDWCC testStream replay (reference `CSVGraph.scala:47-103`
+   * + `IncrementalWCC.scala:27-181`), sequential. */
+  def incrementalPipeline(canonEdges: Seq[(Long, Long)],
+      ratio: Double = 0.8): Map[Long, Long] = {
+    def adjacency(edges: Seq[(Long, Long)]): Map[Long, Seq[Long]] =
+      edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    def triangleStats(edges: Seq[(Long, Long)]): (Map[Long, (Int, Int)], Map[Long, Seq[Long]]) = {
+      val adj = adjacency(edges).map { case (k, v) => k -> v.toSet }
+      val stats = adj.map { case (u, ns) =>
+        val t = ns.toSeq.map(v => (adj(v) & ns).size).sum / 2
+        val vt = ns.count(v => (adj(v) & ns).nonEmpty)
+        u -> (t, vt)
+      }
+      val prunedEdges = edges.filter { case (u, v) =>
+        (adj(u) & adj(v)).nonEmpty && stats(u)._1 > 0 && stats(v)._1 > 0
+      }
+      // keep t>0 vertices even if edge-isolated after the prune
+      val prunedAdj0 = adjacency(prunedEdges)
+      val prunedStats = stats.filter(_._2._1 > 0)
+      val prunedAdj = prunedStats.keys.map(k => k -> prunedAdj0.getOrElse(k, Seq.empty)).toMap
+      (prunedStats, prunedAdj)
+    }
+
+    val maxV = canonEdges.flatMap { case (u, v) => Seq(u, v) }.max
+    val split = math.floor(maxV * ratio)
+    val bulk = canonEdges.filter { case (u, v) => u < split && v < split }
+    val stream = canonEdges.filterNot { case (u, v) => u < split && v < split }
+
+    // prepare: batch DWCC on the bulk graph
+    val bulkVerts = bulk.flatMap { case (u, v) => Seq(u, v) }.distinct
+    val (bStats, bAdj) = triangleStats(bulk)
+    val init = initialPartition(bAdj, bStats)
+    val refined = refine(bAdj, bStats, init, bulkVerts.size.toLong)
+    // grafted state on the bulk universe
+    val state: Map[Long, (Int, Int, Long)] = bulkVerts.map { id =>
+      if (refined.contains(id)) id -> (bStats(id)._1, bStats(id)._2, refined(id))
+      else id -> (0, 0, id)
+    }.toMap
+
+    // merge (single micro-batch = all stream edges)
+    val batchIds = stream.flatMap { case (u, v) => Seq(u, v) }.toSet
+    val border = state.keySet & batchIds
+    val nw = batchIds -- border
+    val merged = bulk ++ stream
+    val mAdj = adjacency(merged).map { case (k, v) => k -> v.toSet }
+    val touched = border ++ nw
+    val nbrs: Map[Long, Set[Long]] =
+      mAdj.map { case (k, v) => k -> (if (touched(k)) v else Set.empty[Long]) }
+    val delta = mutable.Map.empty[Long, (Int, Int)].withDefaultValue((0, 0))
+    merged.foreach { case (u, v) =>
+      val borderEdge = border(u) && border(v)
+      val newEdge = nw(u) || nw(v)
+      if (newEdge || borderEdge) {
+        var c = 0; var newVt = true
+        (nbrs(u) & nbrs(v)).foreach { w =>
+          if (w != u && w != v) {
+            if (newEdge || nw(w)) c += 1 else newVt = false
+          }
+        }
+        val i = if (c > 0 && newVt) 1 else 0
+        val (cu, iu) = delta(u); delta(u) = (cu + c, iu + i)
+        val (cv, iv) = delta(v); delta(v) = (cv + c, iv + i)
+      }
+    }
+    val mergedState: Map[Long, (Int, Int, Long)] = mAdj.keys.map { id =>
+      val old = state.getOrElse(id, (0, 0, id))
+      val (c, i) = delta(id)
+      if (c != 0 || i != 0) {
+        if (border(id)) id -> (old._1 + c / 2, old._2 + i, id)
+        else id -> (c / 2, i, id)
+      } else id -> old
+    }.toMap
+    val vertexCount = mergedState.size.toLong
+    def ccOf(t: Int, vt: Int): Double =
+      if (vt < 2) 0.0 else 2.0 * t / (vt.toLong * (vt - 1))
+    val globalCC = mergedState.keys.toSeq.sorted
+      .map(id => ccOf(mergedState(id)._1, mergedState(id)._2)).sum / vertexCount
+
+    // seeded re-partition on the merged pruned graph
+    val mPrunedV = mergedState.filter(_._2._1 > 0)
+    val mPrunedEdges = merged.filter { case (u, v) =>
+      (mAdj(u) & mAdj(v)).nonEmpty && mPrunedV.contains(u) && mPrunedV.contains(v)
+    }
+    val mPrunedAdj0 = adjacency(mPrunedEdges)
+    val mPrunedAdj = mPrunedV.keys.map(k => k -> mPrunedAdj0.getOrElse(k, Seq.empty)).toMap
+    val mStats = mPrunedV.map { case (id, (t, vt, _)) => id -> (t, vt) }
+    val seed = mPrunedV.map { case (id, (_, _, c)) => id -> c }
+    val init2 = initialPartition(mPrunedAdj, mStats, seed = seed)
+    val final2 = refineFixed(mPrunedAdj, mStats, init2, globalCC, vertexCount)
+
+    // graft onto the PREVIOUS (bulk) universe — reference quirk
+    state.keys.map(id => id -> final2.getOrElse(id, id)).toMap
   }
 }
 
@@ -210,6 +349,21 @@ class ReferenceSimSpec extends SparkSpec {
     (distributed.keySet -- simFinal.keySet).foreach { id =>
       assert(distributed(id) === id)
     }
+  }
+
+  test("incremental IDWCC matches the sequential pipeline simulation (email-Eu-core)") {
+    val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
+    val canon = EdgeOps.canonicalize(raw)
+    val edges = canon.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val simulated = ReferenceSim.incrementalPipeline(edges, 0.8)
+    val distributed = IncrementalWCC.testStream(spark, canon, 0.8, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    assert(distributed.keySet === simulated.keySet)
+    val diffs = distributed.keys.filter(k => distributed(k) != simulated(k)).toSeq.sorted
+    assert(diffs.isEmpty,
+      s"${diffs.size} of ${simulated.size} vertices diverge, first 10: ${diffs.take(10)}")
   }
 
   test("simulation parity on micro-graphs too") {
