@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""DEV TOOL (not part of the library): local replica of the driver's
+correctness gate. Runs each oracle SQL in DuckDB over the sf tables and
+compares against the Spark parquet dumps written by graft.Verify
+(columns sorted by name, rows sorted, values stringified).
+
+Usage: python3 tools/oracle_check.py <sf-dir> <verify-out-dir>
+Uses the driver-side python environment (duckdb/pyarrow)."""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for r in df.itertuples(index=False):
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                vals.append(f"{v:.9g}")
+            else:
+                vals.append(str(v))
+        rows.append("|".join(vals))
+    return cols, sorted(rows)
+
+fail = 0
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        print(f"{name}: NO SPARK OUTPUT"); fail += 1; continue
+    spark_df = pq.read_table(files[0]).to_pandas()
+    if name not in oracle:
+        print(f"{name}: rows-only check -> {len(spark_df)} rows " + ("OK" if len(spark_df) else "EMPTY!"))
+        if not len(spark_df): fail += 1
+        continue
+    try:
+        duck_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR: {e}"); fail += 1; continue
+    sc, sr = canon(spark_df)
+    dc, dr = canon(duck_df)
+    if sc != dc:
+        print(f"{name}: SCHEMA MISMATCH spark={sc} duck={dc}"); fail += 1; continue
+    if len(sr) != len(dr):
+        print(f"{name}: ROWCOUNT MISMATCH spark={len(sr)} duck={len(dr)}"); fail += 1; continue
+    bad = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+    if bad:
+        i = bad[0]
+        print(f"{name}: VALUE MISMATCH at sorted row {i} ({len(bad)} rows differ)\n  spark: {sr[i]}\n  duck : {dr[i]}")
+        fail += 1
+    else:
+        print(f"{name}: MATCH ({len(sr)} rows)")
+print("FAILURES:", fail)
+sys.exit(1 if fail else 0)
