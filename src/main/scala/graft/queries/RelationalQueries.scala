@@ -262,7 +262,18 @@ object RelationalQueries {
       .orderBy("stage")
   }
 
+  /** Pivot: per-returnflag line counts pivoted on linestatus. */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("l_returnflag"), col("F").as("n_f"), col("O").as("n_o"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_pivot" -> pivotAgg _,
     "r_json_extract" -> jsonExtract _,
     "r_funnel" -> funnel _,
     "r_rollup" -> rollupAgg _,
@@ -284,6 +295,11 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "r_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "r_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
