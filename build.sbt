@@ -27,6 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 8g OOMs the sf0.1 WCC pipeline (cached graph generations across
-  // Pregel + refinement); the box has 128 GiB
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Pregel + refinement); the box has 128 GiB. 48g default keeps the
+  // GraphX MEMORY_ONLY caches clear of eviction/GC churn at sf0.1.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // old-gen-heavy workload (long-lived cached partitions): G1 with a
+  // modest pause target beats the default ergonomics under local[32]
+  "-XX:+UseG1GC", "-XX:MaxGCPauseMillis=200",
 )

@@ -23,26 +23,37 @@ object GraphQueries {
   /** Shared-artifact memo: Verify/Bench run every query in one
    * session and most graph queries share the co-purchase edge set,
    * the GraphX graph, and the triangle statistics — build each once
-   * per sfDir. */
+   * per (session, sfDir). Keyed by the session's identity so a
+   * stopped-and-recreated session never gets handed artifacts bound
+   * to a dead SparkContext. */
   private val memo = scala.collection.mutable.HashMap.empty[String, Any]
-  private def memoize[T](key: String)(f: => T): T =
-    memo.synchronized { memo.getOrElseUpdate(key, f).asInstanceOf[T] }
+  private def memoize[T](spark: SparkSession, key: String)(f: => T): T =
+    memo.synchronized {
+      memo.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", f)
+        .asInstanceOf[T]
+    }
 
   private def canonEdges(spark: SparkSession, sfDir: String): DataFrame =
-    memoize(s"canon:$sfDir") {
+    memoize(spark, s"canon:$sfDir") {
       val df = EdgeOps.coPurchaseEdges(spark, sfDir).cache(); df.count(); df
     }
 
   private def graph(spark: SparkSession, sfDir: String) =
-    memoize(s"graph:$sfDir") {
+    memoize(spark, s"graph:$sfDir") {
       val g = EdgeOps.toGraph(canonEdges(spark, sfDir)); g.cache()
       g.numVertices; g
     }
 
   private def tri(spark: SparkSession, sfDir: String): TriangleStats.Result =
-    memoize(s"tri:$sfDir") {
-      val r = TriangleStats.run(graph(spark, sfDir))
-      r.pruned.cache(); r.fullStats.cache(); r
+    memoize(spark, s"tri:$sfDir") {
+      TriangleStats.run(graph(spark, sfDir)) // run() caches both surfaces
+    }
+
+  /** Pregel seeding phase, shared by `g_wcc_initial_partition` and
+   * (as a precomputed input) the `g_wcc_partition` flagship. */
+  private def init(spark: SparkSession, sfDir: String) =
+    memoize(spark, s"init:$sfDir") {
+      InitialPartition.run(tri(spark, sfDir).pruned)
     }
 
   def symmetrizedEdges(spark: SparkSession, sfDir: String): DataFrame =
@@ -100,15 +111,15 @@ object GraphQueries {
    * batch DWCC partition of the co-purchase graph. */
   def wccPartition(spark: SparkSession, sfDir: String): DataFrame = {
     val out = DistributedWCC.run(graph(spark, sfDir),
-      precomputedStats = Some(tri(spark, sfDir)))
+      precomputedStats = Some(tri(spark, sfDir)),
+      precomputedInit = Some(init(spark, sfDir)))
     val rows = out.graph.vertices.map { case (id, vd) => (id, vd.cId) }
     spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid")
   }
 
   /** G4 alone (rows-only): partition after the Pregel seeding phase. */
   def wccInitialPartition(spark: SparkSession, sfDir: String): DataFrame = {
-    val init = InitialPartition.run(tri(spark, sfDir).pruned)
-    val rows = init.vertices.map { case (id, vd) => (id, vd.cId) }
+    val rows = init(spark, sfDir).vertices.map { case (id, vd) => (id, vd.cId) }
     spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid")
   }
 

@@ -21,13 +21,18 @@ object PipelineQueries {
 
   /** Documents/embeddings and the (expensive) exploded shingle set
    * are shared by several queries in one Verify/Bench session —
-   * memoize per sfDir like GraphQueries does. */
+   * memoize per (session, sfDir) like GraphQueries does (session
+   * identity in the key: artifacts are bound to the SparkContext
+   * that built them). */
   private val memo = scala.collection.mutable.HashMap.empty[String, Any]
-  private def memoize[T](key: String)(f: => T): T =
-    memo.synchronized { memo.getOrElseUpdate(key, f).asInstanceOf[T] }
+  private def memoize[T](spark: SparkSession, key: String)(f: => T): T =
+    memo.synchronized {
+      memo.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", f)
+        .asInstanceOf[T]
+    }
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    memoize(s"docs:$sfDir") {
+    memoize(spark, s"docs:$sfDir") {
       val df = spark.read.parquet(s"$sfDir/documents.parquet").cache()
       df.count(); df
     }
@@ -38,7 +43,7 @@ object PipelineQueries {
   /** Cached (doc_id, shingle) rows — the input of minhash sigs, LSH
    * bands/pairs, and jaccard. */
   private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
-    memoize(s"shingles:$sfDir") {
+    memoize(spark, s"shingles:$sfDir") {
       val df = docs(spark, sfDir)
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.explode(
@@ -49,7 +54,7 @@ object PipelineQueries {
     }
 
   private def minhashSigs(spark: SparkSession, sfDir: String): DataFrame =
-    memoize(s"sigs:$sfDir") {
+    memoize(spark, s"sigs:$sfDir") {
       val df = Dedup.minhashSignaturesFromShingles(shingleRows(spark, sfDir)).cache()
       df.count(); df
     }
@@ -266,13 +271,20 @@ object PipelineQueries {
         |  FROM m)
         |SELECT media_id, chunk_idx,
         |  least(4096, n_bytes - chunk_idx * 4096) AS chunk_len FROM c""".stripMargin,
+    // checksum is BYTE-based on both sides (Spark sums unsigned UTF-8
+    // payload bytes; here the payload's hex dump is decoded back to
+    // byte values) — holds for any text, ASCII or not.
     "p_media_decode" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
         |  octet_length(encode(text)) AS n,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type
         |  FROM documents),
-        |ck AS (SELECT doc_id, CAST(sum(ascii(substring(text, i, 1))) AS BIGINT) AS checksum
-        |  FROM documents, unnest(generate_series(1, length(text))) t(i) GROUP BY doc_id)
+        |hx AS (SELECT doc_id, hex(encode(text)) AS h,
+        |  octet_length(encode(text)) AS nb FROM documents),
+        |ck AS (SELECT doc_id, CAST(sum(
+        |    (strpos('0123456789ABCDEF', substring(h, 2*i-1, 1)) - 1) * 16 +
+        |    (strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1)) AS BIGINT) AS checksum
+        |  FROM hx, unnest(generate_series(1, nb)) t(i) GROUP BY doc_id)
         |SELECT media_id, media_type, 64 + n % 577 AS width, 64 + n % 433 AS height,
         |  CASE WHEN media_type = 'video' THEN 1 + n % 25 ELSE 1 END AS n_frames,
         |  checksum

@@ -27,6 +27,32 @@ import org.apache.spark.sql.types._
  */
 object StreamOps {
 
+  /** Memory-sink names are per-call unique so re-invocation in one
+   * session never collides with an earlier query's sink table. */
+  private val callSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Expose the single events parquet file through a throwaway
+   * directory (the streaming file source only lists directories).
+   * One file => AvailableNow drains it as ONE micro-batch, which is
+   * what gives flatMapGroupsWithState cross-batch event-time order
+   * for free; `assertSingleFile` makes that contract explicit. */
+  private def stagedEventsDir(sfDir: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    require(java.nio.file.Files.isRegularFile(src),
+      s"$src must be a single parquet file — multi-file inputs would " +
+        "drain as several micro-batches with no cross-batch order guarantee")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"), src)
+    dir
+  }
+
+  private def cleanup(dir: java.nio.file.Path): Unit = {
+    try {
+      java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(dir)
+    } catch { case _: java.io.IOException => () } // best-effort
+  }
+
   /** Fold a stream of (src, dst) edge batches into incremental WCC
    * state. Returns the final state after draining the (bounded)
    * stream. The caller provides the initial state from
@@ -69,10 +95,8 @@ object StreamOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
 
-    val name = "graft_stream_sessions"
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sess")
-    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val name = s"graft_stream_sessions_${callSeq.incrementAndGet()}"
+    val dir = stagedEventsDir(sfDir)
     val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("us"), col("value"))
@@ -109,6 +133,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    cleanup(dir)
     spark.table(name)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
         (floor(col("sum_value") * 1e4 + 0.5) / 1e4).as("sum_value"))
@@ -125,13 +150,8 @@ object StreamOps {
    * sink. Complete mode -> the final table equals the batch
    * aggregation, so the DuckDB oracle for the batch query applies. */
   def hourlyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = "graft_stream_hourly"
-    // the streaming file source only accepts directories; expose the
-    // single events file through a temp dir symlink
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-events")
-    val link = dir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link,
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val name = s"graft_stream_hourly_${callSeq.incrementAndGet()}"
+    val dir = stagedEventsDir(sfDir)
     val src = spark.readStream
       .schema(EventsSchema)
       .parquet(dir.toString)
@@ -148,6 +168,7 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    cleanup(dir)
     spark.table(name).orderBy("hour", "event_type")
   }
 }

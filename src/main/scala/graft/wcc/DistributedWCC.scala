@@ -36,7 +36,13 @@ object DistributedWCC {
       triangleStats: VertexRDD[(Int, Int)],
       /** partition after the Pregel seeding phase — the reference's
        * InitialPartitionResult dump surface */
-      initialPartition: Graph[VertexData, Int])
+      initialPartition: Graph[VertexData, Int],
+      /** pruned triangle-core input of the partitioning phases */
+      prunedCore: Graph[VertexData, Int],
+      /** refined partition on the pruned core (before the graft-back
+       * onto the original vertex set) — callers that only need
+       * `graph` can release these cached phase surfaces */
+      refinedCore: Graph[VertexData, Int])
 
   /** Phase wall-clock logging, mirroring the reference's
    * instrumentation points (`DistributedWCC.scala:43,59,281,295-302`,
@@ -50,7 +56,8 @@ object DistributedWCC {
 
   def run(graph: Graph[Int, Int], maxRetries: Int = DefaultMaxRetries,
       maxPregelIterations: Int = 50,
-      precomputedStats: Option[TriangleStats.Result] = None): Output = {
+      precomputedStats: Option[TriangleStats.Result] = None,
+      precomputedInit: Option[Graph[VertexData, Int]] = None): Output = {
     val vertexCount = graph.numVertices
 
     // Phase: preprocessing (`DistributedWCC.scala:88-130`)
@@ -63,9 +70,9 @@ object DistributedWCC {
     val pruned = tri.pruned
 
     // Phase: community initialization (`:138-152`)
-    val initGraph = timed("initial-partition") {
+    val initGraph = precomputedInit.getOrElse(timed("initial-partition") {
       InitialPartition.run(pruned, maxPregelIterations)
-    }
+    })
 
     // Phase: WCC iteration (`:260-329`)
     val (best, bestCs, bestWcc, globalCC) = timed("refinement") {
@@ -78,7 +85,8 @@ object DistributedWCC {
       vdOpt.getOrElse(VertexData(id, 0, 0, id))
     }
 
-    Output(resultGraph, bestCs, bestWcc, globalCC, tri.fullStats, initGraph)
+    Output(resultGraph, bestCs, bestWcc, globalCC, tri.fullStats, initGraph,
+      pruned, best)
   }
 
   /** Refinement loop (G5, reference `DistributedWCC.scala:260-329`):

@@ -33,14 +33,33 @@ object IncrementalWCC {
 
   final case class State(graph: Graph[VertexData, Int], stats: Map[Long, CommunityData])
 
-  /** Reference `IncrementalWCC.scala:73-77`: initial bulk run. */
+  private def release(g: Graph[_, _]): Unit = {
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+  }
+
+  /** Reference `IncrementalWCC.scala:73-77`: initial bulk run.
+   * CONSUMES the input graph: once the state graph is materialized,
+   * the input and the bulk run's phase surfaces are uncached (they
+   * would otherwise stay resident for the whole stream). */
   def prepare(graph: Graph[Int, Int]): State = {
     val out = DistributedWCC.run(graph)
+    out.graph.cache()
+    out.graph.vertices.count()
+    out.graph.edges.count()
+    release(out.prunedCore)
+    release(out.initialPartition)
+    release(out.refinedCore)
+    out.triangleStats.unpersist(blocking = false)
+    release(graph)
     State(out.graph, out.communityStats)
   }
 
   final case class MergeResult(
       fullGraph: Graph[VertexData, Int],
+      /** raw unioned graph fullGraph was derived from (released by
+       * `run` once the batch result is materialized) */
+      merged: Graph[VertexData, Int],
       newIds: Broadcast[Set[Long]],
       borderIds: Broadcast[Set[Long]],
       vertexCount: Long,
@@ -75,7 +94,8 @@ object IncrementalWCC {
     fullGraph.cache()
     val vertexCount = fullGraph.numVertices
     val globalCC = fullGraph.vertices.map(_._2.cc).sum() / vertexCount
-    MergeResult(fullGraph, bNew, bBorder, vertexCount, globalCC)
+    bBatch.unpersist(blocking = false)
+    MergeResult(fullGraph, fg, bNew, bBorder, vertexCount, globalCC)
   }
 
   /** Delta triangle-stat update (reference `IncrementalWCC.scala:114-181`):
@@ -157,7 +177,10 @@ object IncrementalWCC {
       vpred = (_, v) => v._1.t > 0)
     val pruned = Graph(prunedB.vertices.mapValues(_._1),
       prunedB.edges.map(e => Edge(e.srcId, e.dstId, 1)))
-    InitialPartition.run(pruned, maxIterations)
+    val out = InitialPartition.run(pruned, maxIterations)
+    // the Graph constructor persists; run() materialized its output
+    release(pruned)
+    out
   }
 
   /** Fixed-5 refinement (reference `IncrementalWCC.scala:332-393`):
@@ -203,7 +226,11 @@ object IncrementalWCC {
     r
   }
 
-  /** One micro-batch (reference `IncrementalWCC.scala:27-71`). */
+  /** One micro-batch (reference `IncrementalWCC.scala:27-71`).
+   * CONSUMES `state`: the superseded state graph and every
+   * intermediate graph generation are uncached once the new state is
+   * materialized, so resident memory stays one-generation-sized no
+   * matter how many micro-batches replay. */
   def run(state: State, newEdges: RDD[Edge[Int]]): State = {
     val m = timed("merge")(merge(state, newEdges))
     val init = timed("initial-partition")(performInitialPartition(m.fullGraph))
@@ -214,6 +241,18 @@ object IncrementalWCC {
     val resultGraph = state.graph.outerJoinVertices(finalGraph.vertices) { (id, _, vdOpt) =>
       vdOpt.getOrElse(VertexData(id, 0, 0, id))
     }
+    resultGraph.cache()
+    resultGraph.vertices.count()
+    resultGraph.edges.count()
+    release(m.merged)
+    release(m.fullGraph)
+    release(init)
+    if (finalGraph ne init) release(finalGraph)
+    release(state.graph)
+    // unpersist (not destroy): evicted lineage re-fetches from the
+    // driver if a cached partition is ever recomputed
+    m.newIds.unpersist(blocking = false)
+    m.borderIds.unpersist(blocking = false)
     State(resultGraph, state.stats)
   }
 
@@ -252,6 +291,7 @@ object IncrementalWCC {
           e.srcId < higher && e.dstId < higher)
       state = run(state, batch)
     }
+    edgeRdd.unpersist(blocking = false)
     val rows = state.graph.vertices.map { case (id, vd) => (id, vd.cId) }
     spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid")
   }

@@ -155,8 +155,12 @@ object InitialPartition {
     msgs.unpersist(blocking = false)
     val out = lean.mapVertices((_, st) => st._1)
     out.cache()
+    // force vertices AND edges so the final lean generation (whose
+    // edge partitions `out` derives from) can be fully dropped
     out.vertices.count()
+    out.edges.count()
     lean.unpersistVertices(blocking = false)
+    lean.edges.unpersist(blocking = false)
     state.unpersist(blocking = false)
     out
   }

@@ -102,7 +102,16 @@ object TriangleStats {
       epred = e => e.attr > 0,
       vpred = (_, vd) => vd.t > 0)
 
+    // Materialize the two output surfaces, then drop the scratch
+    // graphs — cached intermediates otherwise accumulate across the
+    // bulk + incremental pipelines that each call run().
+    pruned.cache()
+    fullStats.cache()
+    pruned.numVertices
+    fullStats.count()
     withAdj.unpersist(blocking = false)
+    counted.unpersistVertices(blocking = false)
+    counted.edges.unpersist(blocking = false)
     Result(pruned, fullStats)
   }
 }
