@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{GraphQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{AdvancedQueries, GraphQueries, PipelineQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -24,13 +24,13 @@ object SparkEntry {
     GraphQueries.wccPartition(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphQueries.queries ++
+    RelationalQueries.queries ++ AdvancedQueries.queries ++ GraphQueries.queries ++
       PipelineQueries.queries ++ Map(
       "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _),
       "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _))
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ GraphQueries.oracles ++
+    RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
       PipelineQueries.oracles ++ Map(
       // the streaming query drains the bounded source completely, so
       // its final table equals the batch aggregation

@@ -81,6 +81,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate CLUSTERS from candidate pairs: connected components
+   * over the pair graph, labeling every involved doc with the
+   * smallest doc_id reachable from it. Near-dup relations are not
+   * transitive, but dedup keep-one-per-cluster policies need the
+   * transitive closure — at scale this is the standard GraphX CC
+   * (hash-partitioned Pregel, converges in O(component diameter)
+   * supersteps; near-dup components are shallow in practice). */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val g = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0)
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
+    val out = spark.createDataFrame(cc.vertices.map { case (id, root) => (id, root) })
+      .toDF("doc_id", "cluster_id")
+    g.unpersistVertices(blocking = false)
+    g.edges.unpersist(blocking = false)
+    out
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs (doc_a, doc_b):
    * computed via a shingle-level equi-join, so the shuffle key is the
    * shingle — no shingle-set materialization per pair. */

@@ -111,4 +111,35 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
   }
+
+  /** Top-k characteristic terms per document by tf-idf.
+   *
+   * The idf factor is the BM25-style ratio (N - df + 0.5)/(df + 0.5)
+   * rather than its logarithm: plus-times-divide arithmetic on exact
+   * values is bit-identical across engines, while libm log variants may
+   * differ in the last ulp (which could flip a rounded value at a
+   * representational boundary). Monotone in df, so rankings match
+   * log-idf rankings.
+   *
+   * Scale: tf is a (doc, term) partial-aggregated shuffle; df a
+   * (term) one; the tf-df join shuffles on term (the vocabulary —
+   * too big to broadcast blindly at corpus scale; AQE may still
+   * choose to); top-k pushes below the final shuffle via
+   * WindowGroupLimit. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val toks = docs
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score",
+        rnd(col("tf") * (lit(n) - col("df") + 0.5) / (col("df") + 0.5), 9))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
 }

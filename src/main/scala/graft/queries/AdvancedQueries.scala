@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.ops.Joins
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-2 relational surface: temporal joins (as-of, banded range),
+ * window lead/lag, correlated subqueries, bucketed co-located joins,
+ * and sketch-based approximate distinct counts.
+ *
+ * Shares the helpers (`t`, `events`, `rnd`) and the oracle
+ * conventions of [[RelationalQueries]]: every double is rounded with
+ * the floor(x*1e_d + 0.5)/1e_d pattern on both sides; column names
+ * are aliased identically in the Spark plan and the DuckDB SQL.
+ */
+object AdvancedQueries {
+
+  import RelationalQueries.{t, events, rnd}
+
+  val BandUs: Long = 3600L * 1000000 // 1 hour in event-time micros
+
+  /** Window lead/lag/running-sum per user over event time. */
+  def leadLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"), col("event_type"))
+      .withColumn("prev_value", coalesce(rnd(lag(col("value"), 1).over(w), 4), lit(-1.0)))
+      .withColumn("next_type", coalesce(lead(col("event_type"), 1).over(w), lit("none")))
+      .withColumn("run_sum", rnd(sum(col("value")).over(run), 4))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("prev_value"), col("next_type"), col("run_sum"))
+      .orderBy("event_id")
+  }
+
+  /** As-of join: each event picks up the user's most recent order at
+   * or before the event instant (ties toward the larger orderkey). */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    // o_orderdate loads as TIMESTAMP_NTZ; the session zone is UTC, so
+    // the cast matches DuckDB's epoch_us interpretation exactly
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ot"),
+        col("o_orderkey"), col("o_totalprice"))
+    Joins.asof(e, "user_id", "us", o, "o_custkey", "ot", "o_orderkey",
+        Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        coalesce(col("asof.o_orderkey"), lit(-1L)).as("last_orderkey"),
+        coalesce(rnd(col("asof.o_totalprice"), 2), lit(0.0)).as("last_totalprice"))
+      .orderBy("event_id")
+  }
+
+  /** Banded range self-join: same-user event pairs within one hour,
+   * via time-cell bucketing (no per-user cross product). */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    Joins.bandedSelfPairs(e, "user_id", "event_id", "us", BandUs)
+      .select(col("k").as("user_id"), col("id_a").as("event_a"),
+        col("id_b").as("event_b"), abs(col("t_b") - col("t_a")).as("gap_us"))
+      .orderBy("event_a", "event_b")
+  }
+
+  /** Correlated scalar subquery (Catalyst decorrelates it into an
+   * aggregate + join): customers above their own nation's average
+   * balance. */
+  def correlatedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT c_nationkey, count(*) AS n_above
+        |FROM graft_customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey""".stripMargin)
+      .orderBy("c_nationkey")
+  }
+
+  /** Join over tables bucketed on the join key: both sides are
+   * written `bucketBy(8, custkey)` so the sort-merge join reads
+   * co-located buckets with NO shuffle exchange on either side
+   * (asserted by `ExplainCheckSpec`) — the table-layout contract that
+   * replaces repartitioning for repeated fact-fact joins at 100 TB. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = math.abs(sfDir.hashCode).toString
+    val ot = s"graft_orders_bkt_$tag"
+    val ct = s"graft_cust_bkt_$tag"
+    if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(ct)) {
+      // the in-memory catalog forgets tables across JVMs but their
+      // warehouse directories persist — clear both before recreating
+      def reset(name: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val dir = java.nio.file.Paths.get(wh, name)
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      reset(ot); reset(ct)
+      t(spark, sfDir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable(ot)
+      t(spark, sfDir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable(ct)
+    }
+    spark.table(ot)
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), rnd(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** HLL++ sketch distinct counts next to the exact answer
+   * (rows-only: the sketch estimate is engine-specific; the spec
+   * asserts <5% relative error). At 100 TB the sketch is the only
+   * viable form — it partial-aggregates map-side into a fixed-size
+   * registers array instead of shuffling every distinct key. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_lead_lag" -> leadLag _,
+    "r_asof_join" -> asofJoin _,
+    "r_range_join" -> rangeJoin _,
+    "r_correlated" -> correlatedAgg _,
+    "r_bucketed_join" -> bucketedJoin _,
+    "r_approx_distinct" -> approxDistinct _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "r_lead_lag" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  coalesce(floor((lag(value, 1) OVER w) * 1e4 + 0.5) / 1e4, -1.0) AS prev_value,
+        |  coalesce(lead(event_type, 1) OVER w, 'none') AS next_type,
+        |  floor((sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS UNBOUNDED PRECEDING)) * 1e4 + 0.5) / 1e4 AS run_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+    "r_asof_join" ->
+      """WITH o AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS tt,
+        |    o_orderkey, o_totalprice FROM orders),
+        |e AS (SELECT user_id AS k, epoch_us(ts) AS tt, event_id FROM events),
+        |u AS (
+        |  SELECT k, tt, 0 AS side, o_orderkey AS tie, o_orderkey AS okey,
+        |    o_totalprice AS oprice, NULL::BIGINT AS event_id FROM o
+        |  UNION ALL
+        |  SELECT k, tt, 1, NULL, NULL, NULL, event_id FROM e),
+        |m AS (SELECT *,
+        |    last_value(okey IGNORE NULLS) OVER w AS last_okey,
+        |    last_value(oprice IGNORE NULLS) OVER w AS last_oprice
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY k ORDER BY tt, side, tie
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, k AS user_id, tt AS us,
+        |  coalesce(last_okey, -1) AS last_orderkey,
+        |  coalesce(floor(last_oprice * 1e2 + 0.5) / 1e2, 0.0) AS last_totalprice
+        |FROM m WHERE side = 1""".stripMargin,
+    "r_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+        |  abs(b.us - a.us) AS gap_us
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(b.us - a.us) <= 3600000000""".stripMargin,
+    "r_correlated" ->
+      """SELECT c_nationkey, count(*) AS n_above
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey""".stripMargin,
+    "r_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
+    // r_approx_distinct: intentionally no oracle — the HLL estimate is
+    // engine-specific; rows-only check + error-bound spec.
+  )
+}

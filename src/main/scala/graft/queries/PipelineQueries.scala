@@ -59,6 +59,15 @@ object PipelineQueries {
       df.count(); df
     }
 
+  /** LSH candidate pairs — input of both `p_lsh_pairs` and the
+   * connected-components cluster labeling. */
+  private def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"pairs:$sfDir") {
+      val df = Dedup.lshCandidatePairsFromBands(
+        Dedup.lshBandsFromSignatures(minhashSigs(spark, sfDir))).cache()
+      df.count(); df
+    }
+
   val NearDupThreshold = 0.4
 
   /** The composed training-corpus cleaning pass: exact-dedup
@@ -83,9 +92,18 @@ object PipelineQueries {
     "p_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d)).orderBy("doc_id")),
     "p_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("h")),
     "p_minhash_sigs" -> ((s, d) => minhashSigs(s, d).orderBy("doc_id")),
-    "p_lsh_pairs" -> ((s, d) =>
-      Dedup.lshCandidatePairsFromBands(
-        Dedup.lshBandsFromSignatures(minhashSigs(s, d))).orderBy("doc_a", "doc_b")),
+    "p_lsh_pairs" -> ((s, d) => lshPairs(s, d).orderBy("doc_a", "doc_b")),
+    "p_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(lshPairs(s, d)).orderBy("doc_id")),
+    "p_tfidf_top_terms" -> ((s, d) =>
+      TextOps.tfidfTopTerms(docs(s, d)).orderBy("doc_id", "rank")),
+    "p_hash_sample" -> ((s, d) =>
+      docs(s, d)
+        .where(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          (floor(avg(col("n_chars")) * 1e4 + 0.5) / 1e4).as("avg_chars"))
+        .orderBy("lang")),
     "p_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardFromShingles(shingleRows(s, d),
         Dedup.consecutivePairs(docs(s, d))).orderBy("doc_a")),
@@ -211,6 +229,44 @@ object PipelineQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin,
+    // transitive closure of the candidate-pair graph; cluster label =
+    // min reachable doc_id (what GraphX ConnectedComponents emits)
+    "p_dedup_clusters" ->
+      s"""WITH RECURSIVE base AS (SELECT 1)$W$Sh3,
+         |sigs AS (SELECT doc_id, $minhCols FROM sh GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         |  UNION SELECT doc_b, doc_a FROM pr),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+         |  WHERE s.b <> r.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
+    "p_tfidf_top_terms" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |tok AS (SELECT doc_id, t AS term FROM w, unnest(w) u(t) WHERE t <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |  floor((tf * (n - df + 0.5) / (df + 0.5)) * 1e9 + 0.5) / 1e9 AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+        |WHERE rank <= 3""".stripMargin,
+    "p_hash_sample" ->
+      """SELECT lang, count(*) AS n,
+        |  floor((avg(n_chars)) * 1e4 + 0.5) / 1e4 AS avg_chars
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        |GROUP BY lang""".stripMargin,
     "p_ngram_jaccard" ->
       s"""WITH base AS (SELECT 1)$W$Sh3,
          |ds AS (SELECT DISTINCT doc_id, s FROM sh),

@@ -29,19 +29,19 @@ object RelationalQueries {
    * doubles, so results are bit-equal (Spark's rnd() does exact
    * decimal HALF_UP while DuckDB scales in binary — they disagree on
    * representational ties). */
-  private def rnd(c: Column, digits: Int): Column = {
+  private[queries] def rnd(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)
     floor(c * p + 0.5) / p
   }
 
-  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  private[queries] def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as
    * Long (`spark.sql.legacy.parquet.nanosAsLong`, set by
    * Verify/Bench). Truncate ns -> us exactly like DuckDB does when it
    * loads the same file, so event-time queries agree. */
-  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = t(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

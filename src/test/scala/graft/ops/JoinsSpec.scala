@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof picks the latest right row at or before each left time") {
+    val left = Seq((1L, 5L, 100L), (1L, 10L, 101L), (1L, 20L, 102L), (2L, 40L, 103L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 4L, 1L, 100.0), (1L, 10L, 2L, 200.0), (2L, 50L, 9L, 900.0))
+      .toDF("k", "t", "okey", "oval")
+    val out = Joins.asof(left, "k", "t", right, "k", "t", "okey", Seq("okey", "oval"))
+      .select(col("lid"), col("asof.okey").as("okey"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === Some(1L)) // latest before t=5 is t=4
+    assert(out(101L) === Some(2L)) // same-instant right row matches
+    assert(out(102L) === Some(2L))
+    assert(out(103L) === None)     // right row is later -> no match
+  }
+
+  test("asof breaks same-instant ties toward the larger tie column") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 3L, 30.0), (1L, 10L, 4L, 40.0)).toDF("k", "t", "okey", "oval")
+    val out = Joins.asof(left, "k", "t", right, "k", "t", "okey", Seq("okey", "oval"))
+      .select(col("asof.okey")).as[Long].head()
+    assert(out === 4L)
+  }
+
+  test("bandedSelfPairs equals the naive range self-join") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("k", "id", "t")
+    val banded = Joins.bandedSelfPairs(df, "k", "id", "t", 50L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (k1, i1, t1) <- rows; (k2, i2, t2) <- rows
+      if k1 == k2 && i1 < i2 && math.abs(t2 - t1) <= 50
+    } yield (i1, i2)).toSet
+    assert(banded === naive)
+  }
+
+  test("clusters labels components with their minimum doc id") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("tfidfTopTerms ranks by score then term and caps at k") {
+    val docs = Seq((1L, "a a b"), (2L, "b c c")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, k = 2)
+      .select("doc_id", "rank", "term", "score")
+      .as[(Long, Long, String, Double)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._2).map(r => (r._3, r._4)) }
+    // doc 1: a (tf 2, df 1) score 2*(2-1+0.5)/1.5 = 2.0; b (tf 1, df 2) 1*0.5/2.5 = 0.2
+    assert(out(1L).map(_._1).toSeq === Seq("a", "b"))
+    assert(out(1L).head._2 === 2.0)
+    assert(out(2L).map(_._1).toSeq === Seq("c", "b"))
+    assert(out.values.forall(_.length <= 2))
+  }
+}

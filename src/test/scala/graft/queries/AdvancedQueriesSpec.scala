@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AdvancedQueriesSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx distinct stays within 5% of exact") {
+    val rows = AdvancedQueries.approxDistinct(spark, sf)
+      .select(col("approx_users").cast("double"), col("exact_users").cast("double"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+    }
+  }
+
+  test("bucketed join result matches the plain join and avoids side shuffles") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = AdvancedQueries.bucketedJoin(spark, sf)
+      df.count() // finalize the AQE plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      // the only exchange is the post-join groupBy; the bucketed scan
+      // sides must be exchange-free
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"expected bucket-co-located join, got $exchanges exchanges:\n${plan.take(3000)}")
+
+      val plain = RelationalQueries.t(spark, sf, "orders")
+        .join(RelationalQueries.t(spark, sf, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val bucketed = df.select("c_mktsegment", "n_orders")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(bucketed.toSeq === plain.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("range join pairs are symmetric-free, ordered, within the band") {
+    val out = AdvancedQueries.rangeJoin(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2))          // event_a < event_b
+      assert(r.getLong(3) <= AdvancedQueries.BandUs) // gap within band
+    }
+  }
+
+  test("as-of join only matches orders at or before the event") {
+    val e = RelationalQueries.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val o = RelationalQueries.t(spark, sf, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ot"),
+        col("o_orderkey"))
+    val joined = AdvancedQueries.asofJoin(spark, sf)
+      .where(col("last_orderkey") =!= -1L)
+      .select(col("event_id"), col("us"), col("last_orderkey"))
+    val withOrder = joined.join(
+        o.select(col("o_orderkey").as("last_orderkey"), col("ot")), "last_orderkey")
+    assert(withOrder.count() > 0)
+    assert(withOrder.where(col("ot") > col("us")).count() === 0)
+  }
+}
