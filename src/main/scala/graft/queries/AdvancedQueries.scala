@@ -118,6 +118,31 @@ object AdvancedQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Date-partitioned parquet layout + partition pruning: events are
+   * written `partitionBy(day)`; a day-range predicate then prunes
+   * directories at planning time (PartitionFilters in the scan,
+   * asserted by the spec) — at 100 TB this is what turns a full-table
+   * scan into reading only the queried slice. The range is derived
+   * from the data (days 30..59 from the first event) so the query and
+   * the oracle agree without hard-coded dates. */
+  def partitionPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = math.abs(sfDir.hashCode).toString
+    val dir = s"/tmp/graft_events_by_day_$tag"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      events(spark, sfDir)
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+    }
+    val d0 = events(spark, sfDir).agg(min(to_date(col("ts")))).head().getDate(0)
+    val lo = java.sql.Date.valueOf(d0.toLocalDate.plusDays(30))
+    val hi = java.sql.Date.valueOf(d0.toLocalDate.plusDays(60))
+    spark.read.parquet(dir)
+      .where(col("day") >= lit(lo) && col("day") < lit(hi))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 4).as("sum_value"))
+      .orderBy("day")
+  }
+
   /** HLL++ sketch distinct counts next to the exact answer
    * (rows-only: the sketch estimate is engine-specific; the spec
    * asserts <5% relative error). At 100 TB the sketch is the only
@@ -136,6 +161,7 @@ object AdvancedQueries {
     "r_range_join" -> rangeJoin _,
     "r_correlated" -> correlatedAgg _,
     "r_bucketed_join" -> bucketedJoin _,
+    "r_partition_pruning" -> partitionPruning _,
     "r_approx_distinct" -> approxDistinct _
   )
 
@@ -184,7 +210,15 @@ object AdvancedQueries {
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+    "r_partition_pruning" ->
+      """WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
+        |SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |  floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+        |FROM events, b
+        |WHERE CAST(ts AS DATE) >= d0 + INTERVAL 30 DAY
+        |  AND CAST(ts AS DATE) < d0 + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin
     // r_approx_distinct: intentionally no oracle — the HLL estimate is
     // engine-specific; rows-only check + error-bound spec.
   )

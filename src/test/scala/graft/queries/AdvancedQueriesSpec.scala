@@ -43,6 +43,27 @@ class AdvancedQueriesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partition pruning reaches the scan and matches the unpartitioned answer") {
+    val df = AdvancedQueries.partitionPruning(spark, sf)
+    df.count() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+      "day predicate did not reach PartitionFilters:\n" + plan.take(2000))
+    // answer must equal the same aggregation over the unpartitioned table
+    val d0 = RelationalQueries.events(spark, sf)
+      .agg(min(to_date(col("ts")))).head().getDate(0)
+    val lo = java.sql.Date.valueOf(d0.toLocalDate.plusDays(30))
+    val hi = java.sql.Date.valueOf(d0.toLocalDate.plusDays(60))
+    val plain = RelationalQueries.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .where(col("day") >= lit(lo) && col("day") < lit(hi))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .orderBy("day").collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val part = df.select("day", "n").collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(part.toSeq === plain.toSeq)
+  }
+
   test("range join pairs are symmetric-free, ordered, within the band") {
     val out = AdvancedQueries.rangeJoin(spark, sf).collect()
     assert(out.nonEmpty)
