@@ -27,7 +27,8 @@ object SparkEntry {
     RelationalQueries.queries ++ AdvancedQueries.queries ++ GraphQueries.queries ++
       PipelineQueries.queries ++ Map(
       "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _),
-      "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _))
+      "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _),
+      "s_stream_dedup" -> (graft.streaming.StreamOps.streamingDedup _))
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
@@ -35,6 +36,11 @@ object SparkEntry {
       // the streaming query drains the bounded source completely, so
       // its final table equals the batch aggregation
       "s_stream_hourly" -> RelationalQueries.oracles("r_events_hourly"),
+      // watermarked keep-first dedup over a drained bounded stream =
+      // batch distinct per key
+      "s_stream_dedup" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY event_type""".stripMargin,
       // closed sessions = every session except each user's last
       // (the open one stays in flatMapGroupsWithState state)
       "s_stream_sessions" ->

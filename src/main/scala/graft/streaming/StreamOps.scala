@@ -140,6 +140,33 @@ object StreamOps {
       .orderBy("user_id", "start_us")
   }
 
+  /** Streaming exact dedup: watermarked dropDuplicates on
+   * (user_id, event_type) — the streaming form of keep-first dedup
+   * with bounded state (keys older than the watermark are evicted,
+   * which is what makes the operator viable on an unbounded stream;
+   * the bounded drain here never reaches eviction, so the final table
+   * equals the batch distinct and the DuckDB oracle applies). */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_dedup_${callSeq.incrementAndGet()}"
+    val dir = stagedEventsDir(sfDir)
+    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+    val q = src.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    cleanup(dir)
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
   private val EventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),

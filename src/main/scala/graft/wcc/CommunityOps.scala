@@ -58,6 +58,34 @@ object CommunityOps {
       },
       mergeCountMaps)
 
+  /** Community stats derived from the per-vertex community-degree
+   * maps the movement step computes anyway — NO extra pass over the
+   * edges: r(c) counts members; a(c) = half the sum of members'
+   * same-community degrees (each internal edge seen from both ends);
+   * b(c) = sum of members' external degrees (each external edge seen
+   * once per endpoint community). Pure integer arithmetic, so the
+   * result is VALUE-IDENTICAL to `computeCommunityStats` — the
+   * refinement trajectory cannot move.
+   *
+   * Replaces one full triplet scan per refinement iteration in both
+   * hill-climbing loops; the collect stays O(#communities). */
+  def statsFromDegrees(graph: Graph[VertexData, Int],
+      deg: VertexRDD[Map[Long, Int]]): Map[Long, CommunityData] = {
+    val perVertex = graph.vertices.leftJoin(deg) { (_, vd, mOpt) =>
+      val m = mOpt.getOrElse(Map.empty[Long, Int])
+      var own = 0; var ext = 0
+      m.foreach { case (c, n) => if (c == vd.cId) own += n else ext += n }
+      (vd.cId, own, ext)
+    }
+    val counts = perVertex
+      .map { case (_, (c, own, ext)) => (c, (1, own, ext)) }
+      .reduceByKey((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
+      .collectAsMap()
+    counts.map { case (c, (r, sameDeg, ext)) =>
+      (c, CommunityData(r, (sameDeg / 2).toDouble, ext))
+    }.toMap
+  }
+
   private[wcc] def mergeCountMaps(a: Map[Long, Int], b: Map[Long, Int]): Map[Long, Int] =
     if (a.size >= b.size) b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0) + v) }
     else a.foldLeft(b) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0) + v) }

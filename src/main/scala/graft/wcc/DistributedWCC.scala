@@ -91,7 +91,13 @@ object DistributedWCC {
 
   /** Refinement loop (G5, reference `DistributedWCC.scala:260-329`):
    * movements are accepted while global WCC improves; an improvement
-   * above Threshold resets the retry budget. */
+   * above Threshold resets the retry budget.
+   *
+   * Each iteration computes the per-vertex community-degree maps ONCE
+   * and derives BOTH the movement decisions and the community stats
+   * from them (`statsFromDegrees` — integer-exact, value-identical to
+   * the two-scan form, trajectory unchanged), so an iteration costs
+   * one degree pass plus the two-pass WCC evaluation. */
   private def refinePartition(initGraph: Graph[VertexData, Int], vertexCount: Long,
       maxRetries: Int): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
     // globalCC = (sum of cc over PRUNED vertices) / ORIGINAL count
@@ -99,7 +105,9 @@ object DistributedWCC {
     val globalCC = initGraph.vertices.map(_._2.cc).sum() / vertexCount
 
     var bestPartition = initGraph
-    var bestCs = CommunityOps.computeCommunityStats(bestPartition)
+    var bestDeg = CommunityOps.vertexCommunityDegrees(bestPartition)
+    bestDeg.cache()
+    var bestCs = CommunityOps.statsFromDegrees(bestPartition, bestDeg)
     var bestWcc = CommunityOps.computeGlobalWCC(bestPartition, bestCs, vertexCount)
 
     var foundNewBestPartition = true
@@ -107,7 +115,8 @@ object DistributedWCC {
     var iter = 0
     do {
       val t0 = System.currentTimeMillis()
-      val movementGraph = getBestMovements(bestPartition, bestCs, globalCC, vertexCount)
+      val movementGraph = getBestMovements(bestPartition, bestDeg, bestCs,
+        globalCC, vertexCount)
       movementGraph.cache()
       iter += 1
       // truncate lineage periodically: each accepted iteration chains
@@ -118,7 +127,9 @@ object DistributedWCC {
       val sc0 = movementGraph.vertices.sparkContext
       if (iter % 8 == 0 && sc0.getCheckpointDir.isDefined) movementGraph.checkpoint()
 
-      val newCs = CommunityOps.computeCommunityStats(movementGraph)
+      val movedDeg = CommunityOps.vertexCommunityDegrees(movementGraph)
+      movedDeg.cache()
+      val newCs = CommunityOps.statsFromDegrees(movementGraph, movedDeg)
       val newWcc = CommunityOps.computeGlobalWCC(movementGraph, newCs, vertexCount)
       retriesLeft -= 1
       System.err.println(s"[graft-wcc] refine iter $iter: " +
@@ -127,19 +138,24 @@ object DistributedWCC {
       if (newWcc > bestWcc) {
         if (newWcc / bestWcc - 1 > Threshold) retriesLeft = maxRetries
         val prev = bestPartition
+        val prevDeg = bestDeg
         bestPartition = movementGraph
+        bestDeg = movedDeg
         bestWcc = newWcc
         bestCs = newCs
+        prevDeg.unpersist(blocking = false)
         if (prev ne initGraph) {
           prev.unpersistVertices(blocking = false)
           prev.edges.unpersist(blocking = false)
         }
       } else {
         foundNewBestPartition = false
+        movedDeg.unpersist(blocking = false)
         movementGraph.unpersistVertices(blocking = false)
         movementGraph.edges.unpersist(blocking = false)
       }
     } while (foundNewBestPartition && retriesLeft > 0)
+    bestDeg.unpersist(blocking = false)
 
     (bestPartition, bestCs, bestWcc, globalCC)
   }
@@ -148,11 +164,11 @@ object DistributedWCC {
    * per-vertex neighbor-community degree maps + broadcast community
    * stats -> local REMOVE/TRANSFER/STAY decision. */
   private def getBestMovements(graph: Graph[VertexData, Int],
+      vcDegrees: org.apache.spark.graphx.VertexRDD[Map[Long, Int]],
       stats: Map[Long, CommunityData], globalCC: Double,
       vertexCount: Long): Graph[VertexData, Int] = {
     val sc = graph.vertices.sparkContext
     val bStats = sc.broadcast(stats)
-    val vcDegrees = CommunityOps.vertexCommunityDegrees(graph)
     graph.outerJoinVertices(vcDegrees) { (_, vd, degOpt) =>
       degOpt match {
         case Some(deg) => bestMovement(vd, deg, bStats.value, globalCC, vertexCount)

@@ -190,14 +190,17 @@ object IncrementalWCC {
   private[wcc] def refinePartition(initGraph: Graph[VertexData, Int],
       globalCC: Double, vertexCount: Long): (Graph[VertexData, Int], Map[Long, CommunityData]) = {
     val sc = initGraph.vertices.sparkContext
-    var bestCs = CommunityOps.computeCommunityStats(initGraph)
+    // one degree pass per iteration feeds BOTH the movement join and
+    // the (integer-exact, value-identical) derived community stats
+    var curDeg = CommunityOps.vertexCommunityDegrees(initGraph)
+    curDeg.cache()
+    var bestCs = CommunityOps.statsFromDegrees(initGraph, curDeg)
     var g = initGraph
     var it = 0
     do {
       it += 1
       val bStats = sc.broadcast(bestCs)
-      val vcDegrees = CommunityOps.vertexCommunityDegrees(g)
-      val moved = g.outerJoinVertices(vcDegrees) { (_, vd, degOpt) =>
+      val moved = g.outerJoinVertices(curDeg) { (_, vd, degOpt) =>
         degOpt match {
           case Some(deg) =>
             // the reference restricts candidates to stats-present
@@ -209,13 +212,18 @@ object IncrementalWCC {
         }
       }
       moved.cache()
-      bestCs = CommunityOps.computeCommunityStats(moved)
+      val movedDeg = CommunityOps.vertexCommunityDegrees(moved)
+      movedDeg.cache()
+      bestCs = CommunityOps.statsFromDegrees(moved, movedDeg)
+      curDeg.unpersist(blocking = false)
+      curDeg = movedDeg
       if (g ne initGraph) {
         g.unpersistVertices(blocking = false)
         g.edges.unpersist(blocking = false)
       }
       g = moved
     } while (it < 5)
+    curDeg.unpersist(blocking = false)
     (g, bestCs)
   }
 

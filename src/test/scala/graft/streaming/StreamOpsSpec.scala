@@ -15,6 +15,19 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming watermarked dedup equals batch distinct per key") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.streamingDedup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("foreachBatch incremental WCC matches the driver-loop result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
