@@ -156,4 +156,14 @@ object Dedup {
     aggregate(
       zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
+
+  /** SimHash proximity for candidate pairs: hamming distance between
+   * the two signatures (the thresholdable near-dup score; done as two
+   * signature equi-joins so the pair set never carries documents). */
+  def simhashPairs(sigs: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hammingBits(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
 }

@@ -143,6 +143,26 @@ object AdvancedQueries {
       .orderBy("day")
   }
 
+  /** Schema-full JSON parsing (JsonToStructs, the codegen'd
+   * counterpart of get_json_object): parse once into a struct, then
+   * project fields. */
+  def jsonStruct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .orderBy("event_id")
+
+  /** Full CUBE grouping sets with grouping indicators. */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("l_quantity")), 4).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy("l_returnflag", "l_linestatus", "g_rf", "g_ls")
+
   /** HLL++ sketch distinct counts next to the exact answer
    * (rows-only: the sketch estimate is engine-specific; the spec
    * asserts <5% relative error). At 100 TB the sketch is the only
@@ -162,6 +182,8 @@ object AdvancedQueries {
     "r_correlated" -> correlatedAgg _,
     "r_bucketed_join" -> bucketedJoin _,
     "r_partition_pruning" -> partitionPruning _,
+    "r_json_struct" -> jsonStruct _,
+    "r_cube" -> cubeAgg _,
     "r_approx_distinct" -> approxDistinct _
   )
 
@@ -218,7 +240,16 @@ object AdvancedQueries {
         |FROM events, b
         |WHERE CAST(ts AS DATE) >= d0 + INTERVAL 30 DAY
         |  AND CAST(ts AS DATE) < d0 + INTERVAL 60 DAY
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "r_json_struct" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "r_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
     // r_approx_distinct: intentionally no oracle — the HLL estimate is
     // engine-specific; rows-only check + error-bound spec.
   )

@@ -108,6 +108,9 @@ object PipelineQueries {
       Dedup.ngramJaccardFromShingles(shingleRows(s, d),
         Dedup.consecutivePairs(docs(s, d))).orderBy("doc_a")),
     "p_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
+    "p_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Dedup.simhash(docs(s, d)), Dedup.consecutivePairs(docs(s, d)))
+        .orderBy("doc_a")),
     "p_ann_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")),
@@ -158,6 +161,20 @@ object PipelineQueries {
 
   private val Cos =
     "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+
+  /** Shared simhash signature CTE (`sh` = doc_id, simhash). */
+  private val SimhashCte =
+    s"""WITH w AS (SELECT doc_id,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+       |tok AS (SELECT doc_id, md5(t) AS h FROM w, unnest(w) u(t)),
+       |v AS (SELECT doc_id,
+       |${(0 until 16).map(j =>
+           s"  sum(CASE WHEN substring(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
+           .mkString(",\n")}
+       |FROM tok GROUP BY doc_id),
+       |sh AS (SELECT doc_id, concat(${(0 until 16).map(j =>
+           s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
+       |FROM v)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "p_corpus_clean" ->
@@ -281,18 +298,18 @@ object PipelineQueries {
          |  floor((inter::DOUBLE / (na.n + nb.n - inter)) * 1e9 + 0.5) / 1e9 AS jaccard
          |FROM i JOIN sizes na ON na.doc_id = doc_a
          |       JOIN sizes nb ON nb.doc_id = doc_b""".stripMargin,
-    "p_simhash" ->
-      s"""WITH w AS (SELECT doc_id,
-         |  string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
-         |tok AS (SELECT doc_id, md5(t) AS h FROM w, unnest(w) u(t)),
-         |v AS (SELECT doc_id,
-         |${(0 until 16).map(j =>
-             s"  sum(CASE WHEN substring(h, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
-             .mkString(",\n")}
-         |FROM tok GROUP BY doc_id)
-         |SELECT doc_id, concat(${(0 until 16).map(j =>
-             s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
-         |FROM v""".stripMargin,
+    "p_simhash" -> s"$SimhashCte\nSELECT doc_id, simhash FROM sh",
+    "p_simhash_pairs" ->
+      s"""$SimhashCte,
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)
+         |SELECT doc_a, doc_b, CAST(sum(CASE WHEN
+         |    substring(sa.simhash, i, 1) <> substring(sb.simhash, i, 1)
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+         |FROM pr JOIN sh sa ON sa.doc_id = pr.doc_a
+         |        JOIN sh sb ON sb.doc_id = pr.doc_b,
+         |  unnest(generate_series(1, 16)) t(i)
+         |GROUP BY doc_a, doc_b""".stripMargin,
     "p_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 10 = 0),

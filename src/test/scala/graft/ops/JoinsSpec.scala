@@ -47,6 +47,15 @@ class JoinsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("simhashPairs: identical texts at distance 0, bounded by signature width") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(Dedup.simhash(docs), Dedup.consecutivePairs(docs))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) === 0L)
+    assert(out((2L, 3L)) > 0L && out((2L, 3L)) <= 16L)
+  }
+
   test("tfidfTopTerms ranks by score then term and caps at k") {
     val docs = Seq((1L, "a a b"), (2L, "b c c")).toDF("doc_id", "text")
     val out = TextOps.tfidfTopTerms(docs, k = 2)
