@@ -28,7 +28,8 @@ object SparkEntry {
       PipelineQueries.queries ++ Map(
       "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _),
       "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _),
-      "s_stream_dedup" -> (graft.streaming.StreamOps.streamingDedup _))
+      "s_stream_dedup" -> (graft.streaming.StreamOps.streamingDedup _),
+      "s_stream_enrich" -> (graft.streaming.StreamOps.streamStaticEnrich _))
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
@@ -41,6 +42,12 @@ object SparkEntry {
       "s_stream_dedup" ->
         """SELECT event_type, count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY event_type""".stripMargin,
+      // drained stream-static join in complete mode = the batch join
+      "s_stream_enrich" ->
+        """SELECT c_mktsegment, count(*) AS n_events,
+          |  floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+          |FROM events JOIN customer ON user_id = c_custkey
+          |GROUP BY c_mktsegment""".stripMargin,
       // closed sessions = every session except each user's last
       // (the open one stays in flatMapGroupsWithState state)
       "s_stream_sessions" ->

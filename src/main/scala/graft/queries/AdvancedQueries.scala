@@ -143,6 +143,29 @@ object AdvancedQueries {
       .orderBy("day")
   }
 
+  /** JSON-lines sink + source round trip (S6/S1 for the JSON format):
+   * events are dumped as json-lines and read back under an explicit
+   * schema; doubles survive exactly (Spark writes shortest
+   * round-trip representations), so the re-aggregated table still
+   * hash-matches the oracle computed from the original parquet. */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = math.abs(sfDir.hashCode).toString
+    val dir = s"/tmp/graft_events_json_$tag"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+      events(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(dir)
+    }
+    spark.read
+      .schema("event_id LONG, us LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .json(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 4).as("sum_value"),
+        max(col("us")).as("max_us"))
+      .orderBy("event_type")
+  }
+
   /** Schema-full JSON parsing (JsonToStructs, the codegen'd
    * counterpart of get_json_object): parse once into a struct, then
    * project fields. */
@@ -183,6 +206,7 @@ object AdvancedQueries {
     "r_bucketed_join" -> bucketedJoin _,
     "r_partition_pruning" -> partitionPruning _,
     "r_json_struct" -> jsonStruct _,
+    "r_json_roundtrip" -> jsonRoundtrip _,
     "r_cube" -> cubeAgg _,
     "r_approx_distinct" -> approxDistinct _
   )
@@ -244,6 +268,11 @@ object AdvancedQueries {
     "r_json_struct" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    "r_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value,
+        |  max(epoch_us(ts)) AS max_us
+        |FROM events GROUP BY event_type""".stripMargin,
     "r_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty,

@@ -167,6 +167,32 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Stream-static enrichment join: the event stream joins the
+   * customer dimension (static frame, broadcast by the planner) —
+   * the standard streaming enrichment shape; per-batch the static
+   * side is re-read, so slowly-changing dims pick up updates. The
+   * drained complete-mode aggregate equals the batch join. */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_enrich_${callSeq.incrementAndGet()}"
+    val dir = stagedEventsDir(sfDir)
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+      .join(customers, col("user_id") === col("c_custkey"))
+    val agg = src.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    cleanup(dir)
+    spark.table(name).orderBy("c_mktsegment")
+  }
+
   private val EventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),

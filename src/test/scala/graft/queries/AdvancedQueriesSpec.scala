@@ -64,6 +64,45 @@ class AdvancedQueriesSpec extends SparkSpec {
     assert(part.toSeq === plain.toSeq)
   }
 
+  test("AQE splits a skewed sort-merge join") {
+    // 60% of lineitem rows land on one hot join key; with low skew
+    // thresholds AQE must mark the join skewed and split the hot
+    // partition instead of letting one task carry the key.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "0.5")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // repartition first: AQE can only split a skewed reduce
+      // partition at MAPPER granularity, so a single-file scan (one
+      // map task) is unsplittable no matter how skewed it is
+      val li = RelationalQueries.t(spark, "/root/testdata/sf0.01", "lineitem")
+        .repartition(16)
+        .withColumn("k", when(col("l_orderkey") % 10 < 6, lit(0L)).otherwise(col("l_orderkey")))
+      // the dim side must reach the join as a plain shuffle stage (no
+      // intermediate aggregate) or OptimizeSkewedJoin cannot split it
+      val keys = li.select(col("k")).distinct().collect().map(_.getLong(0))
+      import spark.implicits._
+      val dim = keys.toSeq.map(k => (k, k * 2)).toDF("k", "tag")
+      val joined = li.join(dim, "k").groupBy()
+        .agg(count(lit(1)).as("n"), sum("tag"), sum("l_extendedprice"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), "AQE did not mark the join skewed:\n" + plan.take(3000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("range join pairs are symmetric-free, ordered, within the band") {
     val out = AdvancedQueries.rangeJoin(spark, sf).collect()
     assert(out.nonEmpty)
