@@ -1,0 +1,116 @@
+package graft
+
+import graft.graph.EdgeOps
+import graft.ops.{Dedup, Joins, Multimodal, Similarity, TextOps}
+import graft.wcc.{DistributedWCC, IncrementalWCC, VertexData}
+import org.apache.spark.graphx.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Single entry point of the library — everything a user of the
+ * reference engine (jiahezhu0312/community-detection-flink) runs
+ * today, re-expressed Spark-first, plus the training-data-pipeline
+ * surface. Each method delegates to the module that owns the
+ * implementation; see those for semantics and scale notes.
+ *
+ * {{{
+ * val edges  = Graft.loadCsvEdges(spark, "hdfs://.../edges.csv")
+ * val out    = Graft.wcc(Graft.toGraph(edges))          // batch DWCC
+ * val labels = out.graph.vertices                       // (vid, VertexData)
+ *
+ * val stream = Graft.incrementalWcc(spark, edges)       // IDWCC replay
+ *
+ * val docs   = spark.read.parquet(".../documents.parquet")
+ * val dups   = Graft.duplicateClusters(docs)            // MinHash-LSH + CC
+ * }}}
+ */
+object Graft {
+
+  // ---- graph sources (SURVEY §2.1) ---------------------------------
+
+  /** Space-delimited edge-list CSV -> (src, dst) rows (the
+   * reference's wire format). */
+  def loadCsvEdges(spark: SparkSession, path: String): DataFrame =
+    EdgeOps.loadCsvEdges(spark, path)
+
+  /** Dedup + self-loop-drop + canonical (src < dst) direction. */
+  def canonicalize(edges: DataFrame): DataFrame = EdgeOps.canonicalize(edges)
+
+  /** Canonical edges -> GraphX graph (EdgePartition2D). */
+  def toGraph(canonicalEdges: DataFrame): Graph[Int, Int] =
+    EdgeOps.toGraph(canonicalEdges)
+
+  // ---- community detection (SURVEY §3) -----------------------------
+
+  /** Batch DWCC: triangle-stats preprocess -> clustering-coefficient
+   * seeded Pregel -> WCC hill-climbing refinement. */
+  def wcc(graph: Graph[Int, Int]): DistributedWCC.Output =
+    DistributedWCC.run(graph)
+
+  /** One IDWCC micro-batch fold step over an existing state. */
+  def wccStep(state: IncrementalWCC.State,
+      newEdges: org.apache.spark.rdd.RDD[org.apache.spark.graphx.Edge[Int]])
+      : IncrementalWCC.State =
+    IncrementalWCC.run(state, newEdges)
+
+  /** The reference's bulk/stream split-and-replay driver:
+   * (vid, cid) partition after draining the stream. */
+  def incrementalWcc(spark: SparkSession, canonicalEdges: DataFrame,
+      bulkToStreamRatio: Double = 0.8, microBatchCount: Int = 1): DataFrame =
+    IncrementalWCC.testStream(spark, canonicalEdges, bulkToStreamRatio, microBatchCount)
+
+  /** (vid, cid) rows from a WCC output graph. */
+  def partitionRows(spark: SparkSession, graph: Graph[VertexData, Int]): DataFrame = {
+    val rows = graph.vertices.map { case (id, vd) => (id, vd.cId) }
+    spark.createDataFrame(rows).toDF("vid", "cid")
+  }
+
+  // ---- dedup (north-star extensions) -------------------------------
+
+  def dedupExact(docs: DataFrame): DataFrame = Dedup.exact(docs)
+  def minhashSignatures(docs: DataFrame): DataFrame = Dedup.minhashSignatures(docs)
+  def lshCandidatePairs(docs: DataFrame): DataFrame = Dedup.lshCandidatePairs(docs)
+  def simhash(docs: DataFrame): DataFrame = Dedup.simhash(docs)
+
+  /** Full near-dup clustering: MinHash -> LSH banding -> candidate
+   * pairs -> connected components; (doc_id, cluster_id). */
+  def duplicateClusters(docs: DataFrame): DataFrame =
+    Dedup.clusters(Dedup.lshCandidatePairs(docs))
+
+  // ---- similarity search -------------------------------------------
+
+  def annBruteForce(embeddings: DataFrame, k: Int = 5): DataFrame =
+    Similarity.bruteForceTopK(embeddings, k)
+  def annIvf(embeddings: DataFrame, k: Int = 5): DataFrame =
+    Similarity.ivfKmeansTopK(embeddings, k)
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
+    Similarity.nearDupPairs(embeddings, threshold)
+
+  // ---- text / multimodal -------------------------------------------
+
+  def textStats(docs: DataFrame): DataFrame = TextOps.textStats(docs)
+  def langId(docs: DataFrame): DataFrame = TextOps.langId(docs)
+  def tokenCounts(docs: DataFrame): DataFrame = TextOps.tokenCounts(docs)
+  def fingerprints(docs: DataFrame): DataFrame = TextOps.fingerprints(docs)
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame =
+    TextOps.tfidfTopTerms(docs, k)
+  def mediaChunks(media: DataFrame): DataFrame = Multimodal.chunks(media)
+  def decodeMedia(spark: SparkSession, media: DataFrame): DataFrame =
+    Multimodal.decodeAll(spark, media).toDF()
+
+  // ---- temporal joins ----------------------------------------------
+
+  def asofJoin(left: DataFrame, lKey: String, lTime: String,
+      right: DataFrame, rKey: String, rTime: String, rTie: String,
+      payload: Seq[String]): DataFrame =
+    Joins.asof(left, lKey, lTime, right, rKey, rTime, rTie, payload)
+
+  def withinBandPairs(df: DataFrame, key: String, id: String, time: String,
+      band: Long): DataFrame =
+    Joins.bandedSelfPairs(df, key, id, time, band)
+
+  /** Register the library's native SQL functions (dot_product) on an
+   * existing session. */
+  def registerSql(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.GraftExpressions.registerSql(spark)
+}

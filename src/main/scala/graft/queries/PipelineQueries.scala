@@ -125,6 +125,8 @@ object PipelineQueries {
         .orderBy("query_id", "rank")),
     "p_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(embs(s, d), NearDupThreshold).orderBy("id_a", "id_b")),
+    "p_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(embs(s, d)).orderBy("vec_id")),
     "p_media_chunks" -> ((s, d) =>
       Multimodal.chunks(Multimodal.asMedia(docs(s, d))).orderBy("media_id", "chunk_idx")),
     "p_media_decode" -> ((s, d) =>
@@ -336,6 +338,26 @@ object PipelineQueries {
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, floor(($Cos) * 1e9 + 0.5) / 1e9 AS cos
          |FROM p WHERE floor(($Cos) * 1e9 + 0.5) / 1e9 >= $NearDupThreshold""".stripMargin,
+    // every arithmetic step mirrors Similarity.quantizeInt8: abs-max
+    // (order-free), floor(x*scale+0.5) rounding, left-fold residual
+    // sum with a 0.0 seed (0.0 + x is exact, so the seedless
+    // list_reduce fold evaluates the same doubles)
+    "p_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+        |  FROM e),
+        |s AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale
+        |  FROM m WHERE max_abs > 0.0)
+        |SELECT vec_id, len(v) AS n_dims,
+        |  floor(max_abs * 1e9 + 0.5) / 1e9 AS max_abs,
+        |  CAST(list_sum(list_transform(v,
+        |    x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+        |  floor((list_reduce(list_transform(v,
+        |      x -> (x - floor(x * scale + 0.5) / scale)
+        |         * (x - floor(x * scale + 0.5) / scale)),
+        |    (a, b) -> a + b) / len(v)) * 1e9 + 0.5) / 1e9 AS mse
+        |FROM s""".stripMargin,
     "p_media_chunks" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n_bytes FROM documents),

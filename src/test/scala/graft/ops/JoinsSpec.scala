@@ -56,6 +56,29 @@ class JoinsSpec extends SparkSpec {
     assert(out((2L, 3L)) > 0L && out((2L, 3L)) <= 16L)
   }
 
+  test("quantizeInt8 is lossless on power-of-two vectors and bounds q by 127") {
+    val e = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),   // max_abs 1.0 -> scale 127, exact grid
+      (2L, Array(0.0f, 0.0f, 0.0f)),     // zero vector -> filtered
+      (3L, Array(3.0f, -4.0f, 12.7f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(e)
+      .select("vec_id", "n_dims", "q_sum", "mse")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(2L))
+    // v1: q = (64, -127, 32) -> sum -31; 0.5*127=63.5 rounds half-up to 64
+    assert(out(1L)._3 === -31L)
+    assert(out(3L)._2 === 3L)
+    assert(out(1L)._4 > 0.0 && out(1L)._4 < 1e-4) // near-lossless at the grid
+  }
+
+  test("facade wires the pipeline surface") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    assert(graft.Graft.dedupExact(docs).count() === 2)
+    assert(graft.Graft.tokenCounts(docs).count() === 3)
+  }
+
   test("tfidfTopTerms ranks by score then term and caps at k") {
     val docs = Seq((1L, "a a b"), (2L, "b c c")).toDF("doc_id", "text")
     val out = TextOps.tfidfTopTerms(docs, k = 2)
