@@ -177,6 +177,21 @@ object AdvancedQueries {
             org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
       .orderBy("event_id")
 
+  /** Array-function surface: collect per-group values into a sorted
+   * array, then compute order-deterministic derivations (head/last,
+   * left-fold sum over the SORTED array so both engines accumulate
+   * in the same sequence). */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).cast("long").as("n_items"),
+        element_at(col("qs"), 1).as("q_min"),
+        element_at(col("qs"), -1).as("q_max"),
+        rnd(aggregate(col("qs"), lit(0.0), (a, x) => a + x), 4).as("q_total"))
+      .orderBy("l_orderkey")
+
   /** Full CUBE grouping sets with grouping indicators. */
   def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
@@ -207,6 +222,7 @@ object AdvancedQueries {
     "r_partition_pruning" -> partitionPruning _,
     "r_json_struct" -> jsonStruct _,
     "r_json_roundtrip" -> jsonRoundtrip _,
+    "r_array_funcs" -> arrayFuncs _,
     "r_cube" -> cubeAgg _,
     "r_approx_distinct" -> approxDistinct _
   )
@@ -273,6 +289,14 @@ object AdvancedQueries {
         |  floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value,
         |  max(epoch_us(ts)) AS max_us
         |FROM events GROUP BY event_type""".stripMargin,
+    "r_array_funcs" ->
+      """WITH g AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, len(qs) AS n_items,
+        |  qs[1] AS q_min, qs[-1] AS q_max,
+        |  floor((list_reduce(list_prepend(0.0, qs), (a, b) -> a + b)) * 1e4 + 0.5) / 1e4
+        |    AS q_total
+        |FROM g""".stripMargin,
     "r_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty,

@@ -133,6 +133,20 @@ object GraphQueries {
     EdgeOps.loadCsvEdges(spark, dir).orderBy("src", "dst")
   }
 
+  /** Beyond-reference graph breadth (rows-only: iterative float
+   * sums are not SQL-expressible deterministically): 10-iteration
+   * static PageRank on the co-purchase graph. The spec asserts the
+   * rank-mass invariant; the driver check is rows-only. */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pr = graph(spark, sfDir).staticPageRank(10)
+    val rows = pr.vertices.map { case (id, r) =>
+      (id, math.floor(r * 1e6 + 0.5) / 1e6)
+    }
+    pr.unpersistVertices(blocking = false)
+    pr.edges.unpersist(blocking = false)
+    spark.createDataFrame(rows).toDF("vid", "rank").orderBy("vid")
+  }
+
   /** G8+G9 (rows-only): incremental IDWCC over the co-purchase graph
    * via the reference's bulk/stream split-and-replay driver loop. */
   def wccIncremental(spark: SparkSession, sfDir: String): DataFrame =
@@ -210,6 +224,7 @@ object GraphQueries {
     "g_wcc_partition" -> wccPartition _,
     "g_wcc_initial_partition" -> wccInitialPartition _,
     "g_wcc_incremental" -> wccIncremental _,
+    "g_pagerank" -> pagerank _,
     "g_csv_roundtrip" -> csvRoundtrip _
   )
 }

@@ -103,6 +103,15 @@ class AdvancedQueriesSpec extends SparkSpec {
     }
   }
 
+  test("pagerank conserves rank mass and stays positive") {
+    val rows = GraphQueries.pagerank(spark, sf)
+      .select(col("rank")).collect().map(_.getDouble(0))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_ > 0.0))
+    // static PageRank's total mass equals the vertex count
+    assert(math.abs(rows.sum / rows.length - 1.0) < 0.01)
+  }
+
   test("range join pairs are symmetric-free, ordered, within the band") {
     val out = AdvancedQueries.rangeJoin(spark, sf).collect()
     assert(out.nonEmpty)
