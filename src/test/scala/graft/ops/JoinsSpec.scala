@@ -28,6 +28,34 @@ class JoinsSpec extends SparkSpec {
     assert(out === 4L)
   }
 
+  test("asof equals the naive per-row latest-match on random data") {
+    val rnd = new scala.util.Random(11)
+    val lefts = (0 until 300).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(500).toLong, i.toLong))
+    val rights = (0 until 200).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(500).toLong, i.toLong, rnd.nextDouble()))
+    val lDf = lefts.toDF("k", "t", "lid")
+    val rDf = rights.toDF("k", "t", "okey", "oval")
+    val got = Joins.asof(lDf, "k", "t", rDf, "k", "t", "okey", Seq("okey"))
+      .select(col("lid"), col("asof.okey").as("okey"))
+      .as[(Long, Option[Long])].collect().toMap
+    lefts.foreach { case (k, t, lid) =>
+      val expected = rights.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(lid) === expected, s"left ($k, $t, $lid)")
+    }
+  }
+
+  test("asof plans a single key shuffle (plus the union scan)") {
+    val lDf = (0 until 50).map(i => (i.toLong % 4, i.toLong, i.toLong)).toDF("k", "t", "lid")
+    val rDf = (0 until 50).map(i => (i.toLong % 4, i.toLong, i.toLong, 1.0)).toDF("k", "t", "okey", "oval")
+    val df = Joins.asof(lDf, "k", "t", rDf, "k", "t", "okey", Seq("okey"))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly one key shuffle:\n${plan.take(2500)}")
+  }
+
   test("bandedSelfPairs equals the naive range self-join") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(1000).toLong))
