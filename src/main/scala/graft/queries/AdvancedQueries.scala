@@ -21,6 +21,16 @@ object AdvancedQueries {
 
   val BandUs: Long = 3600L * 1000000 // 1 hour in event-time micros
 
+  /** Side-output staging (partitioned/json dumps under /tmp) is
+   * rewritten once per (session, sfDir) — NOT skipped when a stale
+   * directory from an earlier JVM exists, so the dumps always derive
+   * from the current tables. */
+  private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def stageOnce(spark: SparkSession, key: String)(write: => Unit): Unit = {
+    val k = s"${System.identityHashCode(spark)}:$key"
+    if (staged.add(k)) write
+  }
+
   /** Window lead/lag/running-sum per user over event time. */
   def leadLag(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
@@ -128,7 +138,7 @@ object AdvancedQueries {
   def partitionPruning(spark: SparkSession, sfDir: String): DataFrame = {
     val tag = math.abs(sfDir.hashCode).toString
     val dir = s"/tmp/graft_events_by_day_$tag"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+    stageOnce(spark, dir) {
       events(spark, sfDir)
         .withColumn("day", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("day").parquet(dir)
@@ -151,7 +161,7 @@ object AdvancedQueries {
   def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val tag = math.abs(sfDir.hashCode).toString
     val dir = s"/tmp/graft_events_json_$tag"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+    stageOnce(spark, dir) {
       events(spark, sfDir)
         .select(col("event_id"), unix_micros(col("ts")).as("us"),
           col("user_id"), col("event_type"), col("value"))

@@ -166,18 +166,25 @@ object IncrementalWCC {
    * run the SAME Pregel — seeded by the surviving cIds. */
   private[wcc] def performInitialPartition(graph: Graph[VertexData, Int],
       maxIterations: Int = 50): Graph[VertexData, Int] = {
-    val adj: VertexRDD[Array[Long]] =
-      graph.collectNeighborIds(EdgeDirection.Either).mapValues(_.sorted)
-    val withAdj = graph.outerJoinVertices(adj)((_, vd, a) =>
-      (vd, a.getOrElse(Array.empty[Long])))
-    val flagged = withAdj.mapTriplets(t =>
-      TriangleStats.sortedIntersectCount(t.srcAttr._2, t.dstAttr._2) > 0)
-    val prunedB = flagged.subgraph(
-      epred = e => e.attr,
-      vpred = (_, v) => v._1.t > 0)
-    val pruned = Graph(prunedB.vertices.mapValues(_._1),
-      prunedB.edges.map(e => Edge(e.srcId, e.dstId, 1)))
-    val out = InitialPartition.run(pruned, maxIterations)
+    val pruned = timed("initial-partition/triangle-flagging") {
+      val adj: VertexRDD[Array[Long]] =
+        graph.collectNeighborIds(EdgeDirection.Either).mapValues(_.sorted)
+      val withAdj = graph.outerJoinVertices(adj)((_, vd, a) =>
+        (vd, a.getOrElse(Array.empty[Long])))
+      val flagged = withAdj.mapTriplets(t =>
+        TriangleStats.sortedIntersectCount(t.srcAttr._2, t.dstAttr._2) > 0)
+      val prunedB = flagged.subgraph(
+        epred = e => e.attr,
+        vpred = (_, v) => v._1.t > 0)
+      val p = Graph(prunedB.vertices.mapValues(_._1),
+        prunedB.edges.map(e => Edge(e.srcId, e.dstId, 1)))
+      p.cache()
+      p.numVertices
+      p
+    }
+    val out = timed("initial-partition/pregel") {
+      InitialPartition.run(pruned, maxIterations)
+    }
     // the Graph constructor persists; run() materialized its output
     release(pruned)
     out
