@@ -202,6 +202,43 @@ object AdvancedQueries {
         rnd(aggregate(col("qs"), lit(0.0), (a, x) => a + x), 4).as("q_total"))
       .orderBy("l_orderkey")
 
+  /** Rank-function family over one window: rank, dense_rank,
+   * percent_rank, ntile — deterministic because the window order
+   * includes the unique orderkey. */
+  def rankFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        rnd(percent_rank().over(w), 9).as("prnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .where(col("rnk") <= 10)
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  /** Dataset-level INTERSECT / EXCEPT (distinct set semantics). */
+  def intersectExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val orderCust = t(spark, sfDir, "orders").select(col("o_custkey").as("k"))
+    val allCust = t(spark, sfDir, "customer").select(col("c_custkey").as("k"))
+    val both = orderCust.intersect(allCust)
+      .agg(count(lit(1)).as("n")).withColumn("setop", lit("intersect"))
+    val onlyCust = allCust.except(orderCust)
+      .agg(count(lit(1)).as("n")).withColumn("setop", lit("except"))
+    both.unionByName(onlyCust).select(col("setop"), col("n")).orderBy("setop")
+  }
+
+  /** Sliding (hopping) event-time windows: 2-hour windows every hour
+   * — each event lands in two windows (the map-side explode Spark's
+   * `window()` plans for overlapping windows). */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").getField("start").as("wstart"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 4).as("sum_value"))
+      .orderBy("wstart", "event_type")
+
   /** Full CUBE grouping sets with grouping indicators. */
   def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
@@ -233,6 +270,9 @@ object AdvancedQueries {
     "r_json_struct" -> jsonStruct _,
     "r_json_roundtrip" -> jsonRoundtrip _,
     "r_array_funcs" -> arrayFuncs _,
+    "r_rank_funcs" -> rankFuncs _,
+    "r_intersect_except" -> intersectExcept _,
+    "r_sliding_window" -> slidingWindow _,
     "r_cube" -> cubeAgg _,
     "r_approx_distinct" -> approxDistinct _
   )
@@ -299,6 +339,32 @@ object AdvancedQueries {
         |  floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value,
         |  max(epoch_us(ts)) AS max_us
         |FROM events GROUP BY event_type""".stripMargin,
+    "r_rank_funcs" ->
+      """SELECT o_orderkey, o_orderpriority, rnk, drnk, prnk, quartile FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |    floor((percent_rank() OVER w) * 1e9 + 0.5) / 1e9 AS prnk,
+        |    ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rnk <= 10""".stripMargin,
+    "r_intersect_except" ->
+      """SELECT 'intersect' AS setop, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'except', count(*) FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders)""".stripMargin,
+    "r_sliding_window" ->
+      """WITH x AS (SELECT
+        |  unnest([time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour',
+        |          time_bucket(INTERVAL '1 hour', ts)]) AS wstart,
+        |  event_type, value FROM events)
+        |SELECT wstart, event_type, count(*) AS n,
+        |  floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+        |FROM x GROUP BY wstart, event_type""".stripMargin,
     "r_array_funcs" ->
       """WITH g AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
         |  FROM lineitem GROUP BY l_orderkey)
