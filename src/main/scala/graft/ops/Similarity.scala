@@ -74,6 +74,15 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16).toDouble / math.pow(16, 14)) - 0.5
   }
 
+  /** The fixed hyperplane constants as SQL array literals (shortest
+   * round-trip decimal form, so any engine parsing them recovers the
+   * exact doubles) — lets the DuckDB oracle evaluate the identical
+   * LSH bucketing without reimplementing the md5 derivation. */
+  def lshPlaneSqlLiterals(bits: Int = 8, dims: Int = 64): Seq[String] =
+    (0 until bits).map(p =>
+      (0 until dims).map(d => planeComponent(p, d).toString)
+        .mkString("[", ", ", "]"))
+
   /** Sign-bucket of a vector under `bits` fixed hyperplanes. */
   def lshBucket(v: Column, bits: Int, dims: Int): Column = {
     val planes = (0 until bits).map { p =>

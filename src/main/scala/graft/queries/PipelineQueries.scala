@@ -178,7 +178,28 @@ object PipelineQueries {
            s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
        |FROM v)""".stripMargin
 
+  /** LSH sign-bucket expression over `v` with the exact plane
+   * constants inlined (index parameters, content-independent). */
+  private val LshBucketSql = Similarity.lshPlaneSqlLiterals()
+    .map(arr => s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END")
+    .mkString("concat(", ",\n    ", ")")
+
   def oracles: Map[String, String] = Map(
+    // the plane constants are embedded verbatim (shortest round-trip
+    // decimals); list_dot_product folds left like the Spark
+    // zip_with+aggregate projection, so buckets agree bit-for-bit
+    "p_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $LshBucketSql AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+         |  WHERE vec_id % 10 = 0),
+         |scored AS (SELECT query_id, vec_id AS neighbor_id,
+         |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
+         |  FROM q JOIN b USING (bucket) WHERE vec_id <> query_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
     "p_corpus_clean" ->
       s"""WITH base AS (SELECT 1)$W,
          |r AS (SELECT doc_id, len(w) AS n_words,
