@@ -29,7 +29,8 @@ object SparkEntry {
       "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _),
       "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _),
       "s_stream_dedup" -> (graft.streaming.StreamOps.streamingDedup _),
-      "s_stream_enrich" -> (graft.streaming.StreamOps.streamStaticEnrich _))
+      "s_stream_enrich" -> (graft.streaming.StreamOps.streamStaticEnrich _),
+      "s_stream_join" -> (graft.streaming.StreamOps.streamStreamJoin _))
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
@@ -42,6 +43,15 @@ object SparkEntry {
       "s_stream_dedup" ->
         """SELECT event_type, count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY event_type""".stripMargin,
+      // drained watermarked stream-stream join = the batch range join
+      "s_stream_join" ->
+        """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+          |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+          |FROM events p JOIN events v
+          |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+          |  AND v.user_id = p.user_id
+          |  AND v.ts <= p.ts
+          |  AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
       // drained stream-static join in complete mode = the batch join
       "s_stream_enrich" ->
         """SELECT c_mktsegment, count(*) AS n_events,

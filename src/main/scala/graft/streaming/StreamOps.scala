@@ -193,6 +193,42 @@ object StreamOps {
     spark.table(name).orderBy("c_mktsegment")
   }
 
+  /** Stream-stream inner join with event-time range condition and
+   * watermarks on BOTH sides (the state-bounding contract: rows older
+   * than watermark + range are evicted from join state). Purchases
+   * join each view by the same user within the preceding hour; the
+   * drained bounded run equals the batch range join, which is what
+   * the oracle computes. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_join_${callSeq.incrementAndGet()}"
+    val dir = stagedEventsDir(sfDir)
+    def src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = src.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    cleanup(dir)
+    spark.table(name).orderBy("purchase_id", "view_id")
+  }
+
   private val EventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),

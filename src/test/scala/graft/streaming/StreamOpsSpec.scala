@@ -28,6 +28,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-stream range join equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.streamStreamJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("us", expr("ts div 1000"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("us").as("pus"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("vid"), col("us").as("vus"))
+    val batch = p.join(v, Seq("user_id"))
+      .where(col("vus") <= col("pus") && col("vus") >= col("pus") - 3600L * 1000000)
+      .select(col("pid"), col("vid"), (col("pus") - col("vus")).as("gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("foreachBatch incremental WCC matches the driver-loop result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
