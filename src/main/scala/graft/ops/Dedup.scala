@@ -45,14 +45,24 @@ object Dedup {
   }
 
   /** Same, over pre-exploded (doc_id, s) shingle rows (lets callers
-   * share the shingle set across operators). */
-  def minhashSignaturesFromShingles(shingleRows: DataFrame): DataFrame =
-    shingleRows
-      .groupBy("doc_id")
-      .agg(
-        min(md5(concat(lit("0:"), col("s")))).as("minh0"),
-        (1 until NumHashes).map(j =>
-          min(md5(concat(lit(s"$j:"), col("s")))).as(s"minh$j")): _*)
+   * share the shingle set across operators).
+   *
+   * The k-hash family is TWO md5 evaluations per shingle, split into
+   * 8 disjoint 8-hex (32-bit) windows — disjoint bit ranges of a
+   * cryptographic hash are independent uniform values, so this is
+   * the standard split-one-hash trick at 1/4 the hashing cost of k
+   * seeded digests. */
+  def minhashSignaturesFromShingles(shingleRows: DataFrame): DataFrame = {
+    val withH = shingleRows
+      .withColumn("h1", md5(col("s")))
+      .withColumn("h2", md5(concat(lit("x:"), col("s"))))
+    withH.groupBy("doc_id").agg(
+      min(substring(col("h1"), 1, 8)).as("minh0"),
+      (1 until NumHashes).map { j =>
+        val src = if (j < 4) "h1" else "h2"
+        min(substring(col(src), (j % 4) * 8 + 1, 8)).as(s"minh$j")
+      }: _*)
+  }
 
   /** LSH band keys: (doc_id, band, band_hash), band_hash = md5 of the
    * band's concatenated minhashes. Docs sharing any band key are

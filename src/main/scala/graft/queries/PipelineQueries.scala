@@ -153,8 +153,13 @@ object PipelineQueries {
 
   private val Stop = TextOps.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** Two digests per shingle, split into 8 disjoint 32-bit hex
+   * windows — mirrors Dedup.minhashSignaturesFromShingles. */
+  private val Hh =
+    ", hh AS (SELECT doc_id, md5(s) AS h1, md5('x:' || s) AS h2 FROM sh)"
   private val minhCols = (0 until Dedup.NumHashes)
-    .map(j => s"min(md5('$j:' || s)) AS minh$j").mkString(",\n  ")
+    .map(j => s"min(substring(${if (j < 4) "h1" else "h2"}, ${(j % 4) * 8 + 1}, 8)) AS minh$j")
+    .mkString(",\n  ")
 
   private val bandRows = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
     val parts = (0 until Dedup.BandRows).map(r => s"minh${b * Dedup.BandRows + r}")
@@ -258,13 +263,13 @@ object PipelineQueries {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "p_minhash_sigs" ->
-      s"""WITH base AS (SELECT 1)$W$Sh3
+      s"""WITH base AS (SELECT 1)$W$Sh3$Hh
          |SELECT doc_id,
          |  $minhCols
-         |FROM sh GROUP BY doc_id""".stripMargin,
+         |FROM hh GROUP BY doc_id""".stripMargin,
     "p_lsh_pairs" ->
-      s"""WITH base AS (SELECT 1)$W$Sh3,
-         |sigs AS (SELECT doc_id, $minhCols FROM sh GROUP BY doc_id),
+      s"""WITH base AS (SELECT 1)$W$Sh3$Hh,
+         |sigs AS (SELECT doc_id, $minhCols FROM hh GROUP BY doc_id),
          |bands AS ($bandRows)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
@@ -272,8 +277,8 @@ object PipelineQueries {
     // transitive closure of the candidate-pair graph; cluster label =
     // min reachable doc_id (what GraphX ConnectedComponents emits)
     "p_dedup_clusters" ->
-      s"""WITH RECURSIVE base AS (SELECT 1)$W$Sh3,
-         |sigs AS (SELECT doc_id, $minhCols FROM sh GROUP BY doc_id),
+      s"""WITH RECURSIVE base AS (SELECT 1)$W$Sh3$Hh,
+         |sigs AS (SELECT doc_id, $minhCols FROM hh GROUP BY doc_id),
          |bands AS ($bandRows),
          |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
