@@ -248,6 +248,21 @@ object AdvancedQueries {
         grouping(col("l_linestatus")).cast("long").as("g_ls"))
       .orderBy("l_returnflag", "l_linestatus", "g_rf", "g_ls")
 
+  /** Approximate quantiles (Greenwald-Khanna sketch) next to the
+   * exact interpolated percentiles (rows-only; the spec bounds the
+   * sketch error). Like the HLL sketch, the mergeable fixed-size
+   * summary is the only viable form at 100 TB — exact percentiles
+   * need a full sort or all values on one node. */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("approx_p90"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("exact_p90"))
+      .orderBy("l_returnflag")
+
   /** HLL++ sketch distinct counts next to the exact answer
    * (rows-only: the sketch estimate is engine-specific; the spec
    * asserts <5% relative error). At 100 TB the sketch is the only
@@ -274,7 +289,8 @@ object AdvancedQueries {
     "r_intersect_except" -> intersectExcept _,
     "r_sliding_window" -> slidingWindow _,
     "r_cube" -> cubeAgg _,
-    "r_approx_distinct" -> approxDistinct _
+    "r_approx_distinct" -> approxDistinct _,
+    "r_approx_quantiles" -> approxQuantiles _
   )
 
   val oracles: Map[String, String] = Map(

@@ -17,6 +17,15 @@ class AdvancedQueriesSpec extends SparkSpec {
     }
   }
 
+  test("approx quantiles stay within 2% of exact") {
+    val rows = AdvancedQueries.approxQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) / r.getDouble(3) < 0.02)
+      assert(math.abs(r.getDouble(2) - r.getDouble(4)) / r.getDouble(4) < 0.02)
+    }
+  }
+
   test("bucketed join result matches the plain join and avoids side shuffles") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
