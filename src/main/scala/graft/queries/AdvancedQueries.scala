@@ -239,6 +239,35 @@ object AdvancedQueries {
       .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 4).as("sum_value"))
       .orderBy("wstart", "event_type")
 
+  /** Generator surface (posexplode — the Spark UDTF shape): per-order
+   * sorted quantities exploded back to rows with their position. */
+  def posExplode(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .where(col("l_orderkey") % 100 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+      .select(col("l_orderkey"), posexplode(col("qs")))
+      .select(col("l_orderkey"), col("pos").cast("long").as("pos"), col("col").as("qty"))
+      .orderBy("l_orderkey", "pos")
+
+  /** Map-type surface: build a map from entries, then extract by key
+   * (the output projects back to scalars so both engines hash plain
+   * columns). */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      // line numbers repeat in the synthetic data — reduce to unique
+      // map keys first (map_from_entries rejects duplicates)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_quantity")).as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("l_linenumber"), col("q"))))).as("m"))
+      .select(col("l_orderkey"),
+        size(col("m")).cast("long").as("n_lines"),
+        element_at(col("m"), 1).as("q_line1"),
+        element_at(col("m"), 2).as("q_line2"))
+      .orderBy("l_orderkey")
+
   /** Full CUBE grouping sets with grouping indicators. */
   def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
@@ -290,7 +319,9 @@ object AdvancedQueries {
     "r_sliding_window" -> slidingWindow _,
     "r_cube" -> cubeAgg _,
     "r_approx_distinct" -> approxDistinct _,
-    "r_approx_quantiles" -> approxQuantiles _
+    "r_approx_quantiles" -> approxQuantiles _,
+    "r_posexplode" -> posExplode _,
+    "r_map_funcs" -> mapFuncs _
   )
 
   val oracles: Map[String, String] = Map(
@@ -388,6 +419,21 @@ object AdvancedQueries {
         |  qs[1] AS q_min, qs[-1] AS q_max,
         |  floor((list_reduce(list_prepend(0.0, qs), (a, b) -> a + b)) * 1e4 + 0.5) / 1e4
         |    AS q_total
+        |FROM g""".stripMargin,
+    "r_posexplode" ->
+      """WITH g AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+        |  FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey)
+        |SELECT l_orderkey, CAST(t.i - 1 AS BIGINT) AS pos, qs[i] AS qty
+        |FROM g, unnest(generate_series(1, len(qs))) t(i)""".stripMargin,
+    "r_map_funcs" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber, min(l_quantity) AS q
+        |  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        |g AS (SELECT l_orderkey,
+        |  map_from_entries(list_sort(list(struct_pack(k := l_linenumber,
+        |    v := q)))) AS m
+        |  FROM d GROUP BY l_orderkey)
+        |SELECT l_orderkey, CAST(cardinality(m) AS BIGINT) AS n_lines,
+        |  m[1][1] AS q_line1, m[2][1] AS q_line2
         |FROM g""".stripMargin,
     "r_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
