@@ -268,6 +268,34 @@ object AdvancedQueries {
         element_at(col("m"), 2).as("q_line2"))
       .orderBy("l_orderkey")
 
+  /** Custom typed UDAF (SURVEY §2.10): the one-pass MomentsAgg
+   * sketch; mean/variance derive from the (n, Σx, Σx²) buffer. */
+  def customUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    val moments = udaf(graft.ops.MomentsAgg)
+    val s = col("mo._2"); val ss = col("mo._3"); val n = col("mo._1")
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(moments(col("l_quantity")).as("mo"))
+      .select(col("l_returnflag"), n.as("n"),
+        rnd(s / n, 6).as("mean"),
+        rnd(ss / n - (s / n) * (s / n), 6).as("var_pop"))
+      .orderBy("l_returnflag")
+  }
+
+  /** ORC sink + source round trip (another columnar format in the
+   * source/sink matrix). */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = math.abs(sfDir.hashCode).toString
+    val dir = s"/tmp/graft_orders_orc_$tag"
+    stageOnce(spark, dir) {
+      t(spark, sfDir, "orders").write.mode("overwrite").orc(dir)
+    }
+    spark.read.orc(dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Full CUBE grouping sets with grouping indicators. */
   def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
@@ -321,7 +349,9 @@ object AdvancedQueries {
     "r_approx_distinct" -> approxDistinct _,
     "r_approx_quantiles" -> approxQuantiles _,
     "r_posexplode" -> posExplode _,
-    "r_map_funcs" -> mapFuncs _
+    "r_map_funcs" -> mapFuncs _,
+    "r_custom_udaf" -> customUdaf _,
+    "r_orc_roundtrip" -> orcRoundtrip _
   )
 
   val oracles: Map[String, String] = Map(
@@ -420,6 +450,17 @@ object AdvancedQueries {
         |  floor((list_reduce(list_prepend(0.0, qs), (a, b) -> a + b)) * 1e4 + 0.5) / 1e4
         |    AS q_total
         |FROM g""".stripMargin,
+    "r_custom_udaf" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  floor((sum(l_quantity) / count(*)) * 1e6 + 0.5) / 1e6 AS mean,
+        |  floor((sum(l_quantity * l_quantity) / count(*)
+        |    - (sum(l_quantity) / count(*)) * (sum(l_quantity) / count(*)))
+        |    * 1e6 + 0.5) / 1e6 AS var_pop
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "r_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "r_posexplode" ->
       """WITH g AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
         |  FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey)
