@@ -268,6 +268,23 @@ object AdvancedQueries {
         element_at(col("m"), 2).as("q_line2"))
       .orderBy("l_orderkey")
 
+  /** RANGE window frame over event time: per user, the moving
+   * 1-hour sum/count ending at each event — a value-based frame
+   * (all rows within the interval), unlike the row-count frames the
+   * other window queries use. */
+  def rangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-BandUs, Window.currentRow)
+    events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("hour_n", count(lit(1)).over(w))
+      .withColumn("hour_sum", rnd(sum(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("hour_n"), col("hour_sum"))
+      .orderBy("event_id")
+  }
+
   /** Custom typed UDAF (SURVEY §2.10): the one-pass MomentsAgg
    * sketch; mean/variance derive from the (n, Σx, Σx²) buffer. */
   def customUdaf(spark: SparkSession, sfDir: String): DataFrame = {
@@ -351,7 +368,8 @@ object AdvancedQueries {
     "r_posexplode" -> posExplode _,
     "r_map_funcs" -> mapFuncs _,
     "r_custom_udaf" -> customUdaf _,
-    "r_orc_roundtrip" -> orcRoundtrip _
+    "r_orc_roundtrip" -> orcRoundtrip _,
+    "r_range_frame" -> rangeFrame _
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,6 +468,13 @@ object AdvancedQueries {
         |  floor((list_reduce(list_prepend(0.0, qs), (a, b) -> a + b)) * 1e4 + 0.5) / 1e4
         |    AS q_total
         |FROM g""".stripMargin,
+    "r_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  count(*) OVER w AS hour_n,
+        |  floor((sum(value) OVER w) * 1e4 + 0.5) / 1e4 AS hour_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "r_custom_udaf" ->
       """SELECT l_returnflag, count(*) AS n,
         |  floor((sum(l_quantity) / count(*)) * 1e6 + 0.5) / 1e6 AS mean,
