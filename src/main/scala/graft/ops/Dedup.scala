@@ -159,13 +159,13 @@ object Dedup {
           when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
-  /** Hamming distance between two equal-length bit strings (for
-   * SimHash proximity tests). */
+  /** Hamming distance between two equal-length ASCII bit strings
+   * (SimHash proximity): the native codegen'd expression — a tight
+   * generated byte loop instead of the interpreted
+   * split + zip_with + aggregate fold, identical results. */
   def hammingBits(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    aggregate(
-      zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.GraftExpressions.hamming(a, b)
 
   /** SimHash proximity for candidate pairs: hamming distance between
    * the two signatures (the thresholdable near-dup score; done as two

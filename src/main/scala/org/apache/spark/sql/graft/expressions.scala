@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Codegen'd dot product over two ARRAY<DOUBLE> columns.
@@ -65,15 +66,71 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * Codegen'd hamming distance over two equal-length ASCII signature
+ * strings (SimHash bit strings, minhash hex windows): byte-wise
+ * mismatch count in a tight generated loop, replacing the
+ * interpreted split + zip_with + aggregate fold. Comparison is on
+ * UTF-8 BYTES, identical to per-character comparison for the ASCII
+ * signatures this library produces (and to the oracle's positional
+ * substring compares).
+ */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String].getBytes
+    val y = b.asInstanceOf[UTF8String].getBytes
+    val n = math.min(x.length, y.length)
+    var c = math.abs(x.length - y.length) // unpaired tail counts as mismatched
+    var i = 0
+    while (i < n) { if (x(i) != y(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |byte[] $x = $a.getBytes();
+         |byte[] $y = $b.getBytes();
+         |int $n = java.lang.Math.min($x.length, $y.length);
+         |int $c = java.lang.Math.abs($x.length - $y.length);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x[$i] != $y[$i]) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistance =
+    copy(left = l, right = r)
+}
+
 object GraftExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def hamming(a: Column, b: Column): Column =
+    ExpressionUtils.column(HammingDistance(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Register the native functions into an EXISTING session's
    * function registry (the SparkSessionExtensions path only applies
    * to sessions built with `.withExtensions`). */
-  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -12,6 +12,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(v === 11.0)
   }
 
+  test("hamming is callable from SQL and matches the interpreted fold") {
+    GraftExpressions.registerSql(spark)
+    assert(spark.sql("SELECT hamming('0101', '0011') AS h").head().getInt(0) === 2)
+    assert(spark.sql("SELECT hamming('1111', '1111') AS h").head().getInt(0) === 0)
+    // equal-length random bit strings vs the interpreted formulation
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 50).map { _ =>
+      (Seq.fill(16)(rnd.nextInt(2)).mkString, Seq.fill(16)(rnd.nextInt(2)).mkString)
+    }
+    import spark.implicits._
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      graft.ops.Dedup.hammingBits(col("a"), col("b")).as("nat"),
+      aggregate(zip_with(split(col("a"), ""), split(col("b"), ""),
+        (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (acc, x) => acc + x).as("itp"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("GraftExtensions injects without error") {
     // the builder-time path: injection must register cleanly
     val ext = new org.apache.spark.sql.SparkSessionExtensions
