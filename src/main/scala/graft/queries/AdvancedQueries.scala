@@ -268,6 +268,46 @@ object AdvancedQueries {
         element_at(col("m"), 2).as("q_line2"))
       .orderBy("l_orderkey")
 
+  /** Typed KeyValueGroupedDataset.cogroup: per customer key, both
+   * sides' groups arrive as iterators in one function — the typed
+   * form of a full-outer grouped merge (here: order count/revenue
+   * beside event count/value-sum). Plans as a CoGroup over two
+   * co-partitioned shuffles — one pass, no join explosion. */
+  def typedCogroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k"), col("o_totalprice").as("v"))
+      .as[(Long, Double)].groupByKey(_._1)
+    val evts = events(spark, sfDir)
+      .select(col("user_id").as("k"), col("value").as("v"))
+      .as[(Long, Double)].groupByKey(_._1)
+    orders.cogroup(evts) { (k, os, es) =>
+      var no = 0L; var rev = 0.0
+      os.foreach { o => no += 1; rev += o._2 }
+      var ne = 0L; var ev = 0.0
+      es.foreach { e => ne += 1; ev += e._2 }
+      Iterator((k, no, math.floor(rev * 1e2 + 0.5) / 1e2,
+        ne, math.floor(ev * 1e4 + 0.5) / 1e4))
+    }.toDF("k", "n_orders", "revenue", "n_events", "sum_value")
+      .orderBy("k")
+  }
+
+  /** Typed mapGroups: per-user event summary from the sorted group
+   * iterator (first/last event ids by time, span). */
+  def typedMapGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (user, it) =>
+        val evs = it.toSeq.sortBy(e => (e._3, e._2))
+        (user, evs.head._2, evs.last._2, evs.last._3 - evs.head._3, evs.size.toLong)
+      }
+      .toDF("user_id", "first_event", "last_event", "span_us", "n_events")
+      .orderBy("user_id")
+  }
+
   /** RANGE window frame over event time: per user, the moving
    * 1-hour sum/count ending at each event — a value-based frame
    * (all rows within the interval), unlike the row-count frames the
@@ -369,7 +409,9 @@ object AdvancedQueries {
     "r_map_funcs" -> mapFuncs _,
     "r_custom_udaf" -> customUdaf _,
     "r_orc_roundtrip" -> orcRoundtrip _,
-    "r_range_frame" -> rangeFrame _
+    "r_range_frame" -> rangeFrame _,
+    "r_typed_cogroup" -> typedCogroup _,
+    "r_typed_mapgroups" -> typedMapGroups _
   )
 
   val oracles: Map[String, String] = Map(
@@ -468,6 +510,30 @@ object AdvancedQueries {
         |  floor((list_reduce(list_prepend(0.0, qs), (a, b) -> a + b)) * 1e4 + 0.5) / 1e4
         |    AS q_total
         |FROM g""".stripMargin,
+    "r_typed_cogroup" ->
+      """WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
+        |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT user_id AS k, count(*) AS n_events,
+        |  floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+        |  FROM events GROUP BY 1)
+        |SELECT coalesce(o.k, e.k) AS k,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(revenue, 0.0) AS revenue,
+        |  coalesce(n_events, 0) AS n_events,
+        |  coalesce(sum_value, 0.0) AS sum_value
+        |FROM o FULL JOIN e ON o.k = e.k""".stripMargin,
+    "r_typed_mapgroups" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |x AS (SELECT user_id, event_id, us,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM s)
+        |SELECT user_id,
+        |  max(CASE WHEN rn_a = 1 THEN event_id END) AS first_event,
+        |  max(CASE WHEN rn_d = 1 THEN event_id END) AS last_event,
+        |  max(us) - min(us) AS span_us, count(*) AS n_events
+        |FROM x GROUP BY user_id""".stripMargin,
     "r_range_frame" ->
       """SELECT event_id, user_id, epoch_us(ts) AS us,
         |  count(*) OVER w AS hour_n,
