@@ -268,6 +268,19 @@ object AdvancedQueries {
         element_at(col("m"), 2).as("q_line2"))
       .orderBy("l_orderkey")
 
+  /** Unpivot (melt): wide per-flag counts back to long (metric,
+   * value) rows — the inverse of `r_pivot`. */
+  def unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("n_lines"), col("n_orders"), col("n_parts")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
   /** Typed KeyValueGroupedDataset.cogroup: per customer key, both
    * sides' groups arrive as iterators in one function — the typed
    * form of a full-outer grouped merge (here: order count/revenue
@@ -411,7 +424,8 @@ object AdvancedQueries {
     "r_orc_roundtrip" -> orcRoundtrip _,
     "r_range_frame" -> rangeFrame _,
     "r_typed_cogroup" -> typedCogroup _,
-    "r_typed_mapgroups" -> typedMapGroups _
+    "r_typed_mapgroups" -> typedMapGroups _,
+    "r_unpivot" -> unpivot _
   )
 
   val oracles: Map[String, String] = Map(
@@ -510,6 +524,14 @@ object AdvancedQueries {
         |  floor((list_reduce(list_prepend(0.0, qs), (a, b) -> a + b)) * 1e4 + 0.5) / 1e4
         |    AS q_total
         |FROM g""".stripMargin,
+    "r_unpivot" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n_lines,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'n_lines' AS metric, n_lines AS value FROM g
+        |UNION ALL SELECT l_returnflag, 'n_orders', n_orders FROM g
+        |UNION ALL SELECT l_returnflag, 'n_parts', n_parts FROM g""".stripMargin,
     "r_typed_cogroup" ->
       """WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
         |  floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue
