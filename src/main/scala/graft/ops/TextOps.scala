@@ -112,6 +112,23 @@ object TextOps {
       .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
   }
 
+  /** Context-window chunking: overlapping fixed-size token windows
+   * (window `win` tokens, stride `step` — the standard shape for
+   * packing documents into model context windows). Pure map-side
+   * explode with arithmetic bounds; no shuffle, no document
+   * re-assembly. */
+  def contextChunks(docs: DataFrame, win: Int = 128, step: Int = 64): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(step))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / step).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        least(lit(win), col("n") - col("start")).cast("long").as("n_tokens"))
+
   /** Top-k characteristic terms per document by tf-idf.
    *
    * The idf factor is the BM25-style ratio (N - df + 0.5)/(df + 0.5)

@@ -97,6 +97,8 @@ object PipelineQueries {
       Dedup.clusters(lshPairs(s, d)).orderBy("doc_id")),
     "p_tfidf_top_terms" -> ((s, d) =>
       TextOps.tfidfTopTerms(docs(s, d)).orderBy("doc_id", "rank")),
+    "p_context_chunks" -> ((s, d) =>
+      TextOps.contextChunks(docs(s, d)).orderBy("doc_id", "chunk_idx")),
     "p_hash_sample" -> ((s, d) =>
       docs(s, d)
         .where(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
@@ -306,6 +308,15 @@ object PipelineQueries {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
         |WHERE rank <= 3""".stripMargin,
+    "p_context_chunks" ->
+      s"""WITH base AS (SELECT 1)$W,
+         |x AS (SELECT doc_id, len(w) AS n FROM w WHERE len(w) > 0),
+         |c AS (SELECT doc_id, n,
+         |  unnest(generate_series(0, n - 1, 64)) AS start FROM x)
+         |SELECT doc_id, CAST(start / 64 AS BIGINT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS start,
+         |  CAST(least(128, n - start) AS BIGINT) AS n_tokens
+         |FROM c""".stripMargin,
     "p_hash_sample" ->
       """SELECT lang, count(*) AS n,
         |  floor((avg(n_chars)) * 1e4 + 0.5) / 1e4 AS avg_chars
