@@ -112,6 +112,32 @@ class AdvancedQueriesSpec extends SparkSpec {
     }
   }
 
+  test("typed cogroup equals the full-outer join of the two aggregates") {
+    val cg = AdvancedQueries.typedCogroup(spark, sf)
+      .select("k", "n_orders", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val o = RelationalQueries.t(spark, sf, "orders")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("no"))
+    val e = RelationalQueries.events(spark, sf)
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("ne"))
+    val plain = o.join(e, Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("no"), lit(0L)), coalesce(col("ne"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(cg.toSeq === plain.toSeq)
+  }
+
+  test("context chunks tile every document with the right strides") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 200).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.contextChunks(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._3, c._4)).toSeq ===
+      Seq((0L, 128L), (64L, 128L), (128L, 72L), (192L, 8L)))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 2L)))
+  }
+
   test("pagerank conserves rank mass and stays positive") {
     val rows = GraphQueries.pagerank(spark, sf)
       .select(col("rank")).collect().map(_.getDouble(0))
