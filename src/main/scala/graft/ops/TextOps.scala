@@ -112,6 +112,25 @@ object TextOps {
       .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
   }
 
+  /** Mean corpus familiarity of a document's tokens: for each token,
+   * the fraction of documents containing it (document frequency /
+   * corpus size); averaged over the document's token OCCURRENCES.
+   * A low score flags gibberish/rare-vocabulary documents — the
+   * log-free form of a unigram-LM quality signal (pure ratios, so
+   * the oracle matches bit-for-bit; libm log would not). */
+  def tokenFamiliarity(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    val toks = docs
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("term"))
+      .where(col("term") =!= "")
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    toks.join(df, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        rnd(sum(col("df").cast("double") / n) / count(lit(1)), 9).as("familiarity"))
+  }
+
   /** Context-window chunking: overlapping fixed-size token windows
    * (window `win` tokens, stride `step` — the standard shape for
    * packing documents into model context windows). Pure map-side

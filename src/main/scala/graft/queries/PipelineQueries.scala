@@ -99,6 +99,15 @@ object PipelineQueries {
       TextOps.tfidfTopTerms(docs(s, d)).orderBy("doc_id", "rank")),
     "p_context_chunks" -> ((s, d) =>
       TextOps.contextChunks(docs(s, d)).orderBy("doc_id", "chunk_idx")),
+    "p_token_familiarity" -> ((s, d) =>
+      TextOps.tokenFamiliarity(docs(s, d)).orderBy("doc_id")),
+    "p_source_stats" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(avg(col("n_chars")) * 1e4 + 0.5) / 1e4).as("avg_chars"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .orderBy("source", "lang")),
     "p_hash_sample" -> ((s, d) =>
       docs(s, d)
         .where(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
@@ -317,6 +326,22 @@ object PipelineQueries {
          |  CAST(start AS BIGINT) AS start,
          |  CAST(least(128, n - start) AS BIGINT) AS n_tokens
          |FROM c""".stripMargin,
+    "p_token_familiarity" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |tok AS (SELECT doc_id, t AS term FROM w, unnest(w) u(t) WHERE t <> ''),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, term FROM tok) GROUP BY term)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor((sum(df::DOUBLE / nn.n) / count(*)) * 1e9 + 0.5) / 1e9 AS familiarity
+        |FROM tok JOIN df USING (term) CROSS JOIN nn
+        |GROUP BY doc_id""".stripMargin,
+    "p_source_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  floor((avg(n_chars)) * 1e4 + 0.5) / 1e4 AS avg_chars,
+        |  count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY source, lang""".stripMargin,
     "p_hash_sample" ->
       """SELECT lang, count(*) AS n,
         |  floor((avg(n_chars)) * 1e4 + 0.5) / 1e4 AS avg_chars
