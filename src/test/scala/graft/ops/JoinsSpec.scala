@@ -56,6 +56,28 @@ class JoinsSpec extends SparkSpec {
     assert(exchanges === 1, s"expected exactly one key shuffle:\n${plan.take(2500)}")
   }
 
+  test("bandedSelfPairs equals the naive join across random shapes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      band <- Gen.oneOf(1L, 7L, 40L)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 120L)
+      } yield (k, t))
+    } yield (band, rows.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) })
+    (1 to 8).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { case (band, rows) =>
+        val banded = Joins.bandedSelfPairs(rows.toDF("k", "id", "t"), "k", "id", "t", band)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val naive = (for {
+          (k1, i1, t1) <- rows; (k2, i2, t2) <- rows
+          if k1 == k2 && i1 < i2 && math.abs(t2 - t1) <= band
+        } yield (i1, i2)).toSet
+        assert(banded === naive, s"band=$band rows=$rows")
+      }
+  }
+
   test("bandedSelfPairs equals the naive range self-join") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(1000).toLong))

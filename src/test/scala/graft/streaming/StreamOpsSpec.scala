@@ -28,6 +28,13 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming helpers are re-invocable in one session (unique sinks, cleaned dirs)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val first = StreamOps.hourlyEventCounts(spark, sfDir).collect()
+    val second = StreamOps.hourlyEventCounts(spark, sfDir).collect()
+    assert(first.map(_.toSeq).toSeq === second.map(_.toSeq).toSeq)
+  }
+
   test("stream-stream range join equals the batch range join") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
