@@ -94,6 +94,11 @@ object Graft {
   def fingerprints(docs: DataFrame): DataFrame = TextOps.fingerprints(docs)
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame =
     TextOps.tfidfTopTerms(docs, k)
+  def tokenFamiliarity(docs: DataFrame): DataFrame = TextOps.tokenFamiliarity(docs)
+  def contextChunks(docs: DataFrame, win: Int = 128, step: Int = 64): DataFrame =
+    TextOps.contextChunks(docs, win, step)
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    Similarity.quantizeInt8(embeddings)
   def mediaChunks(media: DataFrame): DataFrame = Multimodal.chunks(media)
   def decodeMedia(spark: SparkSession, media: DataFrame): DataFrame =
     Multimodal.decodeAll(spark, media).toDF()
