@@ -11,4 +11,17 @@ class EntrySpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- qs
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("rows-only queries are exactly the documented non-SQL-expressible set") {
+    // Pregel/driver-loop phases, k-means seeding, engine-specific
+    // sketch estimates — everything else MUST carry a DuckDB oracle.
+    val rowsOnly = Set(
+      "g_wcc_partition", "g_wcc_initial_partition", "g_wcc_incremental",
+      "g_pagerank", "p_ann_ivf_kmeans",
+      "r_approx_distinct", "r_approx_quantiles")
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual === rowsOnly,
+      s"unexpected rows-only queries (add an oracle or document here): " +
+        s"${actual -- rowsOnly}; stale entries: ${rowsOnly -- actual}")
+  }
 }
