@@ -167,6 +167,18 @@ object Dedup {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.GraftExpressions.hamming(a, b)
 
+  /** The end product of the near-dup pipeline: every document tagged
+   * keep/drop — cluster members survive only as the minimum doc_id
+   * of their connected component; documents in no candidate pair
+   * keep trivially. This is the decision table a corpus build
+   * actually applies. */
+  def keepDecisions(docs: DataFrame, clusterLabels: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusterLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"))
+
   /** SimHash proximity for candidate pairs: hamming distance between
    * the two signatures (the thresholdable near-dup score; done as two
    * signature equi-joins so the pair set never carries documents). */

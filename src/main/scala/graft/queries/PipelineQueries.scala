@@ -95,6 +95,9 @@ object PipelineQueries {
     "p_lsh_pairs" -> ((s, d) => lshPairs(s, d).orderBy("doc_a", "doc_b")),
     "p_dedup_clusters" -> ((s, d) =>
       Dedup.clusters(lshPairs(s, d)).orderBy("doc_id")),
+    "p_dedup_keep" -> ((s, d) =>
+      Dedup.keepDecisions(docs(s, d), Dedup.clusters(lshPairs(s, d)))
+        .orderBy("doc_id")),
     "p_tfidf_top_terms" -> ((s, d) =>
       TextOps.tfidfTopTerms(docs(s, d)).orderBy("doc_id", "rank")),
     "p_context_chunks" -> ((s, d) =>
@@ -194,6 +197,26 @@ object PipelineQueries {
            s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
        |FROM v)""".stripMargin
 
+  /** Shared LSH-pair transitive-closure CTE chain ending in
+   * `cl(doc_id, cluster_id)` — used by the cluster-label and
+   * keep-decision oracles. */
+  private lazy val ClusterCte: String =
+    s"""WITH RECURSIVE base AS (SELECT 1)$W$Sh3$Hh,
+       |sigs AS (SELECT doc_id, $minhCols FROM hh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pr
+       |  UNION SELECT doc_b, doc_a FROM pr),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+       |  WHERE s.b <> r.a),
+       |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a)""".stripMargin
+
   /** LSH sign-bucket expression over `v` with the exact plane
    * constants inlined (index parameters, content-independent). */
   private val LshBucketSql = Similarity.lshPlaneSqlLiterals()
@@ -288,21 +311,14 @@ object PipelineQueries {
     // transitive closure of the candidate-pair graph; cluster label =
     // min reachable doc_id (what GraphX ConnectedComponents emits)
     "p_dedup_clusters" ->
-      s"""WITH RECURSIVE base AS (SELECT 1)$W$Sh3$Hh,
-         |sigs AS (SELECT doc_id, $minhCols FROM hh GROUP BY doc_id),
-         |bands AS ($bandRows),
-         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pr
-         |  UNION SELECT doc_b, doc_a FROM pr),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM sym
-         |  UNION
-         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
-         |  WHERE s.b <> r.a)
-         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |FROM reach GROUP BY a""".stripMargin,
+      s"$ClusterCte\nSELECT doc_id, cluster_id FROM cl",
+    // the applied keep/drop table: cluster minima survive, unpaired
+    // docs keep trivially
+    "p_dedup_keep" ->
+      s"""$ClusterCte
+         |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(cl.cluster_id, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id""".stripMargin,
     "p_tfidf_top_terms" ->
       """WITH w AS (SELECT doc_id,
         |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
