@@ -31,11 +31,16 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    // 3-decimal times keep the whole JSON line under ~2.5 KB: the
+    // harness captures only the last ~4 KB of stdout, and a full-
+    // precision line (~4.8 KB) gets its head truncated → unparseable
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v.toString else "-1")
+      "\"" + k + "\":" + (if (ok) d3(v) else "-1")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,11 +25,8 @@ object AdvancedQueries {
    * rewritten once per (session, sfDir) — NOT skipped when a stale
    * directory from an earlier JVM exists, so the dumps always derive
    * from the current tables. */
-  private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def stageOnce(spark: SparkSession, key: String)(write: => Unit): Unit = {
-    val k = s"${System.identityHashCode(spark)}:$key"
-    if (staged.add(k)) write
-  }
+  private def stageOnce(spark: SparkSession, key: String)(write: => Unit): Unit =
+    SessionMemo.once(spark, key)(write)
 
   /** Window lead/lag/running-sum per user over event time. */
   def leadLag(spark: SparkSession, sfDir: String): DataFrame = {

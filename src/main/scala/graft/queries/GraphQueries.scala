@@ -23,15 +23,11 @@ object GraphQueries {
   /** Shared-artifact memo: Verify/Bench run every query in one
    * session and most graph queries share the co-purchase edge set,
    * the GraphX graph, and the triangle statistics — build each once
-   * per (session, sfDir). Keyed by the session's identity so a
-   * stopped-and-recreated session never gets handed artifacts bound
+   * per (session, sfDir). [[SessionMemo]] weak-keys on the session so
+   * a stopped-and-recreated session never gets handed artifacts bound
    * to a dead SparkContext. */
-  private val memo = scala.collection.mutable.HashMap.empty[String, Any]
   private def memoize[T](spark: SparkSession, key: String)(f: => T): T =
-    memo.synchronized {
-      memo.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", f)
-        .asInstanceOf[T]
-    }
+    SessionMemo.memoize(spark, key)(f)
 
   private def canonEdges(spark: SparkSession, sfDir: String): DataFrame =
     memoize(spark, s"canon:$sfDir") {

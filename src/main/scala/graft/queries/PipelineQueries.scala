@@ -21,15 +21,11 @@ object PipelineQueries {
 
   /** Documents/embeddings and the (expensive) exploded shingle set
    * are shared by several queries in one Verify/Bench session —
-   * memoize per (session, sfDir) like GraphQueries does (session
-   * identity in the key: artifacts are bound to the SparkContext
-   * that built them). */
-  private val memo = scala.collection.mutable.HashMap.empty[String, Any]
+   * memoize per (session, sfDir) via [[SessionMemo]] (weak-keyed on
+   * the session: artifacts are bound to the SparkContext that built
+   * them and must not survive it). */
   private def memoize[T](spark: SparkSession, key: String)(f: => T): T =
-    memo.synchronized {
-      memo.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", f)
-        .asInstanceOf[T]
-    }
+    SessionMemo.memoize(spark, key)(f)
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     memoize(spark, s"docs:$sfDir") {

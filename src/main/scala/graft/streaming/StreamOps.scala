@@ -132,8 +132,8 @@ object StreamOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    cleanup(dir)
+    try q.awaitTermination()
+    finally cleanup(dir)
     spark.table(name)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
         (floor(col("sum_value") * 1e4 + 0.5) / 1e4).as("sum_value"))
@@ -159,8 +159,8 @@ object StreamOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    cleanup(dir)
+    try q.awaitTermination()
+    finally cleanup(dir)
     spark.table(name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
@@ -188,8 +188,8 @@ object StreamOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    cleanup(dir)
+    try q.awaitTermination()
+    finally cleanup(dir)
     spark.table(name).orderBy("c_mktsegment")
   }
 
@@ -224,8 +224,8 @@ object StreamOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    cleanup(dir)
+    try q.awaitTermination()
+    finally cleanup(dir)
     spark.table(name).orderBy("purchase_id", "view_id")
   }
 
@@ -256,8 +256,8 @@ object StreamOps {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    cleanup(dir)
+    try q.awaitTermination()
+    finally cleanup(dir)
     spark.table(name).orderBy("hour", "event_type")
   }
 }
