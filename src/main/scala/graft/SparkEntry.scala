@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, GraphQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{AdvancedQueries, GraphQueries, PipelineQueries, RelationalQueries, SqlSurfaceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -25,7 +25,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ AdvancedQueries.queries ++ GraphQueries.queries ++
-      PipelineQueries.queries ++ Map(
+      PipelineQueries.queries ++ SqlSurfaceQueries.queries ++ Map(
       "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _),
       "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _),
       "s_stream_dedup" -> (graft.streaming.StreamOps.streamingDedup _),
@@ -34,7 +34,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
-      PipelineQueries.oracles ++ Map(
+      PipelineQueries.oracles ++ SqlSurfaceQueries.oracles ++ Map(
       // the streaming query drains the bounded source completely, so
       // its final table equals the batch aggregation
       "s_stream_hourly" -> RelationalQueries.oracles("r_events_hourly"),

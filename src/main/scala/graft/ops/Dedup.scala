@@ -138,6 +138,27 @@ object Dedup {
           (col("na.n") + col("nb.n") - col("inter")), 9).as("jaccard"))
   }
 
+  /** Sketch-quality diagnostic: per candidate pair, the Jaccard
+   * ESTIMATE from minhash signatures (fraction of agreeing
+   * components) against the exact n-gram Jaccard (`exact` as produced
+   * by [[ngramJaccardFromShingles]], whose rounded `jaccard` column
+   * is the comparison value on both engines). Pure integer agreement
+   * counts + exact eighths, so every output is bit-deterministic. */
+  def minhashEstimate(sigs: DataFrame, exact: DataFrame): DataFrame = {
+    val eq = (0 until NumHashes)
+      .map(j => when(col(s"a.minh$j") === col(s"b.minh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = eq.cast("double") / NumHashes
+    exact
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        eq.cast("long").as("n_agree"),
+        est.as("est_jaccard"),
+        col("jaccard").as("exact_jaccard"),
+        TextOps.rnd(abs(est - col("jaccard")), 9).as("abs_err"))
+  }
+
   /** Adjacent-id pairs — a deterministic, linear-sized candidate set
    * used by the oracle-checked Jaccard query. */
   def consecutivePairs(docs: DataFrame): DataFrame =

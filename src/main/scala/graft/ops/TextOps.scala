@@ -148,6 +148,70 @@ object TextOps {
         col("start").cast("long").as("start"),
         least(lit(win), col("n") - col("start")).cast("long").as("n_tokens"))
 
+  /** PII patterns, written in the Java-regex ∩ RE2 dialect subset so
+   * the Spark expression and the DuckDB oracle compile the same
+   * automaton (no backrefs, no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val PhoneRe = "[+]1-555-[0-9]{4}"
+
+  /** PII redaction over a text column: count and mask email/phone
+   * matches. Pure per-row regex work — codegen'd, no shuffle, the
+   * shape of a compliance pass over a 100 TB corpus. */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame =
+    df
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all($textCol, '$EmailRe', 0)")))
+      .withColumn("n_phones",
+        size(expr(s"regexp_extract_all($textCol, '${PhoneRe.replace("\\", "\\\\")}', 0)")))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+
+  /** Word-repetition quality signals (the Gopher-style repetition
+   * filters): distinct-word ratio, top-word fraction, duplicate-
+   * bigram fraction. Integer counts and exact ratios only, so the
+   * oracle matches bit-for-bit. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("t"))
+      .where(col("t") =!= "")
+    val wordAgg = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_count"))
+    val bi = docs
+      .select(col("doc_id"),
+        explode(shingles(words(lower(col("text"))), 2)).as("b"))
+    val biAgg = bi.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_distinct_bi"))
+    wordAgg.join(biAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("top_count"),
+        rnd(col("n_distinct").cast("double") / col("n_words"), 9).as("distinct_ratio"),
+        rnd(col("top_count").cast("double") / col("n_words"), 9).as("top_frac"),
+        when(col("n_bigrams").isNull, 0.0)
+          .otherwise(rnd(lit(1.0) -
+            col("n_distinct_bi").cast("double") / col("n_bigrams"), 9))
+          .as("dup_bigram_frac"))
+  }
+
+  /** Corpus-level top-k n-grams per language — the vocabulary-
+   * inspection aggregate of a data pipeline. Two-level partial
+   * aggregation (map-side combine on (lang, gram)), then a per-lang
+   * WindowGroupLimit top-k; the heavy gram shuffle is the only wide
+   * stage. */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 10): DataFrame = {
+    val grams = docs.select(col("lang"),
+      explode(shingles(words(lower(col("text"))), n)).as("gram"))
+    val counts = grams.groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("gram"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("gram"), col("n"))
+  }
+
   /** Top-k characteristic terms per document by tf-idf.
    *
    * The idf factor is the BM25-style ratio (N - df + 0.5)/(df + 0.5)

@@ -148,6 +148,23 @@ object GraphQueries {
   def wccIncremental(spark: SparkSession, sfDir: String): DataFrame =
     IncrementalWCC.testStream(spark, canonEdges(spark, sfDir))
 
+  /** Pregel BFS hop distances from the smallest vertex id (oracle =
+   * bounded recursive CTE taking min over walk lengths). */
+  def bfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = canonEdges(spark, sfDir)
+    val source = edges.agg(min(col("src"))).head().getLong(0)
+    graft.graph.GraphAlgs.bfsHopsDF(graph(spark, sfDir), source)
+      .orderBy("vid")
+  }
+
+  /** Per-edge neighborhood Jaccard (link-prediction feature) over
+   * the canonical co-purchase edges. */
+  def neighborJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.neighborJaccard(
+      canonEdges(spark, sfDir),
+      EdgeOps.symmetrize(canonEdges(spark, sfDir)))
+      .orderBy("src", "dst")
+
   /** Shared oracle CTE defining the identical edge sets in DuckDB. */
   val EdgeCte: String =
     """WITH raw AS (
@@ -206,7 +223,40 @@ object GraphQueries {
       s"""$EdgeCte $AssignCte
          |SELECT e.src AS vid, a2.cid AS cid, count(*) AS deg
          |FROM edges e JOIN assign a2 ON e.dst = a2.vid
-         |GROUP BY e.src, a2.cid""".stripMargin
+         |GROUP BY e.src, a2.cid""".stripMargin,
+    // BFS as a bounded recursive CTE: the union-distinct frontier
+    // enumerates (vid, walk length <= 30) pairs; min(d) = hop
+    // distance (mirrors the Pregel maxHops=30 cap)
+    "g_bfs_hops" ->
+      s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
+         |minv AS (SELECT min(src) AS v FROM raw),
+         |bfs AS (
+         |  SELECT v AS vid, 0 AS d FROM minv
+         |  UNION
+         |  SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.vid
+         |  WHERE b.d < 30)
+         |SELECT vid, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY vid""".stripMargin,
+    // per-edge common-neighbor counts via the triangle join, LEFT
+    // joined back so zero-common edges survive (the Spark side's
+    // array_intersect yields 0 for them)
+    "g_neighbor_jaccard" ->
+      s"""$EdgeCte,
+         |deg AS (SELECT src AS vid, count(*) AS d FROM edges GROUP BY src),
+         |com AS (
+         |  SELECT r.src, r.dst, count(*) AS common
+         |  FROM raw r
+         |  JOIN edges a ON a.src = r.src
+         |  JOIN edges b ON b.src = r.dst AND b.dst = a.dst
+         |  GROUP BY r.src, r.dst)
+         |SELECT r.src, r.dst,
+         |  coalesce(c.common, 0) AS common,
+         |  da.d AS deg_src, db.d AS deg_dst,
+         |  floor((coalesce(c.common, 0)::DOUBLE /
+         |    (da.d + db.d - coalesce(c.common, 0))) * 1e9 + 0.5) / 1e9 AS jaccard
+         |FROM raw r
+         |LEFT JOIN com c ON c.src = r.src AND c.dst = r.dst
+         |JOIN deg da ON da.vid = r.src
+         |JOIN deg db ON db.vid = r.dst""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -221,6 +271,8 @@ object GraphQueries {
     "g_wcc_initial_partition" -> wccInitialPartition _,
     "g_wcc_incremental" -> wccIncremental _,
     "g_pagerank" -> pagerank _,
-    "g_csv_roundtrip" -> csvRoundtrip _
+    "g_csv_roundtrip" -> csvRoundtrip _,
+    "g_bfs_hops" -> bfsHops _,
+    "g_neighbor_jaccard" -> neighborJaccard _
   )
 }

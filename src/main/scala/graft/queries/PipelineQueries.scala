@@ -117,6 +117,45 @@ object PipelineQueries {
     "p_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardFromShingles(shingleRows(s, d),
         Dedup.consecutivePairs(docs(s, d))).orderBy("doc_a")),
+    "p_minhash_est" -> ((s, d) =>
+      Dedup.minhashEstimate(minhashSigs(s, d),
+        Dedup.ngramJaccardFromShingles(shingleRows(s, d), lshPairs(s, d)))
+        .orderBy("doc_a", "doc_b")),
+    // the corpus has no natural PII, so both sides append an
+    // identical deterministic contact string; the redaction regexes
+    // then do real work that the oracle checks via the output hash
+    "p_pii_redact" -> ((s, d) => {
+      val contact = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      TextOps.redactPii(docs(s, d).select(col("doc_id"), contact.as("text")))
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          md5(col("redacted")).as("red_hash"))
+        .orderBy("doc_id")
+    }),
+    "p_repetition" -> ((s, d) =>
+      TextOps.repetition(docs(s, d)).orderBy("doc_id")),
+    "p_ngram_freq" -> ((s, d) =>
+      TextOps.topNgrams(docs(s, d)).orderBy("lang", "rank")),
+    "p_length_hist" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(expr("(n_chars DIV 50) * 50").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(avg(size(TextOps.words(col("text")))) * 1e4 + 0.5) / 1e4)
+            .as("avg_words"))
+        .orderBy("bucket")),
+    "p_stratified_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rn")
+    }),
     "p_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("doc_id")),
     "p_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(docs(s, d)), Dedup.consecutivePairs(docs(s, d)))
@@ -374,6 +413,88 @@ object PipelineQueries {
          |  floor((inter::DOUBLE / (na.n + nb.n - inter)) * 1e9 + 0.5) / 1e9 AS jaccard
          |FROM i JOIN sizes na ON na.doc_id = doc_a
          |       JOIN sizes nb ON nb.doc_id = doc_b""".stripMargin,
+    // minhash agreement fraction vs exact Jaccard on the LSH
+    // candidate pairs: pure integer agreement counts + exact eighths,
+    // so est/err arithmetic is bit-identical across engines
+    "p_minhash_est" ->
+      s"""WITH base AS (SELECT 1)$W$Sh3$Hh,
+         |sigs AS (SELECT doc_id, $minhCols FROM hh GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |i AS (SELECT doc_a, doc_b, count(*) AS inter
+         |  FROM pr p JOIN ds sa ON sa.doc_id = p.doc_a
+         |            JOIN ds sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+         |  GROUP BY doc_a, doc_b),
+         |ex AS (SELECT doc_a, doc_b,
+         |  floor((inter::DOUBLE / (na.n + nb.n - inter)) * 1e9 + 0.5) / 1e9 AS jaccard
+         |  FROM i JOIN sizes na ON na.doc_id = doc_a
+         |         JOIN sizes nb ON nb.doc_id = doc_b),
+         |ag AS (SELECT ex.doc_a, ex.doc_b, ex.jaccard,
+         |  (${(0 until Dedup.NumHashes).map(j =>
+              s"CASE WHEN a.minh$j = b.minh$j THEN 1 ELSE 0 END").mkString(" + ")}) AS na
+         |  FROM ex JOIN sigs a ON a.doc_id = ex.doc_a
+         |          JOIN sigs b ON b.doc_id = ex.doc_b)
+         |SELECT doc_a, doc_b, CAST(na AS BIGINT) AS n_agree,
+         |  na::DOUBLE / ${Dedup.NumHashes} AS est_jaccard,
+         |  jaccard AS exact_jaccard,
+         |  floor(abs(na::DOUBLE / ${Dedup.NumHashes} - jaccard) * 1e9 + 0.5) / 1e9 AS abs_err
+         |FROM ag""".stripMargin,
+    "p_pii_redact" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.example.com or +1-555-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '${TextOps.EmailRe}')) AS n_emails,
+         |  len(regexp_extract_all(t, '${TextOps.PhoneRe}')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(t, '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.PhoneRe}', '<PHONE>', 'g')) AS red_hash
+         |FROM c""".stripMargin,
+    "p_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |tok AS (SELECT doc_id, t FROM w, unnest(w) u(t) WHERE t <> ''),
+        |wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        |wa AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+        |  max(c) AS top_count FROM wc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+        |  FROM w, unnest(generate_series(1, len(w) - 1)) t(i)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |ba AS (SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct_bi
+        |  FROM bc GROUP BY doc_id)
+        |SELECT wa.doc_id, n_words, n_distinct, top_count,
+        |  floor((n_distinct::DOUBLE / n_words) * 1e9 + 0.5) / 1e9 AS distinct_ratio,
+        |  floor((top_count::DOUBLE / n_words) * 1e9 + 0.5) / 1e9 AS top_frac,
+        |  CASE WHEN n_bigrams IS NULL THEN 0.0
+        |    ELSE floor((1.0 - n_distinct_bi::DOUBLE / n_bigrams) * 1e9 + 0.5) / 1e9
+        |  END AS dup_bigram_frac
+        |FROM wa LEFT JOIN ba ON ba.doc_id = wa.doc_id""".stripMargin,
+    "p_ngram_freq" ->
+      """WITH w AS (SELECT lang,
+        |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |bg AS (SELECT lang, w[i] || ' ' || w[i+1] AS gram
+        |  FROM w, unnest(generate_series(1, len(w) - 1)) t(i)),
+        |c AS (SELECT lang, gram, count(*) AS n FROM bg GROUP BY lang, gram)
+        |SELECT lang, rank, gram, n FROM (
+        |  SELECT lang, gram, n, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n DESC, gram) AS rank FROM c)
+        |WHERE rank <= 10""".stripMargin,
+    "p_length_hist" ->
+      """WITH w AS (SELECT n_chars,
+        |  len(string_split_regex(trim(text), '\s+')) AS nw FROM documents)
+        |SELECT (n_chars // 50) * 50 AS bucket, count(*) AS n_docs,
+        |  floor(avg(nw) * 1e4 + 0.5) / 1e4 AS avg_words
+        |FROM w GROUP BY 1""".stripMargin,
+    "p_stratified_sample" ->
+      """SELECT lang, rn, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
     "p_simhash" -> s"$SimhashCte\nSELECT doc_id, simhash FROM sh",
     "p_simhash_pairs" ->
       s"""$SimhashCte,

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-3 SQL-surface breadth: higher-order array lambdas, dense
+ * time-series gap filling, GROUPING SETS, IGNORE NULLS window
+ * carry-forward, bitwise aggregates, and EXISTS/IN subqueries.
+ *
+ * All arithmetic is integer-exact or routed through the shared
+ * floor-rounding pattern, so every query carries a DuckDB oracle.
+ */
+object SqlSurfaceQueries {
+
+  import RelationalQueries.{t, events, rnd}
+
+  /** Higher-order array functions over per-order quantity arrays:
+   * transform / filter / aggregate (fold) / zip_with / contains —
+   * all codegen'd builtins, no UDFs; quantities are integral so
+   * every value is exact. */
+  def lambdaFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("int").as("q"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("q"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).cast("long").as("n"),
+        aggregate(transform(col("qs"), x => x * 2), lit(0L), (a, x) => a + x)
+          .as("doubled_sum"),
+        size(filter(col("qs"), _ > 25)).cast("long").as("n_big"),
+        array_contains(col("qs"), 1).as("has_one"),
+        element_at(reverse(col("qs")), 1).cast("long").as("max_q"),
+        // position-weighted fold: zip the sorted array with 1..n
+        aggregate(
+          zip_with(col("qs"), sequence(lit(1), size(col("qs"))), (q, i) => q * i),
+          lit(0L), (a, x) => a + x).as("weighted_sum"))
+      .orderBy("l_orderkey")
+
+  /** Dense 15-minute time grid per event type with zero-filled gaps —
+   * the sparse-to-dense resample every monitoring/feature pipeline
+   * needs. Bucketing is integer epoch arithmetic (shared with the
+   * oracle); the grid is a sequence-explode cross join (tiny) left-
+   * joining the aggregated counts, so the fact scan stays one pass. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val stepUs = 900000000L // 15 min
+    val ev = events(spark, sfDir)
+      .select(expr(s"(unix_micros(ts) div $stepUs) * $stepUs").as("bucket_us"),
+        col("event_type"))
+    val counts = ev.groupBy("bucket_us", "event_type").agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min("bucket_us").as("lo"), max("bucket_us").as("hi"))
+    val grid = bounds
+      .select(explode(sequence(col("lo"), col("hi"), lit(stepUs))).as("bucket_us"))
+      .crossJoin(ev.select("event_type").distinct())
+    grid.join(counts, Seq("bucket_us", "event_type"), "left")
+      .select(col("bucket_us"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bucket_us", "event_type")
+  }
+
+  /** Explicit GROUPING SETS (beyond the rollup/cube entries) with
+   * grouping() indicators, via the SQL surface. */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+        |  floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
+  }
+
+  /** IGNORE NULLS carry-forward: per user, the last purchase value
+   * carried over subsequent events (last_value IGNORE NULLS over a
+   * running frame) — the standard as-of/fill-forward window shape. */
+  def ignoreNullsCarry(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pv = when(col("event_type") === "purchase", col("value"))
+    events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .withColumn("carried",
+        rnd(coalesce(last(pv, ignoreNulls = true).over(w), lit(-1.0)), 4))
+      .select(col("event_id"), col("user_id"), col("us"), col("carried"))
+      .orderBy("event_id")
+  }
+
+  /** Bitwise aggregate surface: per-user event-type presence flags
+   * via bit_or(1 << idx) with an alphabetically ranked type index,
+   * then flag-combination population counts plus &/xor derivations. */
+  def bitwiseFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    // high-value events only: full-corpus presence is all-ones for
+    // every user, which would collapse the flags to one combination
+    val ev = events(spark, sfDir).where(col("value") > 100)
+    val types = ev.select("event_type").distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy("event_type")) - 1).cast("int"))
+    val flags = ev.join(broadcast(types), "event_type")
+      .groupBy("user_id")
+      .agg(expr("bit_or(shiftleft(1, idx))").as("flags"))
+    flags.groupBy("flags")
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("flags").cast("long").as("flags"), col("n_users"),
+        (col("flags").bitwiseAND(lit(1))).cast("long").as("has_first"),
+        (col("flags").bitwiseXOR(lit(31))).cast("long").as("missing_mask"))
+      .orderBy("flags")
+  }
+
+  /** EXISTS / NOT IN subqueries through the SQL surface (Catalyst
+   * decorrelates EXISTS to a semi join; NOT IN needs the
+   * null-aware anti join). */
+  def existsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "supplier").createOrReplaceTempView("graft_supplier_eq")
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("graft_lineitem_eq")
+    spark.sql(
+      """SELECT s.s_nationkey, count(*) AS n_suppliers
+        |FROM graft_supplier_eq s
+        |WHERE EXISTS (SELECT 1 FROM graft_lineitem_eq l
+        |        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+        |  AND s.s_suppkey NOT IN (SELECT l_suppkey FROM graft_lineitem_eq
+        |        WHERE l_quantity <= 2 AND l_tax = 0.08)
+        |GROUP BY s.s_nationkey
+        |ORDER BY s.s_nationkey""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_lambda_funcs" -> lambdaFuncs _,
+    "r_gap_fill" -> gapFill _,
+    "r_grouping_sets" -> groupingSets _,
+    "r_ignore_nulls" -> ignoreNullsCarry _,
+    "r_bitwise_flags" -> bitwiseFlags _,
+    "r_exists_subquery" -> existsSubquery _)
+
+  val oracles: Map[String, String] = Map(
+    "r_lambda_funcs" ->
+      """WITH g AS (SELECT l_orderkey,
+        |  list_sort(list(CAST(l_quantity AS INT))) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, len(qs) AS n,
+        |  CAST(list_sum(list_transform(qs, x -> x * 2)) AS BIGINT) AS doubled_sum,
+        |  len(list_filter(qs, x -> x > 25)) AS n_big,
+        |  list_contains(qs, 1) AS has_one,
+        |  CAST(qs[-1] AS BIGINT) AS max_q,
+        |  CAST(list_sum(list_transform(generate_series(1, len(qs)),
+        |    i -> qs[i] * i)) AS BIGINT) AS weighted_sum
+        |FROM g""".stripMargin,
+    "r_gap_fill" ->
+      """WITH ev AS (SELECT (epoch_us(ts) // 900000000) * 900000000 AS bucket_us,
+        |  event_type FROM events),
+        |c AS (SELECT bucket_us, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM ev),
+        |grid AS (SELECT unnest(generate_series(lo, hi, 900000000)) AS bucket_us FROM b),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT g.bucket_us, t.event_type, coalesce(c.n, 0) AS n
+        |FROM grid g CROSS JOIN types t
+        |LEFT JOIN c ON c.bucket_us = g.bucket_us AND c.event_type = t.event_type""".stripMargin,
+    "r_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+        |  floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), (o_orderstatus), ())""".stripMargin,
+    "r_ignore_nulls" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  floor(coalesce(last_value(
+        |      CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |      ROWS UNBOUNDED PRECEDING), -1.0) * 1e4 + 0.5) / 1e4 AS carried
+        |FROM events""".stripMargin,
+    "r_bitwise_flags" ->
+      """WITH ev AS (SELECT user_id, event_type FROM events WHERE value > 100),
+        |idx AS (SELECT event_type,
+        |  CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS idx
+        |  FROM (SELECT DISTINCT event_type FROM ev)),
+        |f AS (SELECT user_id, bit_or(1 << idx) AS flags
+        |  FROM ev JOIN idx USING (event_type) GROUP BY user_id)
+        |SELECT CAST(flags AS BIGINT) AS flags, count(*) AS n_users,
+        |  CAST(flags & 1 AS BIGINT) AS has_first,
+        |  CAST(xor(flags, 31) AS BIGINT) AS missing_mask
+        |FROM f GROUP BY flags""".stripMargin,
+    "r_exists_subquery" ->
+      """SELECT s.s_nationkey, count(*) AS n_suppliers
+        |FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+        |  AND s.s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+        |        WHERE l_quantity <= 2 AND l_tax = 0.08)
+        |GROUP BY s.s_nationkey""".stripMargin)
+}
