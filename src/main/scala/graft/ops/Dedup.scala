@@ -38,11 +38,8 @@ object Dedup {
   /** MinHash signatures: k seeded md5 minima over word-3-gram
    * shingles. One explode + one groupBy with k min() aggregates (all
    * map-side combined). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = TextOps.shingles(TextOps.words(col("text")), 3)
-    minhashSignaturesFromShingles(
-      docs.select(col("doc_id"), explode(sh).as("s")))
-  }
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFromShingles(TextOps.shingleRows(docs, col("text"), 3))
 
   /** Same, over pre-exploded (doc_id, s) shingle rows (lets callers
    * share the shingle set across operators).
@@ -116,10 +113,7 @@ object Dedup {
    * computed via a shingle-level equi-join, so the shuffle key is the
    * shingle — no shingle-set materialization per pair. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame =
-    ngramJaccardFromShingles(
-      docs.select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.words(col("text")), 3)).as("s")),
-      pairs)
+    ngramJaccardFromShingles(TextOps.shingleRows(docs, col("text"), 3), pairs)
 
   /** Same, over pre-exploded (doc_id, s) shingle rows. */
   def ngramJaccardFromShingles(shingleRows: DataFrame, pairs: DataFrame): DataFrame = {

@@ -19,11 +19,28 @@ object TextOps {
   /** Whitespace tokenization (leading/trailing trimmed). */
   def words(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Word n-gram shingles ("a b c" word triples by default). */
+  /** Word n-gram shingles ("a b c" word triples by default).
+   *
+   * IMPORTANT: pass `w` as a MATERIALIZED attribute (project the
+   * words array in its own select first), never the raw
+   * `words(col)` expression — the lambda references `w` per element,
+   * so an inlined split() would re-tokenize the document once per
+   * shingle (O(n²) per row; measured 5-10× on the shingle-heavy
+   * queries). A multiply-referenced non-cheap alias in its own
+   * projection is left alone by CollapseProject, so the array is
+   * computed once per row. */
   def shingles(w: Column, n: Int): Column =
     when(size(w) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
+
+  /** (doc_id-preserving) exploded shingle rows with the words array
+   * materialized first — the safe entry point for shingle pipelines. */
+  def shingleRows(docs: DataFrame, textExpr: Column, n: Int,
+      keep: Seq[String] = Seq("doc_id")): DataFrame =
+    docs
+      .select(keep.map(col) :+ words(textExpr).as("w"): _*)
+      .select(keep.map(col) :+ explode(shingles(col("w"), n)).as("s"): _*)
 
   /** Deterministic rounding shared with the DuckDB oracle (see
    * RelationalQueries.rnd). */
@@ -103,9 +120,7 @@ object TextOps {
    * fingerprints in any document, which is what makes the sketch
    * usable for cross-document overlap detection at scale). */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val sh = shingles(words(col("text")), 5)
-    docs
-      .select(col("doc_id"), explode(sh).as("s"))
+    shingleRows(docs, col("text"), 5)
       .select(col("doc_id"), md5(col("s")).as("fp"))
       .where(col("fp").endsWith("0"))
       .groupBy("doc_id")
@@ -179,9 +194,8 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
         max("c").as("top_count"))
-    val bi = docs
-      .select(col("doc_id"),
-        explode(shingles(words(lower(col("text"))), 2)).as("b"))
+    val bi = shingleRows(docs, lower(col("text")), 2)
+      .withColumnRenamed("s", "b")
     val biAgg = bi.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_distinct_bi"))
@@ -201,8 +215,9 @@ object TextOps {
    * WindowGroupLimit top-k; the heavy gram shuffle is the only wide
    * stage. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 10): DataFrame = {
-    val grams = docs.select(col("lang"),
-      explode(shingles(words(lower(col("text"))), n)).as("gram"))
+    val grams = docs
+      .select(col("lang"), words(lower(col("text"))).as("w"))
+      .select(col("lang"), explode(shingles(col("w"), n)).as("gram"))
     val counts = grams.groupBy("lang", "gram").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n").desc, col("gram"))

@@ -40,12 +40,8 @@ object PipelineQueries {
    * bands/pairs, and jaccard. */
   private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
     memoize(spark, s"shingles:$sfDir") {
-      val df = docs(spark, sfDir)
-        .select(org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.explode(
-            TextOps.shingles(TextOps.words(
-              org.apache.spark.sql.functions.col("text")), 3)).as("s"))
-        .cache()
+      val df = TextOps.shingleRows(docs(spark, sfDir),
+        org.apache.spark.sql.functions.col("text"), 3).cache()
       df.count(); df
     }
 
