@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.{DotProduct, HammingDistance}
+import org.apache.spark.sql.graft.{DotProduct, HammingDistance, SortedIntersectCount}
 
 /**
  * SparkSessionExtensions entry point registering the library's
@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HammingDistance(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "intersect_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectCount(exprs(0), exprs(1))))
   }
 }

@@ -42,15 +42,96 @@ object GraphAlgs {
       math.min)
   }
 
-  /** (vid, hops) rows for vertices reached within maxHops. */
+  /** (vid, hops) rows for vertices reached within maxHops.
+   * The result is materialized (cached + counted) BEFORE the Pregel
+   * surfaces are unpersisted — the DataFrame is lazy, so releasing
+   * first would force a full lineage recompute at evaluation time. */
   def bfsHopsDF[V](g: Graph[V, Int], source: VertexId, maxHops: Int = 30): DataFrame = {
     val bfs = bfsHops(g, source, maxHops)
     val rows = bfs.vertices.filter(_._2 != Long.MaxValue)
     val out = rows.map { case (id, d) => (id, d) }
     val spark = org.apache.spark.sql.SparkSession.active
-    val df = spark.createDataFrame(out).toDF("vid", "hops")
+    val df = spark.createDataFrame(out).toDF("vid", "hops").cache()
+    df.count()
     bfs.unpersistVertices(blocking = false)
     bfs.edges.unpersist(blocking = false)
+    df
+  }
+
+  /**
+   * K-core decomposition (coreness per vertex) via iterative H-index
+   * propagation (Montresor et al., "Distributed k-Core
+   * Decomposition", IEEE TPDS 2013): every vertex starts at its
+   * degree and repeatedly lowers its estimate to the H-index of its
+   * neighbors' estimates (the largest h with >= h neighbors at
+   * >= h). Estimates decrease monotonically and converge to the
+   * true coreness — the standard decentralized formulation, no
+   * global peeling order needed, so it partitions like any other
+   * aggregateMessages loop.
+   *
+   * Messages are neighbor-estimate arrays (degree-bounded, like
+   * every adjacency-shaped aggregation here); iteration stops when
+   * no estimate changed or after `maxIter` rounds.
+   */
+  def coreness[V: scala.reflect.ClassTag](g: Graph[V, Int], maxIter: Int = 50): Graph[Int, Int] = {
+    def hIndex(own: Int, ests: Array[Int]): Int = {
+      // counting form: hist[k] = #neighbors with est >= k clipped at own
+      val hist = new Array[Int](own + 1)
+      var i = 0
+      while (i < ests.length) {
+        val e = if (ests(i) > own) own else ests(i)
+        hist(e) += 1; i += 1
+      }
+      var h = 0; var cum = 0; var k = own
+      while (k >= 1 && h == 0) {
+        cum += hist(k)
+        if (cum >= k) h = k
+        k -= 1
+      }
+      h
+    }
+    var cur: Graph[Int, Int] = g.outerJoinVertices(g.degrees)((_, _, d) => d.getOrElse(0))
+    cur.cache()
+    // materialize BOTH surfaces each generation before dropping the
+    // previous one — vertices alone leave the edge/shipping lineage
+    // lazy, and each superstep then rebuilds the whole chain from
+    // scratch (quadratic blow-up; the same discipline as the WCC
+    // loops)
+    cur.vertices.count(); cur.edges.count()
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      it += 1
+      val ests = cur.aggregateMessages[Array[Int]](
+        ctx => { ctx.sendToSrc(Array(ctx.dstAttr)); ctx.sendToDst(Array(ctx.srcAttr)) },
+        _ ++ _)
+      ests.cache()
+      val prev = cur
+      val next = prev.outerJoinVertices(ests)((_, own, arr) =>
+        arr.map(a => math.min(own, hIndex(own, a))).getOrElse(0))
+      next.cache()
+      changed = prev.vertices.join(next.vertices)
+        .filter { case (_, (a, b)) => a != b }.count()
+      next.edges.count()
+      ests.unpersist(blocking = false)
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+      cur = next
+    }
+    System.err.println(s"[graft-kcore] converged in $it rounds")
+    cur
+  }
+
+  /** (vid, core) rows for the whole vertex set (materialized before
+   * the iteration surfaces are released — see bfsHopsDF). */
+  def corenessDF[V: scala.reflect.ClassTag](g: Graph[V, Int], maxIter: Int = 50): DataFrame = {
+    val c = coreness(g, maxIter)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.createDataFrame(c.vertices.map { case (id, k) => (id, k.toLong) })
+      .toDF("vid", "core").cache()
+    df.count()
+    c.unpersistVertices(blocking = false)
+    c.edges.unpersist(blocking = false)
     df
   }
 
@@ -60,11 +141,13 @@ object GraphAlgs {
    * link-prediction / tie-strength feature.
    *
    * Relational plan: one shuffle to build sorted adjacency arrays,
-   * then two vertex-table joins feeding a codegen'd
-   * `array_intersect` — no per-pair shuffle, no triangle-join
-   * explosion; adjacency arrays are degree-bounded so the row width
-   * is bounded by max degree (skewed hubs are the known caveat, the
-   * same one every adjacency-list algorithm carries).
+   * then two vertex-table joins feeding the native codegen'd
+   * `intersect_count` merge scan (zero allocation per row, vs
+   * array_intersect's hash set + output array) — no per-pair
+   * shuffle, no triangle-join explosion; adjacency arrays are
+   * degree-bounded so the row width is bounded by max degree (skewed
+   * hubs are the known caveat, the same one every adjacency-list
+   * algorithm carries).
    *
    * `canonical` is the (src < dst, distinct) edge set; `symmetrized`
    * its doubled form (both produced by EdgeOps).
@@ -72,7 +155,8 @@ object GraphAlgs {
   def neighborJaccard(canonical: DataFrame, symmetrized: DataFrame): DataFrame = {
     val adj = symmetrized.groupBy(col("src").as("vid"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val common = size(array_intersect(col("na.nbrs"), col("nb.nbrs")))
+    val common = org.apache.spark.sql.graft.GraftExpressions
+      .intersectCount(col("na.nbrs"), col("nb.nbrs"))
     canonical
       .join(adj.as("na"), col("src") === col("na.vid"))
       .join(adj.as("nb"), col("dst") === col("nb.vid"))

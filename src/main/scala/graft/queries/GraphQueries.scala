@@ -138,9 +138,14 @@ object GraphQueries {
     val rows = pr.vertices.map { case (id, r) =>
       (id, math.floor(r * 1e6 + 0.5) / 1e6)
     }
+    // materialize BEFORE unpersisting: the DataFrame is lazy, and
+    // releasing the PageRank surfaces first would force a full
+    // 10-iteration recompute when the result is evaluated
+    val df = spark.createDataFrame(rows).toDF("vid", "rank").cache()
+    df.count()
     pr.unpersistVertices(blocking = false)
     pr.edges.unpersist(blocking = false)
-    spark.createDataFrame(rows).toDF("vid", "rank").orderBy("vid")
+    df.orderBy("vid")
   }
 
   /** G8+G9 (rows-only): incremental IDWCC over the co-purchase graph
@@ -156,6 +161,12 @@ object GraphQueries {
     graft.graph.GraphAlgs.bfsHopsDF(graph(spark, sfDir), source)
       .orderBy("vid")
   }
+
+  /** K-core decomposition via distributed H-index propagation
+   * (rows-only: an iterative fixpoint the oracle cannot express;
+   * exact coreness is pinned by unit tests on hand-built graphs). */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.corenessDF(graph(spark, sfDir)).orderBy("vid")
 
   /** Per-edge neighborhood Jaccard (link-prediction feature) over
    * the canonical co-purchase edges. */
@@ -273,6 +284,7 @@ object GraphQueries {
     "g_pagerank" -> pagerank _,
     "g_csv_roundtrip" -> csvRoundtrip _,
     "g_bfs_hops" -> bfsHops _,
-    "g_neighbor_jaccard" -> neighborJaccard _
+    "g_neighbor_jaccard" -> neighborJaccard _,
+    "g_kcore" -> kcore _
   )
 }

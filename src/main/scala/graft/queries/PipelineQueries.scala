@@ -76,8 +76,37 @@ object PipelineQueries {
     stats.join(survivors, Seq("doc_id"), "left_semi").orderBy("doc_id")
   }
 
+  /** The capstone end-to-end corpus-selection decision table: one row
+   * per document with every pipeline signal (near-dup cluster keep,
+   * exact-dedup keep, language agreement, quality score) and the
+   * final composed `selected` verdict — the join shape of a real
+   * pretraining data-selection job, with each input stage an
+   * independently oracle-checked operator. */
+  def corpusSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val ds = docs(spark, sfDir)
+    val keepCl = Dedup.keepDecisions(ds, Dedup.clusters(lshPairs(spark, sfDir)))
+      .select(col("doc_id"), col("keep").as("cluster_keep"))
+    val quality = TextOps.textStats(ds).select(col("doc_id"), col("quality"))
+    val langOk = TextOps.langId(ds).select(col("doc_id"),
+      (col("predicted") === col("labeled")).as("lang_ok"))
+    val exactKeep = Dedup.exact(ds)
+      .select(col("keep_id").as("doc_id"), lit(true).as("exact_keep"))
+    ds.select("doc_id")
+      .join(keepCl, "doc_id")
+      .join(quality, "doc_id")
+      .join(langOk, "doc_id")
+      .join(exactKeep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_keep"),
+        coalesce(col("exact_keep"), lit(false)).as("exact_keep"),
+        col("lang_ok"), col("quality"),
+        (col("cluster_keep") && coalesce(col("exact_keep"), lit(false)) &&
+          col("lang_ok") && col("quality") >= 0.5).as("selected"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_corpus_clean" -> corpusClean _,
+    "p_corpus_select" -> corpusSelect _,
     "p_text_stats" -> ((s, d) => TextOps.textStats(docs(s, d)).orderBy("doc_id")),
     "p_token_counts" -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy("doc_id")),
     "p_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id")),
@@ -350,6 +379,42 @@ object PipelineQueries {
          |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
          |  coalesce(cl.cluster_id, d.doc_id) = d.doc_id AS keep
          |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id""".stripMargin,
+    // every signal reuses its stand-alone oracle formulation; the
+    // final verdict is their boolean composition
+    "p_corpus_select" ->
+      s"""$ClusterCte,
+         |q AS (SELECT doc_id,
+         |  floor((0.4 * least(len(w)::DOUBLE / 50.0, 1.0)
+         |    + 0.4 * least((len(list_filter(w, t -> list_contains($Stop, t)))::DOUBLE / len(w)) * 5.0, 1.0)
+         |    + 0.2 * (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) > 0.1
+         |        THEN 0.0 ELSE 1.0 - (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)) * 10.0 END))
+         |    * 1e6 + 0.5) / 1e6 AS quality
+         |  FROM w),
+         |lw AS (SELECT doc_id, lang,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+         |ls AS (SELECT doc_id, lang,
+         |${TextOps.LangProfiles.map { case (l, prof) =>
+             val arr = prof.map(p => s"'$p'").mkString("[", ", ", "]")
+             s"  len(list_filter(w, t -> list_contains($arr, t))) AS s_$l"
+           }.mkString(",\n")}
+         |FROM lw),
+         |lok AS (SELECT doc_id,
+         |  (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |        WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = lang AS lang_ok
+         |  FROM ls),
+         |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT d.doc_id,
+         |  coalesce(cl.cluster_id, d.doc_id) = d.doc_id AS cluster_keep,
+         |  d.doc_id IN (SELECT doc_id FROM ek) AS exact_keep,
+         |  lok.lang_ok, q.quality,
+         |  (coalesce(cl.cluster_id, d.doc_id) = d.doc_id
+         |    AND d.doc_id IN (SELECT doc_id FROM ek)
+         |    AND lok.lang_ok AND q.quality >= 0.5) AS selected
+         |FROM documents d
+         |LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |JOIN q ON q.doc_id = d.doc_id
+         |JOIN lok ON lok.doc_id = d.doc_id""".stripMargin,
     "p_tfidf_top_terms" ->
       """WITH w AS (SELECT doc_id,
         |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

@@ -17,7 +17,7 @@ class EntrySpec extends SparkSpec {
     // sketch estimates — everything else MUST carry a DuckDB oracle.
     val rowsOnly = Set(
       "g_wcc_partition", "g_wcc_initial_partition", "g_wcc_incremental",
-      "g_pagerank", "p_ann_ivf_kmeans",
+      "g_pagerank", "g_kcore", "p_ann_ivf_kmeans",
       "r_approx_distinct", "r_approx_quantiles")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual === rowsOnly,

@@ -32,6 +32,29 @@ class GraftExtensionsSpec extends SparkSpec {
     both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("intersect_count matches array_intersect size on sorted distinct arrays") {
+    GraftExpressions.registerSql(spark)
+    assert(spark.sql(
+      "SELECT intersect_count(array(1L,3L,5L,9L), array(2L,3L,5L,10L)) AS c")
+      .head().getInt(0) === 2)
+    assert(spark.sql(
+      "SELECT intersect_count(array(1L,2L), array(3L,4L)) AS c")
+      .head().getInt(0) === 0)
+    // randomized parity vs the built-in on sorted distinct inputs
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 100).map { _ =>
+      (Seq.fill(20)(rnd.nextInt(40).toLong).distinct.sorted,
+        Seq.fill(20)(rnd.nextInt(40).toLong).distinct.sorted)
+    }
+    rows.toDF("a", "b")
+      .select(GraftExpressions.intersectCount(col("a"), col("b")).as("nat"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+      .foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("GraftExtensions injects without error") {
     // the builder-time path: injection must register cleanly
     val ext = new org.apache.spark.sql.SparkSessionExtensions

@@ -71,6 +71,29 @@ class Round3OpsSpec extends SparkSpec {
     assert(capped(3L) === 2L && capped(4L) === Long.MaxValue)
   }
 
+  test("coreness matches hand-computed k-cores") {
+    // 4-clique {1,2,3,4} (core 3) + triangle tail {4,5,6} (core 2)
+    // + pendant 7 off vertex 1 (core 1)
+    val edges = spark.sparkContext.parallelize(Seq(
+      Edge(1L, 2L, 1), Edge(1L, 3L, 1), Edge(1L, 4L, 1),
+      Edge(2L, 3L, 1), Edge(2L, 4L, 1), Edge(3L, 4L, 1),
+      Edge(4L, 5L, 1), Edge(4L, 6L, 1), Edge(5L, 6L, 1),
+      Edge(1L, 7L, 1)))
+    val g = Graph.fromEdges(edges, 0)
+    val core = GraphAlgs.coreness(g).vertices.collect().toMap
+    assert(core === Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3,
+      5L -> 2, 6L -> 2, 7L -> 1))
+  }
+
+  test("coreness of a path is all ones and of a cycle all twos") {
+    val path = Graph.fromEdges(spark.sparkContext.parallelize(
+      Seq(Edge(1L, 2L, 1), Edge(2L, 3L, 1), Edge(3L, 4L, 1))), 0)
+    assert(GraphAlgs.coreness(path).vertices.collect().forall(_._2 == 1))
+    val cycle = Graph.fromEdges(spark.sparkContext.parallelize(
+      Seq(Edge(1L, 2L, 1), Edge(2L, 3L, 1), Edge(3L, 4L, 1), Edge(1L, 4L, 1))), 0)
+    assert(GraphAlgs.coreness(cycle).vertices.collect().forall(_._2 == 2))
+  }
+
   test("neighborJaccard on a triangle plus pendant") {
     // triangle 1-2-3 plus pendant 3-4
     val canon = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
