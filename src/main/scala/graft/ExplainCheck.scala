@@ -35,6 +35,14 @@ object ExplainCheck {
     assert(ann.toLowerCase.contains("dotproduct"), "native dot product absent")
     assert(ann.contains("BroadcastNestedLoopJoin"), "query side not broadcast")
     assert(ann.contains("WindowGroupLimit"), "top-k not pushed below the shuffle")
+    val nj = plan("g_neighbor_jaccard")
+    assert(nj.toLowerCase.contains("sortedintersectcount"),
+      "native merge-scan intersection absent")
+    assert(!nj.contains("CartesianProduct"), "jaccard plan degenerated to cross product")
+    val nf = plan("p_ngram_freq")
+    assert(nf.contains("WindowGroupLimit"), "ngram top-k not pushed below the shuffle")
+    val gf = plan("r_gap_fill")
+    assert(gf.contains("BroadcastHashJoin"), "gap-fill grid join not broadcast")
     println("ALL PLAN CHECKS PASSED")
     spark.stop()
   }
