@@ -160,6 +160,33 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
+  /** Recall@k diagnostic for the approximate ANN paths: per query,
+   * how many of the brute-force top-k the LSH-bucket and IVF-cell
+   * searches recover. Neighbor-id sets compare via the native
+   * merge-scan `intersect_count` over sorted arrays; recalls are
+   * exact k-ths so every value is bit-deterministic. */
+  def annRecall(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.intersectCount
+    def tops(df: DataFrame, name: String) =
+      df.groupBy("query_id")
+        .agg(sort_array(collect_list(col("neighbor_id"))).as(name))
+    val bf = tops(bruteForceTopK(embeddings, k), "bf")
+    val lsh = tops(lshTopK(embeddings, k), "lsh")
+    val ivf = tops(ivfTopK(embeddings, k), "ivf")
+    val empty = array().cast("array<long>")
+    bf.join(lsh, Seq("query_id"), "left").join(ivf, Seq("query_id"), "left")
+      .select(col("query_id"),
+        size(col("bf")).cast("long").as("n_truth"),
+        intersectCount(col("bf"), coalesce(col("lsh"), empty))
+          .cast("long").as("hit_lsh"),
+        intersectCount(col("bf"), coalesce(col("ivf"), empty))
+          .cast("long").as("hit_ivf"),
+        (intersectCount(col("bf"), coalesce(col("lsh"), empty))
+          .cast("double") / size(col("bf"))).as("recall_lsh"),
+        (intersectCount(col("bf"), coalesce(col("ivf"), empty))
+          .cast("double") / size(col("bf"))).as("recall_ivf"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold
    * (all-pairs here; at scale the LSH bucket join replaces the cross
    * join — same predicate, sub-quadratic candidates). */

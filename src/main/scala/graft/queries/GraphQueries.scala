@@ -162,6 +162,26 @@ object GraphQueries {
       .orderBy("vid")
   }
 
+  /** Degree-distribution histogram (the first diagnostic anyone runs
+   * on a new graph). */
+  def degreeDist(spark: SparkSession, sfDir: String): DataFrame =
+    EdgeOps.degrees(EdgeOps.symmetrize(canonEdges(spark, sfDir)))
+      .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+      .orderBy("degree")
+
+  /** Average neighbor degree per vertex (degree-assortativity
+   * signal); own degree = group size of the doubled edge set. */
+  def avgNeighborDegree(spark: SparkSession, sfDir: String): DataFrame = {
+    val sym = EdgeOps.symmetrize(canonEdges(spark, sfDir))
+    val deg = EdgeOps.degrees(sym)
+      .select(col("vid").as("dst"), col("degree").as("nd"))
+    sym.join(deg, "dst")
+      .groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).as("degree"),
+        (floor(avg(col("nd")) * 1e9 + 0.5) / 1e9).as("avg_nbr_degree"))
+      .orderBy("vid")
+  }
+
   /** K-core decomposition via distributed H-index propagation
    * (rows-only: an iterative fixpoint the oracle cannot express;
    * exact coreness is pinned by unit tests on hand-built graphs). */
@@ -247,6 +267,17 @@ object GraphQueries {
          |  SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.vid
          |  WHERE b.d < 30)
          |SELECT vid, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY vid""".stripMargin,
+    "g_degree_dist" ->
+      s"""$EdgeCte,
+         |deg AS (SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src)
+         |SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree""".stripMargin,
+    "g_avg_nbr_degree" ->
+      s"""$EdgeCte,
+         |deg AS (SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src)
+         |SELECT e.src AS vid, count(*) AS degree,
+         |  floor(avg(d2.degree) * 1e9 + 0.5) / 1e9 AS avg_nbr_degree
+         |FROM edges e JOIN deg d2 ON d2.vid = e.dst
+         |GROUP BY e.src""".stripMargin,
     // per-edge common-neighbor counts via the triangle join, LEFT
     // joined back so zero-common edges survive (the Spark side's
     // array_intersect yields 0 for them)
@@ -285,6 +316,8 @@ object GraphQueries {
     "g_csv_roundtrip" -> csvRoundtrip _,
     "g_bfs_hops" -> bfsHops _,
     "g_neighbor_jaccard" -> neighborJaccard _,
-    "g_kcore" -> kcore _
+    "g_kcore" -> kcore _,
+    "g_degree_dist" -> degreeDist _,
+    "g_avg_nbr_degree" -> avgNeighborDegree _
   )
 }

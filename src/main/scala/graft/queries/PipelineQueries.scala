@@ -199,6 +199,8 @@ object PipelineQueries {
         .orderBy("query_id", "rank")),
     "p_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(embs(s, d), NearDupThreshold).orderBy("id_a", "id_b")),
+    "p_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(embs(s, d)).orderBy("query_id")),
     "p_embed_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(embs(s, d)).orderBy("vec_id")),
     "p_media_chunks" -> ((s, d) =>
@@ -588,6 +590,46 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // recall@k of the approximate paths vs brute-force ground truth:
+    // the three searches reuse their stand-alone formulations; the
+    // 1e9-rounded scores and neighbor-id tie-breaks make every top-k
+    // SET identical across engines, so intersection sizes agree
+    "p_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id % 10 = 0),
+         |bscore AS (SELECT query_id, vec_id AS neighbor_id,
+         |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
+         |  FROM q JOIN e ON vec_id <> query_id),
+         |btop AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM bscore) WHERE rank <= 5),
+         |b AS (SELECT vec_id, v, $LshBucketSql AS bucket FROM e),
+         |qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+         |  WHERE vec_id % 10 = 0),
+         |lscore AS (SELECT query_id, vec_id AS neighbor_id,
+         |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
+         |  FROM qb JOIN b USING (bucket) WHERE vec_id <> query_id),
+         |ltop AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM lscore) WHERE rank <= 5),
+         |iscore AS (SELECT query_id, vec_id AS neighbor_id,
+         |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
+         |  FROM q JOIN e USING (label) WHERE vec_id <> query_id),
+         |itop AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM iscore) WHERE rank <= 5),
+         |bl AS (SELECT query_id, list(neighbor_id) AS bf FROM btop GROUP BY query_id),
+         |ll AS (SELECT query_id, list(neighbor_id) AS lsh FROM ltop GROUP BY query_id),
+         |il AS (SELECT query_id, list(neighbor_id) AS ivf FROM itop GROUP BY query_id)
+         |SELECT bl.query_id, len(bf) AS n_truth,
+         |  len(list_intersect(bf, coalesce(lsh, []))) AS hit_lsh,
+         |  len(list_intersect(bf, coalesce(ivf, []))) AS hit_ivf,
+         |  len(list_intersect(bf, coalesce(lsh, [])))::DOUBLE / len(bf) AS recall_lsh,
+         |  len(list_intersect(bf, coalesce(ivf, [])))::DOUBLE / len(bf) AS recall_ivf
+         |FROM bl LEFT JOIN ll USING (query_id) LEFT JOIN il USING (query_id)""".stripMargin,
     "p_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS v
