@@ -227,6 +227,32 @@ object TextOps {
       .select(col("lang"), col("rank"), col("gram"), col("n"))
   }
 
+  /** Sequence packing — the concat-and-chunk layout LLM pretraining
+   * uses: documents are concatenated in doc_id order within each
+   * `shard` (source here) and cut into fixed `budget`-token context
+   * windows; each document reports its token offset and the chunk
+   * range it spans.
+   *
+   * The running offset is a per-shard window cumsum, so shards pack
+   * in parallel — the global-order variant would serialize into one
+   * partition, which is exactly what a 100 TB packing job must not
+   * do (per-shard packing is also what distributed training loaders
+   * actually consume). Integer arithmetic end to end. */
+  def sequencePacking(docs: DataFrame, budget: Int = 2048,
+      shard: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(shard), col("doc_id"), words(col("text")).as("w"))
+      .select(col(shard), col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .withColumn("tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(shard), col("doc_id"), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start div $budget").as("start_chunk"),
+        expr(s"(tok_start + n_tokens - 1) div $budget").as("end_chunk"))
+  }
+
   /** Top-k characteristic terms per document by tf-idf.
    *
    * The idf factor is the BM25-style ratio (N - df + 0.5)/(df + 0.5)

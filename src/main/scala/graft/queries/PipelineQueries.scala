@@ -123,6 +123,8 @@ object PipelineQueries {
       TextOps.tfidfTopTerms(docs(s, d)).orderBy("doc_id", "rank")),
     "p_context_chunks" -> ((s, d) =>
       TextOps.contextChunks(docs(s, d)).orderBy("doc_id", "chunk_idx")),
+    "p_seq_packing" -> ((s, d) =>
+      TextOps.sequencePacking(docs(s, d)).orderBy("source", "doc_id")),
     "p_token_familiarity" -> ((s, d) =>
       TextOps.tokenFamiliarity(docs(s, d)).orderBy("doc_id")),
     "p_source_stats" -> ((s, d) =>
@@ -440,6 +442,17 @@ object PipelineQueries {
          |  CAST(start AS BIGINT) AS start,
          |  CAST(least(128, n - start) AS BIGINT) AS n_tokens
          |FROM c""".stripMargin,
+    "p_seq_packing" ->
+      """WITH n AS (SELECT source, doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+        |  FROM n)
+        |SELECT source, doc_id, n_tokens, tok_start,
+        |  tok_start // 2048 AS start_chunk,
+        |  (tok_start + n_tokens - 1) // 2048 AS end_chunk
+        |FROM c""".stripMargin,
     "p_token_familiarity" ->
       """WITH w AS (SELECT doc_id,
         |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

@@ -129,7 +129,38 @@ object SqlSurfaceQueries {
         |ORDER BY s.s_nationkey""".stripMargin)
   }
 
+  /** Star-schema join: the fact table against three broadcast
+   * dimensions in one chain — the shape Catalyst's join reordering
+   * and broadcast planning exist for. At 100 TB the fact side
+   * streams map-side through all three broadcast hash joins with
+   * zero fact shuffles before the final aggregation. */
+  def starJoin(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .join(broadcast(t(spark, sfDir, "part")), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(t(spark, sfDir, "supplier")), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(t(spark, sfDir, "nation")), col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name", "p_brand")
+
+  /** Conditional aggregation surface: FILTER clauses, bool_and /
+   * bool_or, count_if — one scan, all branches partial-aggregated. */
+  def conditionalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    events(spark, sfDir).createOrReplaceTempView("graft_events_ca")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  count_if(value > 100) AS n_big,
+        |  bool_and(value > 0) AS all_pos,
+        |  bool_or(value > 400) AS any_huge,
+        |  floor(sum(value) FILTER (WHERE value <= 100) * 1e4 + 0.5) / 1e4 AS sum_small
+        |FROM graft_events_ca
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_star_join" -> starJoin _,
+    "r_conditional_agg" -> conditionalAgg _,
     "r_lambda_funcs" -> lambdaFuncs _,
     "r_gap_fill" -> gapFill _,
     "r_grouping_sets" -> groupingSets _,
@@ -138,6 +169,21 @@ object SqlSurfaceQueries {
     "r_exists_subquery" -> existsSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "r_star_join" ->
+      """SELECT n_name, p_brand, count(*) AS n,
+        |  floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2 AS revenue
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY n_name, p_brand""".stripMargin,
+    "r_conditional_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(*) FILTER (WHERE value > 100) AS n_big,
+        |  bool_and(value > 0) AS all_pos,
+        |  bool_or(value > 400) AS any_huge,
+        |  floor(sum(value) FILTER (WHERE value <= 100) * 1e4 + 0.5) / 1e4 AS sum_small
+        |FROM events GROUP BY event_type""".stripMargin,
     "r_lambda_funcs" ->
       """WITH g AS (SELECT l_orderkey,
         |  list_sort(list(CAST(l_quantity AS INT))) AS qs
