@@ -27,6 +27,7 @@ object SparkEntry {
     RelationalQueries.queries ++ AdvancedQueries.queries ++ GraphQueries.queries ++
       PipelineQueries.queries ++ SqlSurfaceQueries.queries ++ Map(
       "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _),
+      "s_stream_hourly_append" -> (graft.streaming.StreamOps.hourlyEventCountsAppend _),
       "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _),
       "s_stream_dedup" -> (graft.streaming.StreamOps.streamingDedup _),
       "s_stream_enrich" -> (graft.streaming.StreamOps.streamStaticEnrich _),
@@ -38,6 +39,15 @@ object SparkEntry {
       // the streaming query drains the bounded source completely, so
       // its final table equals the batch aggregation
       "s_stream_hourly" -> RelationalQueries.oracles("r_events_hourly"),
+      // append mode emits exactly the windows whose end the final
+      // watermark (max event time - 1h, ms-truncated) has passed
+      "s_stream_hourly_append" ->
+        """WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour, event_type,
+          |  count(*) AS n, floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+          |  FROM events GROUP BY 1, 2),
+          |wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS w FROM events)
+          |SELECT hour, event_type, n, sum_value FROM b, wm
+          |WHERE epoch_us(hour) + 3600000000 <= w""".stripMargin,
       // watermarked keep-first dedup over a drained bounded stream =
       // batch distinct per key
       "s_stream_dedup" ->

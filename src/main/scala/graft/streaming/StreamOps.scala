@@ -229,6 +229,37 @@ object StreamOps {
     spark.table(name).orderBy("purchase_id", "view_id")
   }
 
+  /** Append-mode watermarked tumbling-window aggregation: a window
+   * only emits once the watermark passes its end, so the drained
+   * bounded run emits exactly the windows whose end <= final
+   * watermark (max event time - 1h) — the state-eviction semantics
+   * that keep a windowed aggregation bounded on an unbounded stream,
+   * and a deterministic subset the batch oracle can express. */
+  def hourlyEventCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_hourly_append_${callSeq.incrementAndGet()}"
+    val dir = stagedEventsDir(sfDir)
+    val src = spark.readStream
+      .schema(EventsSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+    val agg = src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally cleanup(dir)
+    spark.table(name).orderBy("hour", "event_type")
+  }
+
   private val EventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
