@@ -65,12 +65,35 @@ object Graft {
     spark.createDataFrame(rows).toDF("vid", "cid")
   }
 
+  // ---- graph analytics beyond the reference ------------------------
+
+  /** BFS hop distances from `source` (bounded Pregel). */
+  def bfsHops(graph: Graph[Int, Int], source: Long, maxHops: Int = 30): DataFrame =
+    graft.graph.GraphAlgs.bfsHopsDF(graph, source, maxHops)
+
+  /** K-core decomposition (distributed H-index propagation). */
+  def kcore(graph: Graph[Int, Int], maxIter: Int = 50): DataFrame =
+    graft.graph.GraphAlgs.corenessDF(graph, maxIter)
+
+  /** Per-edge neighborhood Jaccard (link-prediction feature). */
+  def neighborJaccard(canonicalEdges: DataFrame): DataFrame =
+    graft.graph.GraphAlgs.neighborJaccard(canonicalEdges,
+      EdgeOps.symmetrize(canonicalEdges))
+
   // ---- dedup (north-star extensions) -------------------------------
 
   def dedupExact(docs: DataFrame): DataFrame = Dedup.exact(docs)
   def minhashSignatures(docs: DataFrame): DataFrame = Dedup.minhashSignatures(docs)
   def lshCandidatePairs(docs: DataFrame): DataFrame = Dedup.lshCandidatePairs(docs)
   def simhash(docs: DataFrame): DataFrame = Dedup.simhash(docs)
+
+  /** Sketch-quality diagnostic: minhash Jaccard estimate vs exact
+   * n-gram Jaccard on candidate pairs. */
+  def minhashEstimate(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.lshCandidatePairs(docs)
+    Dedup.minhashEstimate(Dedup.minhashSignatures(docs),
+      Dedup.ngramJaccard(docs, pairs))
+  }
 
   /** Full near-dup clustering: MinHash -> LSH banding -> candidate
    * pairs -> connected components; (doc_id, cluster_id). */
@@ -86,6 +109,10 @@ object Graft {
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
     Similarity.nearDupPairs(embeddings, threshold)
 
+  /** Recall@k of the LSH / IVF paths against brute-force truth. */
+  def annRecall(embeddings: DataFrame, k: Int = 5): DataFrame =
+    Similarity.annRecall(embeddings, k)
+
   // ---- text / multimodal -------------------------------------------
 
   def textStats(docs: DataFrame): DataFrame = TextOps.textStats(docs)
@@ -97,6 +124,14 @@ object Graft {
   def tokenFamiliarity(docs: DataFrame): DataFrame = TextOps.tokenFamiliarity(docs)
   def contextChunks(docs: DataFrame, win: Int = 128, step: Int = 64): DataFrame =
     TextOps.contextChunks(docs, win, step)
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame =
+    TextOps.redactPii(df, textCol)
+  def repetitionSignals(docs: DataFrame): DataFrame = TextOps.repetition(docs)
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 10): DataFrame =
+    TextOps.topNgrams(docs, n, k)
+  def sequencePacking(docs: DataFrame, budget: Int = 2048,
+      shard: String = "source"): DataFrame =
+    TextOps.sequencePacking(docs, budget, shard)
   def quantizeInt8(embeddings: DataFrame): DataFrame =
     Similarity.quantizeInt8(embeddings)
   def mediaChunks(media: DataFrame): DataFrame = Multimodal.chunks(media)
@@ -114,8 +149,8 @@ object Graft {
       band: Long): DataFrame =
     Joins.bandedSelfPairs(df, key, id, time, band)
 
-  /** Register the library's native SQL functions (dot_product) on an
-   * existing session. */
+  /** Register the library's native SQL functions (dot_product,
+   * hamming, intersect_count) on an existing session. */
   def registerSql(spark: SparkSession): Unit =
     org.apache.spark.sql.graft.GraftExpressions.registerSql(spark)
 }
