@@ -173,6 +173,32 @@ object AdvancedQueries {
       .orderBy("event_type")
   }
 
+  /** Quoted/escaped CSV sink + source round trip over a table with
+   * free-text names: exercises the
+   * quote/escape option surface of the CSV connector rather than the
+   * bare space-delimited edge format. */
+  def csvQuotedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = math.abs(sfDir.hashCode).toString
+    val dir = s"/tmp/graft_customer_csv_$tag"
+    stageOnce(spark, dir) {
+      t(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .csv(dir)
+    }
+    spark.read
+      .schema("c_custkey LONG, c_name STRING, c_mktsegment STRING, c_acctbal DOUBLE")
+      .option("header", "true")
+      .csv(dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        rnd(sum(col("c_acctbal")), 2).as("sum_bal"),
+        sum(length(col("c_name"))).as("name_chars"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Schema-full JSON parsing (JsonToStructs, the codegen'd
    * counterpart of get_json_object): parse once into a struct, then
    * project fields. */
@@ -408,6 +434,7 @@ object AdvancedQueries {
     "r_partition_pruning" -> partitionPruning _,
     "r_json_struct" -> jsonStruct _,
     "r_json_roundtrip" -> jsonRoundtrip _,
+    "r_csv_quoted_roundtrip" -> csvQuotedRoundtrip _,
     "r_array_funcs" -> arrayFuncs _,
     "r_rank_funcs" -> rankFuncs _,
     "r_intersect_except" -> intersectExcept _,
@@ -487,6 +514,13 @@ object AdvancedQueries {
         |  floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value,
         |  max(epoch_us(ts)) AS max_us
         |FROM events GROUP BY event_type""".stripMargin,
+    // the quoted-CSV round trip is lossless, so the oracle
+    // aggregates the original table directly
+    "r_csv_quoted_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  floor(sum(c_acctbal) * 1e2 + 0.5) / 1e2 AS sum_bal,
+        |  sum(length(c_name)) AS name_chars
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "r_rank_funcs" ->
       """SELECT o_orderkey, o_orderpriority, rnk, drnk, prnk, quartile FROM (
         |  SELECT o_orderkey, o_orderpriority,
