@@ -28,6 +28,8 @@ object SparkEntry {
       PipelineQueries.queries ++ SqlSurfaceQueries.queries ++ Map(
       "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _),
       "s_stream_hourly_append" -> (graft.streaming.StreamOps.hourlyEventCountsAppend _),
+      "s_stream_multibatch_topk" -> ((s: SparkSession, d: String) =>
+        graft.streaming.StreamOps.multiBatchTopUsers(s, d)),
       "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _),
       "s_stream_dedup" -> (graft.streaming.StreamOps.streamingDedup _),
       "s_stream_enrich" -> (graft.streaming.StreamOps.streamStaticEnrich _),
@@ -53,6 +55,13 @@ object SparkEntry {
       "s_stream_dedup" ->
         """SELECT event_type, count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY event_type""".stripMargin,
+      // count/max fold across forced micro-batches = the batch
+      // aggregate (both folds are batching-insensitive)
+      "s_stream_multibatch_topk" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  floor(max(value) * 1e4 + 0.5) / 1e4 AS max_value
+          |FROM events GROUP BY user_id
+          |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
       // drained watermarked stream-stream join = the batch range join
       "s_stream_join" ->
         """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,

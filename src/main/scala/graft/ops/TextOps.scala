@@ -227,6 +227,32 @@ object TextOps {
       .select(col("lang"), col("rank"), col("gram"), col("n"))
   }
 
+  /** Vocabulary coverage curve: the top-k corpus terms by frequency
+   * with each term's cumulative share of all token occurrences — the
+   * "how much of the corpus does a k-word vocabulary cover"
+   * diagnostic behind tokenizer/vocab sizing. The global ordering
+   * window runs over the VOCABULARY (distinct terms), which is
+   * orders of magnitude smaller than the corpus — the token-level
+   * work is a plain distributed groupBy. */
+  def vocabCoverage(docs: DataFrame, k: Int = 100): DataFrame = {
+    val toks = docs
+      .select(explode(words(lower(col("text")))).as("term"))
+      .where(col("term") =!= "")
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("n"))
+    val total = toks.count().toDouble
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("term"), col("n"),
+        rnd(col("cum_n") / total, 9).as("coverage"))
+  }
+
   /** Sequence packing — the concat-and-chunk layout LLM pretraining
    * uses: documents are concatenated in doc_id order within each
    * `shard` (source here) and cut into fixed `budget`-token context

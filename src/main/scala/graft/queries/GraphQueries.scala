@@ -162,6 +162,33 @@ object GraphQueries {
       .orderBy("vid")
   }
 
+  /** Newman modularity of the synthetic partition (cid = vid % 100):
+   * Q = Σ_c (a_c/m − (d_c/2m)²) with m = undirected edge count,
+   * a_c = intra-community edges, d_c = total degree of community c.
+   * All inputs are integer counts, so the rounded double matches the
+   * oracle bit-for-bit. One triplet-shaped join + two tiny
+   * aggregations — the standard partition-quality metric computed
+   * relationally. */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = canonEdges(spark, sfDir)
+    val m = raw.count().toDouble
+    val assign = EdgeOps.symmetrize(raw)
+      .groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
+      .withColumn("cid", col("vid") % SyntheticModulus)
+    val dC = assign.groupBy("cid").agg(sum("deg").as("d_c"))
+    val aC = raw
+      .withColumn("sc", col("src") % SyntheticModulus)
+      .withColumn("dc", col("dst") % SyntheticModulus)
+      .where(col("sc") === col("dc"))
+      .groupBy(col("sc").as("cid")).agg(count(lit(1)).as("a_c"))
+    dC.join(aC, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("a_c"), lit(0L)).as("a_c"), col("d_c"),
+        (floor((coalesce(col("a_c"), lit(0L)) / m -
+          (col("d_c") / (2 * m)) * (col("d_c") / (2 * m))) * 1e9 + 0.5) / 1e9)
+          .as("q_c"))
+      .orderBy("cid")
+  }
+
   /** Degree-distribution histogram (the first diagnostic anyone runs
    * on a new graph). */
   def degreeDist(spark: SparkSession, sfDir: String): DataFrame =
@@ -267,6 +294,19 @@ object GraphQueries {
          |  SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.vid
          |  WHERE b.d < 30)
          |SELECT vid, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY vid""".stripMargin,
+    "g_modularity" ->
+      s"""$EdgeCte $AssignCte,
+         |m AS (SELECT count(*)::DOUBLE AS m FROM raw),
+         |deg AS (SELECT src AS vid, count(*) AS deg FROM edges GROUP BY src),
+         |dc AS (SELECT a.cid, sum(d.deg) AS d_c
+         |  FROM assign a JOIN deg d ON d.vid = a.vid GROUP BY a.cid),
+         |ac AS (SELECT src % $SyntheticModulus AS cid, count(*) AS a_c
+         |  FROM raw WHERE src % $SyntheticModulus = dst % $SyntheticModulus
+         |  GROUP BY 1)
+         |SELECT dc.cid, coalesce(ac.a_c, 0) AS a_c, dc.d_c,
+         |  floor((coalesce(ac.a_c, 0) / m.m
+         |    - (dc.d_c / (2 * m.m)) * (dc.d_c / (2 * m.m))) * 1e9 + 0.5) / 1e9 AS q_c
+         |FROM dc LEFT JOIN ac ON ac.cid = dc.cid, m""".stripMargin,
     "g_degree_dist" ->
       s"""$EdgeCte,
          |deg AS (SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src)
@@ -318,6 +358,7 @@ object GraphQueries {
     "g_neighbor_jaccard" -> neighborJaccard _,
     "g_kcore" -> kcore _,
     "g_degree_dist" -> degreeDist _,
-    "g_avg_nbr_degree" -> avgNeighborDegree _
+    "g_avg_nbr_degree" -> avgNeighborDegree _,
+    "g_modularity" -> modularity _
   )
 }

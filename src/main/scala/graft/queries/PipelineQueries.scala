@@ -125,6 +125,8 @@ object PipelineQueries {
       TextOps.contextChunks(docs(s, d)).orderBy("doc_id", "chunk_idx")),
     "p_seq_packing" -> ((s, d) =>
       TextOps.sequencePacking(docs(s, d)).orderBy("source", "doc_id")),
+    "p_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(docs(s, d)).orderBy("rank")),
     "p_token_familiarity" -> ((s, d) =>
       TextOps.tokenFamiliarity(docs(s, d)).orderBy("doc_id")),
     "p_source_stats" -> ((s, d) =>
@@ -442,6 +444,19 @@ object PipelineQueries {
          |  CAST(start AS BIGINT) AS start,
          |  CAST(least(128, n - start) AS BIGINT) AS n_tokens
          |FROM c""".stripMargin,
+    "p_vocab_coverage" ->
+      """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |tok AS (SELECT t AS term FROM w, unnest(w) u(t) WHERE t <> ''),
+        |c AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+        |tot AS (SELECT count(*)::DOUBLE AS total FROM tok),
+        |r AS (SELECT term, n,
+        |  row_number() OVER (ORDER BY n DESC, term) AS rank,
+        |  sum(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING) AS cum_n
+        |  FROM c)
+        |SELECT rank, term, n,
+        |  floor((cum_n / total) * 1e9 + 0.5) / 1e9 AS coverage
+        |FROM r, tot WHERE rank <= 100""".stripMargin,
     "p_seq_packing" ->
       """WITH n AS (SELECT source, doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),

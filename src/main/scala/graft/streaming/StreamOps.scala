@@ -229,6 +229,61 @@ object StreamOps {
     spark.table(name).orderBy("purchase_id", "view_id")
   }
 
+  /** GENUINELY multi-batch foreachBatch fold: the events table is
+   * re-laid-out as four parquet files and streamed with
+   * maxFilesPerTrigger=1, so the query drains in four micro-batches
+   * whose per-user partial aggregates are merged into running state
+   * across batches — the upsert-sink shape (in production the merge
+   * target is a state/Delta table; here an in-memory map stands in,
+   * bounded by the user-id cardinality, NOT by the stream length).
+   * Only count and max fold across batches — both are order- and
+   * batching-insensitive, so the result equals the batch aggregate
+   * no matter how the files split. Returns the top-k users by
+   * (event count, user_id). */
+  def multiBatchTopUsers(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val tag = callSeq.incrementAndGet()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-mb$tag")
+    spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir.toString)
+    val state = scala.collection.mutable.HashMap.empty[Long, (Long, Double)]
+    var batches = 0
+    val q = spark.readStream.schema(EventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        // distributed per-batch partial aggregate; only the per-user
+        // summary rows (user-cardinality-sized) reach the driver merge
+        batch.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+          .collect()
+          .foreach { r =>
+            val (n0, m0) = state.getOrElse(r.getLong(0), (0L, Double.MinValue))
+            state(r.getLong(0)) = (n0 + r.getLong(1), math.max(m0, r.getDouble(2)))
+          }
+      }
+      .start()
+    try q.awaitTermination()
+    finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: java.io.IOException => () }
+    }
+    System.err.println(s"[graft-stream] multiBatchTopUsers drained $batches batches")
+    val top = state.toSeq
+      .map { case (u, (n, mx)) => (u, n, math.floor(mx * 1e4 + 0.5) / 1e4) }
+      .sortBy { case (u, n, _) => (-n, u) }
+      .take(k)
+    spark.createDataFrame(top).toDF("user_id", "n_events", "max_value")
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
   /** Append-mode watermarked tumbling-window aggregation: a window
    * only emits once the watermark passes its end, so the drained
    * bounded run emits exactly the windows whose end <= final
