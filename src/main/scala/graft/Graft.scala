@@ -132,6 +132,8 @@ object Graft {
   def sequencePacking(docs: DataFrame, budget: Int = 2048,
       shard: String = "source"): DataFrame =
     TextOps.sequencePacking(docs, budget, shard)
+  def vocabCoverage(docs: DataFrame, k: Int = 100): DataFrame =
+    TextOps.vocabCoverage(docs, k)
   def quantizeInt8(embeddings: DataFrame): DataFrame =
     Similarity.quantizeInt8(embeddings)
   def mediaChunks(media: DataFrame): DataFrame = Multimodal.chunks(media)

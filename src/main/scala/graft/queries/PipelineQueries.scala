@@ -127,6 +127,20 @@ object PipelineQueries {
       TextOps.sequencePacking(docs(s, d)).orderBy("source", "doc_id")),
     "p_vocab_coverage" -> ((s, d) =>
       TextOps.vocabCoverage(docs(s, d)).orderBy("rank")),
+    // cross-source near-duplicate contamination matrix: which source
+    // pairs share near-dup documents (the leakage diagnostic run
+    // before mixing corpora); source pair canonicalized so the
+    // matrix is upper-triangular
+    "p_source_overlap" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      lshPairs(s, d)
+        .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(least(col("sa.source"), col("sb.source")).as("source_x"),
+          greatest(col("sa.source"), col("sb.source")).as("source_y"))
+        .groupBy("source_x", "source_y").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y")
+    }),
     "p_token_familiarity" -> ((s, d) =>
       TextOps.tokenFamiliarity(docs(s, d)).orderBy("doc_id")),
     "p_source_stats" -> ((s, d) =>
@@ -444,6 +458,19 @@ object PipelineQueries {
          |  CAST(start AS BIGINT) AS start,
          |  CAST(least(128, n - start) AS BIGINT) AS n_tokens
          |FROM c""".stripMargin,
+    "p_source_overlap" ->
+      s"""WITH base AS (SELECT 1)$W$Sh3$Hh,
+         |sigs AS (SELECT doc_id, $minhCols FROM hh GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT least(da.source, db.source) AS source_x,
+         |  greatest(da.source, db.source) AS source_y,
+         |  count(*) AS n_pairs
+         |FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+         |        JOIN documents db ON db.doc_id = pr.doc_b
+         |GROUP BY 1, 2""".stripMargin,
     "p_vocab_coverage" ->
       """WITH w AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
         |  FROM documents),

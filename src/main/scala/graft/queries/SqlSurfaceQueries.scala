@@ -158,9 +158,41 @@ object SqlSurfaceQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** FULL OUTER join: high-value events against the customer
+   * dimension — both unmatched sides survive with null-aware
+   * grouping (the reconciliation-report join shape). */
+  def fullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).where(col("value") > 450)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val cust = t(spark, sfDir, "customer")
+      .where(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    ev.join(cust, col("user_id") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("c_custkey")).as("id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("c_mktsegment"), lit("none")).as("segment"),
+        (col("user_id").isNotNull && col("c_custkey").isNotNull).as("matched"))
+      .orderBy("id")
+  }
+
+  /** LATERAL VIEW explode through the SQL surface (the Hive-style
+   * UDTF syntax beside the functional posexplode entry). */
+  def lateralView(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_lv")
+    spark.sql(
+      """SELECT o_orderkey, part, CAST(pos AS BIGINT) AS pos
+        |FROM graft_orders_lv
+        |LATERAL VIEW posexplode(split(o_orderpriority, '-')) t AS pos, part
+        |WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey, pos""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_star_join" -> starJoin _,
     "r_conditional_agg" -> conditionalAgg _,
+    "r_full_outer" -> fullOuter _,
+    "r_lateral_view" -> lateralView _,
     "r_lambda_funcs" -> lambdaFuncs _,
     "r_gap_fill" -> gapFill _,
     "r_grouping_sets" -> groupingSets _,
@@ -177,6 +209,21 @@ object SqlSurfaceQueries {
         |JOIN supplier ON s_suppkey = l_suppkey
         |JOIN nation ON n_nationkey = s_nationkey
         |GROUP BY n_name, p_brand""".stripMargin,
+    "r_full_outer" ->
+      """WITH ev AS (SELECT user_id, count(*) AS n_events FROM events
+        |  WHERE value > 450 GROUP BY user_id),
+        |cust AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_acctbal > 9000)
+        |SELECT coalesce(user_id, c_custkey) AS id,
+        |  coalesce(n_events, 0) AS n_events,
+        |  coalesce(c_mktsegment, 'none') AS segment,
+        |  (user_id IS NOT NULL AND c_custkey IS NOT NULL) AS matched
+        |FROM ev FULL OUTER JOIN cust ON user_id = c_custkey""".stripMargin,
+    "r_lateral_view" ->
+      """SELECT o_orderkey, parts[i] AS part, CAST(i - 1 AS BIGINT) AS pos
+        |FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts
+        |      FROM orders WHERE o_orderkey % 100 = 0),
+        |  unnest(generate_series(1, len(parts))) t(i)""".stripMargin,
     "r_conditional_agg" ->
       """SELECT event_type, count(*) AS n,
         |  count(*) FILTER (WHERE value > 100) AS n_big,
