@@ -43,6 +43,10 @@ object ExplainCheck {
     assert(nf.contains("WindowGroupLimit"), "ngram top-k not pushed below the shuffle")
     val gf = plan("r_gap_fill")
     assert(gf.contains("BroadcastHashJoin"), "gap-fill grid join not broadcast")
+    val sj = plan("r_star_join")
+    assert(sj.split("BroadcastHashJoin").length - 1 >= 3,
+      "star join must broadcast all three dimensions")
+    assert(!sj.contains("SortMergeJoin"), "star join must not shuffle the fact side")
     println("ALL PLAN CHECKS PASSED")
     spark.stop()
   }

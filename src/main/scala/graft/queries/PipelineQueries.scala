@@ -127,6 +127,25 @@ object PipelineQueries {
       TextOps.sequencePacking(docs(s, d)).orderBy("source", "doc_id")),
     "p_vocab_coverage" -> ((s, d) =>
       TextOps.vocabCoverage(docs(s, d)).orderBy("rank")),
+    // chunk-level exact dedup: hash each 32-token window (stride 16)
+    // and find windows appearing in more than one place — the dedup
+    // pass run AFTER chunking, before packing (catches the shared
+    // boilerplate spans that document-level dedup misses)
+    "p_chunk_dedup" -> ((s, d) => {
+      val chunks = docs(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .withColumn("n", size(col("w"))).where(col("n") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n") - 1, lit(16))).as("start"),
+          col("w"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(32))))
+            .as("chunk_hash"))
+      chunks.groupBy("chunk_hash")
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("first_doc"))
+        .where(col("n_copies") > 1)
+        .orderBy("chunk_hash")
+    }),
     // cross-source near-duplicate contamination matrix: which source
     // pairs share near-dup documents (the leakage diagnostic run
     // before mixing corpora); source pair canonicalized so the
@@ -458,6 +477,15 @@ object PipelineQueries {
          |  CAST(start AS BIGINT) AS start,
          |  CAST(least(128, n - start) AS BIGINT) AS n_tokens
          |FROM c""".stripMargin,
+    "p_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |  md5(array_to_string(w[i + 1 : i + 32], ' ')) AS chunk_hash
+        |  FROM w, unnest(generate_series(0, len(w) - 1, 16)) t(i)
+        |  WHERE len(w) > 0)
+        |SELECT chunk_hash, count(*) AS n_copies, min(doc_id) AS first_doc
+        |FROM c GROUP BY chunk_hash HAVING count(*) > 1""".stripMargin,
     "p_source_overlap" ->
       s"""WITH base AS (SELECT 1)$W$Sh3$Hh,
          |sigs AS (SELECT doc_id, $minhCols FROM hh GROUP BY doc_id),

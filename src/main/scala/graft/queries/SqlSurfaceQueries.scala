@@ -188,7 +188,29 @@ object SqlSurfaceQueries {
         |ORDER BY o_orderkey, pos""".stripMargin)
   }
 
+  /** Time-weighted average value per user: each event's value is
+   * held until the next event (step function); the average weights
+   * each value by its holding interval — the standard
+   * irregular-series metric (billing, utilization). Window lead
+   * gives the interval end; integer microsecond weights keep the
+   * arithmetic deterministic under the shared rounding. */
+  def timeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val withNext = events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .where(col("next_us").isNotNull)
+    withNext
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        rnd(sum(col("value") * (col("next_us") - col("us"))) /
+          sum(col("next_us") - col("us")), 6).as("tw_avg"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_time_weighted_avg" -> timeWeightedAvg _,
     "r_star_join" -> starJoin _,
     "r_conditional_agg" -> conditionalAgg _,
     "r_full_outer" -> fullOuter _,
@@ -201,6 +223,13 @@ object SqlSurfaceQueries {
     "r_exists_subquery" -> existsSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "r_time_weighted_avg" ->
+      """WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS us, value,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  floor((sum(value * (next_us - us)) / sum(next_us - us)) * 1e6 + 0.5) / 1e6 AS tw_avg
+        |FROM x WHERE next_us IS NOT NULL GROUP BY user_id""".stripMargin,
     "r_star_join" ->
       """SELECT n_name, p_brand, count(*) AS n,
         |  floor(sum(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5) / 1e2 AS revenue
