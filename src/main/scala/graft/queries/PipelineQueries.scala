@@ -110,6 +110,13 @@ object PipelineQueries {
     "p_text_stats" -> ((s, d) => TextOps.textStats(docs(s, d)).orderBy("doc_id")),
     "p_token_counts" -> ((s, d) => TextOps.tokenCounts(docs(s, d)).orderBy("doc_id")),
     "p_lang_id" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id")),
+    // classifier-quality confusion matrix of the language-ID
+    // heuristic against the labeled language
+    "p_lang_confusion" -> ((s, d) =>
+      TextOps.langId(docs(s, d))
+        .groupBy(col("labeled"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("labeled", "predicted")),
     "p_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d)).orderBy("doc_id")),
     "p_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("h")),
     "p_minhash_sigs" -> ((s, d) => minhashSigs(s, d).orderBy("doc_id")),
@@ -384,6 +391,21 @@ object PipelineQueries {
          |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
          |  lang AS labeled
          |FROM s""".stripMargin,
+    "p_lang_confusion" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |${TextOps.LangProfiles.map { case (l, prof) =>
+             val arr = prof.map(p => s"'$p'").mkString("[", ", ", "]")
+             s"  len(list_filter(w, t -> list_contains($arr, t))) AS s_$l"
+           }.mkString(",\n")}
+         |FROM w)
+         |SELECT lang AS labeled,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
+         |  count(*) AS n
+         |FROM s GROUP BY 1, 2""".stripMargin,
     "p_fingerprints" ->
       s"""WITH base AS (SELECT 1)$W,
          |sh AS (SELECT doc_id,

@@ -209,8 +209,37 @@ object SqlSurfaceQueries {
       .orderBy("user_id")
   }
 
+  /** Interval-union sweep line in SQL: each event opens a 30-minute
+   * activity interval; overlapping intervals merge into islands
+   * (running max of interval ends detects gaps, a cumulative gap
+   * count numbers the islands) and the total covered time per user
+   * is the sum of island extents. Integer microsecond arithmetic
+   * throughout — the relational form of the classic sweep-line, one
+   * sort-shuffle per user partition, no self-join. */
+  def intervalUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val span = 1800000000L // 30 min in us
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val base = events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_max_end", max(col("us") + span).over(wPrev))
+      .withColumn("island_start",
+        when(col("prev_max_end").isNull || col("us") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("island_start")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    base.groupBy("user_id", "island")
+      .agg(min(col("us")).as("start_us"), max(col("us") + span).as("end_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("end_us") - col("start_us")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_time_weighted_avg" -> timeWeightedAvg _,
+    "r_interval_union" -> intervalUnion _,
     "r_star_join" -> starJoin _,
     "r_conditional_agg" -> conditionalAgg _,
     "r_full_outer" -> fullOuter _,
@@ -223,6 +252,25 @@ object SqlSurfaceQueries {
     "r_exists_subquery" -> existsSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "r_interval_union" ->
+      """WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |y AS (SELECT user_id, event_id, us,
+        |  max(us + 1800000000) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM x),
+        |z AS (SELECT user_id, event_id, us,
+        |  CASE WHEN prev_max_end IS NULL OR us > prev_max_end THEN 1 ELSE 0 END AS island_start
+        |  FROM y),
+        |isl AS (SELECT user_id, us,
+        |  sum(island_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM z),
+        |g AS (SELECT user_id, island, min(us) AS start_us,
+        |  max(us + 1800000000) AS end_us
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(end_us - start_us) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id""".stripMargin,
     "r_time_weighted_avg" ->
       """WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS us, value,
         |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
