@@ -237,9 +237,29 @@ object SqlSurfaceQueries {
       .orderBy("user_id")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): both
+   * sides derive a nullable bucket key and NULL matches NULL —
+   * the join semantics dirty dimension keys need. Distinct key sets
+   * on both sides keep the null×null fan-out bounded. */
+  def nullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(when(col("user_id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id") % 100).as("k"))
+      .distinct()
+    val cust = t(spark, sfDir, "customer")
+      .select(when(col("c_custkey") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("c_custkey") % 100).as("ck"),
+        col("c_custkey"))
+    ev.join(cust, col("k") <=> col("ck"))
+      .groupBy(coalesce(col("k"), lit(-1L)).as("key"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_time_weighted_avg" -> timeWeightedAvg _,
     "r_interval_union" -> intervalUnion _,
+    "r_nullsafe_join" -> nullSafeJoin _,
     "r_star_join" -> starJoin _,
     "r_conditional_agg" -> conditionalAgg _,
     "r_full_outer" -> fullOuter _,
@@ -252,6 +272,16 @@ object SqlSurfaceQueries {
     "r_exists_subquery" -> existsSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "r_nullsafe_join" ->
+      """WITH ev AS (SELECT DISTINCT
+        |  CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id % 100 END AS k
+        |  FROM events),
+        |cust AS (SELECT
+        |  CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey % 100 END AS ck,
+        |  c_custkey FROM customer)
+        |SELECT coalesce(k, -1) AS key, count(*) AS n_matches
+        |FROM ev JOIN cust ON k IS NOT DISTINCT FROM ck
+        |GROUP BY 1""".stripMargin,
     "r_interval_union" ->
       """WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
         |y AS (SELECT user_id, event_id, us,
