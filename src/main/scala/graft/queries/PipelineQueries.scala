@@ -245,6 +245,17 @@ object PipelineQueries {
       Similarity.nearDupPairs(embs(s, d), NearDupThreshold).orderBy("id_a", "id_b")),
     "p_ann_recall" -> ((s, d) =>
       Similarity.annRecall(embs(s, d)).orderBy("query_id")),
+    // per-label centroid components (the IVF cell-center / k-means
+    // support aggregation): posexplode to (label, dim) then a plain
+    // partial-aggregated mean — element-wise array aggregation
+    // without ever materializing per-label vector groups
+    "p_embed_centroids" -> ((s, d) =>
+      embs(s, d)
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("label"), col("pos").cast("long").as("dim"))
+        .agg((floor(avg(col("col")) * 1e9 + 0.5) / 1e9).as("c"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "dim")),
     "p_embed_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(embs(s, d)).orderBy("vec_id")),
     "p_media_chunks" -> ((s, d) =>
@@ -695,6 +706,13 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "p_embed_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |  floor(avg(v[i]) * 1e9 + 0.5) / 1e9 AS c,
+        |  count(*) AS n
+        |FROM e, unnest(generate_series(1, len(v))) t(i)
+        |GROUP BY label, i""".stripMargin,
     // recall@k of the approximate paths vs brute-force ground truth:
     // the three searches reuse their stand-alone formulations; the
     // 1e9-rounded scores and neighbor-id tie-breaks make every top-k
