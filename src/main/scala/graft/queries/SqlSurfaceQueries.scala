@@ -216,12 +216,18 @@ object SqlSurfaceQueries {
    * is the sum of island extents. Integer microsecond arithmetic
    * throughout — the relational form of the classic sweep-line, one
    * sort-shuffle per user partition, no self-join. */
-  def intervalUnion(spark: SparkSession, sfDir: String): DataFrame = {
-    val span = 1800000000L // 30 min in us
+  def intervalUnion(spark: SparkSession, sfDir: String): DataFrame =
+    intervalUnionOf(
+      events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us")),
+      1800000000L) // 30 min in us
+
+  /** Core sweep over any (event_id, user_id, us) frame; each point
+   * opens a `span`-microsecond interval. */
+  def intervalUnionOf(points: DataFrame, span: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-    val base = events(spark, sfDir)
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val base = points
       .withColumn("prev_max_end", max(col("us") + span).over(wPrev))
       .withColumn("island_start",
         when(col("prev_max_end").isNull || col("us") > col("prev_max_end"), 1L)
