@@ -262,10 +262,46 @@ object SqlSurfaceQueries {
       .orderBy("key")
   }
 
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL): duplicate
+   * COUNTS matter, unlike the distinct variants — the semantics gap
+   * that silently corrupts reconciliation queries when ignored. */
+  def multisetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = events(spark, sfDir).select((col("user_id") % 50).as("k"))
+      .where(col("event_type") =!= "view")
+    val b = events(spark, sfDir).select((col("user_id") % 50).as("k"))
+      .where(col("event_type") === "purchase")
+    val exceptAll = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val intersectAll = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    exceptAll.unionByName(intersectAll)
+      .select(col("op"), col("k"), col("n"))
+      .orderBy("op", "k")
+  }
+
+  /** Exact decimal aggregation: money sums in DECIMAL(18,2) are
+   * EXACT regardless of partial-aggregation order — the pattern that
+   * removes the floating-point reduction-order caveat every double
+   * sum in this suite carries (final cast to DOUBLE only for output
+   * type parity; the value is already exact). */
+  def decimalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"),
+        col("l_discount").cast("decimal(18,2)").as("d"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("p")).cast("double").as("sum_price"),
+        sum(col("p") * (lit(1).cast("decimal(18,2)") - col("d")))
+          .cast("double").as("sum_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_time_weighted_avg" -> timeWeightedAvg _,
     "r_interval_union" -> intervalUnion _,
     "r_nullsafe_join" -> nullSafeJoin _,
+    "r_multiset_ops" -> multisetOps _,
+    "r_decimal_agg" -> decimalAgg _,
     "r_star_join" -> starJoin _,
     "r_conditional_agg" -> conditionalAgg _,
     "r_full_outer" -> fullOuter _,
@@ -278,6 +314,25 @@ object SqlSurfaceQueries {
     "r_exists_subquery" -> existsSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "r_multiset_ops" ->
+      """WITH a AS (SELECT user_id % 50 AS k FROM events
+        |  WHERE event_type <> 'view'),
+        |b AS (SELECT user_id % 50 AS k FROM events
+        |  WHERE event_type = 'purchase'),
+        |ea AS (SELECT 'except_all' AS op, k, count(*) AS n
+        |  FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k),
+        |ia AS (SELECT 'intersect_all' AS op, k, count(*) AS n
+        |  FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k)
+        |SELECT op, k, n FROM ea UNION ALL SELECT op, k, n FROM ia""".stripMargin,
+    // decimal sums are exact, so no floor-rounding is needed: the
+    // double cast of an exact DECIMAL(18,2) value is deterministic
+    "r_decimal_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "r_nullsafe_join" ->
       """WITH ev AS (SELECT DISTINCT
         |  CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id % 100 END AS k
