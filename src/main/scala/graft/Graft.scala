@@ -151,6 +151,12 @@ object Graft {
       band: Long): DataFrame =
     Joins.bandedSelfPairs(df, key, id, time, band)
 
+  /** Interval-union sweep: merge each user's overlapping
+   * `span`-microsecond point intervals into islands and total the
+   * covered time. `points` = (event_id, user_id, us). */
+  def intervalUnion(points: DataFrame, span: Long): DataFrame =
+    graft.queries.SqlSurfaceQueries.intervalUnionOf(points, span)
+
   /** Register the library's native SQL functions (dot_product,
    * hamming, intersect_count) on an existing session. */
   def registerSql(spark: SparkSession): Unit =
