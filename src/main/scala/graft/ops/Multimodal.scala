@@ -79,6 +79,39 @@ object Multimodal {
       .mapPartitions(_.map(decodeStub))
   }
 
+  /** Resize planning on decoded dimensions: scale to fit a target
+   * square preserving aspect ratio — pure integer arithmetic
+   * (floor(dim * target / max(w,h))), so the oracle reproduces it
+   * exactly. The stub plans the geometry; a real codec binding would
+   * consume (out_w, out_h) per payload. */
+  def resizePlan(decoded: DataFrame, target: Int = 224): DataFrame =
+    decoded
+      .withColumn("m", greatest(col("width"), col("height")))
+      .select(col("media_id"), col("width"), col("height"),
+        floor(col("width") * target / col("m")).cast("long").as("out_w"),
+        floor(col("height") * target / col("m")).cast("long").as("out_h"))
+
+  final case class FeatureRow(media_id: Long, b0: Long, b1: Long, b2: Long,
+      b3: Long, b4: Long, b5: Long, b6: Long, b7: Long)
+
+  /** DETERMINISTIC FAKE feature extraction — an 8-bucket byte
+   * histogram per payload (bucket = byte >> 5), the partition-local
+   * batch shape a real embedding/feature model would run in. Integer
+   * counts, so the oracle reproduces it from the payload's hex dump. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[FeatureRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("media_type"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val h = new Array[Long](8)
+        var i = 0
+        while (i < r.payload.length) {
+          h((r.payload(i) & 0xff) >>> 5) += 1; i += 1
+        }
+        FeatureRow(r.media_id, h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
+      })
+  }
+
   /** Frame sampling on the fake-decoded stream: every 5th frame. */
   def sampleFrames(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._

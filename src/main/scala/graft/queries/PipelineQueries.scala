@@ -271,7 +271,16 @@ object PipelineQueries {
       Multimodal.sampleFrames(s, Multimodal.asMedia(docs(s, d)))
         .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
           col("frame_idx").cast("long").as("frame_idx"))
-        .orderBy("media_id", "frame_idx"))
+        .orderBy("media_id", "frame_idx")),
+    "p_media_resize" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.decodeAll(s, Multimodal.asMedia(docs(s, d))).toDF()
+          .select(col("media_id"), col("width").cast("long").as("width"),
+            col("height").cast("long").as("height")))
+        .orderBy("media_id")),
+    "p_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s, Multimodal.asMedia(docs(s, d))).toDF()
+        .orderBy("media_id"))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -805,6 +814,28 @@ object PipelineQueries {
         |  CASE WHEN media_type = 'video' THEN 1 + n % 25 ELSE 1 END AS n_frames,
         |  checksum
         |FROM m JOIN ck ON ck.doc_id = m.media_id""".stripMargin,
+    "p_media_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT media_id, 64 + n % 577 AS width, 64 + n % 433 AS height FROM m)
+        |SELECT media_id, width, height,
+        |  CAST(floor(width * 224 / greatest(width, height)) AS BIGINT) AS out_w,
+        |  CAST(floor(height * 224 / greatest(width, height)) AS BIGINT) AS out_h
+        |FROM d""".stripMargin,
+    // 8-bucket byte histogram (bucket = byte >> 5) recomputed from
+    // the payload's hex dump, like the decode checksum oracle
+    "p_media_features" ->
+      s"""WITH hx AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         |  octet_length(encode(text)) AS nb FROM documents),
+         |by AS (SELECT media_id,
+         |  ((strpos('0123456789ABCDEF', substring(h, 2*i-1, 1)) - 1) * 16 +
+         |   (strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1)) // 32 AS bucket
+         |  FROM hx, unnest(generate_series(1, nb)) t(i))
+         |SELECT media_id,
+         |${(0 until 8).map(b =>
+             s"  CAST(sum(CASE WHEN bucket = $b THEN 1 ELSE 0 END) AS BIGINT) AS b$b")
+             .mkString(",\n")}
+         |FROM by GROUP BY media_id""".stripMargin,
     "p_media_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n,
