@@ -162,6 +162,30 @@ object GraphQueries {
       .orderBy("vid")
   }
 
+  /** Degree assortativity coefficient (Pearson correlation of
+   * endpoint degrees over the doubled edge set): every moment is an
+   * exact integer sum (degrees and their products stay far below
+   * 2^53), so only the final correlation arithmetic is floating
+   * point — deterministic on both engines under the shared rounding. */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val sym = EdgeOps.symmetrize(canonEdges(spark, sfDir))
+    val deg = EdgeOps.degrees(sym)
+    val joined = sym
+      .join(deg.select(col("vid").as("src"), col("degree").as("dx")), "src")
+      .join(deg.select(col("vid").as("dst"), col("degree").as("dy")), "dst")
+    val agg = joined.agg(
+      count(lit(1)).as("n"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    agg.select(col("n"),
+      (floor((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))) * 1e9 + 0.5) / 1e9)
+        .as("assortativity"))
+  }
+
   /** Newman modularity of the synthetic partition (cid = vid % 100):
    * Q = Σ_c (a_c/m − (d_c/2m)²) with m = undirected edge count,
    * a_c = intra-community edges, d_c = total degree of community c.
@@ -294,6 +318,21 @@ object GraphQueries {
          |  SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.vid
          |  WHERE b.d < 30)
          |SELECT vid, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY vid""".stripMargin,
+    "g_assortativity" ->
+      s"""$EdgeCte,
+         |deg AS (SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src),
+         |j AS (SELECT da.degree AS dx, db.degree AS dy
+         |  FROM edges e JOIN deg da ON da.vid = e.src
+         |               JOIN deg db ON db.vid = e.dst),
+         |m AS (SELECT count(*) AS n,
+         |  CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         |  CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         |  CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         |  CAST(sum(dy * dy) AS BIGINT) AS syy FROM j)
+         |SELECT n, floor(((n * sxy - sx * sy) /
+         |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) * 1e9 + 0.5) / 1e9
+         |  AS assortativity
+         |FROM m""".stripMargin,
     "g_modularity" ->
       s"""$EdgeCte $AssignCte,
          |m AS (SELECT count(*)::DOUBLE AS m FROM raw),
@@ -359,6 +398,7 @@ object GraphQueries {
     "g_kcore" -> kcore _,
     "g_degree_dist" -> degreeDist _,
     "g_avg_nbr_degree" -> avgNeighborDegree _,
-    "g_modularity" -> modularity _
+    "g_modularity" -> modularity _,
+    "g_assortativity" -> assortativity _
   )
 }
