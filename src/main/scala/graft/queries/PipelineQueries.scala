@@ -153,6 +153,32 @@ object PipelineQueries {
         .where(col("n_copies") > 1)
         .orderBy("chunk_hash")
     }),
+    // per-source quality/selection report: the rollup a data-mixing
+    // decision reads (avg quality, language agreement rate, selected
+    // rate per source)
+    "p_quality_by_source" -> ((s, d) => {
+      val ds = docs(s, d).select(col("doc_id"), col("source"))
+      corpusSelect(s, d)
+        .join(ds, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(avg(col("quality")) * 1e6 + 0.5) / 1e6).as("avg_quality"),
+          sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
+          sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"))
+        .orderBy("source")
+    }),
+    // packing efficiency per shard: context windows consumed and the
+    // padding waste of the final partial window
+    "p_packing_efficiency" -> ((s, d) =>
+      TextOps.sequencePacking(docs(s, d))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          expr("(total_tokens + 2047) div 2048").as("n_chunks"),
+          (floor((lit(1.0) - col("total_tokens") /
+            (expr("(total_tokens + 2047) div 2048") * lit(2048.0))) * 1e9 + 0.5) / 1e9)
+            .as("waste_frac"))
+        .orderBy("source")),
     // cross-source near-duplicate contamination matrix: which source
     // pairs share near-dup documents (the leakage diagnostic run
     // before mixing corpora); source pair canonicalized so the
@@ -349,6 +375,45 @@ object PipelineQueries {
     .map(arr => s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END")
     .mkString("concat(", ",\n    ", ")")
 
+
+  /** The corpus-select decision-table SQL, shared by the
+   * `p_corpus_select` entry and the per-source rollup (which nests it
+   * as a WITH subquery). */
+  private lazy val CorpusSelectSql: String =
+    s"""$ClusterCte,
+       |q AS (SELECT doc_id,
+       |  floor((0.4 * least(len(w)::DOUBLE / 50.0, 1.0)
+       |    + 0.4 * least((len(list_filter(w, t -> list_contains($Stop, t)))::DOUBLE / len(w)) * 5.0, 1.0)
+       |    + 0.2 * (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) > 0.1
+       |        THEN 0.0 ELSE 1.0 - (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)) * 10.0 END))
+       |    * 1e6 + 0.5) / 1e6 AS quality
+       |  FROM w),
+       |lw AS (SELECT doc_id, lang,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+       |ls AS (SELECT doc_id, lang,
+       |${TextOps.LangProfiles.map { case (l, prof) =>
+           val arr = prof.map(pp => s"'$pp'").mkString("[", ", ", "]")
+           s"  len(list_filter(w, t -> list_contains($arr, t))) AS s_$l"
+         }.mkString(",\n")}
+       |FROM lw),
+       |lok AS (SELECT doc_id,
+       |  (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |        WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = lang AS lang_ok
+       |  FROM ls),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+       |SELECT d.doc_id,
+       |  coalesce(cl.cluster_id, d.doc_id) = d.doc_id AS cluster_keep,
+       |  d.doc_id IN (SELECT doc_id FROM ek) AS exact_keep,
+       |  lok.lang_ok, q.quality,
+       |  (coalesce(cl.cluster_id, d.doc_id) = d.doc_id
+       |    AND d.doc_id IN (SELECT doc_id FROM ek)
+       |    AND lok.lang_ok AND q.quality >= 0.5) AS selected
+       |FROM documents d
+       |LEFT JOIN cl ON cl.doc_id = d.doc_id
+       |JOIN q ON q.doc_id = d.doc_id
+       |JOIN lok ON lok.doc_id = d.doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // the plane constants are embedded verbatim (shortest round-trip
     // decimals); list_dot_product folds left like the Spark
@@ -462,40 +527,27 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id""".stripMargin,
     // every signal reuses its stand-alone oracle formulation; the
     // final verdict is their boolean composition
-    "p_corpus_select" ->
-      s"""$ClusterCte,
-         |q AS (SELECT doc_id,
-         |  floor((0.4 * least(len(w)::DOUBLE / 50.0, 1.0)
-         |    + 0.4 * least((len(list_filter(w, t -> list_contains($Stop, t)))::DOUBLE / len(w)) * 5.0, 1.0)
-         |    + 0.2 * (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) > 0.1
-         |        THEN 0.0 ELSE 1.0 - (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)) * 10.0 END))
-         |    * 1e6 + 0.5) / 1e6 AS quality
-         |  FROM w),
-         |lw AS (SELECT doc_id, lang,
-         |  string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
-         |ls AS (SELECT doc_id, lang,
-         |${TextOps.LangProfiles.map { case (l, prof) =>
-             val arr = prof.map(p => s"'$p'").mkString("[", ", ", "]")
-             s"  len(list_filter(w, t -> list_contains($arr, t))) AS s_$l"
-           }.mkString(",\n")}
-         |FROM lw),
-         |lok AS (SELECT doc_id,
-         |  (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-         |        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-         |        WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) = lang AS lang_ok
-         |  FROM ls),
-         |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-         |SELECT d.doc_id,
-         |  coalesce(cl.cluster_id, d.doc_id) = d.doc_id AS cluster_keep,
-         |  d.doc_id IN (SELECT doc_id FROM ek) AS exact_keep,
-         |  lok.lang_ok, q.quality,
-         |  (coalesce(cl.cluster_id, d.doc_id) = d.doc_id
-         |    AND d.doc_id IN (SELECT doc_id FROM ek)
-         |    AND lok.lang_ok AND q.quality >= 0.5) AS selected
-         |FROM documents d
-         |LEFT JOIN cl ON cl.doc_id = d.doc_id
-         |JOIN q ON q.doc_id = d.doc_id
-         |JOIN lok ON lok.doc_id = d.doc_id""".stripMargin,
+    "p_corpus_select" -> CorpusSelectSql,
+    // the per-source rollup aggregates the corpus-select table (as a
+    // nested WITH subquery) against the source dimension
+    "p_quality_by_source" ->
+      s"""SELECT d.source, count(*) AS n_docs,
+         |  floor(avg(s.quality) * 1e6 + 0.5) / 1e6 AS avg_quality,
+         |  CAST(sum(CASE WHEN s.lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+         |  CAST(sum(CASE WHEN s.selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+         |FROM ($CorpusSelectSql) s
+         |JOIN documents d ON d.doc_id = s.doc_id
+         |GROUP BY d.source""".stripMargin,
+    "p_packing_efficiency" ->
+      """WITH n AS (SELECT source,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM n GROUP BY source)
+        |SELECT source, n_docs, total_tokens,
+        |  (total_tokens + 2047) // 2048 AS n_chunks,
+        |  floor((1.0 - total_tokens /
+        |    (((total_tokens + 2047) // 2048) * 2048.0)) * 1e9 + 0.5) / 1e9 AS waste_frac
+        |FROM g""".stripMargin,
     "p_tfidf_top_terms" ->
       """WITH w AS (SELECT doc_id,
         |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
