@@ -296,7 +296,27 @@ object SqlSurfaceQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Schema-evolution union: two frames with different column sets
+   * combined by NAME with missing columns null-filled
+   * (unionByName(allowMissingColumns) / DuckDB UNION ALL BY NAME) —
+   * what appending a new-schema batch to an old table needs. */
+  def unionByNameEvolved(spark: SparkSession, sfDir: String): DataFrame = {
+    val old = t(spark, sfDir, "customer")
+      .select(col("c_custkey").as("id"), col("c_mktsegment").as("segment"))
+      .withColumn("src", lit("v1"))
+    val nw = t(spark, sfDir, "customer")
+      .select(col("c_custkey").as("id"),
+        rnd(col("c_acctbal"), 2).as("balance"))
+      .withColumn("src", lit("v2"))
+    old.unionByName(nw, allowMissingColumns = true)
+      .select(col("id"), col("src"),
+        coalesce(col("segment"), lit("?")).as("segment"),
+        coalesce(col("balance"), lit(-1.0)).as("balance"))
+      .orderBy("id", "src")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_union_by_name" -> unionByNameEvolved _,
     "r_time_weighted_avg" -> timeWeightedAvg _,
     "r_interval_union" -> intervalUnion _,
     "r_nullsafe_join" -> nullSafeJoin _,
@@ -314,6 +334,15 @@ object SqlSurfaceQueries {
     "r_exists_subquery" -> existsSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "r_union_by_name" ->
+      """WITH u AS (
+        |  SELECT c_custkey AS id, c_mktsegment AS segment, 'v1' AS src FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT c_custkey AS id,
+        |    floor(c_acctbal * 1e2 + 0.5) / 1e2 AS balance, 'v2' AS src FROM customer)
+        |SELECT id, src, coalesce(segment, '?') AS segment,
+        |  coalesce(balance, -1.0) AS balance
+        |FROM u""".stripMargin,
     "r_multiset_ops" ->
       """WITH a AS (SELECT user_id % 50 AS k FROM events
         |  WHERE event_type <> 'view'),
