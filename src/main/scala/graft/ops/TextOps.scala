@@ -119,12 +119,35 @@ object TextOps {
    * selection is content-defined, so shared passages select the same
    * fingerprints in any document, which is what makes the sketch
    * usable for cross-document overlap detection at scale). */
+  /** Raw (doc_id, fp) winnowing-fingerprint rows (distinct). */
+  def fingerprintRows(docs: DataFrame): DataFrame =
+    shingleRows(docs, col("text"), 5)
+      .select(col("doc_id"), md5(col("s")).as("fp"))
+      .where(col("fp").endsWith("0"))
+      .distinct()
+
   def fingerprints(docs: DataFrame): DataFrame = {
     shingleRows(docs, col("text"), 5)
       .select(col("doc_id"), md5(col("s")).as("fp"))
       .where(col("fp").endsWith("0"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
+  }
+
+  /** Eval-set decontamination check: corpus documents sharing any
+   * content fingerprint with a held-out benchmark set. The shuffle
+   * key is the fingerprint (content-defined, so shared passages
+   * collide regardless of position) — never a doc×benchmark cross
+   * join; the standard pre-training leakage scan. */
+  def contamination(docs: DataFrame, benchmarkIds: DataFrame): DataFrame = {
+    val fp = fingerprintRows(docs)
+    val bfp = fp.join(benchmarkIds, fp("doc_id") === benchmarkIds("bench_id"))
+      .select(col("fp"), col("bench_id"))
+    fp.join(bfp, "fp")
+      .where(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
+        count(lit(1)).as("n_shared_fp"))
   }
 
   /** Mean corpus familiarity of a document's tokens: for each token,

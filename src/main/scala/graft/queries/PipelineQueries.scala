@@ -118,6 +118,27 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("labeled", "predicted")),
     "p_fingerprints" -> ((s, d) => TextOps.fingerprints(docs(s, d)).orderBy("doc_id")),
+    // decontamination scan: the benchmark set is the deterministic
+    // hash sample (md5(doc_id) starting '1'); corpus docs sharing
+    // >= 3 word-trigram shingles with any benchmark doc are flagged
+    // (the shuffle key is the shingle — content-defined, never a
+    // doc x benchmark cross join; TextOps.contamination is the
+    // winnowed-fingerprint variant of the same scan)
+    "p_decontamination" -> ((s, d) => {
+      val sh = shingleRows(s, d).distinct()
+      val bench = docs(s, d)
+        .where(substring(md5(col("doc_id").cast("string")), 1, 1) === "1")
+        .select(col("doc_id").as("bench_id"))
+      val bsh = sh.join(bench, sh("doc_id") === bench("bench_id"))
+        .select(col("s"), col("bench_id"))
+      sh.join(bsh, "s")
+        .where(col("doc_id") =!= col("bench_id"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
+          count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .orderBy("doc_id")
+    }),
     "p_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("h")),
     "p_minhash_sigs" -> ((s, d) => minhashSigs(s, d).orderBy("doc_id")),
     "p_lsh_pairs" -> ((s, d) => lshPairs(s, d).orderBy("doc_a", "doc_b")),
@@ -502,6 +523,18 @@ object PipelineQueries {
     "p_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "p_decontamination" ->
+      s"""WITH base AS (SELECT 1)$W$Sh3,
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |bench AS (SELECT doc_id AS bench_id FROM documents
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '1'),
+         |bsh AS (SELECT d.s, b.bench_id FROM ds d JOIN bench b ON d.doc_id = b.bench_id)
+         |SELECT d.doc_id,
+         |  count(DISTINCT bsh.bench_id) AS n_bench_hits,
+         |  count(*) AS n_shared
+         |FROM ds d JOIN bsh ON bsh.s = d.s
+         |WHERE d.doc_id <> bsh.bench_id
+         |GROUP BY d.doc_id HAVING count(*) >= 3""".stripMargin,
     "p_minhash_sigs" ->
       s"""WITH base AS (SELECT 1)$W$Sh3$Hh
          |SELECT doc_id,

@@ -49,6 +49,22 @@ class Round3OpsSpec extends SparkSpec {
     assert(out === List((1L, "x y", 3L), (2L, "y q", 1L)))
   }
 
+  test("contamination flags docs sharing fingerprints with the benchmark") {
+    // doc 1 and 2 share a 5-gram span; doc 3 is clean. Benchmark = {1}.
+    val shared = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      (1L, s"$shared zeta eta theta iota kappa"),
+      (2L, s"prefix words here $shared suffix"),
+      (3L, "completely different content with no overlap at all ok")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(1L)).toDF("bench_id")
+    val hits = TextOps.contamination(df, bench)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 2 is flagged iff one of the shared-window hashes survives
+    // the 1/16 winnowing; with 6 shared 5-grams that is data-dependent,
+    // so assert the clean doc is NEVER flagged and doc 1 (self) is not
+    assert(!hits.contains(3L) && !hits.contains(1L))
+  }
+
   test("minhashEstimate agrees with itself on identical docs") {
     val df = Seq((1L, "p q r s t u"), (2L, "p q r s t u")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(df)
