@@ -315,8 +315,26 @@ object SqlSurfaceQueries {
       .orderBy("id", "src")
   }
 
+  /** Cohort retention triangle: users grouped by first-activity day,
+   * counted again at each later activity age — the canonical
+   * retention analysis. Integer epoch-day arithmetic; the cohort
+   * dimension join is a user-keyed shuffle, the triangle a plain
+   * two-key aggregation. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "age_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_union_by_name" -> unionByNameEvolved _,
+    "r_cohort_retention" -> cohortRetention _,
     "r_time_weighted_avg" -> timeWeightedAvg _,
     "r_interval_union" -> intervalUnion _,
     "r_nullsafe_join" -> nullSafeJoin _,
@@ -334,6 +352,14 @@ object SqlSurfaceQueries {
     "r_exists_subquery" -> existsSubquery _)
 
   val oracles: Map[String, String] = Map(
+    "r_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS age_days,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN cohort c ON c.user_id = a.user_id
+        |GROUP BY cohort_day, age_days""".stripMargin,
     "r_union_by_name" ->
       """WITH u AS (
         |  SELECT c_custkey AS id, c_mktsegment AS segment, 'v1' AS src FROM customer
