@@ -41,6 +41,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    graft.queries.SessionMemo.clear(spark)
     spark.stop()
   }
 }

@@ -88,11 +88,17 @@ object Graft {
   def simhash(docs: DataFrame): DataFrame = Dedup.simhash(docs)
 
   /** Sketch-quality diagnostic: minhash Jaccard estimate vs exact
-   * n-gram Jaccard on candidate pairs. */
+   * n-gram Jaccard on candidate pairs. The exploded shingle set is
+   * built once and fed to both the signature and the exact-Jaccard
+   * paths (the same sharing the harness wiring uses) instead of
+   * re-shingling the corpus per path. */
   def minhashEstimate(docs: DataFrame): DataFrame = {
-    val pairs = Dedup.lshCandidatePairs(docs)
-    Dedup.minhashEstimate(Dedup.minhashSignatures(docs),
-      Dedup.ngramJaccard(docs, pairs))
+    val shingles =
+      TextOps.shingleRows(docs, org.apache.spark.sql.functions.col("text"), 3)
+    val sigs = Dedup.minhashSignaturesFromShingles(shingles)
+    val pairs = Dedup.lshCandidatePairsFromBands(Dedup.lshBandsFromSignatures(sigs))
+    Dedup.minhashEstimate(sigs,
+      Dedup.ngramJaccardFromShingles(shingles, pairs))
   }
 
   /** Full near-dup clustering: MinHash -> LSH banding -> candidate

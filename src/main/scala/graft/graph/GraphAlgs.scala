@@ -69,26 +69,32 @@ object GraphAlgs {
    * global peeling order needed, so it partitions like any other
    * aggregateMessages loop.
    *
-   * Messages are neighbor-estimate arrays (degree-bounded, like
-   * every adjacency-shaped aggregation here); iteration stops when
-   * no estimate changed or after `maxIter` rounds.
+   * Messages are single neighbor estimates, clipped at the
+   * receiver's own estimate at send time (the h-index never needs
+   * finer resolution than that), and accumulate IN PLACE into a
+   * growable per-vertex count histogram — O(deg + own) work and
+   * allocation per vertex per round. An array-concat merge
+   * (`_ ++ _`) would instead copy both sides on every combine:
+   * O(deg²) copying per hub per round on skewed graphs, on top of
+   * shipping degree-sized arrays each superstep. Iteration stops
+   * when no estimate changed or after `maxIter` rounds.
    */
   def coreness[V: scala.reflect.ClassTag](g: Graph[V, Int], maxIter: Int = 50): Graph[Int, Int] = {
-    def hIndex(own: Int, ests: Array[Int]): Int = {
-      // counting form: hist[k] = #neighbors with est >= k clipped at own
-      val hist = new Array[Int](own + 1)
-      var i = 0
-      while (i < ests.length) {
-        val e = if (ests(i) > own) own else ests(i)
-        hist(e) += 1; i += 1
+    // h-index from the clipped histogram: largest h with >= h
+    // neighbor estimates >= h (values were clipped at own <= deg)
+    def hIndex(own: Int, h: CoreHist): Int = {
+      if (h.counts == null) { // singleton message: one neighbor
+        if (own >= 1 && h.single >= 1) 1 else 0
+      } else {
+        val c = h.counts
+        var k = math.min(own, c.length - 1); var cum = 0
+        while (k >= 1) {
+          cum += c(k)
+          if (cum >= k) return k
+          k -= 1
+        }
+        0
       }
-      var h = 0; var cum = 0; var k = own
-      while (k >= 1 && h == 0) {
-        cum += hist(k)
-        if (cum >= k) h = k
-        k -= 1
-      }
-      h
     }
     var cur: Graph[Int, Int] = g.outerJoinVertices(g.degrees)((_, _, d) => d.getOrElse(0))
     cur.cache()
@@ -102,13 +108,16 @@ object GraphAlgs {
     var changed = 1L
     while (changed > 0 && it < maxIter) {
       it += 1
-      val ests = cur.aggregateMessages[Array[Int]](
-        ctx => { ctx.sendToSrc(Array(ctx.dstAttr)); ctx.sendToDst(Array(ctx.srcAttr)) },
-        _ ++ _)
+      val ests = cur.aggregateMessages[CoreHist](
+        ctx => {
+          ctx.sendToSrc(new CoreHist(math.min(ctx.dstAttr, ctx.srcAttr)))
+          ctx.sendToDst(new CoreHist(math.min(ctx.srcAttr, ctx.dstAttr)))
+        },
+        CoreHist.merge)
       ests.cache()
       val prev = cur
-      val next = prev.outerJoinVertices(ests)((_, own, arr) =>
-        arr.map(a => math.min(own, hIndex(own, a))).getOrElse(0))
+      val next = prev.outerJoinVertices(ests)((_, own, h) =>
+        h.map(hh => math.min(own, hIndex(own, hh))).getOrElse(0))
       next.cache()
       changed = prev.vertices.join(next.vertices)
         .filter { case (_, (a, b)) => a != b }.count()

@@ -256,24 +256,33 @@ object TextOps {
    * diagnostic behind tokenizer/vocab sizing. The global ordering
    * window runs over the VOCABULARY (distinct terms), which is
    * orders of magnitude smaller than the corpus — the token-level
-   * work is a plain distributed groupBy. */
+   * work is a plain distributed groupBy, scanned exactly once: the
+   * corpus-wide token total is sum(n) over the vocab frame (a second
+   * window in the same single-partition pass), not an eager
+   * toks.count() that would both force the scan at plan-construction
+   * time and re-scan the uncached lineage at execution. */
   def vocabCoverage(docs: DataFrame, k: Int = 100): DataFrame = {
     val toks = docs
       .select(explode(words(lower(col("text")))).as("term"))
       .where(col("term") =!= "")
     val counts = toks.groupBy("term").agg(count(lit(1)).as("n"))
-    val total = toks.count().toDouble
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("term"))
     val cum = w.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     counts
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cum_n", sum(col("n")).over(cum))
+      .withColumn("total", sum(col("n")).over(all).cast("double"))
       .where(col("rank") <= k)
       .select(col("rank"), col("term"), col("n"),
-        rnd(col("cum_n") / total, 9).as("coverage"))
+        rnd(col("cum_n") / col("total"), 9).as("coverage"))
   }
 
   /** Sequence packing — the concat-and-chunk layout LLM pretraining

@@ -519,7 +519,7 @@ object AdvancedQueries {
     "r_csv_quoted_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  floor(sum(c_acctbal) * 1e2 + 0.5) / 1e2 AS sum_bal,
-        |  sum(length(c_name)) AS name_chars
+        |  CAST(sum(length(c_name)) AS BIGINT) AS name_chars
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "r_rank_funcs" ->
       """SELECT o_orderkey, o_orderpriority, rnk, drnk, prnk, quartile FROM (

@@ -337,7 +337,7 @@ object GraphQueries {
       s"""$EdgeCte $AssignCte,
          |m AS (SELECT count(*)::DOUBLE AS m FROM raw),
          |deg AS (SELECT src AS vid, count(*) AS deg FROM edges GROUP BY src),
-         |dc AS (SELECT a.cid, sum(d.deg) AS d_c
+         |dc AS (SELECT a.cid, CAST(sum(d.deg) AS BIGINT) AS d_c
          |  FROM assign a JOIN deg d ON d.vid = a.vid GROUP BY a.cid),
          |ac AS (SELECT src % $SyntheticModulus AS cid, count(*) AS a_c
          |  FROM raw WHERE src % $SyntheticModulus = dst % $SyntheticModulus

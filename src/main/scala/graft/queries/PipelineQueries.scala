@@ -643,8 +643,8 @@ object PipelineQueries {
       """WITH n AS (SELECT source, doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
         |c AS (SELECT source, doc_id, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start
         |  FROM n)
         |SELECT source, doc_id, n_tokens, tok_start,
         |  tok_start // 2048 AS start_chunk,
@@ -733,7 +733,7 @@ object PipelineQueries {
         |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
         |tok AS (SELECT doc_id, t FROM w, unnest(w) u(t) WHERE t <> ''),
         |wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
-        |wa AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct,
         |  max(c) AS top_count FROM wc GROUP BY doc_id),
         |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
         |  FROM w, unnest(generate_series(1, len(w) - 1)) t(i)),

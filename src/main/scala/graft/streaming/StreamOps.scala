@@ -236,7 +236,12 @@ object StreamOps {
    * across batches — the upsert-sink shape (in production the merge
    * target is a state/Delta table; here an in-memory map stands in,
    * bounded by the user-id cardinality, NOT by the stream length).
-   * Only count and max fold across batches — both are order- and
+   * foreachBatch is at-least-once: a batch may be re-delivered after
+   * a failure, so the additive count merge guards on batchId and
+   * skips batches it has already applied (the standard idempotent-
+   * foreachBatch pattern; a real upsert sink would persist the last
+   * applied batchId transactionally with the data). Only count and
+   * max fold across batches — both are order- and
    * batching-insensitive, so the result equals the batch aggregate
    * no matter how the files split. Returns the top-k users by
    * (event count, user_id). */
@@ -247,6 +252,7 @@ object StreamOps {
       .repartition(4)
       .write.mode("overwrite").parquet(dir.toString)
     val state = scala.collection.mutable.HashMap.empty[Long, (Long, Double)]
+    val applied = scala.collection.mutable.HashSet.empty[Long]
     var batches = 0
     val q = spark.readStream.schema(EventsSchema)
       .option("maxFilesPerTrigger", 1)
@@ -254,17 +260,19 @@ object StreamOps {
       .writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batches += 1
-        // distributed per-batch partial aggregate; only the per-user
-        // summary rows (user-cardinality-sized) reach the driver merge
-        batch.groupBy("user_id")
-          .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
-          .collect()
-          .foreach { r =>
-            val (n0, m0) = state.getOrElse(r.getLong(0), (0L, Double.MinValue))
-            state(r.getLong(0)) = (n0 + r.getLong(1), math.max(m0, r.getDouble(2)))
-          }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (applied.add(batchId)) {
+          batches += 1
+          // distributed per-batch partial aggregate; only the per-user
+          // summary rows (user-cardinality-sized) reach the driver merge
+          batch.groupBy("user_id")
+            .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+            .collect()
+            .foreach { r =>
+              val (n0, m0) = state.getOrElse(r.getLong(0), (0L, Double.MinValue))
+              state(r.getLong(0)) = (n0 + r.getLong(1), math.max(m0, r.getDouble(2)))
+            }
+        }
       }
       .start()
     try q.awaitTermination()

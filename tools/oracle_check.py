@@ -22,16 +22,24 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 def canon(df):
     cols = sorted(df.columns)
     df = df[cols]
+    # numeric dtype kinds travel with the schema: an int64 column on
+    # one side and float64 on the other (e.g. DuckDB sum(BIGINT) ->
+    # HUGEINT -> pandas float64) must FAIL here, because the driver
+    # hashes the stringified values and '123' != '123.0'. Non-numeric
+    # kinds are ignored (dates arrive as 'O' from parquet but 'M'
+    # from DuckDB yet stringify compatibly in the driver).
+    kinds = [f"{c}:{df[c].dtype.kind}" for c in cols
+             if df[c].dtype.kind in "iuf"]
     rows = []
     for r in df.itertuples(index=False):
         vals = []
         for v in r:
             if isinstance(v, float):
-                vals.append(f"{v:.9g}")
+                vals.append(repr(v))  # full precision, like the driver
             else:
                 vals.append(str(v))
         rows.append("|".join(vals))
-    return cols, sorted(rows)
+    return cols, kinds, sorted(rows)
 
 fail = 0
 for name in sorted(os.listdir(out_dir)):
@@ -50,10 +58,12 @@ for name in sorted(os.listdir(out_dir)):
         duck_df = con.sql(oracle[name]).df()
     except Exception as e:
         print(f"{name}: ORACLE SQL ERROR: {e}"); fail += 1; continue
-    sc, sr = canon(spark_df)
-    dc, dr = canon(duck_df)
+    sc, sk, sr = canon(spark_df)
+    dc, dk, dr = canon(duck_df)
     if sc != dc:
         print(f"{name}: SCHEMA MISMATCH spark={sc} duck={dc}"); fail += 1; continue
+    if sk != dk:
+        print(f"{name}: DTYPE MISMATCH spark={sk} duck={dk}"); fail += 1; continue
     if len(sr) != len(dr):
         print(f"{name}: ROWCOUNT MISMATCH spark={len(sr)} duck={len(dr)}"); fail += 1; continue
     bad = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
