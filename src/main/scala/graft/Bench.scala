@@ -31,16 +31,31 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // 3-decimal times keep the whole JSON line under ~2.5 KB: the
-    // harness captures only the last ~4 KB of stdout, and a full-
-    // precision line (~4.8 KB) gets its head truncated → unparseable
+    // The harness captures only the last ~4 KB of stdout; at 130+
+    // queries a full per-query map (~4.5 KB even at 3 decimals) gets
+    // its head truncated → unparseable (BENCH_r03 "parsed": null).
+    // Stdout therefore carries a compact line — group subtotals plus
+    // the slowest 25 queries — and the complete map goes to stderr
+    // and bench_full.json for diagnostics.
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) d3(v) else "-1")
-    }.mkString("{", ",", "}")
+    def jmap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullMap = jmap(results.map { case (k, v, ok) =>
+      k -> (if (ok) d3(v) else "-1") })
+    System.err.println(s"[bench-full] $fullMap")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        fullMap.getBytes("UTF-8")); ()
+    } catch { case _: Throwable => () }
+    val groups = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+      .map { case (g, rs) => s"grp_$g" -> d3(rs.collect { case (_, v, true) => v }.sum) }
+    val slow = results.filter(_._3).sortBy(-_._2).take(25)
+      .map { case (k, v, _) => k -> d3(v) }
+    val failed = results.filter(!_._3).map { case (k, _, _) => k -> "-1" }
+    val qs = jmap(groups ++ failed ++ slow)
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     graft.queries.SessionMemo.clear(spark)
     spark.stop()
   }

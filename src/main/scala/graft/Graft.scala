@@ -89,16 +89,21 @@ object Graft {
 
   /** Sketch-quality diagnostic: minhash Jaccard estimate vs exact
    * n-gram Jaccard on candidate pairs. The exploded shingle set is
-   * built once and fed to both the signature and the exact-Jaccard
-   * paths (the same sharing the harness wiring uses) instead of
-   * re-shingling the corpus per path. */
+   * cached and fed to both the signature and the exact-Jaccard
+   * paths, then released once the estimate is materialized — so the
+   * corpus really is shingled once, not once per consumer (the
+   * memoized harness path in PipelineQueries does the same). */
   def minhashEstimate(docs: DataFrame): DataFrame = {
     val shingles =
       TextOps.shingleRows(docs, org.apache.spark.sql.functions.col("text"), 3)
+        .cache()
     val sigs = Dedup.minhashSignaturesFromShingles(shingles)
     val pairs = Dedup.lshCandidatePairsFromBands(Dedup.lshBandsFromSignatures(sigs))
-    Dedup.minhashEstimate(sigs,
-      Dedup.ngramJaccardFromShingles(shingles, pairs))
+    val est = Dedup.minhashEstimate(sigs,
+      Dedup.ngramJaccardFromShingles(shingles, pairs)).cache()
+    est.count()
+    shingles.unpersist(blocking = false)
+    est
   }
 
   /** Full near-dup clustering: MinHash -> LSH banding -> candidate

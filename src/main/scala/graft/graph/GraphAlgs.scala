@@ -11,6 +11,54 @@ import org.apache.spark.sql.functions._
  * both-direction messaging, not doubled edges (see EdgeOps scale
  * notes).
  */
+/**
+ * Mutable coreness message: either a single neighbor estimate
+ * (`counts == null`, value in `single`) or a growable count
+ * histogram with `counts(v)` = number of neighbor estimates equal
+ * to v. [[CoreHist.merge]] accumulates IN PLACE into whichever side
+ * already carries a histogram, so a hub's combine tree does O(deg)
+ * total work instead of the O(deg²) copying an array-concat merge
+ * would do, and singleton messages ship as one boxed int rather
+ * than a degree-sized array.
+ */
+final class CoreHist(var single: Int) extends Serializable {
+  var counts: Array[Int] = null
+
+  /** Promote to a histogram (folding `single` in) and/or grow so
+   * index `v` is addressable. */
+  private def ensure(v: Int): Unit = {
+    if (counts == null) {
+      counts = new Array[Int](math.max(math.max(v, single) + 1, 8))
+      counts(single) += 1
+    } else if (v >= counts.length) {
+      counts = java.util.Arrays.copyOf(counts, math.max(v + 1, counts.length * 2))
+    }
+  }
+
+  def add(v: Int): CoreHist = { ensure(v); counts(v) += 1; this }
+
+  /** Fold another histogram's counts into this one (this grows to
+   * fit). */
+  private[graph] def addAll(other: Array[Int]): CoreHist = {
+    ensure(other.length - 1)
+    var i = 0
+    while (i < other.length) { counts(i) += other(i); i += 1 }
+    this
+  }
+}
+
+object CoreHist {
+  /** In-place merge for aggregateMessages: reuse an existing
+   * histogram side when there is one; merge the smaller histogram
+   * into the larger. */
+  def merge(a: CoreHist, b: CoreHist): CoreHist = {
+    if (b.counts == null) a.add(b.single)
+    else if (a.counts == null) b.add(a.single)
+    else if (a.counts.length >= b.counts.length) a.addAll(b.counts)
+    else b.addAll(a.counts)
+  }
+}
+
 object GraphAlgs {
 
   /**
