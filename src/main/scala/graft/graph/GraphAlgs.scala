@@ -209,6 +209,109 @@ object GraphAlgs {
    * `canonical` is the (src < dst, distinct) edge set; `symmetrized`
    * its doubled form (both produced by EdgeOps).
    */
+  /**
+   * Resource-Allocation link-prediction index per existing edge
+   * (Zhou/Lü/Zhang 2009): RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) — the
+   * log-free cousin of Adamic-Adar (chosen deliberately: 1/deg is
+   * rational, so the DuckDB oracle is bit-comparable after shared
+   * floor-rounding, where 1/log(deg) would drag in libm differences).
+   *
+   * Shape: a wedge enumeration keyed on the common neighbor z — the
+   * same shuffle class as triangle counting. Each wedge (a,z,b) is
+   * produced once (a<b from the symmetric join's inequality), then a
+   * semi-join against the canonical edge set keeps only wedges whose
+   * endpoints are actually connected. At 100 TB the hub-z blowup is
+   * bounded the same way the triangle path bounds it: AQE skew-split
+   * on the z key; the degree join is a broadcast (|V| row dim vs
+   * |wedge| rows).
+   */
+  def resourceAllocation(canonical: DataFrame, symmetrized: DataFrame): DataFrame = {
+    val deg = symmetrized.groupBy(col("src").as("zvid"))
+      .agg(count(lit(1)).cast("double").as("zdeg"))
+    val wedges = symmetrized.as("e1")
+      .join(symmetrized.as("e2"),
+        col("e1.dst") === col("e2.dst") && col("e1.src") < col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.src").as("dst"),
+        col("e1.dst").as("z"))
+    wedges
+      .join(canonical.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
+      .join(broadcast(deg), col("z") === col("zvid"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).cast("long").as("common"),
+        graft.ops.TextOps.rnd(sum(lit(1.0) / col("zdeg")), 6).as("ra"))
+  }
+
+  /**
+   * Multi-source BFS in ONE Pregel run: the vertex attribute is a
+   * dense Array[Int] of per-source distances (k sources → k ints, not
+   * k separate traversals over the same edge partitions). Messages
+   * are candidate-distance arrays merged by elementwise min; a vertex
+   * only messages neighbors when at least one entry improved, so each
+   * superstep touches only the union frontier. This is the standard
+   * batched-BFS layout (e.g. MS-BFS, Then et al., VLDB 2014) — at
+   * 100 TB the edge set is scanned O(diameter) times total instead of
+   * O(k · diameter).
+   */
+  def multiSourceBfs[V: scala.reflect.ClassTag](
+      g: Graph[V, Int], sources: Array[VertexId], maxHops: Int = 10): Graph[Array[Int], Int] = {
+    val k = sources.length
+    val idx = sources.zipWithIndex.toMap
+    val INF = Int.MaxValue
+    def mergeMin(a: Array[Int], b: Array[Int]): Array[Int] = {
+      val out = new Array[Int](k)
+      var i = 0
+      while (i < k) { out(i) = math.min(a(i), b(i)); i += 1 }
+      out
+    }
+    val init = g.mapVertices { (id, _) =>
+      val a = Array.fill(k)(INF)
+      idx.get(id).foreach(a(_) = 0)
+      a
+    }
+    init.pregel(Array.fill(k)(INF), maxIterations = maxHops,
+      activeDirection = EdgeDirection.Either)(
+      (_, d, m) => mergeMin(d, m),
+      t => {
+        def candidate(from: Array[Int], to: Array[Int]): Option[Array[Int]] = {
+          var improved = false
+          val out = new Array[Int](k)
+          var i = 0
+          while (i < k) {
+            val c = if (from(i) == INF) INF else from(i) + 1
+            out(i) = math.min(c, to(i))
+            if (out(i) < to(i)) improved = true
+            i += 1
+          }
+          if (improved) Some(out) else None
+        }
+        val toDst = candidate(t.srcAttr, t.dstAttr).map(a => (t.dstId, a))
+        val toSrc = candidate(t.dstAttr, t.srcAttr).map(a => (t.srcId, a))
+        (toDst.iterator ++ toSrc.iterator)
+      },
+      mergeMin)
+  }
+
+  /** Integer-exact per-vertex reachability summary over the k
+   * sources: (vid, n_reached, sum_dist, min_dist) — all integral so
+   * the oracle hash never touches a float. Materialized before the
+   * Pregel surfaces are released (see bfsHopsDF). */
+  def multiSourceBfsDF[V: scala.reflect.ClassTag](
+      g: Graph[V, Int], sources: Array[VertexId], maxHops: Int = 10): DataFrame = {
+    val bfs = multiSourceBfs(g, sources, maxHops)
+    val rows = bfs.vertices.flatMap { case (id, ds) =>
+      val reached = ds.filter(_ != Int.MaxValue)
+      if (reached.isEmpty) None
+      else Some((id, reached.length.toLong, reached.map(_.toLong).sum, reached.min.toLong))
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.createDataFrame(rows)
+      .toDF("vid", "n_reached", "sum_dist", "min_dist").cache()
+    df.count()
+    bfs.unpersistVertices(blocking = false)
+    bfs.edges.unpersist(blocking = false)
+    df
+  }
+
   def neighborJaccard(canonical: DataFrame, symmetrized: DataFrame): DataFrame = {
     val adj = symmetrized.groupBy(col("src").as("vid"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))

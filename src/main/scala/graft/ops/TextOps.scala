@@ -49,6 +49,45 @@ object TextOps {
     floor(c * p + 0.5) / p
   }
 
+  /**
+   * Winnowed document fingerprints (Schleimer/Wilkerson/Aiken,
+   * SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, then
+   * keep the minimum hash of each sliding window of `w` consecutive
+   * k-gram hashes. Guarantees every shared substring of length
+   * >= w+k-1 words contributes at least one common fingerprint, at a
+   * ~2/(w+1) selection density — position-robust dedup signatures
+   * (vs [[fingerprintRows]]' mod-p selection, which has no such
+   * window guarantee).
+   *
+   * Hashes are md5 hex strings compared lexicographically — no
+   * integer conversion, so the DuckDB side is the identical
+   * min() OVER (ROWS w-1 FOLLOWING) window. Per document the work is
+   * one projection + one window function over shingle positions:
+   * partitioned by doc_id, so it scales as a map-side-heavy
+   * single-shuffle pass at corpus scale.
+   *
+   * Output: (doc_id, fp) distinct winnowed fingerprints.
+   */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+      .rowsBetween(0, w - 1)
+    docs
+      .select(col("doc_id"), words(col("text")).as("wd"))
+      .select(col("doc_id"), posexplode(shingles(col("wd"), k)).as(Seq("i", "s")))
+      .select(col("doc_id"), col("i"), md5(col("s")).as("h"))
+      // window min FIRST (over the complete hash sequence), THEN drop
+      // the short tail windows — filtering first would also remove the
+      // tail rows that full windows near the end still need as frame
+      // members. The classic algorithm emits one min per full window.
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("fp", min(col("h")).over(win))
+      .where(col("i") <= col("n") - w)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
 

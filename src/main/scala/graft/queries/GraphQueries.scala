@@ -162,6 +162,24 @@ object GraphQueries {
       .orderBy("vid")
   }
 
+  /** Resource-Allocation link-prediction index per existing edge
+   * (GraphAlgs.resourceAllocation — log-free Adamic-Adar). */
+  def resourceAllocation(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.resourceAllocation(
+      canonEdges(spark, sfDir),
+      EdgeOps.symmetrize(canonEdges(spark, sfDir)))
+      .orderBy("src", "dst")
+
+  /** Batched multi-source BFS (one Pregel run, Array-distance
+   * attrs) from the 5 smallest vertex ids; integer-exact summary. */
+  def multiBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sources = canonEdges(spark, sfDir)
+      .select(col("src")).distinct().orderBy("src").limit(5)
+      .collect().map(_.getLong(0))
+    graft.graph.GraphAlgs.multiSourceBfsDF(graph(spark, sfDir), sources, maxHops = 8)
+      .orderBy("vid")
+  }
+
   /** Degree assortativity coefficient (Pearson correlation of
    * endpoint degrees over the doubled edge set): every moment is an
    * exact integer sum (degrees and their products stay far below
@@ -318,6 +336,32 @@ object GraphQueries {
          |  SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.vid
          |  WHERE b.d < 30)
          |SELECT vid, CAST(min(d) AS BIGINT) AS hops FROM bfs GROUP BY vid""".stripMargin,
+    "g_resource_allocation" ->
+      s"""$EdgeCte,
+         |deg AS (SELECT src AS vid, count(*) AS deg FROM edges GROUP BY src),
+         |wedge AS (
+         |  SELECT e1.src AS src, e2.src AS dst, e1.dst AS z
+         |  FROM edges e1 JOIN edges e2 ON e2.dst = e1.dst AND e1.src < e2.src),
+         |conn AS (
+         |  SELECT w.src, w.dst, w.z FROM wedge w
+         |  JOIN raw r ON r.src = w.src AND r.dst = w.dst)
+         |SELECT c.src, c.dst, CAST(count(*) AS BIGINT) AS common,
+         |  floor(sum(CAST(1.0 AS DOUBLE) / d.deg) * 1e6 + 0.5) / 1e6 AS ra
+         |FROM conn c JOIN deg d ON d.vid = c.z
+         |GROUP BY c.src, c.dst""".stripMargin,
+    "g_multi_bfs" ->
+      s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
+         |srcs AS (SELECT src AS v FROM (
+         |  SELECT DISTINCT src FROM raw ORDER BY src LIMIT 5)),
+         |bfs AS (
+         |  SELECT v AS root, v AS vid, 0 AS d FROM srcs
+         |  UNION
+         |  SELECT b.root, e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.vid
+         |  WHERE b.d < 8),
+         |md AS (SELECT root, vid, min(d) AS d FROM bfs GROUP BY root, vid)
+         |SELECT vid, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(d) AS BIGINT) AS sum_dist, CAST(min(d) AS BIGINT) AS min_dist
+         |FROM md GROUP BY vid""".stripMargin,
     "g_assortativity" ->
       s"""$EdgeCte,
          |deg AS (SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src),
@@ -399,6 +443,8 @@ object GraphQueries {
     "g_degree_dist" -> degreeDist _,
     "g_avg_nbr_degree" -> avgNeighborDegree _,
     "g_modularity" -> modularity _,
-    "g_assortativity" -> assortativity _
+    "g_assortativity" -> assortativity _,
+    "g_resource_allocation" -> resourceAllocation _,
+    "g_multi_bfs" -> multiBfs _
   )
 }

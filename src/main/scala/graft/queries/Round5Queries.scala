@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-5 breadth: error-tolerant arithmetic (`try_*`), string
+ * distance, cryptographic hash functions, exact median + explicit
+ * deterministic mode, array slicing/positioning, struct-array
+ * inline round-trip, calendar arithmetic, a composite C4/Gopher-style
+ * quality filter, curriculum difficulty binning, and winnowed (MOSS)
+ * fingerprints.
+ *
+ * Everything stays in whole-stage codegen (builtin functions only)
+ * and every float that reaches the oracle hash goes through the
+ * shared floor-rounding pattern.
+ */
+object Round5Queries {
+
+  import RelationalQueries.{t, events, rnd}
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+
+  /** try_divide / try_cast null-on-error semantics (ANSI-safe
+   * pipelines without job-killing exceptions): division by zero and
+   * unparsable casts degrade to NULL and are counted, not thrown. */
+  def tryArith(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("try_divide(l_extendedprice, l_quantity - 22)").as("ratio"),
+        expr("""try_cast(CASE WHEN l_quantity % 2 = 1
+                THEN concat('x', cast(cast(l_quantity as int) as string))
+                ELSE cast(cast(l_quantity as int) as string) END AS int)""")
+          .as("parsed"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ratio").isNull, 1L).otherwise(0L)).as("n_div0"),
+        rnd(sum(col("ratio")), 2).as("sum_ratio"),
+        sum(when(col("parsed").isNull, 1L).otherwise(0L)).as("n_badcast"),
+        sum(col("parsed")).cast("long").as("sum_parsed"))
+      .orderBy("l_returnflag")
+
+  /** Levenshtein edit distance (fuzzy matching surface); integer
+   * result so the per-brand aggregates are exact. */
+  def stringDistance(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_brand"), levenshtein(col("p_name"), col("p_type")).as("d"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d")).cast("long").as("sum_d"),
+        min(col("d")).cast("long").as("min_d"),
+        max(col("d")).cast("long").as("max_d"),
+        rnd(sum(col("d")) / count(lit(1)), 4).as("avg_d"))
+      .orderBy("p_brand")
+
+  /** Cryptographic hash surface: md5 + sha2-256 (both lowercase hex
+   * in Spark and DuckDB) — content addressing / record signing. */
+  def hashFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "nation")
+      .select(col("n_name"),
+        md5(col("n_name")).as("h_md5"),
+        sha2(col("n_name"), 256).as("h_sha256"),
+        substring(sha2(concat(col("n_name"), lit("|"),
+          col("n_nationkey").cast("string")), 256), 1, 16).as("h_keyed"))
+      .orderBy("n_name")
+
+  /** Exact interpolated median (order statistic — deterministic
+   * across engines, unlike a summed mean) plus an EXPLICIT
+   * deterministic mode (max count, ties broken by smallest value):
+   * `mode()` builtins leave tie order engine-defined, so both sides
+   * compute the same argmax instead. */
+  def medianMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), rnd(expr("median(value)"), 6).as("med"))
+    val mode = ev.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("c").desc, col("value").asc)))
+      .where(col("rk") === 1)
+      .select(col("event_type"), rnd(col("value"), 6).as("mode_value"),
+        col("c").as("mode_count"))
+    med.join(mode, "event_type").orderBy("event_type")
+  }
+
+  /** Array slicing / position / distinct surface with integer-only
+   * outputs (array containers never reach the oracle hash). */
+  def sequenceArrays(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("int").as("q"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("q"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).cast("long").as("n"),
+        aggregate(slice(col("qs"), 1, 3), lit(0L), (a, x) => a + x)
+          .as("first3_sum"),
+        array_position(col("qs"), element_at(col("qs"), -1)).as("pos_max"),
+        size(array_distinct(col("qs"))).cast("long").as("n_uniq"),
+        size(array_union(col("qs"), array(lit(99)))).cast("long").as("n_union"))
+      .orderBy("l_orderkey")
+
+  /** array<struct> build + `inline` re-flatten round-trip: grouping
+   * rows into ordered struct arrays and exploding them back must be
+   * lossless (the contract chunk/pack pipelines rely on). */
+  def inlineStructs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("int").as("ln"),
+        col("l_quantity").cast("int").as("q"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(col("ln"), col("q")))).as("lines"))
+      .select(col("l_orderkey"), inline(col("lines")))
+      .select(col("l_orderkey"), col("ln").cast("long").as("ln"),
+        col("q").cast("long").as("q"))
+      .orderBy("l_orderkey", "ln")
+
+  /** Calendar arithmetic: month add with end-of-month clamping,
+   * last_day, day diff, quarter — all emitted as formatted strings /
+   * ints so both engines hash identically. */
+  def dateArith(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .select(col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("d_str"),
+        date_format(add_months(col("d"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(last_day(col("d")), "yyyy-MM-dd").as("eom"),
+        datediff(lit("1998-12-31").cast("date"), col("d")).cast("long")
+          .as("days_to_end"),
+        quarter(col("d")).cast("long").as("qtr"))
+      .orderBy("o_orderkey")
+
+  /** Composite C4/Gopher-style quality filter: word count bounds,
+   * mean word length bounds, distinct-word ratio — the keep/drop
+   * decision plus per-source keep rates (all ratios are exact-int
+   * divisions, identical doubles on both engines). */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = graft.ops.TextOps.words(col("text"))
+    val perDoc = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), w.as("w"))
+      .select(col("doc_id"), col("source"),
+        size(col("w")).as("n_words"),
+        (aggregate(transform(col("w"), x => length(x)), lit(0L), (a, x) => a + x)
+          / size(col("w"))).as("mean_wlen"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .as("uniq_ratio"))
+      .withColumn("keep",
+        col("n_words").between(20, 5000) &&
+          col("mean_wlen").between(3.0, 10.0) && col("uniq_ratio") >= 0.2)
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        rnd(sum(when(col("keep"), 1L).otherwise(0L)) / count(lit(1)), 4)
+          .as("keep_rate"),
+        rnd(sum(col("mean_wlen")), 4).as("sum_mean_wlen"))
+      .orderBy("source")
+  }
+
+  /** Curriculum difficulty binning: deterministic ntile deciles over
+   * (length, doc_id) with per-bin stats — the standard curriculum /
+   * stratification pass before training-data packing. */
+  def curriculumBins(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("n_chars"), col("doc_id"))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        rnd(sum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"))
+      .orderBy("bin")
+
+  /** Winnowed (MOSS) fingerprint summary per doc — the windowed-min
+   * selection with the shared-substring guarantee (vs the mod-p
+   * fingerprints of `p_fingerprints`). */
+  def winnowing(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextOps.winnowedFingerprints(docs(spark, sfDir))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_try_arith" -> tryArith _,
+    "r_string_distance" -> stringDistance _,
+    "r_hash_funcs" -> hashFuncs _,
+    "r_median_mode" -> medianMode _,
+    "r_sequence_arrays" -> sequenceArrays _,
+    "r_inline_structs" -> inlineStructs _,
+    "r_date_arith" -> dateArith _,
+    "p_quality_filter" -> qualityFilter _,
+    "p_curriculum_bins" -> curriculumBins _,
+    "p_winnowing" -> winnowing _)
+
+  val oracles: Map[String, String] = Map(
+    "r_try_arith" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_quantity = 22 THEN 1 ELSE 0 END) AS BIGINT) AS n_div0,
+        |  floor(sum(l_extendedprice / nullif(l_quantity - 22, 0)) * 1e2 + 0.5) / 1e2 AS sum_ratio,
+        |  CAST(sum(CASE WHEN try_cast(CASE WHEN CAST(l_quantity AS INT) % 2 = 1
+        |        THEN 'x' || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+        |        ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) END AS INT) IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_badcast,
+        |  CAST(sum(try_cast(CASE WHEN CAST(l_quantity AS INT) % 2 = 1
+        |        THEN 'x' || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+        |        ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) END AS INT)) AS BIGINT) AS sum_parsed
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "r_string_distance" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(levenshtein(p_name, p_type)) AS BIGINT) AS sum_d,
+        |  CAST(min(levenshtein(p_name, p_type)) AS BIGINT) AS min_d,
+        |  CAST(max(levenshtein(p_name, p_type)) AS BIGINT) AS max_d,
+        |  floor(sum(levenshtein(p_name, p_type)) * 1.0 / count(*) * 1e4 + 0.5) / 1e4 AS avg_d
+        |FROM part GROUP BY p_brand""".stripMargin,
+    "r_hash_funcs" ->
+      """SELECT n_name, md5(n_name) AS h_md5, sha256(n_name) AS h_sha256,
+        |  substr(sha256(n_name || '|' || CAST(n_nationkey AS VARCHAR)), 1, 16) AS h_keyed
+        |FROM nation""".stripMargin,
+    "r_median_mode" ->
+      """WITH med AS (
+        |  SELECT event_type, count(*) AS n,
+        |    floor(median(CAST(value AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS med
+        |  FROM events GROUP BY event_type),
+        |cnt AS (SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2),
+        |md AS (SELECT event_type, value, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c DESC, value ASC) AS rk
+        |  FROM cnt)
+        |SELECT m.event_type, m.n, m.med,
+        |  floor(md.value * 1e6 + 0.5) / 1e6 AS mode_value, md.c AS mode_count
+        |FROM med m JOIN md ON md.event_type = m.event_type AND md.rk = 1""".stripMargin,
+    "r_sequence_arrays" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, CAST(len(qs) AS BIGINT) AS n,
+        |  CAST(list_aggregate(list_slice(qs, 1, 3), 'sum') AS BIGINT) AS first3_sum,
+        |  CAST(list_position(qs, qs[-1]) AS BIGINT) AS pos_max,
+        |  CAST(len(list_distinct(qs)) AS BIGINT) AS n_uniq,
+        |  CAST(len(list_distinct(list_concat(qs, [99]))) AS BIGINT) AS n_union
+        |FROM g""".stripMargin,
+    "r_inline_structs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        |  CAST(CAST(l_quantity AS INT) AS BIGINT) AS q
+        |FROM lineitem""".stripMargin,
+    "r_date_arith" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_str,
+        |  strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_end,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr
+        |FROM orders""".stripMargin,
+    "p_quality_filter" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |d AS (SELECT doc_id, source, len(w) AS n_words,
+        |    list_aggregate(list_transform(w, x -> length(x)), 'sum') * 1.0 / len(w) AS mean_wlen,
+        |    len(list_distinct(w)) * 1.0 / len(w) AS uniq_ratio
+        |  FROM w),
+        |k AS (SELECT *, (n_words BETWEEN 20 AND 5000)
+        |    AND (mean_wlen BETWEEN 3.0 AND 10.0) AND uniq_ratio >= 0.2 AS keep
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  floor(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*) * 1e4 + 0.5) / 1e4 AS keep_rate,
+        |  floor(sum(mean_wlen) * 1e4 + 0.5) / 1e4 AS sum_mean_wlen
+        |FROM k GROUP BY source""".stripMargin,
+    "p_curriculum_bins" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin FROM documents)
+        |SELECT bin, count(*) AS n, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars,
+        |  floor(sum(n_chars) * 1.0 / count(*) * 1e4 + 0.5) / 1e4 AS avg_chars
+        |FROM b GROUP BY bin""".stripMargin,
+    "p_winnowing" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, i - 1 AS i,
+        |    md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS h
+        |  FROM w, unnest(generate_series(1, len(w) - 3)) t(i)),
+        |mn AS (SELECT doc_id, i,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+        |  FROM sh),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM mn WHERE i <= n - 5)
+        |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM fp GROUP BY doc_id""".stripMargin)
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.graph.{CoreHist, EdgeOps, GraphAlgs}
+import org.apache.spark.sql.functions._
+
+class Round5Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- CoreHist (coreness message) ---------------------------------
+
+  test("CoreHist singleton merge promotes to a histogram with both counts") {
+    val m = CoreHist.merge(new CoreHist(3), new CoreHist(5))
+    assert(m.counts != null)
+    assert(m.counts(3) == 1 && m.counts(5) == 1)
+  }
+
+  test("CoreHist histogram merge accumulates and grows") {
+    val a = new CoreHist(1).add(2).add(2)
+    val b = new CoreHist(7).add(2)
+    val m = CoreHist.merge(a, b)
+    assert(m.counts(1) == 1 && m.counts(2) == 3 && m.counts(7) == 1)
+  }
+
+  test("coreness on a clique-plus-pendant graph") {
+    // triangle {1,2,3} + pendant 4-1: triangle has coreness 2, pendant 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("src", "dst")
+    val g = EdgeOps.toGraph(edges)
+    val core = GraphAlgs.coreness(g).vertices.collect().toMap
+    assert(core(1L) == 2 && core(2L) == 2 && core(3L) == 2 && core(4L) == 1)
+  }
+
+  // ---- multi-source BFS --------------------------------------------
+
+  test("multiSourceBfs agrees with per-source bfsHops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L), (7L, 8L))
+      .toDF("src", "dst")
+    val g = EdgeOps.toGraph(edges)
+    val sources = Array(1L, 7L)
+    val multi = GraphAlgs.multiSourceBfs(g, sources, maxHops = 10)
+      .vertices.collect().toMap
+    sources.zipWithIndex.foreach { case (s, i) =>
+      val single = GraphAlgs.bfsHops(g, s, maxHops = 10).vertices.collect().toMap
+      multi.foreach { case (vid, ds) =>
+        val expected = single(vid)
+        val got = if (ds(i) == Int.MaxValue) Long.MaxValue else ds(i).toLong
+        assert(got == expected, s"vid=$vid source=$s")
+      }
+    }
+  }
+
+  // ---- resource allocation -----------------------------------------
+
+  test("resourceAllocation sums 1/deg over common neighbors") {
+    // square 1-2-3-4-1 plus diagonal 1-3: edge (1,3) has common
+    // neighbors 2 and 4, each with degree 2 -> RA = 1.0
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    val ra = GraphAlgs.resourceAllocation(canon, EdgeOps.symmetrize(canon))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(ra((1L, 3L)) == ((2L, 1.0)))
+    // edge (1,2): common neighbor 3 (degree 3) -> RA = 1/3
+    assert(ra((1L, 2L))._1 == 1L)
+    assert(math.abs(ra((1L, 2L))._2 - 0.333333) < 1e-9)
+  }
+
+  // ---- winnowing ---------------------------------------------------
+
+  test("winnowed fingerprints: shared long substring yields a shared fingerprint") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 shared words > w+k-1=8
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta eta theta"),
+      (2L, s"$shared completely different suffix words here now ok")
+    ).toDF("doc_id", "text")
+    val fp = TextOps.winnowedFingerprints(docs, k = 4, w = 5)
+    val byDoc = fp.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "winnowing guarantee: substrings of >= w+k-1 tokens share a fingerprint")
+  }
+
+  test("winnowing density is ~2/(w+1) and never selects outside the hash set") {
+    val words = (1 to 300).map(i => s"w${(i * 7919) % 97}").mkString(" ")
+    val docs = Seq((1L, words)).toDF("doc_id", "text")
+    val n = TextOps.winnowedFingerprints(docs, k = 4, w = 5).count()
+    // 297 shingles, expected ~2/6*293 distinct-ish window mins; loose bounds
+    assert(n > 20 && n < 200, s"selected $n fingerprints")
+  }
+}
