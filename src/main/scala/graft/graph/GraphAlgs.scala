@@ -216,29 +216,48 @@ object GraphAlgs {
    * rational, so the DuckDB oracle is bit-comparable after shared
    * floor-rounding, where 1/log(deg) would drag in libm differences).
    *
-   * Shape: a wedge enumeration keyed on the common neighbor z — the
-   * same shuffle class as triangle counting. Each wedge (a,z,b) is
-   * produced once (a<b from the symmetric join's inequality), then a
-   * semi-join against the canonical edge set keeps only wedges whose
-   * endpoints are actually connected. At 100 TB the hub-z blowup is
-   * bounded the same way the triangle path bounds it: AQE skew-split
-   * on the z key; the degree join is a broadcast (|V| row dim vs
-   * |wedge| rows).
+   * Shape: NOT the wedge-enumeration join (Σ deg(z)² shuffled rows —
+   * measured 37 s on the sf0.1 co-purchase graph). Instead each
+   * vertex's sorted adjacency array is built once carrying a parallel
+   * 1/deg(neighbor) weight array, and every canonical edge does one
+   * O(deg_a+deg_b) merge scan via the native codegen'd
+   * [[org.apache.spark.sql.graft.SortedIntersectWeightedSum]] —
+   * two adjacency joins total, the identical plan class as
+   * [[neighborJaccard]] (2 s on the same graph). At 100 TB the
+   * adjacency build is one shuffle keyed on vertex id and the edge
+   * joins shuffle on the endpoint — no deg² term anywhere.
    */
-  def resourceAllocation(canonical: DataFrame, symmetrized: DataFrame): DataFrame = {
+  /** (vid, nbrs sorted asc, wts parallel: 1/deg(nbr)) — the shared
+   * input of [[resourceAllocation]] (and reusable by any
+   * Adamic-Adar-family score with a different weight column). */
+  def weightedAdjacency(symmetrized: DataFrame): DataFrame = {
     val deg = symmetrized.groupBy(col("src").as("zvid"))
       .agg(count(lit(1)).cast("double").as("zdeg"))
-    val wedges = symmetrized.as("e1")
-      .join(symmetrized.as("e2"),
-        col("e1.dst") === col("e2.dst") && col("e1.src") < col("e2.src"))
-      .select(col("e1.src").as("src"), col("e2.src").as("dst"),
-        col("e1.dst").as("z"))
-    wedges
-      .join(canonical.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
-      .join(broadcast(deg), col("z") === col("zvid"))
-      .groupBy("src", "dst")
-      .agg(count(lit(1)).cast("long").as("common"),
-        graft.ops.TextOps.rnd(sum(lit(1.0) / col("zdeg")), 6).as("ra"))
+    symmetrized
+      .join(broadcast(deg), col("dst") === col("zvid"))
+      .groupBy(col("src").as("vid"))
+      .agg(sort_array(collect_list(struct(col("dst"), (lit(1.0) / col("zdeg")).as("w"))))
+        .as("nw"))
+      .select(col("vid"),
+        transform(col("nw"), s => s.getField("dst")).as("nbrs"),
+        transform(col("nw"), s => s.getField("w")).as("wts"))
+  }
+
+  def resourceAllocation(canonical: DataFrame, symmetrized: DataFrame): DataFrame =
+    resourceAllocationFromAdj(canonical, weightedAdjacency(symmetrized))
+
+  def resourceAllocationFromAdj(canonical: DataFrame, adj: DataFrame): DataFrame = {
+    val common = org.apache.spark.sql.graft.GraftExpressions
+      .intersectCount(col("na.nbrs"), col("nb.nbrs"))
+    val ra = org.apache.spark.sql.graft.GraftExpressions
+      .intersectWeightedSum(col("na.nbrs"), col("na.wts"), col("nb.nbrs"))
+    canonical
+      .join(adj.as("na"), col("src") === col("na.vid"))
+      .join(adj.as("nb"), col("dst") === col("nb.vid"))
+      .select(col("src"), col("dst"),
+        common.cast("long").as("common"),
+        graft.ops.TextOps.rnd(ra, 6).as("ra"))
+      .where(col("common") > 0)
   }
 
   /**
@@ -312,9 +331,15 @@ object GraphAlgs {
     df
   }
 
-  def neighborJaccard(canonical: DataFrame, symmetrized: DataFrame): DataFrame = {
-    val adj = symmetrized.groupBy(col("src").as("vid"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+  def neighborJaccard(canonical: DataFrame, symmetrized: DataFrame): DataFrame =
+    neighborJaccardFromAdj(canonical,
+      symmetrized.groupBy(col("src").as("vid"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+
+  /** Jaccard over a precomputed (vid, nbrs) adjacency — lets one
+   * cached adjacency feed every link-prediction score in a session
+   * (see GraphQueries.adjW). */
+  def neighborJaccardFromAdj(canonical: DataFrame, adj: DataFrame): DataFrame = {
     val common = org.apache.spark.sql.graft.GraftExpressions
       .intersectCount(col("na.nbrs"), col("nb.nbrs"))
     canonical

@@ -162,12 +162,20 @@ object GraphQueries {
       .orderBy("vid")
   }
 
+  /** Cached weighted adjacency (vid, sorted nbrs, 1/deg weights) —
+   * shared by every link-prediction query in the session. */
+  private def adjW(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"adjw:$sfDir") {
+      val df = graft.graph.GraphAlgs
+        .weightedAdjacency(EdgeOps.symmetrize(canonEdges(spark, sfDir))).cache()
+      df.count(); df
+    }
+
   /** Resource-Allocation link-prediction index per existing edge
    * (GraphAlgs.resourceAllocation — log-free Adamic-Adar). */
   def resourceAllocation(spark: SparkSession, sfDir: String): DataFrame =
-    graft.graph.GraphAlgs.resourceAllocation(
-      canonEdges(spark, sfDir),
-      EdgeOps.symmetrize(canonEdges(spark, sfDir)))
+    graft.graph.GraphAlgs.resourceAllocationFromAdj(
+      canonEdges(spark, sfDir), adjW(spark, sfDir))
       .orderBy("src", "dst")
 
   /** Batched multi-source BFS (one Pregel run, Array-distance
@@ -260,9 +268,9 @@ object GraphQueries {
   /** Per-edge neighborhood Jaccard (link-prediction feature) over
    * the canonical co-purchase edges. */
   def neighborJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    graft.graph.GraphAlgs.neighborJaccard(
+    graft.graph.GraphAlgs.neighborJaccardFromAdj(
       canonEdges(spark, sfDir),
-      EdgeOps.symmetrize(canonEdges(spark, sfDir)))
+      adjW(spark, sfDir).select(col("vid"), col("nbrs")))
       .orderBy("src", "dst")
 
   /** Shared oracle CTE defining the identical edge sets in DuckDB. */
