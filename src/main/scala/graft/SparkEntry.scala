@@ -33,7 +33,9 @@ object SparkEntry {
       "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _),
       "s_stream_dedup" -> (graft.streaming.StreamOps.streamingDedup _),
       "s_stream_enrich" -> (graft.streaming.StreamOps.streamStaticEnrich _),
-      "s_stream_join" -> (graft.streaming.StreamOps.streamStreamJoin _))
+      "s_stream_join" -> (graft.streaming.StreamOps.streamStreamJoin _),
+      "s_stream_running_state" -> (graft.streaming.StreamOps.runningUserState _),
+      "s_stream_left_outer" -> (graft.streaming.StreamOps.streamStreamLeftOuter _))
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
@@ -71,6 +73,38 @@ object SparkEntry {
           |  AND v.user_id = p.user_id
           |  AND v.ts <= p.ts
           |  AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
+      // update-mode mapGroupsWithState drained fully: the monotone-max
+      // running state per user = the batch per-user aggregate
+      "s_stream_running_state" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+          |FROM events GROUP BY user_id""".stripMargin,
+      // left-outer stream-stream join: all inner matches, plus
+      // null-matched purchases evicted from join state. The global
+      // watermark is the MIN over both watermarked streams (views and
+      // purchases each track their own max event time, ms-truncated,
+      // minus the 1h delay); a purchase emits its null row once its
+      // event time falls below that global watermark (the range
+      // condition v_ts <= p_ts adds no extra margin on the left side:
+      // no view at or above the watermark can match an older purchase).
+      "s_stream_left_outer" ->
+        """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
+          |    FROM events WHERE event_type = 'purchase'),
+          |v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vts
+          |    FROM events WHERE event_type = 'view'),
+          |wm AS (SELECT least(
+          |      (epoch_us(max(CASE WHEN event_type = 'view' THEN ts END)) // 1000) * 1000,
+          |      (epoch_us(max(CASE WHEN event_type = 'purchase' THEN ts END)) // 1000) * 1000)
+          |    - 3600000000 AS w FROM events),
+          |m AS (SELECT p.user_id, p.purchase_id, v.view_id FROM p JOIN v
+          |    ON v.user_id = p.user_id AND v.vts <= p.pts
+          |    AND v.vts >= p.pts - 3600000000),
+          |um AS (SELECT p.user_id, p.purchase_id, -1 AS view_id FROM p, wm
+          |    WHERE p.pts < wm.w
+          |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id))
+          |SELECT user_id, purchase_id, CAST(view_id AS BIGINT) AS view_id FROM m
+          |UNION ALL
+          |SELECT user_id, purchase_id, CAST(view_id AS BIGINT) AS view_id FROM um""".stripMargin,
       // drained stream-static join in complete mode = the batch join
       "s_stream_enrich" ->
         """SELECT c_mktsegment, count(*) AS n_events,

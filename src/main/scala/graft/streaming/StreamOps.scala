@@ -354,4 +354,118 @@ object StreamOps {
     finally cleanup(dir)
     spark.table(name).orderBy("hour", "event_type")
   }
+
+  final case class RunningAgg(n: Long, sum: Double)
+  final case class RunningRow(user_id: Long, n_events: Long, sum_value: Double)
+
+  /**
+   * mapGroupsWithState in UPDATE mode across FORCED multiple
+   * micro-batches (events re-laid-out as 4 files, maxFilesPerTrigger
+   * = 1): per-user running (count, sum) state is folded batch over
+   * batch and the group's refreshed state row is re-emitted on every
+   * batch that touches it — the canonical update-mode stateful
+   * surface, complementing flatMapGroupsWithState/Append
+   * (`sessionizeStream`). The final state per user is the emitted row
+   * with the highest running count (the count is strictly monotone),
+   * which equals the batch per-user aggregate — what the oracle
+   * computes. State is user-cardinality-bounded, never
+   * stream-length-bounded.
+   */
+  def runningUserState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState}
+
+    val name = s"graft_stream_running_${callSeq.incrementAndGet()}"
+    val tag = callSeq.incrementAndGet()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-rs$tag")
+    spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir.toString)
+
+    def fold(userId: Long, events: Iterator[SessionEvent],
+        state: GroupState[RunningAgg]): RunningRow = {
+      var s = state.getOption.getOrElse(RunningAgg(0L, 0.0))
+      // deterministic within-batch fold order (iterator order is
+      // partition-dependent); the oracle only sees the rounded total
+      events.toSeq.sortBy(e => (e.us, e.event_id))
+        .foreach(e => s = RunningAgg(s.n + 1, s.sum + e.value))
+      state.update(s)
+      RunningRow(userId, s.n, s.sum)
+    }
+
+    val rows = spark.readStream.schema(EventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
+
+    val q = rows.toDF().writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: java.io.IOException => () }
+    }
+    // final state = the monotone-max running count per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("n_events"),
+        (floor(col("sum_value") * 1e4 + 0.5) / 1e4).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  /**
+   * Stream-stream LEFT OUTER interval join: purchases keep state
+   * until the watermark proves no matching view can still arrive,
+   * then emit with a null match. The drained bounded run therefore
+   * yields every inner match PLUS the unmatched purchases whose
+   * event time the final watermark (max event time, ms-truncated,
+   * minus 1h) has passed — exactly what the oracle computes
+   * (unmatched purchases still inside the watermark horizon are
+   * legitimately withheld: the engine cannot yet rule out a match).
+   * Null view ids surface as -1 to keep the hash type-stable.
+   */
+  def streamStreamLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_louter_${callSeq.incrementAndGet()}"
+    val dir = stagedEventsDir(sfDir)
+    def src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = src.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally cleanup(dir)
+    spark.table(name).orderBy("purchase_id", "view_id")
+  }
 }

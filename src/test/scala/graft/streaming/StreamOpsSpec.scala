@@ -76,4 +76,32 @@ class StreamOpsSpec extends SparkSpec {
     val b = loopState.graph.vertices.collect().map { case (id, vd) => (id, vd.cId) }.sortBy(_._1)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("update-mode mapGroupsWithState running state equals the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runningUserState(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("s"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("stream-stream left outer join: inner matches plus watermark-gated null rows") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = StreamOps.streamStreamLeftOuter(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val inner = StreamOps.streamStreamJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // every inner match appears, null rows only for unmatched purchases
+    assert(inner.subsetOf(rows.toSet))
+    val nulls = rows.filter(_._2 == -1L).map(_._1).toSet
+    assert(nulls.intersect(inner.map(_._1)).isEmpty)
+    assert(rows.length >= inner.size)
+  }
 }
