@@ -178,7 +178,58 @@ object Round5Queries {
       .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
       .orderBy("doc_id")
 
+  /** regexp_extract_all generator surface: every >=7-letter run per
+   * document, with count / distinct-count / first / last (array
+   * containers reduced to scalars for the hash). */
+  def regexpExtractAll(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]{7,}', 0)").as("m"))
+      .select(col("doc_id"),
+        size(col("m")).cast("long").as("n_matches"),
+        size(array_distinct(col("m"))).cast("long").as("n_uniq"),
+        coalesce(expr("try_element_at(m, 1)"), lit("")).as("first_m"),
+        coalesce(expr("try_element_at(m, -1)"), lit("")).as("last_m"))
+      .orderBy("doc_id")
+
+  /** Per-label embedding L2-norm² stats through the native codegen'd
+   * DotProduct expression (the ANN hot-loop primitive) — bit-equal to
+   * DuckDB's list_dot_product fold on the same DOUBLE[] vectors. */
+  def embedNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val n2 = org.apache.spark.sql.graft.GraftExpressions.dotProduct(v, v)
+    t(spark, sfDir, "embeddings")
+      .select(col("label"), n2.as("norm2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        rnd(sum(col("norm2")), 4).as("sum_norm2"),
+        rnd(min(col("norm2")), 6).as("min_norm2"),
+        rnd(max(col("norm2")), 6).as("max_norm2"))
+      .orderBy("label")
+  }
+
+  /** first_value / nth_value over explicit full-partition frames
+   * (the frame default would truncate nth_value at the current row). */
+  def firstNthValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("first_val", first(col("value")).over(full))
+      .withColumn("second_val", coalesce(nth_value(col("value"), 2).over(full), lit(-1.0)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .where(col("rk") === 1)
+      .groupBy("user_id", "first_val", "second_val")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_regexp_extract_all" -> regexpExtractAll _,
+    "p_embed_norm" -> embedNorms _,
+    "r_first_nth_value" -> firstNthValue _,
     "r_try_arith" -> tryArith _,
     "r_string_distance" -> stringDistance _,
     "r_hash_funcs" -> hashFuncs _,
@@ -191,6 +242,31 @@ object Round5Queries {
     "p_winnowing" -> winnowing _)
 
   val oracles: Map[String, String] = Map(
+    "r_regexp_extract_all" ->
+      """WITH m AS (SELECT doc_id, regexp_extract_all(text, '[a-z]{7,}') AS m
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(m) AS BIGINT) AS n_matches,
+        |  CAST(len(list_distinct(m)) AS BIGINT) AS n_uniq,
+        |  coalesce(m[1], '') AS first_m, coalesce(m[-1], '') AS last_m
+        |FROM m""".stripMargin,
+    "p_embed_norm" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT label, list_dot_product(v, v) AS norm2 FROM e)
+        |SELECT label, count(*) AS n,
+        |  floor(sum(norm2) * 1e4 + 0.5) / 1e4 AS sum_norm2,
+        |  floor(min(norm2) * 1e6 + 0.5) / 1e6 AS min_norm2,
+        |  floor(max(norm2) * 1e6 + 0.5) / 1e6 AS max_norm2
+        |FROM n GROUP BY label""".stripMargin,
+    "r_first_nth_value" ->
+      """WITH w AS (SELECT user_id, event_id, ts, value,
+        |    first_value(value) OVER fr AS first_val,
+        |    coalesce(nth_value(value, 2) OVER fr, -1.0) AS second_val,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        |  FROM events
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_val, second_val, count(*) AS n
+        |FROM w WHERE rk = 1 GROUP BY user_id, first_val, second_val""".stripMargin,
     "r_try_arith" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CASE WHEN l_quantity = 22 THEN 1 ELSE 0 END) AS BIGINT) AS n_div0,
