@@ -188,6 +188,29 @@ object GraphQueries {
       .orderBy("vid")
   }
 
+  /** Distinct 2-hop reach (friends-of-friends minus self and direct
+   * neighbors) for the 100 highest-degree hubs. Bounding the start
+   * set keeps the Σdeg² wedge expansion proportional to the audited
+   * hubs — the unbounded version is exactly the blowup
+   * resourceAllocation's merge-scan formulation avoids. */
+  def twoHopReach(spark: SparkSession, sfDir: String): DataFrame = {
+    val sym = EdgeOps.symmetrize(canonEdges(spark, sfDir))
+    val deg = adjW(spark, sfDir).select(col("vid"), size(col("nbrs")).as("degree"))
+    val hubs = deg.orderBy(col("degree").desc, col("vid")).limit(100)
+    val pairs = sym.join(broadcast(hubs.select(col("vid"))), sym("src") === col("vid"))
+      .select(col("src").as("a"), col("dst").as("z"))
+      .join(sym.select(col("src").as("z"), col("dst").as("b")), "z")
+      .where(col("b") =!= col("a"))
+      .select("a", "b").distinct()
+    pairs
+      .join(sym.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_anti")
+      .groupBy("a")
+      .agg(count(lit(1)).as("n_two_hop"))
+      .join(broadcast(hubs), col("a") === hubs("vid"))
+      .select(col("vid"), col("degree").cast("long").as("degree"), col("n_two_hop"))
+      .orderBy("vid")
+  }
+
   /** Degree assortativity coefficient (Pearson correlation of
    * endpoint degrees over the doubled edge set): every moment is an
    * exact integer sum (degrees and their products stay far below
@@ -357,6 +380,19 @@ object GraphQueries {
          |  floor(sum(CAST(1.0 AS DOUBLE) / d.deg) * 1e6 + 0.5) / 1e6 AS ra
          |FROM conn c JOIN deg d ON d.vid = c.z
          |GROUP BY c.src, c.dst""".stripMargin,
+    "g_two_hop" ->
+      s"""$EdgeCte,
+         |deg AS (SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src),
+         |hubs AS (SELECT vid, degree FROM deg ORDER BY degree DESC, vid LIMIT 100),
+         |p AS (SELECT DISTINCT h.vid AS a, e2.dst AS b
+         |  FROM hubs h JOIN edges e1 ON e1.src = h.vid
+         |  JOIN edges e2 ON e2.src = e1.dst
+         |  WHERE e2.dst <> h.vid),
+         |t AS (SELECT a, b FROM p WHERE NOT EXISTS (
+         |  SELECT 1 FROM edges e WHERE e.src = p.a AND e.dst = p.b))
+         |SELECT t.a AS vid, CAST(h.degree AS BIGINT) AS degree,
+         |  count(*) AS n_two_hop
+         |FROM t JOIN hubs h ON h.vid = t.a GROUP BY t.a, h.degree""".stripMargin,
     "g_multi_bfs" ->
       s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
          |srcs AS (SELECT src AS v FROM (
@@ -453,6 +489,7 @@ object GraphQueries {
     "g_modularity" -> modularity _,
     "g_assortativity" -> assortativity _,
     "g_resource_allocation" -> resourceAllocation _,
-    "g_multi_bfs" -> multiBfs _
+    "g_multi_bfs" -> multiBfs _,
+    "g_two_hop" -> twoHopReach _
   )
 }

@@ -226,7 +226,53 @@ object Round5Queries {
       .orderBy("user_id")
   }
 
+  /** Deterministic per-language upsampling to rebalance the training
+   * mix: every language is repeated ceil(max_count / count) times
+   * (sequence-explode — a REAL row multiplication, then re-counted),
+   * the standard data-mixing pass before corpus packing. Map-side
+   * explode only; the one shuffle is the final per-language count. */
+  def langResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docs(spark, sfDir).groupBy("lang")
+      .agg(count(lit(1)).as("n_before"))
+    val factor = counts
+      .withColumn("factor",
+        ceil(max(col("n_before")).over(Window.partitionBy()) / col("n_before"))
+          .cast("long"))
+    docs(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(broadcast(factor), "lang")
+      .withColumn("copy", explode(sequence(lit(1L), col("factor"))))
+      .groupBy("lang")
+      .agg(first(col("n_before")).as("n_before"),
+        first(col("factor")).as("factor"),
+        count(lit(1)).as("n_after"))
+      .orderBy("lang")
+  }
+
+  /** Text-format sink + source round trip: pipe-delimited lines
+   * written with the text writer, read back with the text reader and
+   * re-parsed — the plain-text leg of the format matrix (csv/json/
+   * orc/parquet round trips live in AdvancedQueries). */
+  def textRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-rt").toString
+    docs(spark, sfDir)
+      .select(concat_ws("|", col("doc_id"), col("lang"), col("n_chars"))
+        .as("value"))
+      .write.mode("overwrite").text(dir)
+    val parts = split(col("value"), "\\|")
+    spark.read.text(dir)
+      .select(parts.getItem(0).cast("long").as("doc_id"),
+        parts.getItem(1).as("lang"),
+        parts.getItem(2).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_text_roundtrip" -> textRoundtrip _,
+    "p_lang_resample" -> langResample _,
+    "p_lang_resample" -> langResample _,
     "r_regexp_extract_all" -> regexpExtractAll _,
     "p_embed_norm" -> embedNorms _,
     "r_first_nth_value" -> firstNthValue _,
@@ -242,6 +288,21 @@ object Round5Queries {
     "p_winnowing" -> winnowing _)
 
   val oracles: Map[String, String] = Map(
+    "p_lang_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+        |f AS (SELECT lang, n_before,
+        |    CAST(ceil(CAST((SELECT max(n_before) FROM c) AS DOUBLE) / n_before) AS BIGINT)
+        |      AS factor FROM c),
+        |r AS (SELECT d.lang, f.n_before, f.factor
+        |  FROM documents d JOIN f ON f.lang = d.lang,
+        |  unnest(generate_series(1, f.factor)) t(i))
+        |SELECT lang, CAST(min(n_before) AS BIGINT) AS n_before,
+        |  CAST(min(factor) AS BIGINT) AS factor, count(*) AS n_after
+        |FROM r GROUP BY lang""".stripMargin,
+    "r_text_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang""".stripMargin,
     "r_regexp_extract_all" ->
       """WITH m AS (SELECT doc_id, regexp_extract_all(text, '[a-z]{7,}') AS m
         |  FROM documents)
