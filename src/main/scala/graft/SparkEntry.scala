@@ -35,7 +35,8 @@ object SparkEntry {
       "s_stream_enrich" -> (graft.streaming.StreamOps.streamStaticEnrich _),
       "s_stream_join" -> (graft.streaming.StreamOps.streamStreamJoin _),
       "s_stream_running_state" -> (graft.streaming.StreamOps.runningUserState _),
-      "s_stream_left_outer" -> (graft.streaming.StreamOps.streamStreamLeftOuter _))
+      "s_stream_left_outer" -> (graft.streaming.StreamOps.streamStreamLeftOuter _),
+      "s_stream_ckpt_resume" -> (graft.streaming.StreamOps.checkpointedResume _))
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
@@ -73,6 +74,12 @@ object SparkEntry {
           |  AND v.user_id = p.user_id
           |  AND v.ts <= p.ts
           |  AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
+      // checkpoint-recovered restart: upserted update-mode emissions
+      // across two query runs sharing one checkpoint = batch aggregate
+      "s_stream_ckpt_resume" ->
+        """SELECT event_type, count(*) AS n,
+          |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+          |FROM events GROUP BY event_type""".stripMargin,
       // update-mode mapGroupsWithState drained fully: the monotone-max
       // running state per user = the batch per-user aggregate
       "s_stream_running_state" ->

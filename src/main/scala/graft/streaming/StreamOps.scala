@@ -428,6 +428,64 @@ object StreamOps {
   }
 
   /**
+   * Checkpointed stop-and-resume: TWO separate streaming queries
+   * share one checkpoint location. Run 1 drains the first half of
+   * the events (update-mode per-type aggregation, foreachBatch
+   * upsert sink); the second half is then added to the source
+   * directory and run 2 starts FRESH against the same checkpoint —
+   * the file-source offset log skips the already-committed file and
+   * the state store resumes the running aggregates, so run 2 emits
+   * CUMULATIVE totals for the keys it touches. The upsert map after
+   * both runs equals the batch aggregate — which only holds if
+   * recovery really resumed state rather than recounting or
+   * double-counting (the exactly-once restart contract every
+   * production pipeline leans on).
+   */
+  def checkpointedResume(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = callSeq.incrementAndGet()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-ck$tag")
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-stream-ckpt$tag")
+    val ev = spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+    ev.where(col("event_id") % 2 === 0)
+      .repartition(1).write.mode("append").parquet(dir.toString)
+
+    val state = scala.collection.mutable.HashMap.empty[String, (Long, Double)]
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            state(r.getString(0)) = (r.getLong(1), r.getDouble(2))
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      runOnce()
+      ev.where(col("event_id") % 2 === 1)
+        .repartition(1).write.mode("append").parquet(dir.toString)
+      runOnce()
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        Seq(dir, ckpt).foreach(d =>
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_)))
+      } catch { case _: java.io.IOException => () }
+    }
+    val rows = state.toSeq.map { case (t, (n, s)) =>
+      (t, n, math.floor(s * 1e4 + 0.5) / 1e4) }
+    spark.createDataFrame(rows).toDF("event_type", "n", "sum_value")
+      .orderBy("event_type")
+  }
+
+  /**
    * Stream-stream LEFT OUTER interval join: purchases keep state
    * until the watermark proves no matching view can still arrive,
    * then emit with a null match. The drained bounded run therefore

@@ -91,6 +91,20 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("checkpointed stop-and-resume equals the batch aggregate (no recount, no double count)") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val resumed = StreamOps.checkpointedResume(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("s"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(resumed.toSeq === batch.toSeq)
+  }
+
   test("stream-stream left outer join: inner matches plus watermark-gated null rows") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
