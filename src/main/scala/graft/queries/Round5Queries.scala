@@ -269,7 +269,46 @@ object Round5Queries {
       .orderBy("lang")
   }
 
+  /** Gini coefficient of token mass across sources (training-mix
+   * inequality diagnostic): the sorted-rank formulation
+   * G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over exact integer token
+   * sums, so only the final division is floating point. */
+  def sourceGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = docs(spark, sfDir)
+      .select(col("source"), size(graft.ops.TextOps.words(col("text"))).as("tok"))
+      .groupBy("source").agg(sum(col("tok")).as("x"))
+    val ranked = perSource.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("source"))))
+    ranked.agg(
+      count(lit(1)).as("n_sources"),
+      sum(col("x")).as("total_tokens"),
+      rnd(lit(2.0) * sum(col("i") * col("x")) / (count(lit(1)) * sum(col("x")))
+        - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+  }
+
+  /** Dynamic partition overwrite: a partitioned table is written
+   * once, then ONE partition is rewritten with a filtered subset
+   * under partitionOverwriteMode=dynamic — untouched partitions must
+   * survive (static mode would truncate them all). The read-back
+   * per-partition counts are the observable contract. */
+  def dynamicPartitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpo").toString
+    val ev = events(spark, sfDir).select(col("event_id"), col("event_type"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    ev.where(col("event_type") === "click" && col("event_id") % 2 === 0)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_source_gini" -> sourceGini _,
+    "r_dynamic_overwrite" -> dynamicPartitionOverwrite _,
     "r_text_roundtrip" -> textRoundtrip _,
     "p_lang_resample" -> langResample _,
     "p_lang_resample" -> langResample _,
@@ -288,6 +327,21 @@ object Round5Queries {
     "p_winnowing" -> winnowing _)
 
   val oracles: Map[String, String] = Map(
+    "p_source_gini" ->
+      """WITH t AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM t)
+        |SELECT count(*) AS n_sources, CAST(sum(x) AS BIGINT) AS total_tokens,
+        |  floor((2.0 * CAST(sum(i * x) AS DOUBLE) / (count(*) * sum(x))
+        |    - (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6 AS gini
+        |FROM r""".stripMargin,
+    "r_dynamic_overwrite" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE event_type <> 'click' OR event_id % 2 = 0) AS n,
+        |  min(event_id) FILTER (WHERE event_type <> 'click' OR event_id % 2 = 0) AS min_id,
+        |  max(event_id) FILTER (WHERE event_type <> 'click' OR event_id % 2 = 0) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin,
     "p_lang_resample" ->
       """WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
         |f AS (SELECT lang, n_before,
