@@ -211,6 +211,29 @@ object GraphQueries {
       .orderBy("vid")
   }
 
+  /** Sampled eccentricity: per BFS root (the same 5 smallest ids as
+   * g_multi_bfs, same single batched Pregel run) the max bounded hop
+   * distance and reach — max(ecc) lower-bounds the graph diameter.
+   * Integer-exact. */
+  def eccentricity(spark: SparkSession, sfDir: String): DataFrame = {
+    val sources = canonEdges(spark, sfDir)
+      .select(col("src")).distinct().orderBy("src").limit(5)
+      .collect().map(_.getLong(0))
+    val bfs = graft.graph.GraphAlgs.multiSourceBfs(graph(spark, sfDir), sources, maxHops = 8)
+    val perRoot = bfs.vertices.flatMap { case (_, ds) =>
+      ds.zipWithIndex.collect { case (d, i) if d != Int.MaxValue => (i, d) }
+    }.aggregateByKey((0L, 0))(
+      { case ((n, mx), d) => (n + 1, math.max(mx, d)) },
+      { case ((n1, m1), (n2, m2)) => (n1 + n2, math.max(m1, m2)) })
+      .collect().sortBy(_._1)
+    bfs.unpersistVertices(blocking = false)
+    bfs.edges.unpersist(blocking = false)
+    val rows = perRoot.map { case (i, (n, mx)) => (sources(i), n, mx.toLong) }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("root", "n_reached", "ecc")
+      .orderBy("root")
+  }
+
   /** Degree assortativity coefficient (Pearson correlation of
    * endpoint degrees over the doubled edge set): every moment is an
    * exact integer sum (degrees and their products stay far below
@@ -406,6 +429,18 @@ object GraphQueries {
          |SELECT vid, CAST(count(*) AS BIGINT) AS n_reached,
          |  CAST(sum(d) AS BIGINT) AS sum_dist, CAST(min(d) AS BIGINT) AS min_dist
          |FROM md GROUP BY vid""".stripMargin,
+    "g_eccentricity" ->
+      s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
+         |srcs AS (SELECT src AS v FROM (
+         |  SELECT DISTINCT src FROM raw ORDER BY src LIMIT 5)),
+         |bfs AS (
+         |  SELECT v AS root, v AS vid, 0 AS d FROM srcs
+         |  UNION
+         |  SELECT b.root, e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.vid
+         |  WHERE b.d < 8),
+         |md AS (SELECT root, vid, min(d) AS d FROM bfs GROUP BY root, vid)
+         |SELECT root, count(*) AS n_reached, CAST(max(d) AS BIGINT) AS ecc
+         |FROM md GROUP BY root""".stripMargin,
     "g_assortativity" ->
       s"""$EdgeCte,
          |deg AS (SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src),
@@ -490,6 +525,7 @@ object GraphQueries {
     "g_assortativity" -> assortativity _,
     "g_resource_allocation" -> resourceAllocation _,
     "g_multi_bfs" -> multiBfs _,
-    "g_two_hop" -> twoHopReach _
+    "g_two_hop" -> twoHopReach _,
+    "g_eccentricity" -> eccentricity _
   )
 }

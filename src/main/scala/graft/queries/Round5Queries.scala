@@ -306,7 +306,26 @@ object Round5Queries {
       .orderBy("event_type")
   }
 
+  /** SCD type-2 dimension build: per-user event history folded into
+   * validity intervals [effective_from, effective_to) via lead(),
+   * open rows closed with a sentinel — the standard
+   * slowly-changing-dimension construction every warehouse load
+   * performs (one shuffle on the dimension key, window + project). */
+  def scd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("from_us", unix_micros(col("ts")))
+      .withColumn("to_us",
+        coalesce(lead(unix_micros(col("ts")), 1).over(w), lit(Long.MaxValue)))
+      .withColumn("is_current", (col("to_us") === Long.MaxValue).cast("int").cast("long"))
+      .select(col("user_id"), col("event_id"), col("from_us"), col("to_us"),
+        col("event_type").as("state"), col("is_current"))
+      .orderBy("user_id", "from_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_scd2" -> scd2Build _,
     "p_source_gini" -> sourceGini _,
     "r_dynamic_overwrite" -> dynamicPartitionOverwrite _,
     "r_text_roundtrip" -> textRoundtrip _,
@@ -327,6 +346,16 @@ object Round5Queries {
     "p_winnowing" -> winnowing _)
 
   val oracles: Map[String, String] = Map(
+    "r_scd2" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS from_us,
+        |  coalesce(lead(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id),
+        |    9223372036854775807) AS to_us,
+        |  event_type AS state,
+        |  CAST(CASE WHEN lead(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM events""".stripMargin,
     "p_source_gini" ->
       """WITH t AS (SELECT source,
         |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS x
