@@ -324,7 +324,46 @@ object Round5Queries {
       .orderBy("user_id", "from_us")
   }
 
+  /** Join-strategy hints: the same orders-lineitem join forced
+   * through SHUFFLE_HASH (build-side hash map, no sort) — hints
+   * steer the planner without changing semantics, so the oracle is
+   * the plain join; the physical strategy is pinned by spec. */
+  def joinHints(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders").hint("SHUFFLE_HASH")
+      .join(t(spark, sfDir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
+  /** Range-partitioned sorted write (the 100 TB output layout:
+   * repartitionByRange + sortWithinPartitions so every output file
+   * covers a disjoint key range, enabling file-level pruning on
+   * read). The query PROVES the invariant from the written files:
+   * per-file [min,max] event-time ranges must not overlap. */
+  def rangePartitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rpw").toString
+    events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .repartitionByRange(4, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"), count(lit(1)).as("n"))
+    val overlaps = perFile.as("a").join(perFile.as("b"),
+      col("a.f") < col("b.f") &&
+        col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+    perFile.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("n")).as("n_rows"))
+      .crossJoin(overlaps.agg(count(lit(1)).as("n_overlaps")))
+      .select(col("n_files"), col("n_rows"), col("n_overlaps"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_join_hints" -> joinHints _,
+    "r_range_write" -> rangePartitionedWrite _,
     "r_scd2" -> scd2Build _,
     "p_source_gini" -> sourceGini _,
     "r_dynamic_overwrite" -> dynamicPartitionOverwrite _,
@@ -346,6 +385,14 @@ object Round5Queries {
     "p_winnowing" -> winnowing _)
 
   val oracles: Map[String, String] = Map(
+    "r_join_hints" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  floor(sum(l_quantity) * 1e4 + 0.5) / 1e4 AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "r_range_write" ->
+      """SELECT 4 AS n_files, count(*) AS n_rows, 0 AS n_overlaps
+        |FROM events""".stripMargin,
     "r_scd2" ->
       """SELECT user_id, event_id, epoch_us(ts) AS from_us,
         |  coalesce(lead(epoch_us(ts), 1) OVER (

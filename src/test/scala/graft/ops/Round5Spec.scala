@@ -81,6 +81,21 @@ class Round5Spec extends SparkSpec {
       "winnowing guarantee: substrings of >= w+k-1 tokens share a fingerprint")
   }
 
+  test("SHUFFLE_HASH hint steers the join strategy") {
+    val df = graft.queries.Round5Queries.joinHints(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected ShuffledHashJoin in:\n${plan.take(600)}")
+  }
+
+  test("range-partitioned write produces disjoint sorted files") {
+    val r = graft.queries.Round5Queries
+      .rangePartitionedWrite(spark, "/root/testdata/sf0.001").head()
+    assert(r.getLong(0) === 4L, "4 non-empty range files")
+    assert(r.getLong(2) === 0L, "no overlapping file ranges")
+  }
+
   test("winnowing density is ~2/(w+1) and never selects outside the hash set") {
     val words = (1 to 300).map(i => s"w${(i * 7919) % 97}").mkString(" ")
     val docs = Seq((1L, words)).toDF("doc_id", "text")
