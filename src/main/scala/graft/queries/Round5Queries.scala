@@ -361,7 +361,43 @@ object Round5Queries {
       .select(col("n_files"), col("n_rows"), col("n_overlaps"))
   }
 
+  /** Binary-content dedup over the media table (the multimodal
+   * equivalent of exact text dedup): md5 over the raw payload BYTES
+   * groups identical assets regardless of metadata — first id wins,
+   * duplicate bytes counted. */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Multimodal.asMedia(docs(spark, sfDir))
+      .select(col("media_id"), md5(col("payload")).as("h"),
+        octet_length(col("payload")).as("n_bytes"))
+      .groupBy("h")
+      .agg(min("media_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        min("n_bytes").cast("long").as("n_bytes"))
+      .orderBy("keep_id")
+
+  /** binaryFile SOURCE: whole files read as (path, length, content)
+   * binary rows — the ingest leg for image/audio assets. Three known
+   * documents are staged as raw files and read back; content md5 and
+   * byte length must round-trip (path and mtime are environment
+   * noise and are reduced to the staged file name). */
+  def binarySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-binsrc")
+    val staged = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 3).collect()
+    staged.foreach { r =>
+      java.nio.file.Files.write(dir.resolve(s"doc_${r.getLong(0)}.bin"),
+        r.getString(1).getBytes("UTF-8")); ()
+    }
+    spark.read.format("binaryFile").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("h"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_media_dedup" -> mediaDedup _,
+    "r_binary_source" -> binarySource _,
     "r_join_hints" -> joinHints _,
     "r_range_write" -> rangePartitionedWrite _,
     "r_scd2" -> scd2Build _,
@@ -385,6 +421,14 @@ object Round5Queries {
     "p_winnowing" -> winnowing _)
 
   val oracles: Map[String, String] = Map(
+    "p_media_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "r_binary_source" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS h
+        |FROM documents WHERE doc_id < 3""".stripMargin,
     "r_join_hints" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  floor(sum(l_quantity) * 1e4 + 0.5) / 1e4 AS sum_qty
