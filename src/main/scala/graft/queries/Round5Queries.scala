@@ -395,7 +395,45 @@ object Round5Queries {
       .orderBy("doc_id")
   }
 
+  /** PERMISSIVE malformed-record ingest: a staged CSV where every
+   * third row has a non-numeric id and every fifth is short one
+   * column; the reader must keep good rows typed, capture bad lines
+   * in _corrupt_record, and never fail the job (FAILFAST would) —
+   * the quarantine pattern for dirty 100 TB feeds. Classification
+   * counts are the observable contract. */
+  def corruptRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badcsv").toString
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .select(concat(
+        when(col("doc_id") % 3 === 0, concat(lit("id"), col("doc_id")))
+          .otherwise(col("doc_id").cast("string")),
+        lit(","), col("lang"),
+        when(col("doc_id") % 5 === 0, lit(""))
+          .otherwise(concat(lit(","), col("n_chars").cast("string"))))
+        .as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = "doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING"
+    val parsed = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .cache() // corrupt-record capture requires the raw row in the same scan
+    parsed.count()
+    parsed.select(
+      when(col("_corrupt_record").isNotNull, lit("corrupt"))
+        .otherwise(lit("good")).as("status"),
+      col("doc_id"), col("n_chars"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        count(col("doc_id")).as("n_with_id"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_corrupt_records" -> corruptRecords _,
     "p_media_dedup" -> mediaDedup _,
     "r_binary_source" -> binarySource _,
     "r_join_hints" -> joinHints _,
@@ -421,6 +459,20 @@ object Round5Queries {
     "p_winnowing" -> winnowing _)
 
   val oracles: Map[String, String] = Map(
+    // PERMISSIVE semantics mirrored: a row is corrupt if any field is
+    // malformed (bad id via %3) OR the line is short (%5); within a
+    // corrupt row the fields that DID parse are kept (id survives on
+    // short-only rows, n_chars survives on bad-id-only rows)
+    "r_corrupt_records" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    (doc_id % 3 = 0 OR doc_id % 5 = 0) AS corrupt FROM documents)
+        |SELECT CASE WHEN corrupt THEN 'corrupt' ELSE 'good' END AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN NOT corrupt OR (doc_id % 3 = 0 AND doc_id % 5 <> 0)
+        |    THEN n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN NOT corrupt OR (doc_id % 5 = 0 AND doc_id % 3 <> 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_id
+        |FROM c GROUP BY 1""".stripMargin,
     "p_media_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies,
         |  CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
