@@ -432,7 +432,49 @@ object Round5Queries {
       .orderBy("status")
   }
 
+  /** Bit-interleave (Morton / Z-order) spread of an 8-bit value —
+   * the standard mask-shift cascade, identical integer ops on both
+   * engines. */
+  private def spread8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s1 = (c.bitwiseOR(shiftleft(c, 4))).bitwiseAND(lit(0x0F0FL))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 2))).bitwiseAND(lit(0x3333L))
+    (s2.bitwiseOR(shiftleft(s2, 1))).bitwiseAND(lit(0x5555L))
+  }
+
+  /** Z-order clustering: events keyed by the Morton interleave of
+   * (user bucket, hour bucket), range-written into 4 sorted files —
+   * the multi-dimensional locality layout that lets BOTH user- and
+   * time-filtered scans prune files at 100 TB (1-D range layout only
+   * helps one dimension). Output: file invariants proven from the
+   * written files (4 non-empty, disjoint morton ranges, no rows
+   * lost) plus content stats of the morton key the oracle recomputes
+   * bit-for-bit. */
+  def zorderWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val keyed = events(spark, sfDir)
+      .select(col("event_id"),
+        spread8(col("user_id").bitwiseAND(lit(255L)))
+          .bitwiseOR(shiftleft(spread8(
+            expr("unix_micros(ts) div 3600000000").bitwiseAND(lit(255L))), 1))
+          .as("m"))
+    keyed.repartitionByRange(4, col("m")).sortWithinPartitions(col("m"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val perFile = back.groupBy(input_file_name().as("f"))
+      .agg(min("m").as("lo"), max("m").as("hi"), count(lit(1)).as("n"))
+    val overlaps = perFile.as("a").join(perFile.as("b"),
+      col("a.f") < col("b.f") &&
+        col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+    perFile.agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"))
+      .crossJoin(overlaps.agg(count(lit(1)).as("n_overlaps")))
+      .crossJoin(back.agg(min("m").as("min_m"), max("m").as("max_m"),
+        countDistinct(col("m")).as("n_distinct_m")))
+      .select(col("n_files"), col("n_rows"), col("n_overlaps"),
+        col("min_m"), col("max_m"), col("n_distinct_m"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_zorder_write" -> zorderWrite _,
     "r_corrupt_records" -> corruptRecords _,
     "p_media_dedup" -> mediaDedup _,
     "r_binary_source" -> binarySource _,
@@ -459,6 +501,22 @@ object Round5Queries {
     "p_winnowing" -> winnowing _)
 
   val oracles: Map[String, String] = Map(
+    "r_zorder_write" ->
+      """WITH k AS (SELECT
+        |    ((user_id & 255) | ((user_id & 255) << 4)) & 3855 AS a1,
+        |    (((epoch_us(ts) // 3600000000) & 255)
+        |      | (((epoch_us(ts) // 3600000000) & 255) << 4)) & 3855 AS b1
+        |  FROM events),
+        |s AS (SELECT
+        |    ((a1 | (a1 << 2)) & 13107) AS a2, ((b1 | (b1 << 2)) & 13107) AS b2
+        |  FROM k),
+        |m AS (SELECT
+        |    (((a2 | (a2 << 1)) & 21845)
+        |      | (((b2 | (b2 << 1)) & 21845) << 1)) AS m FROM s)
+        |SELECT 4 AS n_files, count(*) AS n_rows, 0 AS n_overlaps,
+        |  min(m) AS min_m, max(m) AS max_m,
+        |  count(DISTINCT m) AS n_distinct_m
+        |FROM m""".stripMargin,
     // PERMISSIVE semantics mirrored: a row is corrupt if any field is
     // malformed (bad id via %3) OR the line is short (%5); within a
     // corrupt row the fields that DID parse are kept (id survives on
