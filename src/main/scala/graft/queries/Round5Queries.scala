@@ -473,7 +473,17 @@ object Round5Queries {
         col("min_m"), col("max_m"), col("n_distinct_m"))
   }
 
+  /** Keyset-stable pagination: ORDER BY + LIMIT/OFFSET (page 3 of
+   * the part catalog, 20 rows per page) — deterministic only because
+   * the sort key is unique; the query also carries the page bounds. */
+  def offsetLimit(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .orderBy("p_partkey")
+      .offset(40).limit(20)
+      .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("p_size"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_offset_limit" -> offsetLimit _,
     "r_zorder_write" -> zorderWrite _,
     "r_corrupt_records" -> corruptRecords _,
     "p_media_dedup" -> mediaDedup _,
@@ -501,6 +511,9 @@ object Round5Queries {
     "p_winnowing" -> winnowing _)
 
   val oracles: Map[String, String] = Map(
+    "r_offset_limit" ->
+      """SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size
+        |FROM part ORDER BY p_partkey LIMIT 20 OFFSET 40""".stripMargin,
     "r_zorder_write" ->
       """WITH k AS (SELECT
         |    ((user_id & 255) | ((user_id & 255) << 4)) & 3855 AS a1,

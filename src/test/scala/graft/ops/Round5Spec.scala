@@ -96,6 +96,33 @@ class Round5Spec extends SparkSpec {
     assert(r.getLong(2) === 0L, "no overlapping file ranges")
   }
 
+  test("observe() emits accumulated metrics matching the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var row: Option[org.apache.spark.sql.Row] = None
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = {
+        qe.observedMetrics.get("stats").foreach(r => row = Some(r))
+      }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .observe("stats", count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      val expectN = df.count()
+      // listener fires asynchronously after the action completes
+      var waited = 0
+      while (listener.row.isEmpty && waited < 10000) { Thread.sleep(100); waited += 100 }
+      val m = listener.row.getOrElse(fail("observe metrics never arrived"))
+      assert(m.getAs[Long]("n") === expectN)
+      assert(m.getAs[Long]("chars") ===
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .agg(sum(col("n_chars"))).head().getLong(0))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("winnowing density is ~2/(w+1) and never selects outside the hash set") {
     val words = (1 to 300).map(i => s"w${(i * 7919) % 97}").mkString(" ")
     val docs = Seq((1L, words)).toDF("doc_id", "text")
