@@ -482,7 +482,51 @@ object Round5Queries {
       .offset(40).limit(20)
       .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("p_size"))
 
+  /** Spark 4 VARIANT ingestion: parse_json into the binary variant
+   * type, navigate with variant_get, and surface is_variant_null /
+   * schema introspection — the semi-structured fast path that avoids
+   * per-query string re-parsing at scale. */
+  def variantJson(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_id"), expr("parse_json(props)").as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("schema_of_variant(v)").as("v_schema"),
+        expr("variant_get(v, '$.missing', 'string')").isNull
+          .cast("int").cast("long").as("missing_is_null"))
+      .groupBy("v_schema")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(col("missing_is_null")).as("n_missing_null"))
+      .orderBy("v_schema")
+
+  /** Map-type higher-order functions: map built from entries,
+   * transform_values / map_zip_with, reduced to scalars (map
+   * containers never reach the oracle hash — same discipline as the
+   * array queries). */
+  def mapHigherOrder(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("int").as("ln"),
+        col("l_quantity").cast("int").as("q"))
+      .groupBy("l_orderkey")
+      // linenumbers are NOT unique in the synthetic lineitem, so the
+      // map key is the 1..n position of the (ln, q)-sorted entries
+      .agg(sort_array(collect_list(struct(col("ln"), col("q")))).as("arr"))
+      .select(col("l_orderkey"),
+        map_from_arrays(sequence(lit(1), size(col("arr"))),
+          transform(col("arr"), s => s.getField("q"))).as("m"))
+      .select(col("l_orderkey"),
+        size(col("m")).cast("long").as("n_lines"),
+        // transform_values: double each quantity, then fold the map values
+        aggregate(map_values(transform_values(col("m"), (_, v) => v * 2)),
+          lit(0L), (a, x) => a + x).as("doubled_sum"),
+        // map_zip_with against itself: q*q per key, take the max
+        array_max(map_values(map_zip_with(col("m"), col("m"), (_, a, b) => a * b)))
+          .cast("long").as("max_sq"))
+      .orderBy("l_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_variant_json" -> variantJson _,
+    "r_map_higher_order" -> mapHigherOrder _,
     "r_offset_limit" -> offsetLimit _,
     "r_zorder_write" -> zorderWrite _,
     "r_corrupt_records" -> corruptRecords _,
@@ -514,6 +558,21 @@ object Round5Queries {
     "r_offset_limit" ->
       """SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size
         |FROM part ORDER BY p_partkey LIMIT 20 OFFSET 40""".stripMargin,
+    // every props value is {"k": <int>} so schema_of_variant is the
+    // constant OBJECT<k: BIGINT>; the oracle states the same literal
+    "r_variant_json" ->
+      """SELECT 'OBJECT<k: BIGINT>' AS v_schema, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n_missing_null
+        |FROM events""".stripMargin,
+    "r_map_higher_order" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS INT) * 2) AS BIGINT) AS doubled_sum,
+        |    CAST(max(CAST(l_quantity AS INT) * CAST(l_quantity AS INT)) AS BIGINT) AS max_sq,
+        |    count(*) AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, n_lines, doubled_sum, max_sq FROM g""".stripMargin,
     "r_zorder_write" ->
       """WITH k AS (SELECT
         |    ((user_id & 255) | ((user_id & 255) << 4)) & 3855 AS a1,
