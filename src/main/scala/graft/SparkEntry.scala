@@ -36,7 +36,8 @@ object SparkEntry {
       "s_stream_join" -> (graft.streaming.StreamOps.streamStreamJoin _),
       "s_stream_running_state" -> (graft.streaming.StreamOps.runningUserState _),
       "s_stream_left_outer" -> (graft.streaming.StreamOps.streamStreamLeftOuter _),
-      "s_stream_ckpt_resume" -> (graft.streaming.StreamOps.checkpointedResume _))
+      "s_stream_ckpt_resume" -> (graft.streaming.StreamOps.checkpointedResume _),
+      "s_stream_session_window" -> (graft.streaming.StreamOps.sessionWindowStream _))
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
@@ -74,6 +75,27 @@ object SparkEntry {
           |  AND v.user_id = p.user_id
           |  AND v.ts <= p.ts
           |  AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
+      // native session_window in append mode emits exactly the
+      // sessions whose end (last event + 30min gap) the final
+      // watermark (ms-truncated max event time - 1h) has passed
+      "s_stream_session_window" ->
+        """WITH x AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+          |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), s AS (
+          |  SELECT user_id, us, value,
+          |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM x),
+          |wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS w FROM events),
+          |sess AS (
+          |  SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+          |    count(*) AS n_events, floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+          |  FROM s GROUP BY user_id, sid)
+          |SELECT user_id, start_us, end_us, n_events, sum_value
+          |FROM sess, wm WHERE end_us <= wm.w""".stripMargin,
       // checkpoint-recovered restart: upserted update-mode emissions
       // across two query runs sharing one checkpoint = batch aggregate
       "s_stream_ckpt_resume" ->

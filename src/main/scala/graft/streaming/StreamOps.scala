@@ -428,6 +428,41 @@ object StreamOps {
   }
 
   /**
+   * NATIVE streaming sessionization: `session_window` with a
+   * watermark in append mode — the declarative counterpart of the
+   * custom `flatMapGroupsWithState` path (`sessionizeStream`); state
+   * is engine-managed and sessions emit once the watermark passes
+   * their end (last event + gap). The drained run therefore yields
+   * exactly the sessions whose end the final watermark (ms-truncated
+   * max event time - 1h) has passed — what the oracle's
+   * island-building CTE computes.
+   */
+  def sessionWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_swin_${callSeq.incrementAndGet()}"
+    val dir = stagedEventsDir(sfDir)
+    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally cleanup(dir)
+    spark.table(name).orderBy("user_id", "start_us")
+  }
+
+  /**
    * Checkpointed stop-and-resume: TWO separate streaming queries
    * share one checkpoint location. Run 1 drains the first half of
    * the events (update-mode per-type aggregation, foreachBatch
