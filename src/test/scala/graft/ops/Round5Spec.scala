@@ -96,6 +96,42 @@ class Round5Spec extends SparkSpec {
     assert(r.getLong(2) === 0L, "no overlapping file ranges")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // a broadcastable creation side suppresses the rule (broadcast
+      // joins don't need a runtime filter) — force the shuffle path
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // selective dimension (1 order priority) joined to the fact scan
+      val dim = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      // disable broadcast so the join is shuffle-based (bloom filters
+      // target shuffle joins; a broadcast join would not need one)
+      val joined = fact.hint("MERGE")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter") ||
+        plan.contains("might_contain"),
+        s"expected a runtime bloom filter in:\n${plan.take(1500)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("observe() emits accumulated metrics matching the batch aggregate") {
     import org.apache.spark.sql.functions._
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
