@@ -524,7 +524,41 @@ object Round5Queries {
           .cast("long").as("max_sq"))
       .orderBy("l_orderkey")
 
+  /** Corpus-LM fluency signal without libm: every document is scored
+   * by the MEAN smoothed bigram probability of its word pairs,
+   * P(b|a) = (c(ab)+1)/(c(a)+V), with counts and V from the corpus
+   * itself — arithmetic-mean instead of log-space perplexity keeps
+   * every operation rational, so the oracle is bit-comparable under
+   * the shared rounding. Two shuffles total: the bigram-count build
+   * and the per-doc mean; the count tables join back by key (no
+   * cross join). Per-language mean of doc scores is the output. */
+  def bigramFluency(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        graft.ops.TextOps.words(lower(col("text"))).as("w"))
+    val pairs = d.select(col("doc_id"), col("lang"),
+      posexplode(expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x as a, element_at(w, i + 2) as b))"))
+        .as(Seq("i", "p")))
+      .select(col("doc_id"), col("lang"), col("p.a").as("a"), col("p.b").as("b"))
+    val uniCnt = pairs.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val biCnt = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val v = pairs.select(col("b")).union(pairs.select(col("a"))).distinct().count()
+    val scored = pairs
+      .join(biCnt, Seq("a", "b"))
+      .join(uniCnt, Seq("a"))
+      .select(col("doc_id"), col("lang"),
+        ((col("cab") + lit(1.0)) / (col("ca") + lit(v.toDouble))).as("p"))
+    scored.groupBy("doc_id", "lang")
+      .agg((sum(col("p")) / count(lit(1))).as("doc_score"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        rnd(sum(col("doc_score")) / count(lit(1)) * 1e3, 6).as("mean_score_k"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_bigram_fluency" -> bigramFluency _,
     "r_variant_json" -> variantJson _,
     "r_map_higher_order" -> mapHigherOrder _,
     "r_offset_limit" -> offsetLimit _,
@@ -560,6 +594,24 @@ object Round5Queries {
         |FROM part ORDER BY p_partkey LIMIT 20 OFFSET 40""".stripMargin,
     // every props value is {"k": <int>} so schema_of_variant is the
     // constant OBJECT<k: BIGINT>; the oracle states the same literal
+    "p_bigram_fluency" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |p AS (SELECT doc_id, lang, w[i] AS a, w[i+1] AS b
+        |  FROM w, unnest(generate_series(1, len(w) - 1)) t(i)),
+        |ca AS (SELECT a, count(*) AS ca FROM p GROUP BY a),
+        |cab AS (SELECT a, b, count(*) AS cab FROM p GROUP BY a, b),
+        |v AS (SELECT count(*) AS v FROM (
+        |  SELECT b AS x FROM p UNION SELECT a FROM p)),
+        |sc AS (SELECT p.doc_id, p.lang,
+        |    (cab.cab + CAST(1.0 AS DOUBLE)) / (ca.ca + v.v) AS pr
+        |  FROM p JOIN cab ON cab.a = p.a AND cab.b = p.b
+        |  JOIN ca ON ca.a = p.a, v),
+        |ds AS (SELECT doc_id, lang, sum(pr) / count(*) AS s
+        |  FROM sc GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  floor(sum(s) / count(*) * 1e3 * 1e6 + 0.5) / 1e6 AS mean_score_k
+        |FROM ds GROUP BY lang""".stripMargin,
     "r_variant_json" ->
       """SELECT 'OBJECT<k: BIGINT>' AS v_schema, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
