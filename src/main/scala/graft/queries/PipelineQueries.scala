@@ -147,6 +147,28 @@ object PipelineQueries {
     "p_dedup_keep" -> ((s, d) =>
       Dedup.keepDecisions(docs(s, d), Dedup.clusters(lshPairs(s, d)))
         .orderBy("doc_id")),
+    // MDM-style survivorship: the canonical record per near-dup
+    // cluster is chosen by QUALITY (longest text, id tie-break), not
+    // by min-id — the merge rule real dedup pipelines apply after
+    // clustering (p_dedup_keep is the min-id baseline)
+    "p_dedup_survivorship" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cl = Dedup.clusters(lshPairs(s, d))
+      val withCl = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .join(cl.withColumnRenamed("doc_id", "cid_doc"),
+          col("doc_id") === col("cid_doc"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val canon = withCl
+        .withColumn("rk", row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+        .where(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+      withCl.join(canon, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("survives"))
+        .orderBy("doc_id")
+    }),
     "p_tfidf_top_terms" -> ((s, d) =>
       TextOps.tfidfTopTerms(docs(s, d)).orderBy("doc_id", "rank")),
     "p_context_chunks" -> ((s, d) =>
@@ -558,6 +580,18 @@ object PipelineQueries {
          |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
          |  coalesce(cl.cluster_id, d.doc_id) = d.doc_id AS keep
          |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id""".stripMargin,
+    "p_dedup_survivorship" ->
+      s"""$ClusterCte,
+         |m AS (SELECT d.doc_id, d.n_chars,
+         |    coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM m) WHERE rk = 1)
+         |SELECT m.doc_id, m.cluster_id, c.canonical_id,
+         |  m.doc_id = c.canonical_id AS survives
+         |FROM m JOIN canon c ON c.cluster_id = m.cluster_id""".stripMargin,
     // every signal reuses its stand-alone oracle formulation; the
     // final verdict is their boolean composition
     "p_corpus_select" -> CorpusSelectSql,

@@ -557,7 +557,24 @@ object Round5Queries {
       .orderBy("lang")
   }
 
+  /** Event-time RANGE frame: per event, count and sum over the
+   * TRAILING HOUR of the same user's events (value-based range on
+   * epoch-micros — the interval-frame idiom for rolling features;
+   * same-timestamp rows are frame peers on both engines). */
+  def trailingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("n_trail", count(lit(1)).over(w))
+      .withColumn("sum_trail", rnd(sum(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("n_trail"), col("sum_trail"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_trailing_window" -> trailingWindow _,
     "p_bigram_fluency" -> bigramFluency _,
     "r_variant_json" -> variantJson _,
     "r_map_higher_order" -> mapHigherOrder _,
@@ -594,6 +611,13 @@ object Round5Queries {
         |FROM part ORDER BY p_partkey LIMIT 20 OFFSET 40""".stripMargin,
     // every props value is {"k": <int>} so schema_of_variant is the
     // constant OBJECT<k: BIGINT>; the oracle states the same literal
+    "r_trailing_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER fr AS n_trail,
+        |  floor(sum(value) OVER fr * 1e4 + 0.5) / 1e4 AS sum_trail
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+        |WINDOW fr AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "p_bigram_fluency" ->
       """WITH w AS (SELECT doc_id, lang,
         |    string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
