@@ -35,7 +35,14 @@ def canon(df):
         vals = []
         for v in r:
             if isinstance(v, float):
-                vals.append(repr(v))  # full precision, like the driver
+                # full precision, like the driver. This is safe ONLY
+                # because every float-producing query routes through
+                # the shared floor-rounding pattern (rnd()) on BOTH
+                # engines, making the doubles bit-identical; a query
+                # emitting an unrounded float aggregate would fail
+                # spuriously here from summation-order ulps — round it
+                # in the query instead of weakening this compare.
+                vals.append(repr(v))
             else:
                 vals.append(str(v))
         rows.append("|".join(vals))
