@@ -82,6 +82,38 @@ object EdgeOps {
       .distinct()
   }
 
+  /** Weighted co-purchase edges: (src, dst, w) with w = number of
+   * orders the two parts co-occur in. Same self-join shuffle shape
+   * as [[coPurchaseEdges]]; the groupBy replaces the distinct (both
+   * are one hash aggregation on (src, dst)). The `w >= minW` filter
+   * yields the co-purchase "backbone" — repeated co-occurrence — a
+   * sparser graph whose component structure is non-trivial. */
+  def coPurchaseEdgesWeighted(spark: SparkSession, sfDir: String,
+      minW: Int = 1): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val a = li.as("a")
+    val b = li.as("b")
+    a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= minW)
+  }
+
+  /** Build a GraphX graph with Double edge attributes from a
+   * (src, dst, len) DataFrame (canonical orientation; undirected
+   * semantics come from both-direction messaging, as everywhere). */
+  def toWeightedGraph(edgesDF: DataFrame, lenCol: String = "len"): Graph[Int, Double] = {
+    val edges: RDD[Edge[Double]] = edgesDF
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col(lenCol).cast("double"))
+      .rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val g = Graph.fromEdges(edges, defaultValue = 0)
+    g.partitionBy(PartitionStrategy.EdgePartition2D, edges.getNumPartitions)
+  }
+
   /** G3: per-vertex degree of the undirected graph, from the doubled
    * edge set (degree = out-degree per source). */
   def degrees(symmetrized: DataFrame): DataFrame =

@@ -354,4 +354,120 @@ object GraphAlgs {
             (size(col("na.nbrs")) + size(col("nb.nbrs")) - common), 9)
           .as("jaccard"))
   }
+
+  /** Connected components as (vid, component) with component = min
+   * vertex id reachable — GraphX's library min-label propagation
+   * (Pregel, O(diameter) supersteps, frontier-only messages). The
+   * result is materialized before the component graph's surfaces
+   * are released (same lazy-DataFrame discipline as bfsHopsDF). */
+  def connectedComponentsDF[V: scala.reflect.ClassTag](g: Graph[V, Int]): DataFrame = {
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.createDataFrame(cc.vertices.map { case (id, c) => (id, c) })
+      .toDF("vid", "component").cache()
+    df.count()
+    cc.unpersistVertices(blocking = false)
+    cc.edges.unpersist(blocking = false)
+    df
+  }
+
+  /**
+   * Deterministic synchronous label propagation: every vertex starts
+   * labelled with its own id; each round it adopts the most frequent
+   * label among its neighbors, ties broken by SMALLEST label (GraphX's
+   * library LPA breaks ties by hash-map iteration order, which is not
+   * stable across runs/partitionings — this one is reproducible, which
+   * the correctness harness requires). Runs a FIXED number of rounds:
+   * synchronous LPA can oscillate between two labelings on bipartite
+   * structures, so a fixed round count is the deterministic stopping
+   * rule.
+   *
+   * Messages are per-label count maps merged IN PLACE (the CoreHist
+   * lesson: a hub's combine tree does O(deg) total map inserts, and
+   * map size is bounded by the number of distinct neighbor labels,
+   * which shrinks as communities coalesce).
+   */
+  def labelPropagationDF[V: scala.reflect.ClassTag](
+      g: Graph[V, Int], rounds: Int = 5): DataFrame = {
+    var lg: Graph[Long, Int] = g.mapVertices((id, _) => id).cache()
+    lg.vertices.count()
+    var i = 0
+    while (i < rounds) {
+      val msgs = lg.aggregateMessages[scala.collection.mutable.HashMap[Long, Int]](
+        ctx => {
+          ctx.sendToDst(scala.collection.mutable.HashMap(ctx.srcAttr -> 1))
+          ctx.sendToSrc(scala.collection.mutable.HashMap(ctx.dstAttr -> 1))
+        },
+        (a, b) => {
+          val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+          small.foreach { case (l, c) =>
+            big.update(l, big.getOrElse(l, 0) + c)
+          }
+          big
+        })
+      val next = lg.outerJoinVertices(msgs) { (_, old, m) =>
+        m match {
+          case Some(counts) =>
+            var bestL = Long.MaxValue; var bestC = -1
+            counts.foreach { case (l, c) =>
+              if (c > bestC || (c == bestC && l < bestL)) { bestL = l; bestC = c }
+            }
+            bestL
+          case None => old
+        }
+      }.cache()
+      next.vertices.count()
+      lg.unpersistVertices(blocking = false)
+      lg.edges.unpersist(blocking = false)
+      lg = next
+      i += 1
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.createDataFrame(lg.vertices.map { case (id, l) => (id, l) })
+      .toDF("vid", "label").cache()
+    df.count()
+    lg.unpersistVertices(blocking = false)
+    lg.edges.unpersist(blocking = false)
+    df
+  }
+
+  /** Single-source shortest paths over Double edge lengths (Pregel
+   * relaxation — the distributed Bellman-Ford: frontier vertices
+   * offer `dist + len` to neighbors, vprog keeps the min; converges
+   * once no relaxation fires, bounded by maxIter supersteps). Only
+   * vertices whose distance improved send in the next round, so the
+   * per-superstep cost tracks the relaxation frontier, not |E|. */
+  def ssspWeighted[V](g: Graph[V, Double], source: VertexId,
+      maxIter: Int = 50): Graph[Double, Double] = {
+    val init = g.mapVertices((id, _) =>
+      if (id == source) 0.0 else Double.PositiveInfinity)
+    init.pregel(Double.PositiveInfinity, maxIterations = maxIter,
+      activeDirection = EdgeDirection.Either)(
+      (_, d, m) => math.min(d, m),
+      t => {
+        val fromSrc =
+          if (t.srcAttr + t.attr < t.dstAttr)
+            Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty
+        val fromDst =
+          if (t.dstAttr + t.attr < t.srcAttr)
+            Iterator((t.srcId, t.dstAttr + t.attr)) else Iterator.empty
+        fromSrc ++ fromDst
+      },
+      math.min)
+  }
+
+  /** (vid, dist) rows for vertices reached from `source`;
+   * materialize-then-release like bfsHopsDF. */
+  def ssspWeightedDF[V](g: Graph[V, Double], source: VertexId,
+      maxIter: Int = 50): DataFrame = {
+    val sp = ssspWeighted(g, source, maxIter)
+    val reached = sp.vertices.filter(_._2 != Double.PositiveInfinity)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.createDataFrame(reached.map { case (id, d) => (id, d) })
+      .toDF("vid", "dist").cache()
+    df.count()
+    sp.unpersistVertices(blocking = false)
+    sp.edges.unpersist(blocking = false)
+    df
+  }
 }

@@ -319,6 +319,58 @@ object GraphQueries {
       adjW(spark, sfDir).select(col("vid"), col("nbrs")))
       .orderBy("src", "dst")
 
+  /** Co-purchase "backbone": edges whose endpoints co-occur in >= 2
+   * orders. Sparser than the full graph (non-trivial component
+   * structure), shared by the component / label-propagation
+   * queries. */
+  private def backboneEdges(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"backbone:$sfDir") {
+      val df = EdgeOps.coPurchaseEdgesWeighted(spark, sfDir, minW = 2)
+        .cache(); df.count(); df
+    }
+
+  private def backboneGraph(spark: SparkSession, sfDir: String) =
+    memoize(spark, s"backboneGraph:$sfDir") {
+      val g = EdgeOps.toGraph(backboneEdges(spark, sfDir)); g.cache()
+      g.numVertices; g
+    }
+
+  /** Connected components of the backbone graph, component = min
+   * reachable vertex id (GraphX min-label Pregel). Oracle: DuckDB
+   * recursive-CTE fixed point over the same edge set. */
+  def connectedComponents(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.connectedComponentsDF(backboneGraph(spark, sfDir))
+      .orderBy("vid")
+
+  /** Deterministic synchronous label propagation (5 rounds,
+   * most-frequent-neighbor-label, ties to smallest) on the backbone
+   * graph. Rows-only: an iterative fixpoint the oracle cannot
+   * express; determinism + tiny-graph semantics are pinned by unit
+   * tests. */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.labelPropagationDF(backboneGraph(spark, sfDir), rounds = 5)
+      .orderBy("vid")
+
+  /** Weighted single-source shortest paths over the full co-purchase
+   * graph with edge length 1/w (strong ties are short) from the
+   * smallest vertex id. Rows-only (Pregel relaxation); path algebra
+   * is pinned by unit tests on a hand-built weighted graph. */
+  def ssspWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val weighted = memoize(spark, s"weightedEdges:$sfDir") {
+      val df = EdgeOps.coPurchaseEdgesWeighted(spark, sfDir)
+        .withColumn("len", lit(1.0) / col("w")).cache(); df.count(); df
+    }
+    val source = weighted.agg(min(col("src"))).head().getLong(0)
+    val g = memoize(spark, s"weightedGraph:$sfDir") {
+      val wg = EdgeOps.toWeightedGraph(weighted); wg.cache()
+      wg.numVertices; wg
+    }
+    graft.graph.GraphAlgs.ssspWeightedDF(g, source)
+      .select(col("vid"),
+        (floor(col("dist") * 1e6 + 0.5) / 1e6).as("dist"))
+      .orderBy("vid")
+  }
+
   /** Shared oracle CTE defining the identical edge sets in DuckDB. */
   val EdgeCte: String =
     """WITH raw AS (
@@ -334,6 +386,22 @@ object GraphQueries {
        |assign AS (SELECT vid, vid % $SyntheticModulus AS cid FROM verts)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // min-label fixed point over the weighted backbone (w >= 2):
+    // UNION-dedup recursion bounds the working set at (vertex,
+    // seen-label) pairs, then min per vertex = the component label
+    // GraphX's min-propagation converges to
+    "g_connected_components" ->
+      """WITH RECURSIVE cp AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e2 AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+        |reach(v, m) AS (
+        |  SELECT DISTINCT src, src FROM e2
+        |  UNION
+        |  SELECT e2.dst, reach.m FROM reach JOIN e2 ON e2.src = reach.v)
+        |SELECT v AS vid, min(m) AS component FROM reach GROUP BY v""".stripMargin,
     "g_csv_roundtrip" -> s"$EdgeCte SELECT src, dst FROM raw",
     "g_edges_sym" -> s"$EdgeCte SELECT src, dst FROM edges",
     "g_degrees" -> s"$EdgeCte SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src",
@@ -519,6 +587,9 @@ object GraphQueries {
     "g_bfs_hops" -> bfsHops _,
     "g_neighbor_jaccard" -> neighborJaccard _,
     "g_kcore" -> kcore _,
+    "g_connected_components" -> connectedComponents _,
+    "g_label_propagation" -> labelPropagation _,
+    "g_sssp_weighted" -> ssspWeighted _,
     "g_degree_dist" -> degreeDist _,
     "g_avg_nbr_degree" -> avgNeighborDegree _,
     "g_modularity" -> modularity _,
