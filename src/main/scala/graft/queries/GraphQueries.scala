@@ -29,9 +29,15 @@ object GraphQueries {
   private def memoize[T](spark: SparkSession, key: String)(f: => T): T =
     SessionMemo.memoize(spark, key)(f)
 
+  /** Canonical (src < dst, distinct) co-purchase edges — a projection
+   * of [[weightedEdges]], so the whole graph suite performs the
+   * lineitem self-join exactly once per (session, sfDir): the
+   * groupBy-count behind the weighted surface is the same shuffle as
+   * the distinct it replaces. */
   private def canonEdges(spark: SparkSession, sfDir: String): DataFrame =
     memoize(spark, s"canon:$sfDir") {
-      val df = EdgeOps.coPurchaseEdges(spark, sfDir).cache(); df.count(); df
+      val df = weightedEdges(spark, sfDir)
+        .select(col("src"), col("dst")).cache(); df.count(); df
     }
 
   private def graph(spark: SparkSession, sfDir: String) =
@@ -323,10 +329,20 @@ object GraphQueries {
    * orders. Sparser than the full graph (non-trivial component
    * structure), shared by the component / label-propagation
    * queries. */
+  /** Weighted co-purchase edges (w = co-occurrence count, len = 1/w),
+   * built ONCE per (session, sfDir): the backbone (w >= 2) for
+   * components / label propagation and the SSSP length surface both
+   * derive from this single lineitem self-join. */
+  private def weightedEdges(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"weightedEdges:$sfDir") {
+      val df = EdgeOps.coPurchaseEdgesWeighted(spark, sfDir)
+        .withColumn("len", lit(1.0) / col("w")).cache(); df.count(); df
+    }
+
   private def backboneEdges(spark: SparkSession, sfDir: String): DataFrame =
     memoize(spark, s"backbone:$sfDir") {
-      val df = EdgeOps.coPurchaseEdgesWeighted(spark, sfDir, minW = 2)
-        .cache(); df.count(); df
+      val df = weightedEdges(spark, sfDir).where(col("w") >= 2)
+        .select(col("src"), col("dst")).cache(); df.count(); df
     }
 
   private def backboneGraph(spark: SparkSession, sfDir: String) =
@@ -356,10 +372,7 @@ object GraphQueries {
    * smallest vertex id. Rows-only (Pregel relaxation); path algebra
    * is pinned by unit tests on a hand-built weighted graph. */
   def ssspWeighted(spark: SparkSession, sfDir: String): DataFrame = {
-    val weighted = memoize(spark, s"weightedEdges:$sfDir") {
-      val df = EdgeOps.coPurchaseEdgesWeighted(spark, sfDir)
-        .withColumn("len", lit(1.0) / col("w")).cache(); df.count(); df
-    }
+    val weighted = weightedEdges(spark, sfDir)
     val source = weighted.agg(min(col("src"))).head().getLong(0)
     val g = memoize(spark, s"weightedGraph:$sfDir") {
       val wg = EdgeOps.toWeightedGraph(weighted); wg.cache()
