@@ -398,31 +398,44 @@ object AdvancedQueries {
         grouping(col("l_linestatus")).cast("long").as("g_ls"))
       .orderBy("l_returnflag", "l_linestatus", "g_rf", "g_ls")
 
-  /** Approximate quantiles (Greenwald-Khanna sketch) next to the
-   * exact interpolated percentiles (rows-only; the spec bounds the
-   * sketch error). Like the HLL sketch, the mergeable fixed-size
-   * summary is the only viable form at 100 TB — exact percentiles
-   * need a full sort or all values on one node. */
+  /** Approximate quantiles (Greenwald-Khanna sketch) checked against
+   * the exact interpolated percentiles: the output carries the exact
+   * values (oracle-computable via quantile_cont) plus a "sketch
+   * within 5%" boolean the oracle states as TRUE — a self-certifying
+   * accuracy contract, since a degraded sketch flips the boolean and
+   * fails the hash compare. At 100 TB the mergeable fixed-size
+   * summary is the only viable form — exact percentiles need a full
+   * sort or all values on one node. */
   def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("approx_p90"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("exact_p90"))
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"),
+        expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+        expr("percentile(l_extendedprice, 0.9)").as("ep90"))
+      .select(col("l_returnflag"),
+        rnd(col("ep50"), 4).as("exact_p50"),
+        rnd(col("ep90"), 4).as("exact_p90"),
+        (abs(col("ap50") - col("ep50")) <= col("ep50") * 0.05).as("p50_ok"),
+        (abs(col("ap90") - col("ep90")) <= col("ep90") * 0.05).as("p90_ok"))
       .orderBy("l_returnflag")
 
-  /** HLL++ sketch distinct counts next to the exact answer
-   * (rows-only: the sketch estimate is engine-specific; the spec
-   * asserts <5% relative error). At 100 TB the sketch is the only
-   * viable form — it partial-aggregates map-side into a fixed-size
-   * registers array instead of shuffling every distinct key. */
+  /** HLL++ sketch distinct counts checked against the exact answer:
+   * exact count (oracle-computable) plus a "estimate within 5%"
+   * boolean the oracle states as TRUE (same self-certifying pattern
+   * as r_approx_quantiles / r_hll_sketch). At 100 TB the sketch is
+   * the only viable form — it partial-aggregates map-side into a
+   * fixed-size registers array instead of shuffling every distinct
+   * key. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05).as("approx_ok"))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -626,7 +639,19 @@ object AdvancedQueries {
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
-    // r_approx_distinct: intentionally no oracle — the HLL estimate is
-    // engine-specific; rows-only check + error-bound spec.
+    ,
+    // self-certifying sketch contracts: exact values from the oracle,
+    // accuracy booleans the oracle states as TRUE (a degraded sketch
+    // flips them on the Spark side and the hash compare fails)
+    "r_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    "r_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS exact_p50,
+        |  floor((quantile_cont(l_extendedprice, 0.9)) * 1e4 + 0.5) / 1e4 AS exact_p90,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

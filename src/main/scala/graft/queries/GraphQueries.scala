@@ -311,11 +311,32 @@ object GraphQueries {
       .orderBy("vid")
   }
 
-  /** K-core decomposition via distributed H-index propagation
-   * (rows-only: an iterative fixpoint the oracle cannot express;
-   * exact coreness is pinned by unit tests on hand-built graphs). */
-  def kcore(spark: SparkSession, sfDir: String): DataFrame =
-    graft.graph.GraphAlgs.corenessDF(graph(spark, sfDir)).orderBy("vid")
+  /** K-core decomposition via distributed H-index propagation. The
+   * fixpoint itself is not SQL-expressible, so the gate checks the
+   * defining invariants of a correct coreness assignment instead:
+   * every vertex has >= core(v) neighbors of coreness >= core(v)
+   * (the support property) and core(v) <= degree(v). A wrong
+   * decomposition — over-estimates, under-propagation — flips a
+   * boolean and fails the hash; exact per-vertex coreness is pinned
+   * by unit tests on hand-built graphs and served by Graft.kcore. */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val core = graft.graph.GraphAlgs.corenessDF(graph(spark, sfDir))
+    val sym = EdgeOps.symmetrize(canonEdges(spark, sfDir))
+    val nGe = sym
+      .join(core.select(col("vid").as("src"), col("core").as("core_src")), "src")
+      .join(core.select(col("vid").as("dst"), col("core").as("core_dst")), "dst")
+      .where(col("core_dst") >= col("core_src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n_ge"))
+    val deg = sym.groupBy(col("src").as("dvid")).agg(count(lit(1)).as("deg"))
+    core.join(nGe, col("vid") === col("src"), "left")
+      .join(deg, col("vid") === col("dvid"))
+      .select(col("vid"), col("core"),
+        (coalesce(col("n_ge"), lit(0L)) >= col("core")).as("support_ok"),
+        (col("core") <= col("deg")).as("bounded_ok"))
+      .agg(count(lit(1)).as("n_vertices"),
+        expr("bool_and(support_ok)").as("support_ok"),
+        expr("bool_and(bounded_ok)").as("bounded_ok"))
+  }
 
   /** Per-edge neighborhood Jaccard (link-prediction feature) over
    * the canonical co-purchase edges. */
@@ -403,6 +424,11 @@ object GraphQueries {
     // UNION-dedup recursion bounds the working set at (vertex,
     // seen-label) pairs, then min per vertex = the component label
     // GraphX's min-propagation converges to
+    // k-core invariant contract: vertex count from the edge set,
+    // booleans TRUE (see the kcore query comment)
+    "g_kcore" ->
+      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
+         |  TRUE AS support_ok, TRUE AS bounded_ok FROM edges""".stripMargin,
     "g_connected_components" ->
       """WITH RECURSIVE cp AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst

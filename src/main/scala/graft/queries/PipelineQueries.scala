@@ -307,9 +307,30 @@ object PipelineQueries {
     "p_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")),
-    "p_ann_ivf_kmeans" -> ((s, d) =>
-      Similarity.ivfKmeansTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")),
+    // k-means IVF: the learned cell centers cannot be replayed in
+    // SQL, so the gate checks the structural contract instead —
+    // exactly k distinct non-self neighbors per probe query, scores
+    // non-increasing with rank. A broken index (empty cells, self
+    // matches, unsorted heap) flips a boolean and fails the hash.
+    "p_ann_ivf_kmeans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val topk = Similarity.ivfKmeansTopK(embs(s, d))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      val per = topk
+        .withColumn("prev_score", lag(col("score"), 1).over(w))
+        .groupBy(col("query_id")).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("neighbor_id")).as("nd"),
+          min((col("prev_score").isNull ||
+            col("prev_score") >= col("score")).cast("int")).as("mono"),
+          max((col("neighbor_id") === col("query_id")).cast("int")).as("selfhit"))
+      per.agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("n")).as("n_rows"),
+        expr("bool_and(n = 5 AND nd = 5)").as("k_ok"),
+        expr("bool_and(mono = 1)").as("monotone_ok"),
+        expr("bool_and(selfhit = 0)").as("no_self_ok"))
+    }),
     "p_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(embs(s, d), NearDupThreshold).orderBy("id_a", "id_b")),
     "p_ann_recall" -> ((s, d) =>
@@ -834,6 +855,12 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // structural contract for the k-means IVF path (see the query
+    // comment): counts from the probe-set definition, booleans TRUE
+    "p_ann_ivf_kmeans" ->
+      """SELECT count(*) AS n_queries, CAST(count(*) * 5 AS BIGINT) AS n_rows,
+        |  TRUE AS k_ok, TRUE AS monotone_ok, TRUE AS no_self_ok
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
     "p_embed_centroids" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT label, CAST(i - 1 AS BIGINT) AS dim,
