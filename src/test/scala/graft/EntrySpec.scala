@@ -13,12 +13,12 @@ class EntrySpec extends SparkSpec {
   }
 
   test("rows-only queries are exactly the documented non-SQL-expressible set") {
-    // Pregel/driver-loop phases, k-means seeding, engine-specific
-    // sketch estimates — everything else MUST carry a DuckDB oracle.
+    // Pregel/driver-loop phases whose per-vertex fixpoints the
+    // oracle cannot express — everything else MUST carry a DuckDB
+    // oracle (sketch/index queries carry self-certifying contracts).
     val rowsOnly = Set(
       "g_wcc_partition", "g_wcc_initial_partition", "g_wcc_incremental",
-      "g_pagerank", "g_kcore", "p_ann_ivf_kmeans",
-      "r_approx_distinct", "r_approx_quantiles")
+      "g_pagerank", "g_label_propagation", "g_sssp_weighted")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual === rowsOnly,
       s"unexpected rows-only queries (add an oracle or document here): " +
