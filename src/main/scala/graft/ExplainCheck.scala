@@ -47,6 +47,11 @@ object ExplainCheck {
     assert(sj.split("BroadcastHashJoin").length - 1 >= 3,
       "star join must broadcast all three dimensions")
     assert(!sj.contains("SortMergeJoin"), "star join must not shuffle the fact side")
+    val zs = plan("p_zipf_slope")
+    assert(zs.contains("TakeOrderedAndProject"),
+      "zipf top-500 must be a partial top-k (TakeOrderedAndProject), not a global sort")
+    val la = plan("r_listagg")
+    assert(la.contains("BroadcastHashJoin"), "region dim join not broadcast")
     println("ALL PLAN CHECKS PASSED")
     spark.stop()
   }
