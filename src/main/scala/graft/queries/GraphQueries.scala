@@ -405,6 +405,42 @@ object GraphQueries {
       .orderBy("vid")
   }
 
+  /** Global transitivity (clustering coefficient of the whole
+   * graph): 3·triangles / wedges, from the SAME memoized triangle
+   * statistics the WCC pipeline uses (Σ per-vertex t = 3T) and the
+   * degree distribution (wedges = Σ deg·(deg-1)/2). */
+  def transitivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val sumT = tri(spark, sfDir).fullStats
+      .map { case (_, (t, _)) => t.toLong }.sum().toLong
+    val deg = EdgeOps.degrees(EdgeOps.symmetrize(canonEdges(spark, sfDir)))
+    deg.agg(
+      sum((col("degree") * (col("degree") - 1)) / 2).cast("long").as("wedges"))
+      .select(lit(sumT).as("sum_t"), col("wedges"),
+        (floor(lit(sumT) / col("wedges") * 1e9 + 0.5) / 1e9).as("transitivity"))
+  }
+
+  /** Conductance per synthetic community (cut / min(vol, 2m - vol)):
+   * the partition-quality metric complementing modularity, one
+   * relational pass over the shared edge surfaces. */
+  def conductance(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = canonEdges(spark, sfDir)
+    val m2 = raw.count().toDouble * 2
+    val vol = EdgeOps.symmetrize(raw)
+      .groupBy((col("src") % SyntheticModulus).as("cid"))
+      .agg(count(lit(1)).as("vol"))
+    val cut = raw
+      .where(col("src") % SyntheticModulus =!= col("dst") % SyntheticModulus)
+      .select(explode(array(col("src") % SyntheticModulus,
+        col("dst") % SyntheticModulus)).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("cut"))
+    vol.join(cut, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("cut"), lit(0L)).as("cut"), col("vol"),
+        (floor(coalesce(col("cut"), lit(0L)) /
+          least(col("vol").cast("double"), lit(m2) - col("vol")) * 1e9 + 0.5) / 1e9)
+          .as("phi"))
+      .orderBy("cid")
+  }
+
   /** Shared oracle CTE defining the identical edge sets in DuckDB. */
   val EdgeCte: String =
     """WITH raw AS (
@@ -441,6 +477,29 @@ object GraphQueries {
         |  UNION
         |  SELECT e2.dst, reach.m FROM reach JOIN e2 ON e2.src = reach.v)
         |SELECT v AS vid, min(m) AS component FROM reach GROUP BY v""".stripMargin,
+    "g_transitivity" ->
+      s"""$EdgeCte, t3 AS (
+         |  SELECT CAST(sum(t) AS BIGINT) AS sum_t FROM (
+         |    SELECT e1.src AS vid, count(*)/2 AS t
+         |    FROM edges e1
+         |    JOIN edges e2 ON e2.src = e1.dst
+         |    JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+         |    GROUP BY e1.src)),
+         |w AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges FROM (
+         |  SELECT count(*) AS d FROM edges GROUP BY src))
+         |SELECT sum_t, wedges,
+         |  floor(sum_t / wedges * 1e9 + 0.5) / 1e9 AS transitivity
+         |FROM t3, w""".stripMargin,
+    "g_conductance" ->
+      s"""$EdgeCte, m2 AS (SELECT count(*)::DOUBLE AS m2 FROM edges),
+         |vol AS (SELECT src % 100 AS cid, count(*) AS vol FROM edges GROUP BY 1),
+         |cut AS (SELECT cid, count(*) AS cut FROM (
+         |  SELECT unnest([src % 100, dst % 100]) AS cid FROM raw
+         |  WHERE src % 100 <> dst % 100) GROUP BY cid)
+         |SELECT vol.cid, coalesce(cut.cut, 0) AS cut, vol.vol,
+         |  floor(coalesce(cut.cut, 0) /
+         |    least(vol.vol::DOUBLE, m2.m2 - vol.vol) * 1e9 + 0.5) / 1e9 AS phi
+         |FROM vol LEFT JOIN cut ON vol.cid = cut.cid, m2""".stripMargin,
     "g_csv_roundtrip" -> s"$EdgeCte SELECT src, dst FROM raw",
     "g_edges_sym" -> s"$EdgeCte SELECT src, dst FROM edges",
     "g_degrees" -> s"$EdgeCte SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src",
@@ -629,6 +688,8 @@ object GraphQueries {
     "g_connected_components" -> connectedComponents _,
     "g_label_propagation" -> labelPropagation _,
     "g_sssp_weighted" -> ssspWeighted _,
+    "g_transitivity" -> transitivity _,
+    "g_conductance" -> conductance _,
     "g_degree_dist" -> degreeDist _,
     "g_avg_nbr_degree" -> avgNeighborDegree _,
     "g_modularity" -> modularity _,

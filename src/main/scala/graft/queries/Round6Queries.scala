@@ -208,7 +208,105 @@ object Round6Queries {
         rnd(avg(col("n_chars")), 4).as("mean_chars"))
       .orderBy("lang")
 
+  /** Data-mixing rebalance weights: per-language token mass, actual
+   * corpus fraction, and the per-document sampling weight that would
+   * equalize the mix (target 1/K per observed language). The window
+   * totals run over the K-row aggregate, not the corpus. */
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = docs(spark, sfDir)
+      .select(col("lang"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).cast("long").as("tokens"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("total", sum(col("tokens")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        rnd(col("tokens") / col("total"), 6).as("actual_frac"),
+        rnd((col("total") / col("k")) / col("tokens"), 6).as("weight"))
+      .orderBy("lang")
+  }
+
+  /** Token-budget corpus selection: per source, greedily take the
+   * longest documents (ties by doc_id) until a 20k-token budget is
+   * exhausted — the running-total window pattern every
+   * fixed-compute-budget data selection uses. */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = docs(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tok").desc, col("doc_id").asc)
+    scored
+      .withColumn("cum", sum(col("tok")).over(w))
+      .where(col("cum") <= 20000)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("tok")).cast("long").as("tokens_used"),
+        max(col("cum")).cast("long").as("final_cum"))
+      .orderBy("source")
+  }
+
+  /** Case-insensitive collation (Spark 4 COLLATE UTF8_LCASE) vs
+   * binary comparison over a deliberately mixed-case column: the
+   * distinct counts differ exactly by the case folding. */
+  def collation(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(when(col("p_partkey") % 2 === 0, upper(col("p_brand")))
+        .otherwise(lower(col("p_brand"))).as("b"))
+      .agg(countDistinct(col("b")).as("n_binary"),
+        countDistinct(expr("collate(b, 'UTF8_LCASE')")).as("n_ci"))
+
+  /** str_to_map key=value parsing (the config-string / log-line
+   * ingestion surface). */
+  def strToMap(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(concat(lit("et="), col("event_type"), lit(";uid="),
+        (col("user_id") % 10).cast("string")).as("s"))
+      .select(expr("str_to_map(s, ';', '=')").as("m"))
+      .select(expr("element_at(m, 'et')").as("et"),
+        expr("element_at(m, 'uid')").cast("long").as("uid"))
+      .groupBy(col("et"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("n_uids"),
+        max(col("uid")).as("max_uid"))
+      .orderBy("et")
+
+  /** XML ingestion (Spark 4 native from_xml): schema-full parse of
+   * constructed XML records, round-tripping the source values. */
+  def xmlExtract(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "nation")
+      .select(concat(lit("<r><n>"), col("n_name"), lit("</n><k>"),
+        col("n_nationkey").cast("string"), lit("</k></r>")).as("x"))
+      .select(expr("from_xml(x, 'n STRING, k INT')").as("r"))
+      .select(col("r.n").as("name"), col("r.k").cast("long").as("key"))
+      .orderBy("name")
+
+  /** Deterministic train/val/test split by content-independent hash
+   * (first md5 hex digit of the doc id: 12/2/2 of 16) — the
+   * reproducible-split primitive every training pipeline needs;
+   * md5 makes the split engine-portable, unlike xxhash64. */
+  def hashSplit(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("lang"), col("n_chars"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("h"))
+      .withColumn("split",
+        when(col("h").isin("c", "d"), "val")
+          .when(col("h").isin("e", "f"), "test")
+          .otherwise("train"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("split")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_mix_weights" -> mixWeights _,
+    "p_token_budget" -> tokenBudget _,
+    "r_collation" -> collation _,
+    "r_str_to_map" -> strToMap _,
+    "r_xml_extract" -> xmlExtract _,
+    "p_hash_split" -> hashSplit _,
     "r_listagg" -> listAgg _,
     "r_regr_stats" -> regrStats _,
     "r_stats_moments" -> statsMoments _,
@@ -226,6 +324,55 @@ object Round6Queries {
     s"floor(($e) * 1e$d + 0.5) / 1e$d"
 
   val oracles: Map[String, String] = Map(
+    "p_mix_weights" ->
+      s"""WITH per AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+         |      AS tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(tokens)::DOUBLE AS total, count(*) AS k FROM per)
+         |SELECT lang, n_docs, tokens,
+         |  ${rndSql("tokens / total", 6)} AS actual_frac,
+         |  ${rndSql("(total / k) / tokens", 6)} AS weight
+         |FROM per, tot""".stripMargin,
+    "p_token_budget" ->
+      """WITH scored AS (
+        |  SELECT source, doc_id,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok,
+        |    sum(tok) OVER (PARTITION BY source
+        |      ORDER BY tok DESC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM scored)
+        |SELECT source, count(*) AS n_selected,
+        |  CAST(sum(tok) AS BIGINT) AS tokens_used,
+        |  CAST(max(cum) AS BIGINT) AS final_cum
+        |FROM c WHERE cum <= 20000 GROUP BY source""".stripMargin,
+    "r_collation" ->
+      """WITH b AS (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+        |    ELSE lower(p_brand) END AS b FROM part)
+        |SELECT count(DISTINCT b) AS n_binary,
+        |  count(DISTINCT lower(b)) AS n_ci FROM b""".stripMargin,
+    "r_str_to_map" ->
+      """WITH s AS (SELECT event_type AS et, user_id % 10 AS uid FROM events)
+        |SELECT et, count(*) AS n, count(DISTINCT uid) AS n_uids,
+        |  CAST(max(uid) AS BIGINT) AS max_uid
+        |FROM s GROUP BY et""".stripMargin,
+    "r_xml_extract" ->
+      """SELECT n_name AS name, CAST(n_nationkey AS BIGINT) AS key
+        |FROM nation""".stripMargin,
+    "p_hash_split" ->
+      """WITH h AS (SELECT lang, n_chars,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h FROM documents),
+        |s AS (SELECT lang, n_chars,
+        |    CASE WHEN h IN ('c','d') THEN 'val'
+        |         WHEN h IN ('e','f') THEN 'test'
+        |         ELSE 'train' END AS split FROM h)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM s GROUP BY split""".stripMargin,
     "r_listagg" ->
       """SELECT r_name, count(*) AS n_nations,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations
