@@ -35,6 +35,7 @@ object SparkEntry {
       "s_stream_enrich" -> (graft.streaming.StreamOps.streamStaticEnrich _),
       "s_stream_join" -> (graft.streaming.StreamOps.streamStreamJoin _),
       "s_stream_running_state" -> (graft.streaming.StreamOps.runningUserState _),
+      "s_stream_tws_running" -> (graft.streaming.StreamOps.transformWithStateRunning _),
       "s_stream_left_outer" -> (graft.streaming.StreamOps.streamStreamLeftOuter _),
       "s_stream_ckpt_resume" -> (graft.streaming.StreamOps.checkpointedResume _),
       "s_stream_session_window" -> (graft.streaming.StreamOps.sessionWindowStream _))
@@ -105,6 +106,12 @@ object SparkEntry {
       // update-mode mapGroupsWithState drained fully: the monotone-max
       // running state per user = the batch per-user aggregate
       "s_stream_running_state" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+          |FROM events GROUP BY user_id""".stripMargin,
+      // transformWithState (explicit ValueState, RocksDB store) drains
+      // to the same monotone-max-per-user = batch aggregate contract
+      "s_stream_tws_running" ->
         """SELECT user_id, count(*) AS n_events,
           |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
           |FROM events GROUP BY user_id""".stripMargin,

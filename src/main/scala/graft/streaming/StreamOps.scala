@@ -561,4 +561,95 @@ object StreamOps {
     finally cleanup(dir)
     spark.table(name).orderBy("purchase_id", "view_id")
   }
+
+  /** Per-user running aggregate row emitted by the
+   * [[transformWithStateRunning]] processor: the explicit-state
+   * (`ValueState`) counterpart of [[runningUserState]]'s
+   * mapGroupsWithState fold. */
+  final case class TwsRow(user_id: Long, n_events: Long, sum_value: Double)
+
+  /**
+   * Spark 4 `transformWithState` (the StatefulProcessor arbitrary-
+   * state API, successor of mapGroupsWithState): per-user running
+   * (count, sum) kept in an explicit `ValueState`, one refreshed row
+   * emitted per touched group per micro-batch. Requires the RocksDB
+   * state store provider — set for this query and restored after —
+   * which is also the store that scales: state lives off-heap/on-disk
+   * per partition instead of in executor heap maps, so per-key state
+   * survives 100 TB-scale key cardinality. The final table's
+   * monotone-max row per user equals the batch aggregate, which is
+   * what the oracle computes.
+   */
+  def transformWithStateRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    val name = s"graft_stream_tws_${callSeq.incrementAndGet()}"
+    val tag = callSeq.incrementAndGet()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-tws$tag")
+    spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir.toString)
+
+    class RunningProcessor extends StatefulProcessor[Long, SessionEvent, TwsRow] {
+      @transient private var agg: ValueState[RunningAgg] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        agg = getHandle.getValueState[RunningAgg]("agg",
+          Encoders.product[RunningAgg], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+          timerValues: TimerValues): Iterator[TwsRow] = {
+        var s = if (agg.exists()) agg.get() else RunningAgg(0L, 0.0)
+        // deterministic within-batch fold order (iterator order is
+        // partition-dependent); the oracle only sees the rounded total
+        rows.toSeq.sortBy(e => (e.us, e.event_id))
+          .foreach(e => s = RunningAgg(s.n + 1, s.sum + e.value))
+        agg.update(s)
+        Iterator.single(TwsRow(key, s.n, s.sum))
+      }
+    }
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = spark.readStream.schema(EventsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("us"), col("value"))
+        .as[SessionEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningProcessor,
+          TimeMode.None(), OutputMode.Update(), Encoders.product[TwsRow])
+
+      val q = rows.toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: java.io.IOException => () }
+      }
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("n_events"),
+        (floor(col("sum_value") * 1e4 + 0.5) / 1e4).as("sum_value"))
+      .orderBy("user_id")
+  }
 }
