@@ -36,6 +36,7 @@ object SparkEntry {
       "s_stream_join" -> (graft.streaming.StreamOps.streamStreamJoin _),
       "s_stream_running_state" -> (graft.streaming.StreamOps.runningUserState _),
       "s_stream_tws_running" -> (graft.streaming.StreamOps.transformWithStateRunning _),
+      "s_stream_tws_toplist" -> (graft.streaming.StreamOps.transformWithStateTopList _),
       "s_stream_left_outer" -> (graft.streaming.StreamOps.streamStreamLeftOuter _),
       "s_stream_ckpt_resume" -> (graft.streaming.StreamOps.checkpointedResume _),
       "s_stream_session_window" -> (graft.streaming.StreamOps.sessionWindowStream _))
@@ -115,6 +116,16 @@ object SparkEntry {
         """SELECT user_id, count(*) AS n_events,
           |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
           |FROM events GROUP BY user_id""".stripMargin,
+      // ListState top-3 is arrival-order-insensitive (the multiset
+      // only improves), so the drained state = the batch top-3
+      "s_stream_tws_toplist" ->
+        """WITH s AS (SELECT user_id, value, row_number() OVER (
+          |    PARTITION BY user_id ORDER BY value DESC) AS rn FROM events)
+          |SELECT user_id,
+          |  floor(max(CASE WHEN rn = 1 THEN value END) * 1e4 + 0.5) / 1e4 AS top1,
+          |  floor(max(CASE WHEN rn = 2 THEN value END) * 1e4 + 0.5) / 1e4 AS top2,
+          |  floor(max(CASE WHEN rn = 3 THEN value END) * 1e4 + 0.5) / 1e4 AS top3
+          |FROM s GROUP BY user_id""".stripMargin,
       // left-outer stream-stream join: all inner matches, plus
       // null-matched purchases evicted from join state. The global
       // watermark is the MIN over both watermarked streams (views and

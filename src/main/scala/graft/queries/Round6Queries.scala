@@ -300,7 +300,24 @@ object Round6Queries {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("split")
 
+  /** SQL-defined scalar function (Spark 4 `CREATE FUNCTION ...
+   * RETURN expr`): the declared body inlines into the plan like any
+   * builtin expression — full codegen, no JVM closure — which is
+   * exactly why it beats a Scala UDF at scale. */
+  def sqlUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1.0 - d)""".stripMargin)
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        rnd(sum(expr("graft_disc_price(l_extendedprice, l_discount)")), 2)
+          .as("sum_disc_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_sql_udf" -> sqlUdf _,
     "p_mix_weights" -> mixWeights _,
     "p_token_budget" -> tokenBudget _,
     "r_collation" -> collation _,
@@ -324,6 +341,11 @@ object Round6Queries {
     s"floor(($e) * 1e$d + 0.5) / 1e$d"
 
   val oracles: Map[String, String] = Map(
+    "r_sql_udf" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${rndSql("sum(l_extendedprice * (1.0 - l_discount))", 2)}
+         |    AS sum_disc_price
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "p_mix_weights" ->
       s"""WITH per AS (
          |  SELECT lang, count(*) AS n_docs,

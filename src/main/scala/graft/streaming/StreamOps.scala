@@ -652,4 +652,98 @@ object StreamOps {
         (floor(col("sum_value") * 1e4 + 0.5) / 1e4).as("sum_value"))
       .orderBy("user_id")
   }
+
+  /** Row emitted by [[transformWithStateTopList]]: the running top-3
+   * values per user plus the monotone seen-count used to select the
+   * final state row. */
+  final case class TwsTopRow(user_id: Long, n_seen: Long,
+      top1: Double, top2: Double, top3: Double)
+
+  /**
+   * `transformWithState` with LIST state: the running top-3 event
+   * values per user, maintained as a bounded `ListState` (the
+   * engine-managed collection state the old GroupState API lacked).
+   * The top-3 multiset is arrival-order-insensitive — it only
+   * improves monotonically — so the drained final state equals the
+   * batch per-user top-3, which is what the oracle computes.
+   */
+  def transformWithStateTopList(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ListState, OutputMode,
+      StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    val name = s"graft_stream_twstop_${callSeq.incrementAndGet()}"
+    val tag = callSeq.incrementAndGet()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-twstop$tag")
+    spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir.toString)
+
+    class TopProcessor extends StatefulProcessor[Long, SessionEvent, TwsTopRow] {
+      @transient private var top: ListState[Double] = _
+      @transient private var seen: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        top = getHandle.getListState[Double]("top",
+          Encoders.scalaDouble, TTLConfig.NONE)
+        seen = getHandle.getValueState[Long]("seen",
+          Encoders.scalaLong, TTLConfig.NONE)
+      }
+      override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+          timerValues: TimerValues): Iterator[TwsTopRow] = {
+        val cur = if (top.exists()) top.get().toArray else Array.empty[Double]
+        val vals = rows.map(_.value).toArray
+        val next = (cur ++ vals).sorted(Ordering[Double].reverse).take(3)
+        top.put(next)
+        val n = (if (seen.exists()) seen.get() else 0L) + vals.length
+        seen.update(n)
+        def at(i: Int) = if (i < next.length) next(i) else -1.0
+        Iterator.single(TwsTopRow(key, n, at(0), at(1), at(2)))
+      }
+    }
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = spark.readStream.schema(EventsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("us"), col("value"))
+        .as[SessionEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new TopProcessor,
+          TimeMode.None(), OutputMode.Update(), Encoders.product[TwsTopRow])
+
+      val q = rows.toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: java.io.IOException => () }
+      }
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    spark.table(name)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("user_id"),
+        (floor(col("top1") * 1e4 + 0.5) / 1e4).as("top1"),
+        (floor(col("top2") * 1e4 + 0.5) / 1e4).as("top2"),
+        (floor(col("top3") * 1e4 + 0.5) / 1e4).as("top3"))
+      .orderBy("user_id")
+  }
 }
