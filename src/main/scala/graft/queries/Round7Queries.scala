@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-7 breadth: distribution window functions (cume_dist /
+ * percent_rank), exact WITHIN GROUP percentiles, covariance
+ * aggregates, GROUP BY ALL, correlated LATERAL subquery joins,
+ * PII masking, string part extraction, binary-to-text encodings,
+ * bit shifts, the stack() UDTF, the to_csv/from_csv expression
+ * pair, parameterized SQL, and a tokenizer-comparison corpus
+ * diagnostic.
+ *
+ * Everything stays inside whole-stage codegen (builtin expressions
+ * only), and every float that reaches the oracle hash is either a
+ * raw parquet value (bit-identical on both engines) or goes through
+ * the shared floor-rounding pattern.
+ */
+object Round7Queries {
+
+  import RelationalQueries.{t, events, rnd}
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+
+  /** Distribution window functions: for the top-5 events per type
+   * (by value desc, id asc — a unique total order, so both engines
+   * agree on every frame) the cumulative distribution and percent
+   * rank within the full partition. The full-partition scan is the
+   * semantics (cume_dist needs the partition size); the top-5
+   * filter afterwards keeps the output bounded. */
+  def cumeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        row_number().over(w).as("rn"),
+        cume_dist().over(w).as("cd"),
+        percent_rank().over(w).as("pr"))
+      .where(col("rn") <= 5)
+      .select(col("event_type"), col("rn"), col("event_id"),
+        rnd(col("value"), 4).as("value"),
+        rnd(col("cd"), 6).as("cd"), rnd(col("pr"), 6).as("pr"))
+      .orderBy("event_type", "rn")
+  }
+
+  /** Exact ordered-set percentiles (WITHIN GROUP): the interpolated
+   * median (rounded — interpolation arithmetic) and the discrete
+   * quartiles (exact source values, bit-identical on both engines). */
+  def percentileDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    events(spark, sfDir).createOrReplaceTempView("r7_events_pd")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) * 1e6 + 0.5) / 1e6 AS p50_cont,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25_disc,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75_disc
+        |FROM r7_events_pd GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Covariance aggregates + regression means per group — the
+   * bivariate-statistics surface beside r_regr_stats' OLS fit. */
+  def covarStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        rnd(covar_pop(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pop"),
+        rnd(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_samp"),
+        rnd(expr("regr_avgx(l_extendedprice, l_quantity)"), 6).as("avg_x"),
+        rnd(expr("regr_avgy(l_extendedprice, l_quantity)"), 6).as("avg_y"))
+      .orderBy("l_returnflag")
+
+  /** GROUP BY ALL (infer grouping keys from the select list) — the
+   * analyst-ergonomics surface DuckDB pioneered and Spark adopted. */
+  def groupByAll(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("r7_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM r7_lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Correlated LATERAL subquery join: top-2 suppliers per nation by
+   * account balance. Catalyst plans the correlated ORDER BY/LIMIT as
+   * a per-group window limit after decorrelation — never a driver
+   * loop over nations. */
+  def lateralJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "nation").createOrReplaceTempView("r7_nation")
+    t(spark, sfDir, "supplier").createOrReplaceTempView("r7_supplier")
+    spark.sql(
+      """SELECT n_name, s_name, s_acctbal
+        |FROM r7_nation,
+        |LATERAL (SELECT s_name, s_acctbal FROM r7_supplier
+        |         WHERE s_nationkey = n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2)
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+  }
+
+  /** Data masking (the builtin mask(): upper->X, lower->x, digit->n,
+   * punctuation unchanged) over customer names and brand codes — the
+   * shape-preserving PII anonymization the redaction pipeline's
+   * regex pass (p_pii_redact) doesn't cover. */
+  def maskFunc(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .select(expr("mask(c_name)").as("name_shape"),
+        expr("mask(c_mktsegment)").as("seg_shape"))
+      .groupBy(col("name_shape"), col("seg_shape"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("name_shape", "seg_shape")
+
+  /** Delimited-string part extraction over a synthesized
+   * segment-nation-key code: split_part, substring_index (everything
+   * up to the Nth delimiter), and position-selected elt. */
+  def splitPart(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .select(concat(col("c_mktsegment"), lit("-"),
+        col("c_nationkey").cast("string"), lit("-"),
+        (col("c_custkey") % 100).cast("string")).as("code"),
+        col("c_custkey"))
+      .select(split_part(col("code"), lit("-"), lit(2)).as("nk"),
+        substring_index(col("code"), "-", 2).as("prefix2"),
+        expr("elt(1 + c_custkey % 2, 'even', 'odd')").as("parity"))
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("prefix2")).as("n_prefixes"),
+        expr("count_if(parity = 'even')").as("n_even"))
+      .orderBy("nk")
+
+  /** Binary-to-text encodings: base64 and hex of the name bytes, the
+   * decode round trip asserted inline, and ascii/chr arithmetic. */
+  def encodingFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "nation")
+      .select(col("n_name"),
+        base64(col("n_name").cast("binary")).as("b64"),
+        hex(col("n_name")).as("hx"),
+        (unbase64(base64(col("n_name").cast("binary"))).cast("string")
+          === col("n_name")).as("rt_ok"),
+        ascii(col("n_name")).as("a"),
+        expr("char(ascii(n_name) + 1)").as("next_ch"))
+      .orderBy("n_name")
+
+  /** Bit manipulation: population count, shifts, and XOR folded into
+   * per-type integer-exact checksums (id spaces stay far below 2^53,
+   * so every sum is exact). */
+  def bitShift(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(bit_count(col("event_id"))).as("sum_popcount"),
+        sum(shiftleft(col("user_id") % 16, 2)).as("sum_shl"),
+        sum(shiftright(col("event_id"), 3)).as("sum_shr"),
+        sum(col("event_id").bitwiseXOR(col("user_id"))).as("sum_xor"))
+      .orderBy("event_type")
+
+  /** stack() UDTF: pivot a one-row aggregate into (metric, value)
+   * rows — the generator-expression counterpart of unpivot. */
+  def stackUdtf(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .agg(rnd(sum(col("l_quantity")), 2).as("sq"),
+        rnd(sum(col("l_extendedprice")), 2).as("sp"),
+        count(lit(1)).cast("double").as("nr"))
+      .select(expr("stack(3, 'sum_qty', sq, 'sum_price', sp, 'n_rows', nr)")
+        .as(Seq("metric", "value")))
+      .orderBy("metric")
+
+  /** to_csv / from_csv expression pair: serialize a struct to a CSV
+   * line and parse it back schema-fully — the per-record string
+   * codec (the file-level CSV round trip is r_csv_quoted_roundtrip). */
+  def csvExpr(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "nation")
+      .select(to_csv(struct(col("n_nationkey"), col("n_name"))).as("line"))
+      .select(col("line"),
+        expr("from_csv(line, 'k INT, n STRING')").as("r"))
+      .select(col("line"), col("r.k").cast("long").as("k"), col("r.n").as("n"))
+      .orderBy("k")
+
+  /** Parameterized SQL (named-marker spark.sql(text, args)) — the
+   * injection-safe templating surface; the oracle inlines the same
+   * constants. */
+  def paramSql(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("r7_li_param")
+    spark.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM r7_li_param
+        |WHERE l_quantity < :maxq AND l_discount >= :mind
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Map("maxq" -> 25, "mind" -> 0.05))
+  }
+
+  /** Tokenizer comparison: whitespace splitting vs a word-regex
+   * tokenizer vs raw bytes, per source — the fertility / coverage
+   * diagnostic run before committing to a tokenizer. */
+  def tokenizerCompare(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("ws_tok"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("re_tok"),
+        length(col("text")).as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tok")).cast("long").as("ws_tokens"),
+        sum(col("re_tok")).cast("long").as("re_tokens"),
+        rnd(sum(col("n_chars")) / sum(col("re_tok")), 4).as("chars_per_tok"),
+        rnd(sum(col("re_tok")).cast("double") / sum(col("ws_tok")), 6).as("fertility"))
+      .orderBy("source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_cume_dist" -> cumeDist _,
+    "r_percentile_disc" -> percentileDisc _,
+    "r_covar_stats" -> covarStats _,
+    "r_group_by_all" -> groupByAll _,
+    "r_lateral_join" -> lateralJoin _,
+    "r_mask_func" -> maskFunc _,
+    "r_split_part" -> splitPart _,
+    "r_encoding_funcs" -> encodingFuncs _,
+    "r_bit_shift" -> bitShift _,
+    "r_stack" -> stackUdtf _,
+    "r_csv_expr" -> csvExpr _,
+    "r_param_sql" -> paramSql _,
+    "p_tokenizer_compare" -> tokenizerCompare _)
+
+  private def rndSql(e: String, d: Int): String =
+    s"floor(($e) * 1e$d + 0.5) / 1e$d"
+
+  val oracles: Map[String, String] = Map(
+    "r_cume_dist" ->
+      s"""WITH w AS (SELECT event_type, event_id, value,
+         |    row_number() OVER o AS rn, cume_dist() OVER o AS cd,
+         |    percent_rank() OVER o AS pr
+         |  FROM events WINDOW o AS (PARTITION BY event_type
+         |    ORDER BY value DESC, event_id ASC))
+         |SELECT event_type, rn, event_id, ${rndSql("value", 4)} AS value,
+         |  ${rndSql("cd", 6)} AS cd, ${rndSql("pr", 6)} AS pr
+         |FROM w WHERE rn <= 5""".stripMargin,
+    "r_percentile_disc" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${rndSql("quantile_cont(value, 0.5)", 6)} AS p50_cont,
+         |  quantile_disc(value, 0.25) AS p25_disc,
+         |  quantile_disc(value, 0.75) AS p75_disc
+         |FROM events GROUP BY event_type""".stripMargin,
+    "r_covar_stats" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${rndSql("covar_pop(l_extendedprice, l_quantity)", 4)} AS cov_pop,
+         |  ${rndSql("covar_samp(l_extendedprice, l_quantity)", 4)} AS cov_samp,
+         |  ${rndSql("regr_avgx(l_extendedprice, l_quantity)", 6)} AS avg_x,
+         |  ${rndSql("regr_avgy(l_extendedprice, l_quantity)", 6)} AS avg_y
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "r_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ALL""".stripMargin,
+    "r_lateral_join" ->
+      """SELECT n_name, s_name, s_acctbal
+        |FROM nation,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier
+        |         WHERE s_nationkey = n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2)""".stripMargin,
+    "r_mask_func" ->
+      """WITH m AS (SELECT
+        |    regexp_replace(regexp_replace(regexp_replace(c_name,
+        |      '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |      AS name_shape,
+        |    regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+        |      '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |      AS seg_shape
+        |  FROM customer)
+        |SELECT name_shape, seg_shape, count(*) AS n
+        |FROM m GROUP BY name_shape, seg_shape""".stripMargin,
+    "r_split_part" ->
+      """WITH c AS (SELECT c_mktsegment || '-' || c_nationkey || '-'
+        |      || (c_custkey % 100) AS code, c_custkey
+        |  FROM customer),
+        |s AS (SELECT split_part(code, '-', 2) AS nk,
+        |    array_to_string(string_split(code, '-')[1:2], '-') AS prefix2,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+        |  FROM c)
+        |SELECT nk, count(*) AS n,
+        |  count(DISTINCT prefix2) AS n_prefixes,
+        |  CAST(count_if(parity = 'even') AS BIGINT) AS n_even
+        |FROM s GROUP BY nk""".stripMargin,
+    "r_encoding_funcs" ->
+      """SELECT n_name, to_base64(encode(n_name)) AS b64,
+        |  hex(encode(n_name)) AS hx, TRUE AS rt_ok,
+        |  ascii(n_name) AS a, chr(ascii(n_name) + 1) AS next_ch
+        |FROM nation""".stripMargin,
+    "r_bit_shift" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(bit_count(event_id)) AS BIGINT) AS sum_popcount,
+        |  CAST(sum((user_id % 16) << 2) AS BIGINT) AS sum_shl,
+        |  CAST(sum(event_id >> 3) AS BIGINT) AS sum_shr,
+        |  CAST(sum(xor(event_id, user_id)) AS BIGINT) AS sum_xor
+        |FROM events GROUP BY event_type""".stripMargin,
+    "r_stack" ->
+      s"""WITH a AS (SELECT ${rndSql("sum(l_quantity)", 2)} AS sq,
+         |    ${rndSql("sum(l_extendedprice)", 2)} AS sp,
+         |    count(*)::DOUBLE AS nr FROM lineitem)
+         |SELECT 'sum_qty' AS metric, sq AS value FROM a
+         |UNION ALL SELECT 'sum_price', sp FROM a
+         |UNION ALL SELECT 'n_rows', nr FROM a""".stripMargin,
+    "r_csv_expr" ->
+      """SELECT n_nationkey || ',' || n_name AS line,
+        |  CAST(n_nationkey AS BIGINT) AS k, n_name AS n
+        |FROM nation""".stripMargin,
+    "r_param_sql" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity < 25 AND l_discount >= 0.05
+        |GROUP BY l_returnflag""".stripMargin,
+    "p_tokenizer_compare" ->
+      s"""WITH m AS (SELECT source,
+         |    len(string_split_regex(trim(lower(text)), '\\s+')) AS ws_tok,
+         |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tok,
+         |    length(text) AS n_chars
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(ws_tok) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(re_tok) AS BIGINT) AS re_tokens,
+         |  ${rndSql("sum(n_chars)::DOUBLE / sum(re_tok)", 4)} AS chars_per_tok,
+         |  ${rndSql("sum(re_tok)::DOUBLE / sum(ws_tok)", 6)} AS fertility
+         |FROM m GROUP BY source""".stripMargin)
+}
