@@ -470,4 +470,53 @@ object GraphAlgs {
     sp.edges.unpersist(blocking = false)
     df
   }
+
+  /** K-truss fixpoint result: the surviving canonical edges (CACHED —
+   * caller unpersists), the round-1 survivor count, and whether the
+   * peel loop reached its fixpoint within the round budget. */
+  final case class KTruss(edges: DataFrame, r1Count: Long, converged: Boolean)
+
+  /**
+   * K-truss peel over a canonical (src < dst, distinct) edge set:
+   * iteratively delete edges whose support (triangles through the
+   * edge within the surviving subgraph) is below k-2, to a fixpoint.
+   *
+   * Each round is one adjacency groupBy over the symmetrized
+   * survivors plus two vertex joins feeding the native codegen'd
+   * sorted-array intersect_count merge scan (the neighborJaccard
+   * plan class) — O(|E| + Σdeg) shuffled rows per round, never a
+   * wedge-enumeration join. Rounds are driver-sequenced with each
+   * generation cached and the previous released, like every other
+   * iterative surface here.
+   */
+  def ktrussPeel(canonical: DataFrame, k: Int = 4, maxRounds: Int = 30): KTruss = {
+    import org.apache.spark.sql.graft.GraftExpressions.intersectCount
+    var cur = canonical.select("src", "dst")
+    var curN = cur.count()
+    var r1N = -1L
+    var converged = false
+    var round = 0
+    var prevCached: DataFrame = null
+    while (!converged && round < maxRounds) {
+      val sym = cur.union(
+        cur.select(col("dst").as("src"), col("src").as("dst")))
+      val adj = sym.groupBy(col("src").as("vid"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val keep = cur
+        .join(adj.select(col("vid").as("src"), col("nbrs").as("na")), "src")
+        .join(adj.select(col("vid").as("dst"), col("nbrs").as("nb")), "dst")
+        .select(col("src"), col("dst"),
+          intersectCount(col("na"), col("nb")).as("support"))
+        .where(col("support") >= k - 2).cache()
+      val keepN = keep.count()
+      if (prevCached != null) prevCached.unpersist(blocking = false)
+      prevCached = keep
+      if (round == 0) r1N = keepN
+      converged = keepN == curN
+      curN = keepN
+      cur = keep.select("src", "dst")
+      round += 1
+    }
+    KTruss(prevCached, r1N, converged)
+  }
 }

@@ -217,27 +217,87 @@ object GraphQueries {
       .orderBy("vid")
   }
 
-  /** Sampled eccentricity: per BFS root (the same 5 smallest ids as
-   * g_multi_bfs, same single batched Pregel run) the max bounded hop
-   * distance and reach — max(ecc) lower-bounds the graph diameter.
+  /** One batched multi-source BFS from the 5 smallest vertex ids,
+   * reduced to per-root (n_reached, sum_dist, max_dist) — memoized so
+   * g_eccentricity and g_closeness share a single Pregel run (the
+   * per-vertex view, g_multi_bfs, runs its own reduction). */
+  private def bfs5(spark: SparkSession, sfDir: String): Array[(Long, Long, Long, Long)] =
+    memoize(spark, s"bfs5:$sfDir") {
+      val sources = canonEdges(spark, sfDir)
+        .select(col("src")).distinct().orderBy("src").limit(5)
+        .collect().map(_.getLong(0))
+      val bfs = graft.graph.GraphAlgs.multiSourceBfs(graph(spark, sfDir), sources, maxHops = 8)
+      val perRoot = bfs.vertices.flatMap { case (_, ds) =>
+        ds.zipWithIndex.collect { case (d, i) if d != Int.MaxValue => (i, d) }
+      }.aggregateByKey((0L, 0L, 0))(
+        { case ((n, s, mx), d) => (n + 1, s + d, math.max(mx, d)) },
+        { case ((n1, s1, m1), (n2, s2, m2)) => (n1 + n2, s1 + s2, math.max(m1, m2)) })
+        .collect().sortBy(_._1)
+      bfs.unpersistVertices(blocking = false)
+      bfs.edges.unpersist(blocking = false)
+      perRoot.map { case (i, (n, s, mx)) => (sources(i), n, s, mx.toLong) }
+    }
+
+  /** Sampled eccentricity: per BFS root the max bounded hop distance
+   * and reach — max(ecc) lower-bounds the graph diameter.
    * Integer-exact. */
-  def eccentricity(spark: SparkSession, sfDir: String): DataFrame = {
-    val sources = canonEdges(spark, sfDir)
-      .select(col("src")).distinct().orderBy("src").limit(5)
-      .collect().map(_.getLong(0))
-    val bfs = graft.graph.GraphAlgs.multiSourceBfs(graph(spark, sfDir), sources, maxHops = 8)
-    val perRoot = bfs.vertices.flatMap { case (_, ds) =>
-      ds.zipWithIndex.collect { case (d, i) if d != Int.MaxValue => (i, d) }
-    }.aggregateByKey((0L, 0))(
-      { case ((n, mx), d) => (n + 1, math.max(mx, d)) },
-      { case ((n1, m1), (n2, m2)) => (n1 + n2, math.max(m1, m2)) })
-      .collect().sortBy(_._1)
-    bfs.unpersistVertices(blocking = false)
-    bfs.edges.unpersist(blocking = false)
-    val rows = perRoot.map { case (i, (n, mx)) => (sources(i), n, mx.toLong) }
-    spark.createDataFrame(rows.toSeq)
+  def eccentricity(spark: SparkSession, sfDir: String): DataFrame =
+    spark.createDataFrame(
+      bfs5(spark, sfDir).map { case (r, n, _, mx) => (r, n, mx) }.toSeq)
       .toDF("root", "n_reached", "ecc")
       .orderBy("root")
+
+  /** Sampled closeness centrality: per BFS root the bounded-horizon
+   * closeness (n_reached - 1) / sum_dist — the reach-normalized form
+   * that is well-defined on disconnected graphs. The integer inputs
+   * ship exactly; only the final ratio is floating point. */
+  def closeness(spark: SparkSession, sfDir: String): DataFrame =
+    spark.createDataFrame(bfs5(spark, sfDir).toSeq)
+      .toDF("root", "n_reached", "sum_dist", "ecc")
+      .select(col("root"), col("n_reached"), col("sum_dist"),
+        floor((col("n_reached") - 1).cast("double") / col("sum_dist") * 1e9 + 0.5)
+          ./(1e9).as("closeness"))
+      .orderBy("root")
+
+  /** K-truss (k=4) of the co-purchase graph: iteratively peel
+   * canonical edges whose support (triangles through the edge within
+   * the surviving subgraph) falls below k-2, to a fixpoint.
+   *
+   * Each round is one adjacency build (groupBy on the symmetrized
+   * survivors) plus two vertex joins feeding the native codegen'd
+   * sorted-array `intersect_count` merge scan — the identical plan
+   * class as neighborJaccard, never a wedge-enumeration join, so a
+   * round costs O(|E| + Σdeg) shuffled rows at any scale.
+   *
+   * Output is the self-certifying contract (the truss fixpoint is
+   * not recursive-CTE-expressible — peeling is non-monotone): the
+   * full-graph vertex count and the round-1 survivor count are exact
+   * values the oracle recomputes in SQL; the booleans (every
+   * surviving edge re-verified at support >= k-2 inside the final
+   * edge set; the loop reached its fixpoint) the oracle states as
+   * TRUE — a wrong fixpoint flips one and fails the hash compare. */
+  def ktruss(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.intersectCount
+    val k = 4
+    val nVertices = graph(spark, sfDir).numVertices
+    val truss = graft.graph.GraphAlgs.ktrussPeel(canonEdges(spark, sfDir), k)
+    val cur = truss.edges.select("src", "dst")
+    // re-verify the fixpoint's supports inside the final edge set
+    val sym = cur.union(
+      cur.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = sym.groupBy(col("src").as("vid"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val supportOk = cur.isEmpty || {
+      val row = cur
+        .join(adj.select(col("vid").as("src"), col("nbrs").as("na")), "src")
+        .join(adj.select(col("vid").as("dst"), col("nbrs").as("nb")), "dst")
+        .select(intersectCount(col("na"), col("nb")).as("s"))
+        .agg(min(col("s"))).head()
+      !row.isNullAt(0) && row.getInt(0) >= k - 2
+    }
+    truss.edges.unpersist(blocking = false)
+    spark.createDataFrame(Seq((nVertices, truss.r1Count, supportOk, truss.converged)))
+      .toDF("n_vertices", "n_edges_r1", "support_ok", "converged")
   }
 
   /** Degree assortativity coefficient (Pearson correlation of
@@ -607,6 +667,33 @@ object GraphQueries {
          |md AS (SELECT root, vid, min(d) AS d FROM bfs GROUP BY root, vid)
          |SELECT root, count(*) AS n_reached, CAST(max(d) AS BIGINT) AS ecc
          |FROM md GROUP BY root""".stripMargin,
+    "g_closeness" ->
+      s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
+         |srcs AS (SELECT src AS v FROM (
+         |  SELECT DISTINCT src FROM raw ORDER BY src LIMIT 5)),
+         |bfs AS (
+         |  SELECT v AS root, v AS vid, 0 AS d FROM srcs
+         |  UNION
+         |  SELECT b.root, e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.vid
+         |  WHERE b.d < 8),
+         |md AS (SELECT root, vid, min(d) AS d FROM bfs GROUP BY root, vid)
+         |SELECT root, count(*) AS n_reached, CAST(sum(d) AS BIGINT) AS sum_dist,
+         |  floor((count(*) - 1)::DOUBLE / sum(d) * 1e9 + 0.5) / 1e9 AS closeness
+         |FROM md GROUP BY root""".stripMargin,
+    // k-truss invariant contract: full-graph vertex count and the
+    // round-1 survivor count (edges whose support in the FULL graph
+    // is >= k-2) from SQL; fixpoint booleans TRUE (see ktruss())
+    "g_ktruss" ->
+      s"""$EdgeCte,
+         |sup AS (
+         |  SELECT r.src, r.dst, count(*) AS s
+         |  FROM raw r
+         |  JOIN edges a ON a.src = r.src
+         |  JOIN edges b ON b.src = r.dst AND b.dst = a.dst
+         |  GROUP BY r.src, r.dst)
+         |SELECT (SELECT count(DISTINCT src) FROM edges) AS n_vertices,
+         |  (SELECT count(*) FROM sup WHERE s >= 2) AS n_edges_r1,
+         |  TRUE AS support_ok, TRUE AS converged""".stripMargin,
     "g_assortativity" ->
       s"""$EdgeCte,
          |deg AS (SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src),
@@ -697,6 +784,8 @@ object GraphQueries {
     "g_resource_allocation" -> resourceAllocation _,
     "g_multi_bfs" -> multiBfs _,
     "g_two_hop" -> twoHopReach _,
-    "g_eccentricity" -> eccentricity _
+    "g_eccentricity" -> eccentricity _,
+    "g_closeness" -> closeness _,
+    "g_ktruss" -> ktruss _
   )
 }

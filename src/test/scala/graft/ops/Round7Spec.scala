@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.graph.GraphAlgs
+
+class Round7Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- k-truss peel ------------------------------------------------
+
+  test("ktrussPeel keeps a K4 and peels a dangling triangle and pendant") {
+    // K4 on {1,2,3,4} (every edge closes 2 triangles) + triangle
+    // {4,5,6} (support 1 each) + pendant edge (6,7) (support 0)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val out = GraphAlgs.ktrussPeel(edges, k = 4)
+    assert(out.converged)
+    assert(out.r1Count == 6) // round 1 already drops triangle + pendant
+    val kept = out.edges.select("src", "dst").as[(Long, Long)].collect().toSet
+    out.edges.unpersist(blocking = false)
+    assert(kept == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("ktrussPeel cascades: shared-edge triangles unravel to empty") {
+    // two triangles sharing edge (2,3): (2,3) survives round 1 at
+    // support 2, then loses both wing vertices and is peeled — the
+    // fixpoint must cascade past the first round's survivors
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphAlgs.ktrussPeel(edges, k = 4)
+    assert(out.converged)
+    assert(out.r1Count == 1)
+    assert(out.edges.count() == 0)
+    out.edges.unpersist(blocking = false)
+  }
+
+  test("ktrussPeel k=3 keeps exactly the triangle edges") {
+    // k=3 demands support >= 1: the pendant edge goes, triangles stay
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+      .toDF("src", "dst")
+    val out = GraphAlgs.ktrussPeel(edges, k = 3)
+    assert(out.converged)
+    val kept = out.edges.select("src", "dst").as[(Long, Long)].collect().toSet
+    out.edges.unpersist(blocking = false)
+    assert(kept == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)))
+  }
+}
