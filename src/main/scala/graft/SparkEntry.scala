@@ -39,6 +39,7 @@ object SparkEntry {
       "s_stream_tws_toplist" -> (graft.streaming.StreamOps.transformWithStateTopList _),
       "s_stream_left_outer" -> (graft.streaming.StreamOps.streamStreamLeftOuter _),
       "s_stream_ckpt_resume" -> (graft.streaming.StreamOps.checkpointedResume _),
+      "s_state_reader" -> (graft.streaming.StreamOps.stateStoreReader _),
       "s_stream_session_window" -> (graft.streaming.StreamOps.sessionWindowStream _))
 
   def oracleSql: Map[String, String] =
@@ -104,6 +105,13 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
           |FROM events GROUP BY event_type""".stripMargin,
+      // the checkpointed aggregation state re-read through the Spark 4
+      // state data source = the batch per-user aggregate (count/max
+      // are batching-insensitive)
+      "s_state_reader" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  floor(max(value) * 1e4 + 0.5) / 1e4 AS max_value
+          |FROM events GROUP BY user_id""".stripMargin,
       // update-mode mapGroupsWithState drained fully: the monotone-max
       // running state per user = the batch per-user aggregate
       "s_stream_running_state" ->

@@ -328,6 +328,53 @@ object StreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /**
+   * Spark 4 state data source (format "statestore"): drain a
+   * per-user streaming aggregation with AvailableNow, then re-open
+   * the query's checkpointed RocksDB/HDFS state store as a plain
+   * DataFrame — the state-debugging / reprocessing surface (no sink
+   * ever saw these rows; they come straight from the store).
+   *
+   * The aggregate pair (count, max) is batching-insensitive, so the
+   * drained state equals the batch aggregate — the oracle contract.
+   * The state rows are bounded by the distinct-key count; they are
+   * materialized before the checkpoint directory is deleted (at
+   * cluster scale the reader is a real scan — partitioned by store
+   * partition — and would be consumed lazily instead).
+   */
+  def stateStoreReader(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedEventsDir(sfDir)
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      s"graft-stream-ssr${callSeq.incrementAndGet()}")
+    try {
+      val q = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        // every partition must be consumed or Spark 4's state-store
+        // commit validation fails the batch; count() drains them all
+        .foreachBatch { (batch: DataFrame, _: Long) => batch.count(); () }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val state = spark.read.format("statestore").load(ckpt.toString)
+      val rows = state
+        // the value struct carries the aggregation buffer, named by
+        // aggregate function ("count", "max"), not by output alias
+        .select(col("key.user_id").as("user_id"),
+          col("value.count").as("n_events"),
+          col("value.max").as("max_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.floor(r.getDouble(2) * 1e4 + 0.5) / 1e4))
+      spark.createDataFrame(rows.toSeq)
+        .toDF("user_id", "n_events", "max_value")
+        .orderBy("user_id")
+    } finally cleanup(dir)
+  }
+
   /** Real Structured Streaming query: tumbling 1h event-time windows
    * over the events parquet, drained synchronously into a memory
    * sink. Complete mode -> the final table equals the batch
