@@ -37,6 +37,7 @@ object SparkEntry {
       "s_stream_running_state" -> (graft.streaming.StreamOps.runningUserState _),
       "s_stream_tws_running" -> (graft.streaming.StreamOps.transformWithStateRunning _),
       "s_stream_tws_toplist" -> (graft.streaming.StreamOps.transformWithStateTopList _),
+      "s_stream_tws_mapstate" -> (graft.streaming.StreamOps.transformWithStateMapCounts _),
       "s_stream_left_outer" -> (graft.streaming.StreamOps.streamStreamLeftOuter _),
       "s_stream_ckpt_resume" -> (graft.streaming.StreamOps.checkpointedResume _),
       "s_state_reader" -> (graft.streaming.StreamOps.stateStoreReader _),
@@ -124,6 +125,11 @@ object SparkEntry {
         """SELECT user_id, count(*) AS n_events,
           |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
           |FROM events GROUP BY user_id""".stripMargin,
+      // MapState per-(user, type) counters drained fully = the batch
+      // two-key group-by count
+      "s_stream_tws_mapstate" ->
+        """SELECT user_id, event_type, count(*) AS n_type
+          |FROM events GROUP BY user_id, event_type""".stripMargin,
       // ListState top-3 is arrival-order-insensitive (the multiset
       // only improves), so the drained state = the batch top-3
       "s_stream_tws_toplist" ->

@@ -471,6 +471,59 @@ object GraphAlgs {
     df
   }
 
+  /**
+   * Eigenvector centrality by shifted power iteration: x' = (A+I)·x,
+   * max-normalized each round. The +I shift keeps the dominant
+   * eigenvector while breaking the period-2 oscillation pure A·x
+   * exhibits on bipartite graphs (a star never converges without
+   * it); max-normalization keeps the arithmetic inside +/· — no
+   * sqrt, no libm. Each round is one aggregateMessages over the
+   * edge set with both surfaces materialized before the previous
+   * generation is released (the iterative-GraphX contract pinned in
+   * PERF.md). Scores are partition-summation floats, so the query
+   * surface is rows-only; structural properties (hub dominance,
+   * symmetry) are pinned by unit tests.
+   */
+  def eigenCentrality[V: scala.reflect.ClassTag](
+      g: Graph[V, Int], iters: Int = 20): Graph[Double, Int] = {
+    var cur = g.mapVertices((_, _) => 1.0).cache()
+    cur.vertices.count(); cur.edges.count()
+    var i = 0
+    while (i < iters) {
+      val sums = cur.aggregateMessages[Double](
+        ctx => { ctx.sendToDst(ctx.srcAttr); ctx.sendToSrc(ctx.dstAttr) },
+        _ + _)
+      val raw = cur.vertices.leftJoin(sums) {
+        (_, own, s) => own + s.getOrElse(0.0)
+      }.cache()
+      val mx = math.max(raw.map(_._2).fold(0.0)(math.max), Double.MinPositiveValue)
+      val next = cur.outerJoinVertices(raw) {
+        (_, _, r) => r.getOrElse(0.0) / mx
+      }.cache()
+      next.vertices.count(); next.edges.count()
+      raw.unpersist(blocking = false)
+      cur.unpersistVertices(blocking = false)
+      cur.edges.unpersist(blocking = false)
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  /** (vid, score) rows rounded to 1e-6; materialize-then-release. */
+  def eigenCentralityDF[V: scala.reflect.ClassTag](
+      g: Graph[V, Int], iters: Int = 20): DataFrame = {
+    val scored = eigenCentrality(g, iters)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = spark.createDataFrame(
+      scored.vertices.map { case (id, s) => (id, math.floor(s * 1e6 + 0.5) / 1e6) })
+      .toDF("vid", "score").cache()
+    df.count()
+    scored.unpersistVertices(blocking = false)
+    scored.edges.unpersist(blocking = false)
+    df
+  }
+
   /** K-truss fixpoint result: the surviving canonical edges (CACHED —
    * caller unpersists), the round-1 survivor count, and whether the
    * peel loop reached its fixpoint within the round budget. */

@@ -259,6 +259,13 @@ object GraphQueries {
           ./(1e9).as("closeness"))
       .orderBy("root")
 
+  /** Eigenvector centrality (20 max-normalized power-iteration
+   * rounds) — rows-only like the other per-vertex float fixpoints;
+   * hub dominance and symmetry pinned by Round7Spec. */
+  def eigenCentrality(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.eigenCentralityDF(graph(spark, sfDir))
+      .orderBy("vid")
+
   /** K-truss (k=4) of the co-purchase graph: iteratively peel
    * canonical edges whose support (triangles through the edge within
    * the surviving subgraph) falls below k-2, to a fixpoint.
@@ -786,6 +793,7 @@ object GraphQueries {
     "g_two_hop" -> twoHopReach _,
     "g_eccentricity" -> eccentricity _,
     "g_closeness" -> closeness _,
-    "g_ktruss" -> ktruss _
+    "g_ktruss" -> ktruss _,
+    "g_eigencentrality" -> eigenCentrality _
   )
 }

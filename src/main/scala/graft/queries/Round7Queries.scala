@@ -206,7 +206,66 @@ object Round7Queries {
         rnd(sum(col("re_tok")).cast("double") / sum(col("ws_tok")), 6).as("fertility"))
       .orderBy("source")
 
+  /** Null-handling scalar surface: nullif / nvl / nvl2 / equal_null
+   * and null-skipping greatest/least, over a column made sparse by a
+   * deterministic predicate. */
+  def nullFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice")).as("p"),
+        col("o_totalprice").as("q"))
+      .select(
+        expr("nullif(o_orderkey % 3, 0)").as("nz"),
+        expr("nvl(p, -1.0)").as("p_filled"),
+        expr("nvl2(p, 'present', 'absent')").as("presence"),
+        expr("equal_null(p, q)").as("eq_nn"),
+        greatest(col("p"), col("q"), lit(50000.0)).as("g"),
+        least(col("p"), lit(50000.0)).as("l"))
+      .groupBy(col("presence"))
+      .agg(count(lit(1)).as("n"),
+        expr("count_if(nz IS NULL)").as("n_null_nz"),
+        rnd(sum(col("p_filled")), 2).as("sum_p_filled"),
+        expr("count_if(eq_nn)").as("n_eq"),
+        rnd(sum(col("g")), 2).as("sum_g"),
+        rnd(sum(col("l")), 2).as("sum_l"))
+      .orderBy("presence")
+
+  /** Datetime constructors: make_date / make_timestamp from integer
+   * fields, reduced to epoch micros (engine-portable stringification). */
+  def makeDatetime(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .select(col("o_orderkey"),
+        expr("make_date(year(d), month(d), day(d))").as("md"),
+        expr("make_timestamp(year(d), month(d), day(d), 12, 30, 45.5)").as("mts"))
+      .select((col("o_orderkey") % 7).as("k"),
+        col("md"), expr("unix_micros(mts)").as("us"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        date_format(min(col("md")), "yyyy-MM-dd").as("min_d"),
+        date_format(max(col("md")), "yyyy-MM-dd").as("max_d"),
+        sum(col("us")).as("sum_us"))
+      .orderBy("k")
+
+  /** AES-128 ECB encrypt/decrypt round trip — the column-encryption
+   * capability probe. ECB is the deterministic mode (GCM salts a
+   * random IV per call, unusable under a hash compare); the oracle
+   * cannot run AES, so the contract is self-certifying: exact row
+   * count plus the all-rows-round-tripped boolean stated TRUE. */
+  def aesRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .select(col("c_name"),
+        expr("aes_encrypt(c_name, '0000111122223333', 'ECB')").as("ct"))
+      .select(col("c_name"),
+        expr("cast(aes_decrypt(ct, '0000111122223333', 'ECB') AS STRING)").as("rt"))
+      .agg(count(lit(1)).as("n"),
+        expr("bool_and(rt = c_name)").as("all_roundtrip_ok"),
+        countDistinct(col("rt")).as("n_distinct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_null_funcs" -> nullFuncs _,
+    "r_make_datetime" -> makeDatetime _,
+    "r_aes_roundtrip" -> aesRoundtrip _,
     "r_cume_dist" -> cumeDist _,
     "r_percentile_disc" -> percentileDisc _,
     "r_covar_stats" -> covarStats _,
@@ -225,6 +284,41 @@ object Round7Queries {
     s"floor(($e) * 1e$d + 0.5) / 1e$d"
 
   val oracles: Map[String, String] = Map(
+    "r_null_funcs" ->
+      s"""WITH s AS (SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS p,
+         |    o_totalprice AS q
+         |  FROM orders),
+         |f AS (SELECT
+         |    nullif(o_orderkey % 3, 0) AS nz,
+         |    coalesce(p, -1.0) AS p_filled,
+         |    CASE WHEN p IS NOT NULL THEN 'present' ELSE 'absent' END AS presence,
+         |    (p IS NOT DISTINCT FROM q) AS eq_nn,
+         |    greatest(p, q, 50000.0) AS g,
+         |    least(p, 50000.0) AS l
+         |  FROM s)
+         |SELECT presence, count(*) AS n,
+         |  CAST(count_if(nz IS NULL) AS BIGINT) AS n_null_nz,
+         |  ${rndSql("sum(p_filled)", 2)} AS sum_p_filled,
+         |  CAST(count_if(eq_nn) AS BIGINT) AS n_eq,
+         |  ${rndSql("sum(g)", 2)} AS sum_g,
+         |  ${rndSql("sum(l)", 2)} AS sum_l
+         |FROM f GROUP BY presence""".stripMargin,
+    "r_make_datetime" ->
+      """WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |m AS (SELECT o_orderkey,
+        |    make_date(year(d), month(d), day(d)) AS md,
+        |    epoch_us(make_timestamp(year(d), month(d), day(d), 12, 30, 45.5)) AS us
+        |  FROM d)
+        |SELECT o_orderkey % 7 AS k, count(*) AS n,
+        |  strftime(min(md), '%Y-%m-%d') AS min_d,
+        |  strftime(max(md), '%Y-%m-%d') AS max_d,
+        |  CAST(sum(us) AS BIGINT) AS sum_us
+        |FROM m GROUP BY 1""".stripMargin,
+    "r_aes_roundtrip" ->
+      """SELECT count(*) AS n, TRUE AS all_roundtrip_ok,
+        |  count(DISTINCT c_name) AS n_distinct
+        |FROM customer""".stripMargin,
     "r_cume_dist" ->
       s"""WITH w AS (SELECT event_type, event_id, value,
          |    row_number() OVER o AS rn, cume_dist() OVER o AS cd,

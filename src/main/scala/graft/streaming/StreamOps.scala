@@ -73,6 +73,9 @@ object StreamOps {
   }
 
   final case class SessionEvent(user_id: Long, event_id: Long, us: Long, value: Double)
+
+  /** Minimal (user, type) projection for the MapState counter query. */
+  final case class TypedEvent(user_id: Long, event_type: String)
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
   final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, sum_value: Double)
@@ -792,5 +795,94 @@ object StreamOps {
         (floor(col("top2") * 1e4 + 0.5) / 1e4).as("top2"),
         (floor(col("top3") * 1e4 + 0.5) / 1e4).as("top3"))
       .orderBy("user_id")
+  }
+
+  /** Row emitted by [[transformWithStateMapCounts]]: one per-type
+   * counter from the user's MapState, plus the monotone per-user
+   * total used to select each (user, type)'s final row. */
+  final case class TwsMapRow(user_id: Long, event_type: String,
+      n_type: Long, n_user: Long)
+
+  /**
+   * `transformWithState` with MAP state: per-user event-type counters
+   * kept in an engine-managed `MapState[String, Long]` — point
+   * lookups and per-entry updates against the store instead of
+   * deserializing a whole map per event (the reason MapState exists;
+   * with RocksDB each entry is its own store key, so a hot user's
+   * map never round-trips through the executor heap as one blob).
+   * Each batch emits the touched user's full counter map; the final
+   * (max n_user) emission per (user, type) equals the batch
+   * group-by count, which is what the oracle computes.
+   */
+  def transformWithStateMapCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{MapState, OutputMode,
+      StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+
+    val name = s"graft_stream_twsmap_${callSeq.incrementAndGet()}"
+    val tag = callSeq.incrementAndGet()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-twsmap$tag")
+    spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir.toString)
+
+    class MapProcessor extends StatefulProcessor[Long, TypedEvent, TwsMapRow] {
+      @transient private var counts: MapState[String, Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        counts = getHandle.getMapState[String, Long]("counts",
+          Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+          timerValues: TimerValues): Iterator[TwsMapRow] = {
+        rows.foreach { e =>
+          val cur = if (counts.containsKey(e.event_type))
+            counts.getValue(e.event_type) else 0L
+          counts.updateValue(e.event_type, cur + 1L)
+        }
+        val entries = counts.iterator().toArray
+        val total = entries.map(_._2).sum
+        entries.iterator.map { case (t, n) => TwsMapRow(key, t, n, total) }
+      }
+    }
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = spark.readStream.schema(EventsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .select(col("user_id"), col("event_type"))
+        .as[TypedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new MapProcessor,
+          TimeMode.None(), OutputMode.Update(), Encoders.product[TwsMapRow])
+
+      val q = rows.toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: java.io.IOException => () }
+      }
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("n_user").desc)
+    spark.table(name)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("event_type"), col("n_type"))
+      .orderBy("user_id", "event_type")
   }
 }

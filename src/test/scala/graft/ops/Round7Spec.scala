@@ -36,6 +36,27 @@ class Round7Spec extends SparkSpec {
     out.edges.unpersist(blocking = false)
   }
 
+  // ---- eigenvector centrality --------------------------------------
+
+  test("eigenCentrality: star center dominates and leaves are symmetric") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val g = graft.graph.EdgeOps.toGraph(edges)
+    val scores = GraphAlgs.eigenCentralityDF(g)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) == 1.0) // max-normalized hub
+    assert(scores(2L) < 1.0)
+    // the 4 leaves are structurally identical
+    assert(Set(scores(2L), scores(3L), scores(4L), scores(5L)).size == 1)
+  }
+
+  test("eigenCentrality: triangle is uniform at the fixpoint") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val g = graft.graph.EdgeOps.toGraph(edges)
+    val scores = GraphAlgs.eigenCentralityDF(g)
+      .collect().map(r => r.getDouble(1))
+    assert(scores.forall(_ == 1.0)) // regular graph: all max-normalized to 1
+  }
+
   test("ktrussPeel k=3 keeps exactly the triangle edges") {
     // k=3 demands support >= 1: the pendant edge goes, triangles stay
     val edges = Seq(
