@@ -32,6 +32,7 @@ object SparkEntry {
         graft.streaming.StreamOps.multiBatchTopUsers(s, d)),
       "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _),
       "s_stream_dedup" -> (graft.streaming.StreamOps.streamingDedup _),
+      "s_stream_dedup_ww" -> (graft.streaming.StreamOps.streamingDedupWithinWatermark _),
       "s_stream_enrich" -> (graft.streaming.StreamOps.streamStaticEnrich _),
       "s_stream_join" -> (graft.streaming.StreamOps.streamStreamJoin _),
       "s_stream_running_state" -> (graft.streaming.StreamOps.runningUserState _),
@@ -58,6 +59,11 @@ object SparkEntry {
           |wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS w FROM events)
           |SELECT hour, event_type, n, sum_value FROM b, wm
           |WHERE epoch_us(hour) + 3600000000 <= w""".stripMargin,
+      // within-watermark dedup over a drained bounded stream = batch
+      // distinct per (user, type), counted per user
+      "s_stream_dedup_ww" ->
+        """SELECT user_id, count(DISTINCT event_type) AS n_types
+          |FROM events GROUP BY user_id""".stripMargin,
       // watermarked keep-first dedup over a drained bounded stream =
       // batch distinct per key
       "s_stream_dedup" ->

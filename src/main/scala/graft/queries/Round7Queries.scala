@@ -262,7 +262,43 @@ object Round7Queries {
         expr("bool_and(rt = c_name)").as("all_roundtrip_ok"),
         countDistinct(col("rt")).as("n_distinct"))
 
+  /** DSIR-style importance-resampling weights (Xie et al. 2023,
+   * log-free rational form): per document the mean over tokens of
+   * the add-one-smoothed probability ratio between a target domain
+   * (src0) and the whole corpus, rolled up per source — the score a
+   * data-selection pass resamples by to shift the corpus toward the
+   * target distribution. One token-frequency shuffle for each of
+   * the two unigram models, one broadcast of the 1-row totals, one
+   * token-level join keyed on the token — no per-document state. */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val target = toks.where(col("source") === "src0")
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val corpus = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
+    val totals = corpus.agg(sum(col("cr")).as("tr"),
+      count(lit(1)).as("v"))
+      .crossJoin(target.agg(sum(col("ct")).as("tt")))
+    val scored = toks
+      .join(corpus, "tok")
+      .join(target, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("source"),
+        (((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("tt") + col("v"))) /
+          ((col("cr") + 1).cast("double") / (col("tr") + col("v")))).as("ratio"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(rnd(avg(col("ratio")), 6).as("w"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        rnd(avg(col("w")), 6).as("mean_w"),
+        rnd(max(col("w")), 6).as("max_w"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_dsir_weights" -> dsirWeights _,
     "r_null_funcs" -> nullFuncs _,
     "r_make_datetime" -> makeDatetime _,
     "r_aes_roundtrip" -> aesRoundtrip _,
@@ -284,6 +320,28 @@ object Round7Queries {
     s"floor(($e) * 1e$d + 0.5) / 1e$d"
 
   val oracles: Map[String, String] = Map(
+    "p_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |t AS (SELECT * FROM toks WHERE len(tok) > 0),
+         |tgt AS (SELECT tok, count(*) AS ct FROM t WHERE source = 'src0' GROUP BY tok),
+         |corp AS (SELECT tok, count(*) AS cr FROM t GROUP BY tok),
+         |tot AS (SELECT (SELECT sum(cr) FROM corp) AS tr,
+         |               (SELECT count(*) FROM corp) AS v,
+         |               (SELECT sum(ct) FROM tgt) AS tt),
+         |scored AS (
+         |  SELECT t.doc_id, t.source,
+         |    ${rndSql("avg(((coalesce(tgt.ct, 0) + 1)::DOUBLE / (tot.tt + tot.v)) / ((corp.cr + 1)::DOUBLE / (tot.tr + tot.v)))", 6)} AS w
+         |  FROM t JOIN corp ON corp.tok = t.tok
+         |  LEFT JOIN tgt ON tgt.tok = t.tok
+         |  CROSS JOIN tot
+         |  GROUP BY t.doc_id, t.source)
+         |SELECT source, count(*) AS n_docs,
+         |  ${rndSql("avg(w)", 6)} AS mean_w,
+         |  ${rndSql("max(w)", 6)} AS max_w
+         |FROM scored GROUP BY source""".stripMargin,
     "r_null_funcs" ->
       s"""WITH s AS (SELECT o_orderkey,
          |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS p,

@@ -170,6 +170,36 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /**
+   * dropDuplicatesWithinWatermark (Spark 3.5+): unlike
+   * dropDuplicates, the event-time column is NOT part of the dedup
+   * key and state for a key is evicted once the watermark passes its
+   * first-seen event time — the API that makes at-least-once sources
+   * (retried writes carry fresh timestamps) dedupable with bounded
+   * state. On the drained bounded stream every duplicate key lands
+   * inside one batch, so the result equals the batch distinct —
+   * the oracle contract. */
+  def streamingDedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_dedup_ww_${callSeq.incrementAndGet()}"
+    val dir = stagedEventsDir(sfDir)
+    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = src.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally cleanup(dir)
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"))
+      .orderBy("user_id")
+  }
+
   /** Stream-static enrichment join: the event stream joins the
    * customer dimension (static frame, broadcast by the planner) —
    * the standard streaming enrichment shape; per-batch the static
