@@ -549,27 +549,33 @@ object GraphAlgs {
     var r1N = -1L
     var converged = false
     var round = 0
-    var prevCached: DataFrame = null
+    var prev: DataFrame = null
     while (!converged && round < maxRounds) {
       val sym = cur.union(
         cur.select(col("dst").as("src"), col("src").as("dst")))
       val adj = sym.groupBy(col("src").as("vid"))
         .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      // localCheckpoint (eager), not cache: `cur` appears twice per
+      // round (union with its swap), so an uncut logical plan DOUBLES
+      // each round — 2^rounds nodes; at sf0.1 the analyzer hit a 2 GiB
+      // plan string around round 30. Checkpointing truncates the
+      // lineage to the materialized blocks every round.
       val keep = cur
         .join(adj.select(col("vid").as("src"), col("nbrs").as("na")), "src")
         .join(adj.select(col("vid").as("dst"), col("nbrs").as("nb")), "dst")
         .select(col("src"), col("dst"),
           intersectCount(col("na"), col("nb")).as("support"))
-        .where(col("support") >= k - 2).cache()
+        .where(col("support") >= k - 2)
+        .localCheckpoint()
       val keepN = keep.count()
-      if (prevCached != null) prevCached.unpersist(blocking = false)
-      prevCached = keep
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = keep
       if (round == 0) r1N = keepN
       converged = keepN == curN
       curN = keepN
       cur = keep.select("src", "dst")
       round += 1
     }
-    KTruss(prevCached, r1N, converged)
+    KTruss(prev, r1N, converged)
   }
 }
