@@ -52,6 +52,12 @@ object ExplainCheck {
       "zipf top-500 must be a partial top-k (TakeOrderedAndProject), not a global sort")
     val la = plan("r_listagg")
     assert(la.contains("BroadcastHashJoin"), "region dim join not broadcast")
+    val lj = plan("r_lateral_join")
+    assert(lj.contains("WindowGroupLimit") && lj.contains("Partial"),
+      "correlated LATERAL LIMIT must decorrelate to a partial window group limit")
+    assert(lj.contains("BroadcastHashJoin"), "lateral rejoin not broadcast")
+    assert(!lj.contains("NestedLoop") && !lj.contains("CartesianProduct"),
+      "lateral join degenerated to a per-row loop")
     println("ALL PLAN CHECKS PASSED")
     spark.stop()
   }

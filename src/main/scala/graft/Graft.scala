@@ -151,6 +151,32 @@ object Graft {
   def decodeMedia(spark: SparkSession, media: DataFrame): DataFrame =
     Multimodal.decodeAll(spark, media).toDF()
 
+  // ---- graph analytics (round 6-7 additions) -----------------------
+
+  /** K-truss: canonical edges surviving iterative support-< k-2
+   * peeling, with per-edge support (GraphAlgs.ktrussPeel). */
+  def ktruss(canonicalEdges: DataFrame, k: Int = 4): DataFrame = {
+    val out = graft.graph.GraphAlgs.ktrussPeel(canonicalEdges, k)
+    out.edges
+  }
+
+  /** Eigenvector centrality (shifted power iteration, max 1). */
+  def eigenCentrality(graph: Graph[Int, Int], iters: Int = 20): DataFrame =
+    graft.graph.GraphAlgs.eigenCentralityDF(graph, iters)
+
+  /** Batched multi-source BFS reachability summary. */
+  def multiSourceBfs(graph: Graph[Int, Int], sources: Array[Long],
+      maxHops: Int = 10): DataFrame =
+    graft.graph.GraphAlgs.multiSourceBfsDF(graph, sources, maxHops)
+
+  // ---- data mixing / selection -------------------------------------
+
+  /** DSIR-style importance-resampling weights toward a target
+   * source's unigram distribution; `docs` needs
+   * (doc_id, source, text). */
+  def dsirWeights(docs: DataFrame, targetSource: String): DataFrame =
+    graft.queries.Round7Queries.dsirWeightsOf(docs, targetSource)
+
   // ---- temporal joins ----------------------------------------------
 
   def asofJoin(left: DataFrame, lKey: String, lTime: String,

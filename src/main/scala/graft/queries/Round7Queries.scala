@@ -270,12 +270,17 @@ object Round7Queries {
    * target distribution. One token-frequency shuffle for each of
    * the two unigram models, one broadcast of the 1-row totals, one
    * token-level join keyed on the token — no per-document state. */
-  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = docs(spark, sfDir)
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
+    dsirWeightsOf(docs(spark, sfDir), "src0")
+
+  /** DataFrame-first form (the Graft facade entry): `docs` needs
+   * (doc_id, source, text). */
+  def dsirWeightsOf(documents: DataFrame, targetSource: String): DataFrame = {
+    val toks = documents
       .select(col("doc_id"), col("source"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .where(length(col("tok")) > 0)
-    val target = toks.where(col("source") === "src0")
+    val target = toks.where(col("source") === targetSource)
       .groupBy("tok").agg(count(lit(1)).as("ct"))
     val corpus = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
     val totals = corpus.agg(sum(col("cr")).as("tr"),
@@ -297,7 +302,54 @@ object Round7Queries {
       .orderBy("source")
   }
 
+  /** IDENTIFIER clause (Spark 4): injection-safe dynamic table /
+   * column references from parameters — the templating counterpart
+   * of r_param_sql for identifiers, where string interpolation would
+   * be an injection hole. */
+  def identifierClause(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "nation").createOrReplaceTempView("r7_id_nation")
+    spark.sql(
+      """SELECT count(*) AS n, max(IDENTIFIER(:keycol)) AS max_key
+        |FROM IDENTIFIER(:tbl)""".stripMargin,
+      Map("tbl" -> "r7_id_nation", "keycol" -> "n_nationkey"))
+      .select(col("n"), col("max_key").cast("long").as("max_key"))
+  }
+
+  /** Table-valued function in FROM position: range() joined against
+   * a fact aggregate — the generated-dimension shape without a
+   * source table (the sequence()/explode form is r_calendar_series). */
+  def rangeTvf(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("r7_li_tvf")
+    spark.sql(
+      """SELECT r.id AS qty, coalesce(f.n, 0) AS n
+        |FROM range(1, 51) r
+        |LEFT JOIN (SELECT CAST(l_quantity AS BIGINT) AS q, count(*) AS n
+        |           FROM r7_li_tvf GROUP BY 1) f
+        |  ON f.q = r.id
+        |ORDER BY qty""".stripMargin)
+  }
+
+  /** Pivot with MULTIPLE aggregates per cell (count + rounded sum
+   * per pivoted return flag) — the multi-measure crosstab shape;
+   * one shuffle, measures fused in a single aggregate. */
+  def pivotMultiAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)).as("n"),
+        rnd(sum(col("l_quantity")), 2).as("qty"))
+      // a pivot cell with no rows is NULL; count semantics say 0
+      // (sums legitimately stay NULL on both engines)
+      .select(col("l_linestatus"),
+        coalesce(col("A_n"), lit(0L)).as("A_n"), col("A_qty"),
+        coalesce(col("N_n"), lit(0L)).as("N_n"), col("N_qty"),
+        coalesce(col("R_n"), lit(0L)).as("R_n"), col("R_qty"))
+      .orderBy("l_linestatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_identifier" -> identifierClause _,
+    "r_range_tvf" -> rangeTvf _,
+    "r_pivot_multi_agg" -> pivotMultiAgg _,
     "p_dsir_weights" -> dsirWeights _,
     "r_null_funcs" -> nullFuncs _,
     "r_make_datetime" -> makeDatetime _,
@@ -320,6 +372,24 @@ object Round7Queries {
     s"floor(($e) * 1e$d + 0.5) / 1e$d"
 
   val oracles: Map[String, String] = Map(
+    "r_identifier" ->
+      """SELECT count(*) AS n, CAST(max(n_nationkey) AS BIGINT) AS max_key
+        |FROM nation""".stripMargin,
+    "r_range_tvf" ->
+      """SELECT r.range AS qty, coalesce(f.n, 0) AS n
+        |FROM range(1, 51) r
+        |LEFT JOIN (SELECT CAST(l_quantity AS BIGINT) AS q, count(*) AS n
+        |           FROM lineitem GROUP BY 1) f
+        |  ON f.q = r.range""".stripMargin,
+    "r_pivot_multi_agg" ->
+      s"""SELECT l_linestatus,
+         |  CAST(count_if(l_returnflag = 'A') AS BIGINT) AS A_n,
+         |  ${rndSql("sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)", 2)} AS A_qty,
+         |  CAST(count_if(l_returnflag = 'N') AS BIGINT) AS N_n,
+         |  ${rndSql("sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END)", 2)} AS N_qty,
+         |  CAST(count_if(l_returnflag = 'R') AS BIGINT) AS R_n,
+         |  ${rndSql("sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)", 2)} AS R_qty
+         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "p_dsir_weights" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source,

@@ -18,7 +18,8 @@ class EntrySpec extends SparkSpec {
     // oracle (sketch/index queries carry self-certifying contracts).
     val rowsOnly = Set(
       "g_wcc_partition", "g_wcc_initial_partition", "g_wcc_incremental",
-      "g_pagerank", "g_label_propagation", "g_sssp_weighted")
+      "g_pagerank", "g_label_propagation", "g_sssp_weighted",
+      "g_eigencentrality")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual === rowsOnly,
       s"unexpected rows-only queries (add an oracle or document here): " +
