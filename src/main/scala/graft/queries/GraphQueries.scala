@@ -259,6 +259,27 @@ object GraphQueries {
           ./(1e9).as("closeness"))
       .orderBy("root")
 
+  /** Data-driven recursive CTE (Spark 4 UnionLoop over a real edge
+   * table, vs r_recursive_cte's generated series): bounded 2-hop
+   * walk from the smallest vertex, reduced to vertices per minimum
+   * hop distance. The same BFS the Pregel surfaces run, expressed
+   * purely in SQL recursion on BOTH engines — the capability probe
+   * for relational iteration without a driver loop. */
+  def recursiveReach(spark: SparkSession, sfDir: String): DataFrame = {
+    val sym = EdgeOps.symmetrize(canonEdges(spark, sfDir))
+    sym.createOrReplaceTempView("g_rec_edges")
+    val root = sym.agg(min(col("src"))).head().getLong(0)
+    spark.sql(
+      s"""WITH RECURSIVE walk(vid, hop) AS (
+         |  SELECT CAST($root AS BIGINT) AS vid, 0 AS hop
+         |  UNION ALL
+         |  SELECT e.dst, w.hop + 1
+         |  FROM walk w JOIN g_rec_edges e ON e.src = w.vid
+         |  WHERE w.hop < 2),
+         |md AS (SELECT vid, min(hop) AS d FROM walk GROUP BY vid)
+         |SELECT d, count(*) AS n_vertices FROM md GROUP BY d ORDER BY d""".stripMargin)
+  }
+
   /** Eigenvector centrality (20 max-normalized power-iteration
    * rounds) — rows-only like the other per-vertex float fixpoints;
    * hub dominance and symmetry pinned by Round7Spec. */
@@ -674,6 +695,17 @@ object GraphQueries {
          |md AS (SELECT root, vid, min(d) AS d FROM bfs GROUP BY root, vid)
          |SELECT root, count(*) AS n_reached, CAST(max(d) AS BIGINT) AS ecc
          |FROM md GROUP BY root""".stripMargin,
+    "g_recursive_reach" ->
+      s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
+         |root AS (SELECT min(src) AS r FROM edges),
+         |walk AS (
+         |  SELECT r AS vid, 0 AS hop FROM root
+         |  UNION ALL
+         |  SELECT e.dst, w.hop + 1
+         |  FROM walk w JOIN edges e ON e.src = w.vid
+         |  WHERE w.hop < 2),
+         |md AS (SELECT vid, min(hop) AS d FROM walk GROUP BY vid)
+         |SELECT d, count(*) AS n_vertices FROM md GROUP BY d""".stripMargin,
     "g_closeness" ->
       s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
          |srcs AS (SELECT src AS v FROM (
@@ -794,6 +826,7 @@ object GraphQueries {
     "g_eccentricity" -> eccentricity _,
     "g_closeness" -> closeness _,
     "g_ktruss" -> ktruss _,
-    "g_eigencentrality" -> eigenCentrality _
+    "g_eigencentrality" -> eigenCentrality _,
+    "g_recursive_reach" -> recursiveReach _
   )
 }

@@ -346,7 +346,36 @@ object Round7Queries {
         coalesce(col("R_n"), lit(0L)).as("R_n"), col("R_qty"))
       .orderBy("l_linestatus")
 
+  /** Session variables (Spark 4 DECLARE / SET VAR): typed,
+   * session-scoped state referenced directly in queries — the SQL
+   * scripting surface (vs r_param_sql's per-statement markers). */
+  def sessionVar(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("r7_li_var")
+    spark.sql("DECLARE OR REPLACE VARIABLE r7_maxq DOUBLE DEFAULT 10.0")
+    spark.sql("SET VAR r7_maxq = 25.0")
+    spark.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM r7_li_var WHERE l_quantity < r7_maxq
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** EXECUTE IMMEDIATE with USING parameters: SQL-from-SQL dynamic
+   * statement execution, parameter-bound (never interpolated). */
+  def execImmediate(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("r7_ord_imm")
+    spark.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT o_orderpriority, count(*) AS n,
+        |     floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price
+        |   FROM r7_ord_imm WHERE o_orderstatus = ? GROUP BY o_orderpriority'
+        |  USING 'F'""".stripMargin)
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_session_var" -> sessionVar _,
+    "r_exec_immediate" -> execImmediate _,
     "r_identifier" -> identifierClause _,
     "r_range_tvf" -> rangeTvf _,
     "r_pivot_multi_agg" -> pivotMultiAgg _,
@@ -372,6 +401,16 @@ object Round7Queries {
     s"floor(($e) * 1e$d + 0.5) / 1e$d"
 
   val oracles: Map[String, String] = Map(
+    "r_session_var" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_quantity < 25.0
+        |GROUP BY l_returnflag""".stripMargin,
+    "r_exec_immediate" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
     "r_identifier" ->
       """SELECT count(*) AS n, CAST(max(n_nationkey) AS BIGINT) AS max_key
         |FROM nation""".stripMargin,
