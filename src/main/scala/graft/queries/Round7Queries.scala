@@ -373,7 +373,40 @@ object Round7Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** Sketch SET OPERATIONS: audience-overlap estimate from merged
+   * HLL sketches via inclusion-exclusion (|A∩B| = |A|+|B|-|A∪B|),
+   * checked against the exact join-based overlap. The point at
+   * 100 TB: the two audience sketches are fixed-size mergeable
+   * states built in one pass each — the exact form is a distinct
+   * shuffle plus a join. Self-certifying contract: exact counts from
+   * the oracle, the estimate-within-tolerance boolean stated TRUE
+   * (inclusion-exclusion compounds the three sketch errors, hence
+   * the 10% + 5 absolute slack). */
+  def sketchSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val sk = ev.agg(
+      expr("hll_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)").as("sv"),
+      expr("hll_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)").as("sp"))
+      .select(
+        expr("hll_sketch_estimate(sv)").as("est_v"),
+        expr("hll_sketch_estimate(sp)").as("est_p"),
+        expr("hll_sketch_estimate(hll_union(sv, sp))").as("est_u"))
+    val exact = ev.agg(
+      countDistinct(when(col("event_type") === "view", col("user_id"))).as("n_view"),
+      countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("n_purchase"))
+      .crossJoin(
+        ev.where(col("event_type") === "view").select(col("user_id")).distinct()
+          .join(ev.where(col("event_type") === "purchase")
+            .select(col("user_id")).distinct(), "user_id")
+          .agg(count(lit(1)).as("n_both")))
+    sk.crossJoin(exact)
+      .select(col("n_view"), col("n_purchase"), col("n_both"),
+        (abs(col("est_v") + col("est_p") - col("est_u") - col("n_both")) <=
+          col("n_both") * 0.1 + 5.0).as("overlap_est_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_sketch_setops" -> sketchSetOps _,
     "r_session_var" -> sessionVar _,
     "r_exec_immediate" -> execImmediate _,
     "r_identifier" -> identifierClause _,
@@ -401,6 +434,13 @@ object Round7Queries {
     s"floor(($e) * 1e$d + 0.5) / 1e$d"
 
   val oracles: Map[String, String] = Map(
+    "r_sketch_setops" ->
+      """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM p) AS n_purchase,
+        |  (SELECT count(*) FROM v JOIN p USING (user_id)) AS n_both,
+        |  TRUE AS overlap_est_ok""".stripMargin,
     "r_session_var" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
