@@ -154,11 +154,11 @@ object Graft {
   // ---- graph analytics (round 6-7 additions) -----------------------
 
   /** K-truss: canonical edges surviving iterative support-< k-2
-   * peeling, with per-edge support (GraphAlgs.ktrussPeel). */
-  def ktruss(canonicalEdges: DataFrame, k: Int = 4): DataFrame = {
-    val out = graft.graph.GraphAlgs.ktrussPeel(canonicalEdges, k)
-    out.edges
-  }
+   * peeling, with per-edge support (GraphAlgs.ktrussPeel). The
+   * result rides a persisted RDD; call `KTruss.release()` when
+   * done, so prefer the full `GraphAlgs.ktrussPeel` handle. */
+  def ktruss(canonicalEdges: DataFrame, k: Int = 4): graft.graph.GraphAlgs.KTruss =
+    graft.graph.GraphAlgs.ktrussPeel(canonicalEdges, k)
 
   /** Eigenvector centrality (shifted power iteration, max 1). */
   def eigenCentrality(graph: Graph[Int, Int], iters: Int = 20): DataFrame =

@@ -524,10 +524,13 @@ object GraphAlgs {
     df
   }
 
-  /** K-truss fixpoint result: the surviving canonical edges (CACHED —
-   * caller unpersists), the round-1 survivor count, and whether the
-   * peel loop reached its fixpoint within the round budget. */
-  final case class KTruss(edges: DataFrame, r1Count: Long, converged: Boolean)
+  /** K-truss fixpoint result: the surviving canonical edges (backed
+   * by a persisted RDD — call [[KTruss.release]] when done, plain
+   * DataFrame.unpersist cannot free it), the round-1 survivor count,
+   * and whether the peel loop reached its fixpoint within the round
+   * budget. */
+  final case class KTruss(edges: DataFrame, r1Count: Long, converged: Boolean,
+      release: () => Unit)
 
   /**
    * K-truss peel over a canonical (src < dst, distinct) edge set:
@@ -544,38 +547,48 @@ object GraphAlgs {
    */
   def ktrussPeel(canonical: DataFrame, k: Int = 4, maxRounds: Int = 30): KTruss = {
     import org.apache.spark.sql.graft.GraftExpressions.intersectCount
+    val spark = canonical.sparkSession
     var cur = canonical.select("src", "dst")
     var curN = cur.count()
     var r1N = -1L
     var converged = false
     var round = 0
-    var prev: DataFrame = null
+    var keepDf: DataFrame = cur
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     while (!converged && round < maxRounds) {
       val sym = cur.union(
         cur.select(col("dst").as("src"), col("src").as("dst")))
       val adj = sym.groupBy(col("src").as("vid"))
         .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      // localCheckpoint (eager), not cache: `cur` appears twice per
-      // round (union with its swap), so an uncut logical plan DOUBLES
-      // each round — 2^rounds nodes; at sf0.1 the analyzer hit a 2 GiB
-      // plan string around round 30. Checkpointing truncates the
-      // lineage to the materialized blocks every round.
-      val keep = cur
+      // Cut the logical lineage EVERY round by persisting the round's
+      // row RDD and wrapping it in a fresh LogicalRDD: `cur` appears
+      // twice per round (union with its swap), so an uncut plan
+      // DOUBLES each round — 2^rounds nodes; at sf0.1 the analyzer
+      // hit a 2 GiB plan string around round 30. An explicit RDD
+      // (unlike localCheckpoint, whose blocks DataFrame.unpersist
+      // cannot release) lets each superseded generation be freed —
+      // leaked generations evicted every cached graph downstream and
+      // doubled the whole graph suite's bench.
+      val keepPlan = cur
         .join(adj.select(col("vid").as("src"), col("nbrs").as("na")), "src")
         .join(adj.select(col("vid").as("dst"), col("nbrs").as("nb")), "dst")
         .select(col("src"), col("dst"),
           intersectCount(col("na"), col("nb")).as("support"))
         .where(col("support") >= k - 2)
-        .localCheckpoint()
-      val keepN = keep.count()
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = keep
+      val rdd = keepPlan.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      keepDf = spark.createDataFrame(rdd, keepPlan.schema)
+      val keepN = rdd.count()
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
       if (round == 0) r1N = keepN
       converged = keepN == curN
       curN = keepN
-      cur = keep.select("src", "dst")
+      cur = keepDf.select("src", "dst")
       round += 1
     }
-    KTruss(prev, r1N, converged)
+    val last = prevRdd
+    KTruss(keepDf, r1N, converged,
+      () => if (last != null) { last.unpersist(blocking = false); () })
   }
 }

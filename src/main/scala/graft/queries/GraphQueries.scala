@@ -323,7 +323,7 @@ object GraphQueries {
         .agg(min(col("s"))).head()
       !row.isNullAt(0) && row.getInt(0) >= k - 2
     }
-    truss.edges.unpersist(blocking = false)
+    truss.release()
     spark.createDataFrame(Seq((nVertices, truss.r1Count, supportOk, truss.converged)))
       .toDF("n_vertices", "n_edges_r1", "support_ok", "converged")
   }

@@ -19,7 +19,7 @@ class Round7Spec extends SparkSpec {
     assert(out.converged)
     assert(out.r1Count == 6) // round 1 already drops triangle + pendant
     val kept = out.edges.select("src", "dst").as[(Long, Long)].collect().toSet
-    out.edges.unpersist(blocking = false)
+    out.release()
     assert(kept == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
@@ -33,7 +33,7 @@ class Round7Spec extends SparkSpec {
     assert(out.converged)
     assert(out.r1Count == 1)
     assert(out.edges.count() == 0)
-    out.edges.unpersist(blocking = false)
+    out.release()
   }
 
   // ---- eigenvector centrality --------------------------------------
@@ -65,7 +65,7 @@ class Round7Spec extends SparkSpec {
     val out = GraphAlgs.ktrussPeel(edges, k = 3)
     assert(out.converged)
     val kept = out.edges.select("src", "dst").as[(Long, Long)].collect().toSet
-    out.edges.unpersist(blocking = false)
+    out.release()
     assert(kept == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)))
   }
 }
