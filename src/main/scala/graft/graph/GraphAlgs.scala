@@ -524,6 +524,88 @@ object GraphAlgs {
     df
   }
 
+  /**
+   * Connected components as PURE relational iteration — the
+   * alternating large-star / small-star contraction of Kiveris et
+   * al., "Connected Components in MapReduce and Beyond" (SOCC 2014):
+   *
+   *  - large-star: every neighbor LARGER than u re-attaches to u's
+   *    current minimum m(u) = min(N(u) ∪ {u});
+   *  - small-star: every neighbor at most u re-attaches to m(u).
+   *
+   * Each half-round is one groupBy(min) + one join + one projection
+   * — no Pregel, no vertex state, and the edge set contracts toward
+   * star graphs rooted at component minima in O(log n) rounds (vs
+   * O(diameter) for plain min-label propagation). The same
+   * generational-release discipline as ktrussPeel: each round's RDD
+   * is persisted explicitly, the superseded one freed, because the
+   * union-free but twice-referenced lineage would otherwise grow
+   * exponentially.
+   *
+   * Input: canonical (src < dst) edges. Output: (vid, component)
+   * with component = the component's minimum vertex id — identical
+   * to [[connectedComponentsDF]]'s GraphX result, which is what
+   * makes the two implementations cross-checkable under one oracle.
+   */
+  def connectedComponentsTwoPhase(canonical: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val spark = canonical.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // star step: the selected neighbors of u re-attach to
+    // m(u) = min(N(u) ∪ {u}); small-star additionally attaches u
+    // itself (a hub whose neighbors are all smaller would otherwise
+    // detach — its own edges are large-star's responsibility only
+    // from the smaller endpoints' perspective)
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val m = sym(e).groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+      val nbrs = if (large) sym(e).where(col("dst") > col("src"))
+        else sym(e).where(col("dst") <= col("src"))
+      val reattached = nbrs.join(m, nbrs("src") === m("u"))
+        .select(col("dst"), col("m"))
+      val withSelf = if (large) reattached
+        else reattached.union(m.select(col("u").as("dst"), col("m")))
+      withSelf
+        .where(col("dst") =!= col("m"))
+        .select(least(col("dst"), col("m")).as("src"),
+          greatest(col("dst"), col("m")).as("dst"))
+        .distinct()
+    }
+    var cur = canonical.select("src", "dst")
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var stable = false
+    var round = 0
+    var curN = cur.count()
+    while (!stable && round < maxRounds) {
+      val nextPlan = star(star(cur, large = true), large = false)
+      val rdd = nextPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = spark.createDataFrame(rdd, nextPlan.schema)
+      val nextN = rdd.count()
+      // fixpoint: the star steps are idempotent on a forest of
+      // depth-1 stars, so an unchanged edge COUNT at these semantics
+      // means an unchanged edge set (both steps only ever lower dst
+      // labels; equal cardinality with monotone relabeling = no move)
+      stable = nextN == curN && next.except(cur).isEmpty
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
+      cur = next
+      curN = nextN
+      round += 1
+    }
+    // at the fixpoint every edge is (componentMin, member)
+    val members = cur.select(col("dst").as("vid"), col("src").as("component"))
+    val roots = cur.select(col("src").as("vid"), col("src").as("component"))
+      .distinct()
+    val out = members.union(roots)
+      .groupBy("vid").agg(min(col("component")).as("component"))
+      .cache()
+    out.count()
+    if (prevRdd != null) prevRdd.unpersist(blocking = false)
+    out
+  }
+
   /** K-truss fixpoint result: the surviving canonical edges (backed
    * by a persisted RDD — call [[KTruss.release]] when done, plain
    * DataFrame.unpersist cannot free it), the round-1 survivor count,

@@ -467,6 +467,15 @@ object GraphQueries {
     graft.graph.GraphAlgs.connectedComponentsDF(backboneGraph(spark, sfDir))
       .orderBy("vid")
 
+  /** The same components computed WITHOUT GraphX: alternating
+   * large-star / small-star contraction as pure DataFrame rounds
+   * (GraphAlgs.connectedComponentsTwoPhase, O(log n) rounds). Shares
+   * g_connected_components' oracle — two independent implementations
+   * cross-checked against one recursive-CTE fixed point. */
+  def connectedComponentsTwoPhase(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.connectedComponentsTwoPhase(backboneEdges(spark, sfDir))
+      .orderBy("vid")
+
   /** Deterministic synchronous label propagation (5 rounds,
    * most-frequent-neighbor-label, ties to smallest) on the backbone
    * graph. Rows-only: an iterative fixpoint the oracle cannot
@@ -553,6 +562,19 @@ object GraphQueries {
     "g_kcore" ->
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
          |  TRUE AS support_ok, TRUE AS bounded_ok FROM edges""".stripMargin,
+    // two independent implementations, one fixed-point oracle
+    "g_cc_twophase" ->
+      """WITH RECURSIVE cp AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e2 AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+        |reach(v, m) AS (
+        |  SELECT DISTINCT src, src FROM e2
+        |  UNION
+        |  SELECT e2.dst, reach.m FROM reach JOIN e2 ON e2.src = reach.v)
+        |SELECT v AS vid, min(m) AS component FROM reach GROUP BY v""".stripMargin,
     "g_connected_components" ->
       """WITH RECURSIVE cp AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
@@ -812,6 +834,7 @@ object GraphQueries {
     "g_neighbor_jaccard" -> neighborJaccard _,
     "g_kcore" -> kcore _,
     "g_connected_components" -> connectedComponents _,
+    "g_cc_twophase" -> connectedComponentsTwoPhase _,
     "g_label_propagation" -> labelPropagation _,
     "g_sssp_weighted" -> ssspWeighted _,
     "g_transitivity" -> transitivity _,

@@ -36,6 +36,40 @@ class Round7Spec extends SparkSpec {
     out.release()
   }
 
+  // ---- two-phase connected components ------------------------------
+
+  test("two-phase CC labels a path, a separate triangle, and respects minima") {
+    // path 1-2-3-4-5 (component 1) + triangle 10-11-12 (component 10)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
+    val out = GraphAlgs.connectedComponentsTwoPhase(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("two-phase CC handles a hub larger than all its neighbors") {
+    // star rooted at the LARGEST id — the case that requires
+    // small-star's self-attachment edge
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val out = GraphAlgs.connectedComponentsTwoPhase(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L))
+  }
+
+  test("two-phase CC matches GraphX CC on a random-ish graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).map { _ =>
+      val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    val two = GraphAlgs.connectedComponentsTwoPhase(edges)
+      .as[(Long, Long)].collect().toMap
+    val gx = GraphAlgs.connectedComponentsDF(graft.graph.EdgeOps.toGraph(edges))
+      .as[(Long, Long)].collect().toMap
+    assert(two == gx)
+  }
+
   // ---- eigenvector centrality --------------------------------------
 
   test("eigenCentrality: star center dominates and leaves are symmetric") {
