@@ -42,6 +42,7 @@ object SparkEntry {
       "s_stream_left_outer" -> (graft.streaming.StreamOps.streamStreamLeftOuter _),
       "s_stream_ckpt_resume" -> (graft.streaming.StreamOps.checkpointedResume _),
       "s_state_reader" -> (graft.streaming.StreamOps.stateStoreReader _),
+      "s_stream_observe" -> (graft.streaming.StreamOps.streamObserve _),
       "s_stream_session_window" -> (graft.streaming.StreamOps.sessionWindowStream _))
 
   def oracleSql: Map[String, String] =
@@ -112,6 +113,12 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
           |FROM events GROUP BY event_type""".stripMargin,
+      // observed metrics of the single-batch drain = the whole table
+      "s_stream_observe" ->
+        """SELECT count(*) AS n_rows,
+          |  floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value,
+          |  CAST(count_if(value > 250.0) AS BIGINT) AS n_big
+          |FROM events""".stripMargin,
       // the checkpointed aggregation state re-read through the Spark 4
       // state data source = the batch per-user aggregate (count/max
       // are batching-insensitive)

@@ -405,7 +405,52 @@ object Round7Queries {
           col("n_both") * 0.1 + 5.0).as("overlap_est_ok"))
   }
 
+  /** Null-preserving generators: explode_outer / posexplode_outer
+   * keep the parent row (null element) when the array is empty —
+   * the LEFT-JOIN-shaped UDTF the inner forms drop. Arrays are the
+   * per-order part lists, emptied for a deterministic subset. */
+  def explodeOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val arrs = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+      .select(col("l_orderkey"),
+        when(col("l_orderkey") % 5 === 0, array().cast("array<bigint>"))
+          .otherwise(col("parts")).as("parts"))
+    arrs.select(col("l_orderkey"), explode_outer(col("parts")).as("pk"))
+      .groupBy((col("l_orderkey") % 7).as("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("count_if(pk IS NULL)").as("n_empty"),
+        sum(col("pk")).as("sum_pk"))
+      .orderBy("k")
+  }
+
+  /** Heavy-hitter sketch (df.stat.freqItems, the Karp-Papadimitriou-
+   * Shenker one-pass summary): the algorithm GUARANTEES every item
+   * with frequency above the support threshold is in the result —
+   * the self-certifying boolean; the exact heavy-hitter set comes
+   * from the oracle. False positives are expected and irrelevant. */
+  def freqItemsSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    // least(x % 20, 5) folds 15 of 20 uniform buckets into one hot
+    // key (~75% mass) — a deterministic skew at every scale, so the
+    // heavy-hitter set is never empty
+    val ev = events(spark, sfDir)
+      .select(least(col("user_id") % 20, lit(5L)).as("bucket"))
+    val sketch = ev.stat.freqItems(Array("bucket"), 0.08)
+      .head().getSeq[Long](0).toSet
+    val exact = ev.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .crossJoin(ev.agg(count(lit(1)).as("total")))
+      .where(col("c") > col("total") * 0.08)
+      .select(col("bucket")).collect().map(_.getLong(0)).sorted
+    spark.createDataFrame(Seq((
+      exact.length.toLong,
+      exact.mkString(","),
+      exact.forall(sketch.contains))))
+      .toDF("n_heavy", "heavy_buckets", "sketch_contains_all")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_explode_outer" -> explodeOuter _,
+    "r_freq_items" -> freqItemsSketch _,
     "r_sketch_setops" -> sketchSetOps _,
     "r_session_var" -> sessionVar _,
     "r_exec_immediate" -> execImmediate _,
@@ -434,6 +479,27 @@ object Round7Queries {
     s"floor(($e) * 1e$d + 0.5) / 1e$d"
 
   val oracles: Map[String, String] = Map(
+    "r_explode_outer" ->
+      """WITH arrs AS (
+        |  SELECT l_orderkey,
+        |    CASE WHEN l_orderkey % 5 = 0 THEN []::BIGINT[]
+        |         ELSE list_sort(list(l_partkey)) END AS parts
+        |  FROM lineitem GROUP BY l_orderkey),
+        |ex AS (
+        |  SELECT l_orderkey, u.pk
+        |  FROM arrs LEFT JOIN LATERAL (SELECT unnest(parts) AS pk) u ON TRUE)
+        |SELECT l_orderkey % 7 AS k, count(*) AS n_rows,
+        |  CAST(count_if(pk IS NULL) AS BIGINT) AS n_empty,
+        |  CAST(sum(pk) AS BIGINT) AS sum_pk
+        |FROM ex GROUP BY 1""".stripMargin,
+    "r_freq_items" ->
+      """WITH b AS (SELECT least(user_id % 20, 5) AS bucket FROM events),
+        |tot AS (SELECT count(*) AS total FROM b),
+        |h AS (SELECT bucket FROM b, tot GROUP BY bucket, total
+        |      HAVING count(*) > total * 0.08 ORDER BY bucket)
+        |SELECT (SELECT count(*) FROM h) AS n_heavy,
+        |  (SELECT string_agg(bucket, ',' ORDER BY bucket) FROM h) AS heavy_buckets,
+        |  TRUE AS sketch_contains_all""".stripMargin,
     "r_sketch_setops" ->
       """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
         |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')

@@ -827,6 +827,42 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /**
+   * Streaming observe(): named metrics accumulated on the stream
+   * itself and surfaced through StreamingQueryProgress.observedMetrics
+   * — the zero-extra-pass monitoring surface (row counts / quality
+   * sums ride the micro-batch, no second aggregation job). The
+   * single-file AvailableNow drain is one batch, so the batch's
+   * observed metrics equal the whole table's — the oracle contract.
+   */
+  def streamObserve(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_obs_${callSeq.incrementAndGet()}"
+    val dir = stagedEventsDir(sfDir)
+    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+      .observe("graft_metrics",
+        count(lit(1)).as("n_rows"),
+        sum(col("value")).as("sum_value"),
+        expr("count_if(value > 250.0)").as("n_big"))
+    val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally cleanup(dir)
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_metrics")))
+      .lastOption
+      .getOrElse(throw new IllegalStateException("observed metrics missing"))
+    spark.createDataFrame(Seq((
+      metrics.getAs[Long]("n_rows"),
+      math.floor(metrics.getAs[Double]("sum_value") * 1e4 + 0.5) / 1e4,
+      metrics.getAs[Long]("n_big"))))
+      .toDF("n_rows", "sum_value", "n_big")
+  }
+
   /** Row emitted by [[transformWithStateMapCounts]]: one per-type
    * counter from the user's MapState, plus the monotone per-user
    * total used to select each (user, type)'s final row. */
