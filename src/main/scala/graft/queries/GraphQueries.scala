@@ -259,6 +259,77 @@ object GraphQueries {
           ./(1e9).as("closeness"))
       .orderBy("root")
 
+  /** SSSP with a COMPLETE optimality certificate: for positive edge
+   * lengths, a distance labeling is THE shortest-path solution iff
+   * (a) d(source) = 0, (b) no edge is relaxable
+   * (d(v) <= d(u) + len(u,v) for every edge), and (c) every reached
+   * non-source vertex has an incoming edge that is TIGHT
+   * (d(v) = d(u) + len(u,v)) — Bellman's conditions. The booleans
+   * certify (a)-(c) plus reachability closure; the oracle recomputes
+   * the exact reachable-set size by SQL recursion and states the
+   * certificate TRUE. A wrong fixpoint (early stop, missed
+   * relaxation, dropped vertex) flips a boolean or the count.
+   * Tolerance 1e-9: min-of-path-sums arrives via different float
+   * orders on different partitions. */
+  def ssspCertified(spark: SparkSession, sfDir: String): DataFrame = {
+    val weighted = weightedEdges(spark, sfDir)
+    val source = weighted.agg(min(col("src"))).head().getLong(0)
+    val g = memoize(spark, s"weightedGraph:$sfDir") {
+      val wg = EdgeOps.toWeightedGraph(weighted); wg.cache()
+      wg.numVertices; wg
+    }
+    val dist = memoize(spark, s"ssspDist:$sfDir") {
+      graft.graph.GraphAlgs.ssspWeightedDF(g, source) // cached inside
+    }
+    val eps = 1e-9
+    val lens = weighted.select(col("src"), col("dst"),
+        (lit(1.0) / col("w")).as("len"))
+    val sym = lens.union(lens.select(col("dst").as("src"),
+      col("src").as("dst"), col("len")))
+    val du = dist.select(col("vid").as("src"), col("dist").as("du"))
+    val dv = dist.select(col("vid").as("dst"), col("dist").as("dv"))
+    val joined = sym.join(du, Seq("src"), "left").join(dv, Seq("dst"), "left")
+    val agg = joined.agg(
+      // closure: an edge from a reached vertex into an unreached one
+      // would witness an incomplete fixpoint
+      expr(s"count_if(du IS NOT NULL AND dv IS NULL)").as("n_open"),
+      // no relaxable edge among reached pairs
+      expr(s"count_if(du IS NOT NULL AND dv IS NOT NULL AND dv > du + len + $eps)")
+        .as("n_relaxable")).head()
+    val tight = joined
+      .where(col("du").isNotNull && col("dv").isNotNull &&
+        col("dst") =!= source) // the source needs no incoming support
+      .groupBy(col("dst"))
+      .agg(min(col("du") + col("len") - col("dv")).as("slack"))
+      .agg(expr(s"count_if(slack > $eps)").as("n_unsupported")).head()
+    val srcOk = dist.where(col("vid") === source)
+      .head().getDouble(1) == 0.0
+    spark.createDataFrame(Seq((
+      dist.count(), srcOk && agg.getLong(0) == 0L,
+      agg.getLong(1) == 0L, tight.getLong(0) == 0L)))
+      .toDF("n_reached", "closure_ok", "relaxed_ok", "support_ok")
+  }
+
+  /** PageRank mass certificate: GraphX staticPageRank distributes a
+   * total rank mass of |V| on a sink-free graph (every vertex of the
+   * doubled co-purchase graph has out-edges), and every rank is at
+   * least the teleport floor 0.15. The oracle recomputes |V|; the
+   * invariant booleans it states TRUE would flip on a broken
+   * iteration (lost mass, negative/zero ranks). */
+  def pagerankCertified(spark: SparkSession, sfDir: String): DataFrame = {
+    val pr = graph(spark, sfDir).staticPageRank(10)
+    val stats = pr.vertices.map(_._2)
+      .aggregate((0L, 0.0, Double.MaxValue))(
+        { case ((n, s, mn), r) => (n + 1, s + r, math.min(mn, r)) },
+        { case ((n1, s1, m1), (n2, s2, m2)) => (n1 + n2, s1 + s2, math.min(m1, m2)) })
+    pr.unpersistVertices(blocking = false)
+    pr.edges.unpersist(blocking = false)
+    val (n, mass, minRank) = stats
+    spark.createDataFrame(Seq((
+      n, math.abs(mass - n) <= n * 1e-6, minRank >= 0.15 - 1e-9)))
+      .toDF("n_vertices", "mass_ok", "floor_ok")
+  }
+
   /** Data-driven recursive CTE (Spark 4 UnionLoop over a real edge
    * table, vs r_recursive_cte's generated series): bounded 2-hop
    * walk from the smallest vertex, reduced to vertices per minimum
@@ -496,7 +567,9 @@ object GraphQueries {
       val wg = EdgeOps.toWeightedGraph(weighted); wg.cache()
       wg.numVertices; wg
     }
-    graft.graph.GraphAlgs.ssspWeightedDF(g, source)
+    memoize(spark, s"ssspDist:$sfDir") {
+      graft.graph.GraphAlgs.ssspWeightedDF(g, source) // cached inside
+    }
       .select(col("vid"),
         (floor(col("dist") * 1e6 + 0.5) / 1e6).as("dist"))
       .orderBy("vid")
@@ -717,6 +790,21 @@ object GraphQueries {
          |md AS (SELECT root, vid, min(d) AS d FROM bfs GROUP BY root, vid)
          |SELECT root, count(*) AS n_reached, CAST(max(d) AS BIGINT) AS ecc
          |FROM md GROUP BY root""".stripMargin,
+    // Bellman certificate booleans TRUE; reachable-set size by SQL
+    // recursion (see ssspCertified)
+    "g_sssp_certified" ->
+      s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
+         |root AS (SELECT min(src) AS r FROM edges),
+         |reach(v) AS (
+         |  SELECT r FROM root
+         |  UNION
+         |  SELECT e.dst FROM reach JOIN edges e ON e.src = reach.v)
+         |SELECT (SELECT count(*) FROM reach) AS n_reached,
+         |  TRUE AS closure_ok, TRUE AS relaxed_ok, TRUE AS support_ok""".stripMargin,
+    // rank-mass + teleport-floor invariants TRUE (see pagerankCertified)
+    "g_pagerank_certified" ->
+      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
+         |  TRUE AS mass_ok, TRUE AS floor_ok FROM edges""".stripMargin,
     "g_recursive_reach" ->
       s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
          |root AS (SELECT min(src) AS r FROM edges),
@@ -835,6 +923,8 @@ object GraphQueries {
     "g_kcore" -> kcore _,
     "g_connected_components" -> connectedComponents _,
     "g_cc_twophase" -> connectedComponentsTwoPhase _,
+    "g_sssp_certified" -> ssspCertified _,
+    "g_pagerank_certified" -> pagerankCertified _,
     "g_label_propagation" -> labelPropagation _,
     "g_sssp_weighted" -> ssspWeighted _,
     "g_transitivity" -> transitivity _,
