@@ -109,14 +109,49 @@ object GraphQueries {
     spark.createDataFrame(deg).toDF("vid", "cid", "deg").orderBy("vid", "cid")
   }
 
+  /** Full batch DWCC, memoized so the flagship rows and the
+   * invariant certificate share one run per (session, sfDir). */
+  private def wccOut(spark: SparkSession, sfDir: String) =
+    memoize(spark, s"wccOut:$sfDir") {
+      DistributedWCC.run(graph(spark, sfDir),
+        precomputedStats = Some(tri(spark, sfDir)),
+        precomputedInit = Some(init(spark, sfDir)))
+    }
+
   /** G4+G5 flagship (not SQL-expressible — rows-only check): full
    * batch DWCC partition of the co-purchase graph. */
   def wccPartition(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = DistributedWCC.run(graph(spark, sfDir),
-      precomputedStats = Some(tri(spark, sfDir)),
-      precomputedInit = Some(init(spark, sfDir)))
-    val rows = out.graph.vertices.map { case (id, vd) => (id, vd.cId) }
+    val rows = wccOut(spark, sfDir).graph.vertices
+      .map { case (id, vd) => (id, vd.cId) }
     spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid")
+  }
+
+  /** Flagship invariant certificate — brings the DWCC partition into
+   * the oracle gate (the per-vertex labels stay rows-only, the
+   * fixpoint is not SQL-expressible): exact vertex count from the
+   * oracle; booleans certified by Spark and stated TRUE — every
+   * input vertex labeled exactly once (graft-back completeness),
+   * every triangle-free vertex a singleton (prune semantics), the
+   * final WCC strictly positive, and at least one real (>= 2-member)
+   * community found. Shares the memoized run with g_wcc_partition. */
+  def wccCertified(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = wccOut(spark, sfDir)
+    val nVertices = graph(spark, sfDir).numVertices
+    val labels = out.graph.vertices.map { case (id, vd) => (id, vd.cId) }.cache()
+    val nLabeled = labels.count()
+    val prunedSingletonOk = out.triangleStats
+      .filter { case (_, (t, _)) => t == 0 }
+      .leftOuterJoin(labels)
+      .map { case (id, (_, cid)) => cid.contains(id) }
+      .fold(true)(_ && _)
+    val maxCommunity = labels.map { case (_, cid) => (cid, 1L) }
+      .reduceByKey(_ + _).map(_._2).fold(0L)(math.max)
+    labels.unpersist(blocking = false)
+    spark.createDataFrame(Seq((
+      nVertices, nLabeled == nVertices, prunedSingletonOk,
+      out.bestWcc > 0.0, maxCommunity >= 2L)))
+      .toDF("n_vertices", "partition_total_ok", "pruned_singleton_ok",
+        "wcc_positive", "has_community")
   }
 
   /** G4 alone (rows-only): partition after the Pregel seeding phase. */
@@ -805,6 +840,11 @@ object GraphQueries {
     "g_pagerank_certified" ->
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
          |  TRUE AS mass_ok, TRUE AS floor_ok FROM edges""".stripMargin,
+    // flagship partition invariants TRUE (see wccCertified)
+    "g_wcc_certified" ->
+      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
+         |  TRUE AS partition_total_ok, TRUE AS pruned_singleton_ok,
+         |  TRUE AS wcc_positive, TRUE AS has_community FROM edges""".stripMargin,
     "g_recursive_reach" ->
       s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
          |root AS (SELECT min(src) AS r FROM edges),
@@ -925,6 +965,7 @@ object GraphQueries {
     "g_cc_twophase" -> connectedComponentsTwoPhase _,
     "g_sssp_certified" -> ssspCertified _,
     "g_pagerank_certified" -> pagerankCertified _,
+    "g_wcc_certified" -> wccCertified _,
     "g_label_propagation" -> labelPropagation _,
     "g_sssp_weighted" -> ssspWeighted _,
     "g_transitivity" -> transitivity _,
