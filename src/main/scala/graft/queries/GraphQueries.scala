@@ -190,9 +190,39 @@ object GraphQueries {
   }
 
   /** G8+G9 (rows-only): incremental IDWCC over the co-purchase graph
-   * via the reference's bulk/stream split-and-replay driver loop. */
+   * via the reference's bulk/stream split-and-replay driver loop.
+   * Memoized so the invariant certificate shares the run. */
   def wccIncremental(spark: SparkSession, sfDir: String): DataFrame =
-    IncrementalWCC.testStream(spark, canonEdges(spark, sfDir))
+    memoize(spark, s"idwcc:$sfDir") {
+      val df = IncrementalWCC.testStream(spark, canonEdges(spark, sfDir)).cache()
+      df.count(); df
+    }
+
+  /** IDWCC invariant certificate: each replayed vertex is labeled
+   * exactly once, every labeled vertex is a real vertex of the full
+   * co-purchase graph (the replay covers a subset — the reference's
+   * split/merge semantics drop nothing it saw, but stream-only
+   * regions may enter late), and the stream found at least one real
+   * community. Oracle: the full graph's exact vertex count +
+   * booleans TRUE. Shares the memoized replay with
+   * g_wcc_incremental. */
+  def wccIncrementalCertified(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = wccIncremental(spark, sfDir) // (vid, cid), cached
+    val nVertices = graph(spark, sfDir).numVertices
+    val nLabeled = labels.count()
+    val distinctVids = labels.select("vid").distinct().count()
+    val verts = EdgeOps.symmetrize(canonEdges(spark, sfDir))
+      .select(col("src").as("vid")).distinct()
+    val strays = labels.select("vid").distinct()
+      .join(verts, Seq("vid"), "left_anti").count()
+    val maxCommunity = labels.groupBy("cid").count()
+      .agg(max(col("count"))).head().getLong(0)
+    spark.createDataFrame(Seq((
+      nVertices, nLabeled == distinctVids, strays == 0L,
+      maxCommunity >= 2L)))
+      .toDF("n_vertices", "labels_unique_ok", "labels_subset_ok",
+        "has_community")
+  }
 
   /** Pregel BFS hop distances from the smallest vertex id (oracle =
    * bounded recursive CTE taking min over walk lengths). */
@@ -845,6 +875,11 @@ object GraphQueries {
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
          |  TRUE AS partition_total_ok, TRUE AS pruned_singleton_ok,
          |  TRUE AS wcc_positive, TRUE AS has_community FROM edges""".stripMargin,
+    // incremental-replay invariants TRUE (see wccIncrementalCertified)
+    "g_idwcc_certified" ->
+      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
+         |  TRUE AS labels_unique_ok, TRUE AS labels_subset_ok,
+         |  TRUE AS has_community FROM edges""".stripMargin,
     "g_recursive_reach" ->
       s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
          |root AS (SELECT min(src) AS r FROM edges),
@@ -966,6 +1001,7 @@ object GraphQueries {
     "g_sssp_certified" -> ssspCertified _,
     "g_pagerank_certified" -> pagerankCertified _,
     "g_wcc_certified" -> wccCertified _,
+    "g_idwcc_certified" -> wccIncrementalCertified _,
     "g_label_propagation" -> labelPropagation _,
     "g_sssp_weighted" -> ssspWeighted _,
     "g_transitivity" -> transitivity _,
