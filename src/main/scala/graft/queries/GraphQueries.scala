@@ -871,12 +871,12 @@ object GraphQueries {
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
          |  TRUE AS mass_ok, TRUE AS floor_ok FROM edges""".stripMargin,
     // flagship partition invariants TRUE (see wccCertified)
-    "g_wcc_certified" ->
+    "g_wcc_partition_certified" ->
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
          |  TRUE AS partition_total_ok, TRUE AS pruned_singleton_ok,
          |  TRUE AS wcc_positive, TRUE AS has_community FROM edges""".stripMargin,
     // incremental-replay invariants TRUE (see wccIncrementalCertified)
-    "g_idwcc_certified" ->
+    "g_wcc_incremental_certified" ->
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
          |  TRUE AS labels_unique_ok, TRUE AS labels_subset_ok,
          |  TRUE AS has_community FROM edges""".stripMargin,
@@ -1000,8 +1000,8 @@ object GraphQueries {
     "g_cc_twophase" -> connectedComponentsTwoPhase _,
     "g_sssp_certified" -> ssspCertified _,
     "g_pagerank_certified" -> pagerankCertified _,
-    "g_wcc_certified" -> wccCertified _,
-    "g_idwcc_certified" -> wccIncrementalCertified _,
+    "g_wcc_partition_certified" -> wccCertified _,
+    "g_wcc_incremental_certified" -> wccIncrementalCertified _,
     "g_label_propagation" -> labelPropagation _,
     "g_sssp_weighted" -> ssspWeighted _,
     "g_transitivity" -> transitivity _,
