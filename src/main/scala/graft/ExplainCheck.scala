@@ -35,6 +35,11 @@ object ExplainCheck {
     assert(ann.toLowerCase.contains("dotproduct"), "native dot product absent")
     assert(ann.contains("BroadcastNestedLoopJoin"), "query side not broadcast")
     assert(ann.contains("WindowGroupLimit"), "top-k not pushed below the shuffle")
+    val nd = plan("p_embed_neardup")
+    assert(!nd.contains("BroadcastNestedLoopJoin") && !nd.contains("CartesianProduct"),
+      "near-dup candidates must come from the LSH band equi-join, not an all-pairs product")
+    assert(nd.toLowerCase.contains("dotproduct"),
+      "native dot product absent in the near-dup re-rank")
     val nj = plan("g_neighbor_jaccard")
     assert(nj.toLowerCase.contains("sortedintersectcount"),
       "native merge-scan intersection absent")

@@ -48,10 +48,16 @@ object Similarity {
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  /** Exact top-k neighbors for vec_id % queryMod == 0 queries. */
-  def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10): DataFrame = {
+  /** Exact top-k neighbors for a FIXED absolute query sample:
+   * vec_id % queryMod == 0 and vec_id < maxQueryId (64 queries at
+   * the defaults once ids are dense). The absolute cap is what makes
+   * this ground-truth scan O(|sample| * n) at any corpus size —
+   * a pure modulo sample would grow the query side linearly with
+   * the corpus and turn the broadcast into a second big table. */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10,
+      maxQueryId: Long = 640L): DataFrame = {
     val e = emb(embeddings)
-    val q = e.where(col("vec_id") % queryMod === 0)
+    val q = e.where(col("vec_id") % queryMod === 0 && col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = broadcast(q).crossJoin(e)
       .where(col("vec_id") =!= col("query_id"))
@@ -97,9 +103,9 @@ object Similarity {
 
   /** ANN via random-hyperplane LSH buckets + exact re-rank. */
   def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10,
-      bits: Int = 8, dims: Int = 64): DataFrame = {
+      bits: Int = 8, dims: Int = 64, maxQueryId: Long = Long.MaxValue): DataFrame = {
     val e = emb(embeddings).withColumn("bucket", lshBucket(col("v"), bits, dims))
-    val q = e.where(col("vec_id") % queryMod === 0)
+    val q = e.where(col("vec_id") % queryMod === 0 && col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket"))
     val scored = q.join(e, Seq("bucket"))
@@ -114,9 +120,10 @@ object Similarity {
   }
 
   /** IVF-style probe: search only the query's coarse cell. */
-  def ivfTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10,
+      maxQueryId: Long = Long.MaxValue): DataFrame = {
     val e = emb(embeddings)
-    val q = e.where(col("vec_id") % queryMod === 0)
+    val q = e.where(col("vec_id") % queryMod === 0 && col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("label"))
     val scored = q.join(e, Seq("label"))
@@ -165,14 +172,18 @@ object Similarity {
    * searches recover. Neighbor-id sets compare via the native
    * merge-scan `intersect_count` over sorted arrays; recalls are
    * exact k-ths so every value is bit-deterministic. */
-  def annRecall(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  def annRecall(embeddings: DataFrame, k: Int = 5,
+      maxQueryId: Long = 640L): DataFrame = {
     import org.apache.spark.sql.graft.GraftExpressions.intersectCount
     def tops(df: DataFrame, name: String) =
       df.groupBy("query_id")
         .agg(sort_array(collect_list(col("neighbor_id"))).as(name))
-    val bf = tops(bruteForceTopK(embeddings, k), "bf")
-    val lsh = tops(lshTopK(embeddings, k), "lsh")
-    val ivf = tops(ivfTopK(embeddings, k), "ivf")
+    // all three paths evaluate the SAME capped query sample so the
+    // recall join compares like-for-like; the cap keeps the
+    // brute-force ground-truth leg O(|sample| * n) at any scale
+    val bf = tops(bruteForceTopK(embeddings, k, maxQueryId = maxQueryId), "bf")
+    val lsh = tops(lshTopK(embeddings, k, maxQueryId = maxQueryId), "lsh")
+    val ivf = tops(ivfTopK(embeddings, k, maxQueryId = maxQueryId), "ivf")
     val empty = array().cast("array<long>")
     bf.join(lsh, Seq("query_id"), "left").join(ivf, Seq("query_id"), "left")
       .select(col("query_id"),
@@ -187,17 +198,37 @@ object Similarity {
           .cast("double") / size(col("bf"))).as("recall_ivf"))
   }
 
-  /** Embedding near-duplicate pairs above a cosine threshold
-   * (all-pairs here; at scale the LSH bucket join replaces the cross
-   * join — same predicate, sub-quadratic candidates). */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = emb(embeddings)
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+  /** Embedding near-duplicate pairs above a cosine threshold, with
+   * LSH-banded candidate generation: each vector gets a `bits`-bit
+   * sign signature under the fixed hyperplanes, split into `bands`
+   * bands; only pairs that collide on at least one full band are
+   * scored with the exact cosine re-rank. Candidates come from a
+   * bucket equi-join on (band, key) — never an all-pairs product —
+   * so the candidate volume is sub-quadratic for clustered (real)
+   * embedding corpora and tunable via bits/bands at scale: more
+   * bits per band prunes harder, more bands raises recall. The
+   * DuckDB oracle replays the identical signature via the
+   * `lshPlaneSqlLiterals` constants, so the banded predicate is part
+   * of the checked semantics, not a hidden approximation. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double,
+      bits: Int = 16, dims: Int = 64, bands: Int = 4): DataFrame = {
+    val bandBits = bits / bands
+    val e = emb(embeddings).withColumn("sig", lshBucket(col("v"), bits, dims))
+    val banded = e.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array((0 until bands).map(i =>
+          substring(col("sig"), i * bandBits + 1, bandBits)): _*)))
+      .select(col("pos").as("band"), col("col").as("bkey"),
+        col("vec_id"), col("v"), col("nrm"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         TextOps.rnd(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("cos"))
       .where(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Symmetric per-vector int8 quantization — the storage/bandwidth

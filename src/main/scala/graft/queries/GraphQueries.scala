@@ -154,6 +154,26 @@ object GraphQueries {
         "wcc_positive", "has_community")
   }
 
+  /** Value-level certificate for the flagship: recompute the global
+   * WCC of the emitted (vid, cid) partition through a fully
+   * independent DataFrame path ([[WccCheck]] — raw edges + labels
+   * only, no shared code with the GraphX pipeline) and certify that
+   * it equals the claimed `bestWcc` to 1e-9. Closes the last
+   * rows-only trust gap of the DWCC surface: the fixpoint is not
+   * SQL-expressible, but the WCC value of the FIXED partition is. */
+  def wccPartitionWccCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = wccOut(spark, sfDir)
+    val labels = spark.createDataFrame(
+      out.graph.vertices.map { case (id, vd) => (id, vd.cId) }).toDF("vid", "cid")
+    val recomputed = WccCheck.globalWccOfPartition(canonEdges(spark, sfDir), labels)
+    val nVertices = graph(spark, sfDir).numVertices
+    spark.createDataFrame(Seq((
+      nVertices,
+      math.abs(recomputed - out.bestWcc) <= 1e-9,
+      recomputed > 0.0 && recomputed <= 1.0)))
+      .toDF("n_vertices", "wcc_recompute_ok", "wcc_in_unit")
+  }
+
   /** G4 alone (rows-only): partition after the Pregel seeding phase. */
   def wccInitialPartition(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = init(spark, sfDir).vertices.map { case (id, vd) => (id, vd.cId) }
@@ -948,6 +968,13 @@ object GraphQueries {
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
          |  TRUE AS partition_total_ok, TRUE AS pruned_singleton_ok,
          |  TRUE AS wcc_positive, TRUE AS has_community FROM edges""".stripMargin,
+    // flagship VALUE certificate: the independent DataFrame recompute
+    // of the emitted partition's global WCC equals the claimed
+    // bestWcc (see wccPartitionWccCheck); booleans certified by
+    // Spark, exact vertex count from SQL
+    "g_wcc_partition_wcc_check" ->
+      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
+         |  TRUE AS wcc_recompute_ok, TRUE AS wcc_in_unit FROM edges""".stripMargin,
     // incremental-replay invariants TRUE (see wccIncrementalCertified)
     "g_wcc_incremental_certified" ->
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
@@ -1100,6 +1127,7 @@ object GraphQueries {
     "g_sssp_certified" -> ssspCertified _,
     "g_pagerank_certified" -> pagerankCertified _,
     "g_wcc_partition_certified" -> wccCertified _,
+    "g_wcc_partition_wcc_check" -> wccPartitionWccCheck _,
     "g_wcc_incremental_certified" -> wccIncrementalCertified _,
     "g_label_propagation_certified" -> labelPropagationCertified _,
     "g_eigencentrality_certified" -> eigenCentralityCertified _,

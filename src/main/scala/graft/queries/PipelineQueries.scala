@@ -439,6 +439,13 @@ object PipelineQueries {
     .map(arr => s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END")
     .mkString("concat(", ",\n    ", ")")
 
+  /** 16-plane sign signature for the banded near-dup candidate join —
+   * the same fixed-hyperplane constants `Similarity.nearDupPairs`
+   * evaluates, emitted in shortest-round-trip decimal form. */
+  private val NearDupSigSql = Similarity.lshPlaneSqlLiterals(16, 64)
+    .map(arr => s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END")
+    .mkString("concat(", ",\n    ", ")")
+
 
   /** The corpus-select decision-table SQL, shared by the
    * `p_corpus_select` entry and the per-source rollup (which nests it
@@ -837,7 +844,8 @@ object PipelineQueries {
          |GROUP BY doc_a, doc_b""".stripMargin,
     "p_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 10 = 0),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |  WHERE vec_id % 10 = 0 AND vec_id < 640),
          |scored AS (SELECT query_id, vec_id AS neighbor_id,
          |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
          |  FROM q JOIN e ON vec_id <> query_id)
@@ -874,7 +882,8 @@ object PipelineQueries {
     // SET identical across engines, so intersection sizes agree
     "p_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id % 10 = 0),
+         |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e
+         |  WHERE vec_id % 10 = 0 AND vec_id < 640),
          |bscore AS (SELECT query_id, vec_id AS neighbor_id,
          |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
          |  FROM q JOIN e ON vec_id <> query_id),
@@ -884,7 +893,7 @@ object PipelineQueries {
          |  FROM bscore) WHERE rank <= 5),
          |b AS (SELECT vec_id, v, $LshBucketSql AS bucket FROM e),
          |qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
-         |  WHERE vec_id % 10 = 0),
+         |  WHERE vec_id % 10 = 0 AND vec_id < 640),
          |lscore AS (SELECT query_id, vec_id AS neighbor_id,
          |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
          |  FROM qb JOIN b USING (bucket) WHERE vec_id <> query_id),
@@ -908,10 +917,19 @@ object PipelineQueries {
          |  len(list_intersect(bf, coalesce(lsh, [])))::DOUBLE / len(bf) AS recall_lsh,
          |  len(list_intersect(bf, coalesce(ivf, [])))::DOUBLE / len(bf) AS recall_ivf
          |FROM bl LEFT JOIN ll USING (query_id) LEFT JOIN il USING (query_id)""".stripMargin,
+    // banded-LSH candidates first (4 bands x 4 sign-bits under the
+    // shared fixed hyperplanes), then the exact cosine re-rank — the
+    // band predicate is part of the checked semantics on BOTH sides
     "p_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS v
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |s AS (SELECT vec_id, v, $NearDupSigSql AS sig FROM e),
+         |bd AS (SELECT vec_id, band, substring(sig, band * 4 + 1, 4) AS bkey
+         |  FROM s, unnest(generate_series(0, 3)) t(band)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.vec_id < b.vec_id),
+         |p AS (SELECT id_a, id_b, ea.v AS qv, eb.v AS v FROM cand
+         |  JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, floor(($Cos) * 1e9 + 0.5) / 1e9 AS cos
          |FROM p WHERE floor(($Cos) * 1e9 + 0.5) / 1e9 >= $NearDupThreshold""".stripMargin,
     // every arithmetic step mirrors Similarity.quantizeInt8: abs-max

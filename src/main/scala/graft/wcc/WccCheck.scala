@@ -1,0 +1,104 @@
+package graft.wcc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Independent recomputation of the global WCC of a FIXED partition,
+ * from nothing but the emitted (vid, cid) labels and the raw
+ * canonical edge list — pure DataFrame joins + the native sorted
+ * merge-scan intersection, sharing NO code with the GraphX pipeline
+ * that produced the partition (`CommunityOps.computeGlobalWCC`).
+ *
+ * Once the partition is fixed the metric is closed-form (reference
+ * `DistributedWCC.scala:422-460` + `WCCMetric.scala:16-21`):
+ *
+ *   WCC(P) = (1/|V|) * sum over v of wcc_v, where
+ *   wcc_v = 0                                   if t(v) = 0
+ *         = (tC * vt) / (t * (r - 1 + vt - vtC)) otherwise,
+ *
+ * with t/vt the FULL-graph triangle count / triangle-neighbor count
+ * of v, and tC/vtC the intra-community triangle count / neighbor
+ * count over the TRIANGLE-PRUNED edge set (edges closing >= 1
+ * triangle — the preprocessing prune both engines apply), r the
+ * member count of v's community, |V| the original vertex count.
+ *
+ * `g_wcc_partition_wcc_check` runs this against the flagship DWCC
+ * output and certifies |recomputed - claimed bestWcc| <= 1e-9: a bug
+ * anywhere in the iterative machinery (stats accounting, movement
+ * bookkeeping, caching) that corrupted either the labels or the
+ * claimed score would flip the boolean and fail the driver's hash
+ * gate. Tolerance only covers summation-order float noise.
+ */
+object WccCheck {
+
+  /** Global WCC of the partition `labels` (vid, cid) over the graph
+   * given by canonical undirected `edges` (src < dst, distinct, no
+   * self-loops). Every vertex of the graph must be labeled. */
+  def globalWccOfPartition(edges: DataFrame, labels: DataFrame): Double = {
+    import org.apache.spark.sql.graft.GraftExpressions.intersectCount
+
+    // adjacency arrays (sorted for the merge-scan intersection)
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = sym.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
+
+    // per canonical edge: common-neighbor count in the full graph
+    val cnt = edges
+      .join(adj.select(col("src").as("ea"), col("nbrs").as("na")), col("src") === col("ea"))
+      .join(adj.select(col("src").as("eb"), col("nbrs").as("nb")), col("dst") === col("eb"))
+      .select(col("src"), col("dst"), intersectCount(col("na"), col("nb")).as("cnt"))
+      .cache()
+
+    // full-graph t (each triangle at v is seen by its two incident
+    // edges, hence /2) and vt per vertex
+    val tvt = cnt.select(col("src").as("vid"), col("cnt"))
+      .union(cnt.select(col("dst").as("vid"), col("cnt")))
+      .groupBy("vid")
+      .agg((sum("cnt") / 2).cast("long").as("t"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("vt"))
+
+    // triangle prune + community decoration of the surviving edges
+    val prunedSame = cnt.where(col("cnt") > 0)
+      .join(labels.select(col("vid").as("src"), col("cid").as("cs")), "src")
+      .join(labels.select(col("vid").as("dst"), col("cid").as("cd")), "dst")
+      .where(col("cs") === col("cd"))
+      .select(col("src"), col("dst"))
+
+    // vtC: same-community pruned-graph degree
+    val vtc = prunedSame.select(col("src").as("vid"))
+      .union(prunedSame.select(col("dst").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("vtc"))
+
+    // tC: intra-community triangles via same-community adjacency
+    val symSame = prunedSame
+      .union(prunedSame.select(col("dst").as("src"), col("src").as("dst")))
+    val adjSame = symSame.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
+    val cntSame = prunedSame
+      .join(adjSame.select(col("src").as("ea"), col("nbrs").as("na")), col("src") === col("ea"))
+      .join(adjSame.select(col("src").as("eb"), col("nbrs").as("nb")), col("dst") === col("eb"))
+      .select(col("src"), col("dst"), intersectCount(col("na"), col("nb")).as("ccnt"))
+    val tc = cntSame.select(col("src").as("vid"), col("ccnt"))
+      .union(cntSame.select(col("dst").as("vid"), col("ccnt")))
+      .groupBy("vid").agg((sum("ccnt") / 2).cast("long").as("tc"))
+
+    val r = labels.groupBy("cid").agg(count(lit(1)).as("r"))
+    val n = labels.count()
+
+    val perVertex = labels
+      .join(tvt, Seq("vid"), "left")
+      .join(vtc, Seq("vid"), "left")
+      .join(tc, Seq("vid"), "left")
+      .join(r, Seq("cid"))
+      .select(
+        when(col("t").isNull || col("t") === 0L, lit(0.0))
+          .otherwise(
+            (coalesce(col("tc"), lit(0L)) * col("vt")).cast("double") /
+              (col("t") * (col("r") - 1L + col("vt") - coalesce(col("vtc"), lit(0L))))
+                .cast("double"))
+          .as("wcc_v"))
+    val total = perVertex.agg(sum("wcc_v")).head().getDouble(0)
+    cnt.unpersist(blocking = false)
+    total / n
+  }
+}

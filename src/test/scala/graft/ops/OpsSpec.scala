@@ -80,6 +80,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("near-dup pairs: subset of exact all-pairs, identical cosines, no dups") {
+    val nd = Similarity.nearDupPairs(e, 0.2).collect()
+    assert(nd.nonEmpty)
+    val pairs = nd.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length === pairs.length)
+    val ev = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val truth = ev.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .join(ev.select(col("vec_id").as("id_b"), col("v").as("vb")),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextOps.rnd(Similarity.cosine(col("va"), col("vb")), 9).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    nd.foreach { r =>
+      val c = truth((r.getLong(0), r.getLong(1)))
+      assert(c === r.getDouble(2) && c >= 0.2)
+    }
+  }
+
   test("ivf topk only returns same-cell neighbors") {
     val labels = e.select("vec_id", "label").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
