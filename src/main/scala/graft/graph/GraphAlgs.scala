@@ -547,7 +547,16 @@ object GraphAlgs {
    * to [[connectedComponentsDF]]'s GraphX result, which is what
    * makes the two implementations cross-checkable under one oracle.
    */
-  def connectedComponentsTwoPhase(canonical: DataFrame, maxRounds: Int = 25): DataFrame = {
+  /** Two-phase CC result: per-vertex labels (cached — call
+   * `release()` when done), the round count, and whether the
+   * star-contraction fixpoint was reached within the round budget.
+   * A non-converged run can carry WRONG labels (the min-per-vid
+   * fallback merges whatever the last round produced), so callers
+   * must check `converged` — the query wrapper throws on it. */
+  final case class CCTwoPhase(labels: DataFrame, rounds: Int, converged: Boolean,
+      release: () => Unit)
+
+  def connectedComponentsTwoPhase(canonical: DataFrame, maxRounds: Int = 25): CCTwoPhase = {
     val spark = canonical.sparkSession
     import org.apache.spark.storage.StorageLevel
     def sym(e: DataFrame): DataFrame =
@@ -602,8 +611,9 @@ object GraphAlgs {
       .groupBy("vid").agg(min(col("component")).as("component"))
       .cache()
     out.count()
-    if (prevRdd != null) prevRdd.unpersist(blocking = false)
-    out
+    val last = prevRdd
+    if (last != null) last.unpersist(blocking = false)
+    CCTwoPhase(out, round, stable, () => { out.unpersist(blocking = false); () })
   }
 
   /** K-truss fixpoint result: the surviving canonical edges (backed

@@ -655,10 +655,19 @@ object GraphQueries {
    * large-star / small-star contraction as pure DataFrame rounds
    * (GraphAlgs.connectedComponentsTwoPhase, O(log n) rounds). Shares
    * g_connected_components' oracle — two independent implementations
-   * cross-checked against one recursive-CTE fixed point. */
+   * cross-checked against one recursive-CTE fixed point. Memoized
+   * per (session, sfDir) so repeated calls don't accumulate cached
+   * label partitions; throws if the round budget exhausts before
+   * the star-contraction fixpoint (non-converged labels can be
+   * silently wrong — never serve them). */
   def connectedComponentsTwoPhase(spark: SparkSession, sfDir: String): DataFrame =
-    graft.graph.GraphAlgs.connectedComponentsTwoPhase(backboneEdges(spark, sfDir))
-      .orderBy("vid")
+    memoize(spark, s"cc2:$sfDir") {
+      val r = graft.graph.GraphAlgs.connectedComponentsTwoPhase(backboneEdges(spark, sfDir))
+      if (!r.converged)
+        throw new IllegalStateException(
+          s"two-phase CC: no fixpoint within ${r.rounds} rounds")
+      r.labels
+    }.orderBy("vid")
 
   /** Deterministic synchronous label propagation (5 rounds,
    * most-frequent-neighbor-label, ties to smallest) on the backbone

@@ -53,6 +53,36 @@ object StreamOps {
     } catch { case _: java.io.IOException => () } // best-effort
   }
 
+  /** Run `body` with the RocksDB state-store provider set on the
+   * session, restoring the previous value after. transformWithState
+   * requires RocksDB, and the provider class is only readable from
+   * the SESSION conf, so the flip is session-global: this assumes no
+   * OTHER streaming query starts on the same session concurrently
+   * (Verify/Bench run queries strictly sequentially — the harness
+   * contract). If concurrent execution is ever enabled, scope the
+   * provider per-query or serialize the transformWithState queries. */
+  private def withRocksDbProvider[T](spark: SparkSession)(body: => T): T = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  /** Best-effort recursive delete for checkpoint trees (RocksDB/HDFS
+   * state files nest several levels deep). */
+  private def cleanupTree(dir: java.nio.file.Path): Unit = {
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** Fold a stream of (src, dst) edge batches into incremental WCC
    * state. Returns the final state after draining the (bounded)
    * stream. The caller provides the initial state from
@@ -405,7 +435,7 @@ object StreamOps {
       spark.createDataFrame(rows.toSeq)
         .toDF("user_id", "n_events", "max_value")
         .orderBy("user_id")
-    } finally cleanup(dir)
+    } finally { cleanup(dir); cleanupTree(ckpt) }
   }
 
   /** Real Structured Streaming query: tumbling 1h event-time windows
@@ -690,11 +720,7 @@ object StreamOps {
       }
     }
 
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider(spark) {
       val rows = spark.readStream.schema(EventsSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(dir.toString)
@@ -719,9 +745,6 @@ object StreamOps {
             .foreach(java.nio.file.Files.deleteIfExists(_))
         } catch { case _: java.io.IOException => () }
       }
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set(providerKey, p)
-      case None => spark.conf.unset(providerKey)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
@@ -782,11 +805,7 @@ object StreamOps {
       }
     }
 
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider(spark) {
       val rows = spark.readStream.schema(EventsSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(dir.toString)
@@ -811,9 +830,6 @@ object StreamOps {
             .foreach(java.nio.file.Files.deleteIfExists(_))
         } catch { case _: java.io.IOException => () }
       }
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set(providerKey, p)
-      case None => spark.conf.unset(providerKey)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_seen").desc)
@@ -911,11 +927,7 @@ object StreamOps {
       }
     }
 
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider(spark) {
       val rows = spark.readStream.schema(EventsSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(dir.toString)
@@ -939,9 +951,6 @@ object StreamOps {
             .foreach(java.nio.file.Files.deleteIfExists(_))
         } catch { case _: java.io.IOException => () }
       }
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set(providerKey, p)
-      case None => spark.conf.unset(providerKey)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id", "event_type").orderBy(col("n_user").desc)

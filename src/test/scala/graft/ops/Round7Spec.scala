@@ -42,8 +42,9 @@ class Round7Spec extends SparkSpec {
     // path 1-2-3-4-5 (component 1) + triangle 10-11-12 (component 10)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (10L, 12L), (11L, 12L)).toDF("src", "dst")
-    val out = GraphAlgs.connectedComponentsTwoPhase(edges)
-      .as[(Long, Long)].collect().toMap
+    val cc = GraphAlgs.connectedComponentsTwoPhase(edges)
+    assert(cc.converged)
+    val out = cc.labels.as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
@@ -52,8 +53,9 @@ class Round7Spec extends SparkSpec {
     // star rooted at the LARGEST id — the case that requires
     // small-star's self-attachment edge
     val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
-    val out = GraphAlgs.connectedComponentsTwoPhase(edges)
-      .as[(Long, Long)].collect().toMap
+    val cc = GraphAlgs.connectedComponentsTwoPhase(edges)
+    assert(cc.converged)
+    val out = cc.labels.as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L))
   }
 
@@ -64,7 +66,7 @@ class Round7Spec extends SparkSpec {
       (math.min(a, b), math.max(a, b))
     }.filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
     val two = GraphAlgs.connectedComponentsTwoPhase(edges)
-      .as[(Long, Long)].collect().toMap
+      .labels.as[(Long, Long)].collect().toMap
     val gx = GraphAlgs.connectedComponentsDF(graft.graph.EdgeOps.toGraph(edges))
       .as[(Long, Long)].collect().toMap
     assert(two == gx)
