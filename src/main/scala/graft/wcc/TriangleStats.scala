@@ -18,18 +18,22 @@ import org.apache.spark.storage.StorageLevel
  * Pregel (`CountTriangle.scala:17-117`) followed by the subgraph
  * prune and the vt := degree/2 assignment
  * (`DistributedWCC.scala:88-130`). Both compute per-vertex triangle
- * counts via adjacency-list intersection; here the whole job is ONE
- * adjacency exchange + ONE aggregateMessages pass over triplets:
- * per edge (u,v) the sorted adjacency arrays are merge-intersected
- * once, producing simultaneously the per-edge common-neighbor count
- * (edge prune predicate, `DistributedWCC.scala:111`), 2*t per
- * endpoint, and vt (count of incident triangle edges = pruned-graph
- * degree, `DistributedWCC.scala:125-129`).
+ * counts via adjacency-list intersection.
  *
- * Scale: message volume is one Array[Long] per edge endpoint
- * (the same as the reference's superstep-2 adjacency shipment);
- * intersection is O(d_u + d_v) on sorted arrays, not O(d_u * d_v).
- * Skewed hubs are bounded by EdgePartition2D placement.
+ * Scale: the adjacency exchange is DEGREE-ORIENTED — each edge
+ * assigns its higher-(degree, id)-ranked endpoint to the lower one's
+ * out-list, so every shipped array holds only higher-ranked
+ * neighbors: O(sqrt(2E)) amortized per vertex instead of O(deg).
+ * Without the orientation a 10^5-degree power-law hub ships its full
+ * 10^5-entry array over each of its 10^5 edges (10^10 ids — the
+ * straggler/OOM scale cliff); with it the hub's out-list is near
+ * empty and its leaves each ship a handful of ids. Each triangle
+ * {x,y,z} (rank x<y<z) is enumerated exactly once, at the merge
+ * scan of edge (x,y), and credits all THREE of its edges, so the
+ * per-edge support — the prune predicate the rest of the pipeline
+ * consumes (`DistributedWCC.scala:111`) — stays exact. Message
+ * volume is 3*T for T triangles (output-bound) plus one
+ * reduceByKey/join on the edge set.
  */
 object TriangleStats {
 
@@ -55,19 +59,57 @@ object TriangleStats {
       fullStats: VertexRDD[(Int, Int)])
 
   def run(graph: Graph[Int, Int]): Result = {
-    // G2: adjacency arrays (sorted for merge-intersection)
-    val adj: VertexRDD[Array[Long]] =
-      graph.collectNeighborIds(EdgeDirection.Either).mapValues(_.sorted)
+    // degree decoration for the orientation rank (deg, id)
+    val gDeg: Graph[Int, Int] =
+      graph.outerJoinVertices(graph.degrees)((_, _, d) => d.getOrElse(0))
+
+    // G2, hub-safe: ORIENTED adjacency — each edge assigns its
+    // higher-(deg, id)-ranked endpoint to the lower one's out-list,
+    // bounding every shipped array by the vertex's out-degree
+    // (O(sqrt(2E)) amortized) instead of its full degree.
+    val outAdj: VertexRDD[Array[Long]] = gDeg.aggregateMessages[Array[Long]](
+      ctx => {
+        val srcLower = ctx.srcAttr < ctx.dstAttr ||
+          (ctx.srcAttr == ctx.dstAttr && ctx.srcId < ctx.dstId)
+        if (srcLower) ctx.sendToSrc(Array(ctx.dstId))
+        else ctx.sendToDst(Array(ctx.srcId))
+      }, _ ++ _)
 
     val withAdj: Graph[Array[Long], Int] =
-      graph.outerJoinVertices(adj)((_, _, a) => a.getOrElse(Array.empty[Long]))
+      graph.outerJoinVertices(outAdj)((_, _, a) =>
+        a.map(_.sorted).getOrElse(Array.empty[Long]))
     withAdj.cache()
 
-    // Per-edge common neighbor count (self-loops were dropped at load,
-    // so neither endpoint can appear in the intersection).
-    val countedEdges = withAdj.triplets.map { t =>
-      Edge(t.srcId, t.dstId, sortedIntersectCount(t.srcAttr, t.dstAttr))
-    }
+    // Each triangle {x,y,z} with rank x<y<z appears exactly once in
+    // the merge scan of edge (x,y) (z is in BOTH out-lists only
+    // there); credit all three edges so per-edge support stays the
+    // FULL common-neighbor count the prune predicate needs.
+    // Self-loops were dropped at load, so endpoints never appear in
+    // the intersection.
+    val support = withAdj.triplets.flatMap { t =>
+      val a = t.srcAttr; val b = t.dstAttr
+      val s = t.srcId; val d = t.dstId
+      val out = scala.collection.mutable.ArrayBuffer.empty[((Long, Long), Int)]
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) {
+          out += (((math.min(s, d), math.max(s, d)), 1))
+          out += (((math.min(s, x), math.max(s, x)), 1))
+          out += (((math.min(d, x), math.max(d, x)), 1))
+          i += 1; j += 1
+        } else if (x < y) i += 1
+        else j += 1
+      }
+      out
+    }.reduceByKey(_ + _)
+
+    // graft supports back onto the canonical edge set (0 for
+    // triangle-free edges)
+    val countedEdges = graph.edges
+      .map(e => ((math.min(e.srcId, e.dstId), math.max(e.srcId, e.dstId)), ()))
+      .leftOuterJoin(support)
+      .map { case ((s, d), (_, c)) => Edge(s, d, c.getOrElse(0)) }
 
     // default storage levels: Graph.apply re-persists the vertex RDD
     // it is handed, and GraphX refuses to change an existing level —

@@ -26,6 +26,24 @@ object GraphFixtures {
 }
 
 class TriangleStatsSpec extends SparkSpec {
+
+  test("10^5-degree hub: oriented exchange stays output-bound (no O(deg^2) blowup)") {
+    // star hub 0 -- {1..100000} plus two leaf edges closing triangles
+    // {0,1,2} and {0,2,3}. The pre-orientation exchange would ship the
+    // hub's 100k-entry array over each of its 100k edges (10^10 ids —
+    // infeasible); the oriented exchange ships the hub a few ids total,
+    // so the whole job is seconds. Exact counts still hold.
+    val star = (1 to 100000).map(i => (0L, i.toLong))
+    val g = GraphFixtures.graphOf(spark, star ++ Seq((1L, 2L), (2L, 3L)))
+    val res = TriangleStats.run(g)
+    val stats = res.fullStats.filter(_._2._1 > 0).collect().toMap
+    assert(stats(0L) === ((2, 3))) // t=2 triangles, vt=3 triangle edges
+    assert(stats(1L) === ((1, 2)))
+    assert(stats(2L) === ((2, 3)))
+    assert(stats(3L) === ((1, 2)))
+    assert(res.pruned.numVertices === 4L)
+    assert(res.pruned.numEdges === 5L)
+  }
   import GraphFixtures._
 
   def check(edges: Seq[(Long, Long)]): Unit = {
