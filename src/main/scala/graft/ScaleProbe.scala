@@ -1,0 +1,89 @@
+package graft
+
+import graft.graph.EdgeOps
+import graft.wcc._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool (not part of the library surface): scale-up probe for the
+ * graph pipeline. Replicates the sf0.1 co-purchase edge set K times
+ * with disjoint vertex-id shifts (structure-preserving 10x scale:
+ * same degree distribution, 10x volume) and times the heavy phases —
+ * triangle stats (the adjacency exchange), Pregel seeding, and one
+ * full refinement-iteration equivalent (degree maps + derived stats
+ * + global-WCC evaluation) — while sampling peak JVM heap.
+ *
+ * Usage: runMain graft.ScaleProbe [replicas] [sfDir]
+ * Prints one line per phase: wall-clock seconds + peak heap GiB.
+ */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-scale-ckpt").toString)
+
+    @volatile var peak = 0L
+    val sampler = new Thread(() => {
+      while (true) {
+        val used = Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+        if (used > peak) peak = used
+        Thread.sleep(100)
+      }
+    })
+    sampler.setDaemon(true); sampler.start()
+
+    def phase[T](name: String)(f: => T): T = {
+      peak = 0L
+      val t0 = System.nanoTime()
+      val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-probe] $name%-28s ${secs}%8.1f s   peak heap ${peak / (1 << 30).toDouble}%5.1f GiB")
+      r
+    }
+
+    val base = EdgeOps.coPurchaseEdges(spark, sfDir).cache()
+    val nBase = base.count()
+    val maxId = base.agg(max(greatest(col("src"), col("dst")))).head().getLong(0) + 1
+
+    val edges = phase(s"replicate x$replicas") {
+      val shifted = (0 until replicas).map { k =>
+        base.select((col("src") + k * maxId).as("src"),
+          (col("dst") + k * maxId).as("dst"))
+      }.reduce(_ union _).cache()
+      val n = shifted.count()
+      println(s"[scale-probe] edges: $nBase -> $n, maxId $maxId")
+      shifted
+    }
+
+    val g = phase("graph build") {
+      val g = EdgeOps.toGraph(edges); g.cache(); g.numVertices; g
+    }
+    println(s"[scale-probe] |V|=${g.numVertices} |E|=${g.numEdges}")
+
+    val tri = phase("triangle stats + prune")(TriangleStats.run(g))
+    val init = phase("initial partition (Pregel)") {
+      val i = InitialPartition.run(tri.pruned); i.cache(); i.vertices.count(); i
+    }
+    val vertexCount = g.numVertices
+    phase("one refinement iteration") {
+      val deg = CommunityOps.vertexCommunityDegrees(init)
+      deg.cache()
+      val cs = CommunityOps.statsFromDegrees(init, deg)
+      val wcc = CommunityOps.computeGlobalWCC(init, cs, vertexCount)
+      println(s"[scale-probe] communities=${cs.size} wcc=$wcc")
+      deg.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+}

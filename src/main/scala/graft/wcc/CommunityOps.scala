@@ -107,48 +107,30 @@ object CommunityOps {
     val sc = graph.vertices.sparkContext
     val bStats = sc.broadcast(stats)
 
-    // same-community neighbor ids per vertex (`:509-533`)
-    val commNbors: VertexRDD[Array[Long]] = graph.aggregateMessages[Array[Long]](
-      ctx => if (ctx.srcAttr.cId == ctx.dstAttr.cId) {
-        ctx.sendToSrc(Array(ctx.dstId)); ctx.sendToDst(Array(ctx.srcId))
-      },
-      _ ++ _)
+    // Same-community subgraph once per evaluation; vtC is then its
+    // degree (Int messages — the reference ships same-community
+    // neighbor ARRAYS per edge, `:509-533`, an O(deg_c^2) exchange a
+    // dense community hub turns into the iteration's straggler), and
+    // tC comes from the oriented once-per-triangle enumeration
+    // (TriangleStats.vertexTriangles — found at the lowest-ranked
+    // edge, credits all three vertices, so values need no halving).
+    // Both are exact integers, so the WCC doubles are VALUE-IDENTICAL
+    // to the array-exchange form (`:462-507`) at a fraction of the
+    // message volume.
+    val sameG = graph.subgraph(epred = t => t.srcAttr.cId == t.dstAttr.cId)
+    val vtC: VertexRDD[Int] = sameG.aggregateMessages[Int](
+      ctx => { ctx.sendToSrc(1); ctx.sendToDst(1) }, _ + _)
+    val tC = TriangleStats.vertexTriangles(sameG)
 
-    val gA: Graph[(VertexData, Array[Long]), Int] =
-      graph.outerJoinVertices(commNbors)((_, vd, a) =>
-        (vd, a.map(_.sorted).getOrElse(Array.empty[Long])))
-
-    // intra-community triangles per vertex (`:462-507`): per
-    // same-community edge, intersect the two same-community
-    // neighborhoods excluding the endpoints; each triangle is seen
-    // once per incident edge, hence /2.
-    val commTri: VertexRDD[Int] = gA.aggregateMessages[Int](
-      ctx => if (ctx.srcAttr._1.cId == ctx.dstAttr._1.cId) {
-        val c = intersectCountExcluding(ctx.srcAttr._2, ctx.dstAttr._2, ctx.srcId, ctx.dstId)
-        ctx.sendToSrc(c); ctx.sendToDst(c)
-      },
-      _ + _)
-
-    val sumWcc = gA.outerJoinVertices(commTri)((_, va, tcOpt) =>
-        (va._1, va._2.length, tcOpt.getOrElse(0) / 2))
+    val sumWcc = graph
+      .outerJoinVertices(vtC)((_, vd, o) => (vd, o.getOrElse(0)))
+      .outerJoinVertices(tC)((_, p, o) => (p._1, p._2, o.getOrElse(0)))
       .vertices
-      .map { case (_, (vd, vtC, tC)) =>
-        WCCMetric.computeWccV(vd, bStats.value(vd.cId), vtC, tC)
+      .map { case (_, (vd, vtc, tc)) =>
+        WCCMetric.computeWccV(vd, bStats.value(vd.cId), vtc, tc)
       }
       .sum()
     bStats.destroy()
     sumWcc / vertexCount
-  }
-
-  private[wcc] def intersectCountExcluding(a: Array[Long], b: Array[Long],
-      x1: Long, x2: Long): Int = {
-    var i = 0; var j = 0; var c = 0
-    while (i < a.length && j < b.length) {
-      val x = a(i); val y = b(j)
-      if (x == y) { if (x != x1 && x != x2) c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    c
   }
 }

@@ -3,6 +3,7 @@ package graft.wcc
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.graphx._
 import org.apache.spark.rdd.RDD
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Incremental DWCC ("IDWCC", SURVEY.md §3.3): given a previously
@@ -167,16 +168,19 @@ object IncrementalWCC {
   private[wcc] def performInitialPartition(graph: Graph[VertexData, Int],
       maxIterations: Int = 50): Graph[VertexData, Int] = {
     val pruned = timed("initial-partition/triangle-flagging") {
-      val adj: VertexRDD[Array[Long]] =
-        graph.collectNeighborIds(EdgeDirection.Either).mapValues(_.sorted)
-      val withAdj = graph.outerJoinVertices(adj)((_, vd, a) =>
-        (vd, a.getOrElse(Array.empty[Long])))
-      val flagged = withAdj.mapTriplets(t =>
-        TriangleStats.sortedIntersectCount(t.srcAttr._2, t.dstAttr._2) > 0)
+      // hub-safe oriented support (TriangleStats.edgeSupport) instead
+      // of shipping full post-merge neighborhoods per edge — same
+      // flag (>=1 common neighbor), bounded message volume
+      val keep = TriangleStats.edgeSupport(graph).filter(_._2 > 0)
+      val flaggedEdges = graph.edges
+        .map(e => ((math.min(e.srcId, e.dstId), math.max(e.srcId, e.dstId)), ()))
+        .leftOuterJoin(keep)
+        .map { case ((s, d), (_, c)) => Edge(s, d, c.isDefined) }
+      val flagged: Graph[VertexData, Boolean] = Graph(graph.vertices, flaggedEdges)
       val prunedB = flagged.subgraph(
         epred = e => e.attr,
-        vpred = (_, v) => v._1.t > 0)
-      val p = Graph(prunedB.vertices.mapValues(_._1),
+        vpred = (_, v) => v.t > 0)
+      val p = Graph(prunedB.vertices,
         prunedB.edges.map(e => Edge(e.srcId, e.dstId, 1)))
       p.cache()
       p.numVertices

@@ -58,15 +58,20 @@ object TriangleStats {
        * TriangleCountResult dump surface */
       fullStats: VertexRDD[(Int, Int)])
 
-  def run(graph: Graph[Int, Int]): Result = {
-    // degree decoration for the orientation rank (deg, id)
-    val gDeg: Graph[Int, Int] =
+  /** Per-edge triangle support via the hub-safe ORIENTED exchange:
+   * each edge assigns its higher-(degree, id)-ranked endpoint to the
+   * lower one's out-list, bounding every shipped array by the
+   * vertex's out-degree (O(sqrt(2E)) amortized) instead of its full
+   * degree. Each triangle {x,y,z} with rank x<y<z appears exactly
+   * once, in the merge scan of edge (x,y) (z is in BOTH out-lists
+   * only there), and credits all three of its edges — so the value
+   * per canonical (min, max) edge key is the FULL common-neighbor
+   * count. Self-loops were dropped at load, so endpoints never
+   * appear in an intersection. Edges with zero support are absent. */
+  private[wcc] def edgeSupport[V: scala.reflect.ClassTag](
+      graph: Graph[V, _]): org.apache.spark.rdd.RDD[((Long, Long), Int)] = {
+    val gDeg: Graph[Int, _] =
       graph.outerJoinVertices(graph.degrees)((_, _, d) => d.getOrElse(0))
-
-    // G2, hub-safe: ORIENTED adjacency — each edge assigns its
-    // higher-(deg, id)-ranked endpoint to the lower one's out-list,
-    // bounding every shipped array by the vertex's out-degree
-    // (O(sqrt(2E)) amortized) instead of its full degree.
     val outAdj: VertexRDD[Array[Long]] = gDeg.aggregateMessages[Array[Long]](
       ctx => {
         val srcLower = ctx.srcAttr < ctx.dstAttr ||
@@ -74,19 +79,10 @@ object TriangleStats {
         if (srcLower) ctx.sendToSrc(Array(ctx.dstId))
         else ctx.sendToDst(Array(ctx.srcId))
       }, _ ++ _)
-
-    val withAdj: Graph[Array[Long], Int] =
+    val withAdj: Graph[Array[Long], _] =
       graph.outerJoinVertices(outAdj)((_, _, a) =>
         a.map(_.sorted).getOrElse(Array.empty[Long]))
-    withAdj.cache()
-
-    // Each triangle {x,y,z} with rank x<y<z appears exactly once in
-    // the merge scan of edge (x,y) (z is in BOTH out-lists only
-    // there); credit all three edges so per-edge support stays the
-    // FULL common-neighbor count the prune predicate needs.
-    // Self-loops were dropped at load, so endpoints never appear in
-    // the intersection.
-    val support = withAdj.triplets.flatMap { t =>
+    withAdj.triplets.flatMap { t =>
       val a = t.srcAttr; val b = t.dstAttr
       val s = t.srcId; val d = t.dstId
       val out = scala.collection.mutable.ArrayBuffer.empty[((Long, Long), Int)]
@@ -103,6 +99,45 @@ object TriangleStats {
       }
       out
     }.reduceByKey(_ + _)
+  }
+
+  /** Per-VERTEX triangle counts via the same oriented enumeration:
+   * each triangle is found once (at its lowest-ranked edge) and
+   * credits its three vertices — so values need NO halving. Message
+   * volume is 3*T plus the bounded out-adjacency exchange. Vertices
+   * in no triangle are absent. */
+  private[wcc] def vertexTriangles[V: scala.reflect.ClassTag](
+      graph: Graph[V, _]): org.apache.spark.rdd.RDD[(Long, Int)] = {
+    val gDeg: Graph[Int, _] =
+      graph.outerJoinVertices(graph.degrees)((_, _, d) => d.getOrElse(0))
+    val outAdj: VertexRDD[Array[Long]] = gDeg.aggregateMessages[Array[Long]](
+      ctx => {
+        val srcLower = ctx.srcAttr < ctx.dstAttr ||
+          (ctx.srcAttr == ctx.dstAttr && ctx.srcId < ctx.dstId)
+        if (srcLower) ctx.sendToSrc(Array(ctx.dstId))
+        else ctx.sendToDst(Array(ctx.srcId))
+      }, _ ++ _)
+    val withAdj: Graph[Array[Long], _] =
+      graph.outerJoinVertices(outAdj)((_, _, a) =>
+        a.map(_.sorted).getOrElse(Array.empty[Long]))
+    withAdj.triplets.flatMap { t =>
+      val a = t.srcAttr; val b = t.dstAttr
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) {
+          out += ((t.srcId, 1)); out += ((t.dstId, 1)); out += ((x, 1))
+          i += 1; j += 1
+        } else if (x < y) i += 1
+        else j += 1
+      }
+      out
+    }.reduceByKey(_ + _)
+  }
+
+  def run(graph: Graph[Int, Int]): Result = {
+    val support = edgeSupport(graph)
 
     // graft supports back onto the canonical edge set (0 for
     // triangle-free edges)
@@ -151,7 +186,6 @@ object TriangleStats {
     fullStats.cache()
     pruned.numVertices
     fullStats.count()
-    withAdj.unpersist(blocking = false)
     counted.unpersistVertices(blocking = false)
     counted.edges.unpersist(blocking = false)
     Result(pruned, fullStats)
