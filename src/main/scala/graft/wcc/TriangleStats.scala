@@ -20,20 +20,22 @@ import org.apache.spark.storage.StorageLevel
  * (`DistributedWCC.scala:88-130`). Both compute per-vertex triangle
  * counts via adjacency-list intersection.
  *
- * Scale: the adjacency exchange is DEGREE-ORIENTED — each edge
- * assigns its higher-(degree, id)-ranked endpoint to the lower one's
- * out-list, so every shipped array holds only higher-ranked
- * neighbors: O(sqrt(2E)) amortized per vertex instead of O(deg).
- * Without the orientation a 10^5-degree power-law hub ships its full
- * 10^5-entry array over each of its 10^5 edges (10^10 ids — the
- * straggler/OOM scale cliff); with it the hub's out-list is near
- * empty and its leaves each ship a handful of ids. Each triangle
- * {x,y,z} (rank x<y<z) is enumerated exactly once, at the merge
- * scan of edge (x,y), and credits all THREE of its edges, so the
- * per-edge support — the prune predicate the rest of the pipeline
- * consumes (`DistributedWCC.scala:111`) — stays exact. Message
- * volume is 3*T for T triangles (output-bound) plus one
- * reduceByKey/join on the edge set.
+ * Scale: the adjacency exchange is ADAPTIVE (see
+ * [[HubDegreeThreshold]]). Hub-free graphs — the dense, cliquey
+ * co-purchase graphs of this suite — take the direct per-edge
+ * full-adjacency merge intersection (cheapest exact plan: one
+ * triplet scan, arrays replicated once per incident edge
+ * partition). A graph with a power-law hub above the threshold
+ * switches to the DEGREE-ORIENTED path: each edge assigns its
+ * higher-(degree, id)-ranked endpoint to the lower one's out-list
+ * (O(sqrt(2E)) amortized per shipped array), each triangle {x,y,z}
+ * (rank x<y<z) is enumerated exactly once at the merge scan of edge
+ * (x,y) and credits all THREE of its edges. Without that switch a
+ * 10^5-degree hub concentrates 10^10 merge-scan steps in the few
+ * tasks holding its edges — the straggler/OOM scale cliff. Both
+ * paths produce identical exact per-edge supports — the prune
+ * predicate the rest of the pipeline consumes
+ * (`DistributedWCC.scala:111`).
  */
 object TriangleStats {
 
@@ -58,18 +60,27 @@ object TriangleStats {
        * TriangleCountResult dump surface */
       fullStats: VertexRDD[(Int, Int)])
 
-  /** Per-edge triangle support via the hub-safe ORIENTED exchange:
-   * each edge assigns its higher-(degree, id)-ranked endpoint to the
-   * lower one's out-list, bounding every shipped array by the
-   * vertex's out-degree (O(sqrt(2E)) amortized) instead of its full
-   * degree. Each triangle {x,y,z} with rank x<y<z appears exactly
-   * once, in the merge scan of edge (x,y) (z is in BOTH out-lists
-   * only there), and credits all three of its edges — so the value
-   * per canonical (min, max) edge key is the FULL common-neighbor
-   * count. Self-loops were dropped at load, so endpoints never
-   * appear in an intersection. Edges with zero support are absent. */
-  private[wcc] def edgeSupport[V: scala.reflect.ClassTag](
-      graph: Graph[V, _]): org.apache.spark.rdd.RDD[((Long, Long), Int)] = {
+  /** Degree ceiling for the direct full-adjacency intersection path.
+   * Below it, per-edge merge scans cost Sum_e(d_u + d_v) <=
+   * 2*E*maxDeg steps with each vertex array shipped once per
+   * incident edge PARTITION (GraphX replication, <= 2*sqrt(P)) —
+   * the cheapest exact plan for dense hub-free graphs (the
+   * co-purchase graphs here: maxDeg ~200). Above it, a hub's edges
+   * concentrate O(maxDeg^2) merge-scan work in a few tasks — the
+   * straggler/OOM cliff — and the ORIENTED path takes over. */
+  private[wcc] val HubDegreeThreshold = 10000
+
+  private def maxDegree(graph: Graph[_, _]): Int =
+    graph.degrees.map(_._2).fold(0)(math.max)
+
+  /** Sorted oriented out-adjacency: each edge assigns its
+   * higher-(degree, id)-ranked endpoint to the lower one's list,
+   * bounding every shipped array by out-degree (O(sqrt(2E))
+   * amortized). Each triangle {x,y,z} with rank x<y<z then appears
+   * in exactly one merge scan — edge (x,y) (z is in BOTH out-lists
+   * only there). */
+  private def orientedAdj[V: scala.reflect.ClassTag](
+      graph: Graph[V, _]): Graph[Array[Long], _] = {
     val gDeg: Graph[Int, _] =
       graph.outerJoinVertices(graph.degrees)((_, _, d) => d.getOrElse(0))
     val outAdj: VertexRDD[Array[Long]] = gDeg.aggregateMessages[Array[Long]](
@@ -79,10 +90,33 @@ object TriangleStats {
         if (srcLower) ctx.sendToSrc(Array(ctx.dstId))
         else ctx.sendToDst(Array(ctx.srcId))
       }, _ ++ _)
-    val withAdj: Graph[Array[Long], _] =
-      graph.outerJoinVertices(outAdj)((_, _, a) =>
-        a.map(_.sorted).getOrElse(Array.empty[Long]))
-    withAdj.triplets.flatMap { t =>
+    graph.outerJoinVertices(outAdj)((_, _, a) =>
+      a.map(_.sorted).getOrElse(Array.empty[Long]))
+  }
+
+  private def fullAdj[V: scala.reflect.ClassTag](
+      graph: Graph[V, _]): Graph[Array[Long], _] =
+    graph.outerJoinVertices(
+      graph.collectNeighborIds(EdgeDirection.Either))((_, _, a) =>
+      a.map(_.sorted).getOrElse(Array.empty[Long]))
+
+  /** Per-edge triangle support, keyed by canonical (min, max)
+   * endpoint ids: the FULL common-neighbor count of each edge.
+   * Adaptive: hub-free graphs use the direct per-edge intersection
+   * of full adjacency (one triplet scan, no extra shuffle — every
+   * edge present, including zero-support ones); graphs with a
+   * >HubDegreeThreshold vertex use the oriented enumeration, where
+   * each triangle is found once and credits its three edges
+   * (3*T records through one reduceByKey — output-bound, hub-safe;
+   * zero-support edges absent). Values are identical. */
+  private[wcc] def edgeSupport[V: scala.reflect.ClassTag](
+      graph: Graph[V, _]): org.apache.spark.rdd.RDD[((Long, Long), Int)] = {
+    if (maxDegree(graph) <= HubDegreeThreshold)
+      fullAdj(graph).triplets.map { t =>
+        ((math.min(t.srcId, t.dstId), math.max(t.srcId, t.dstId)),
+          sortedIntersectCount(t.srcAttr, t.dstAttr))
+      }
+    else orientedAdj(graph).triplets.flatMap { t =>
       val a = t.srcAttr; val b = t.dstAttr
       val s = t.srcId; val d = t.dstId
       val out = scala.collection.mutable.ArrayBuffer.empty[((Long, Long), Int)]
@@ -101,26 +135,24 @@ object TriangleStats {
     }.reduceByKey(_ + _)
   }
 
-  /** Per-VERTEX triangle counts via the same oriented enumeration:
-   * each triangle is found once (at its lowest-ranked edge) and
-   * credits its three vertices — so values need NO halving. Message
-   * volume is 3*T plus the bounded out-adjacency exchange. Vertices
-   * in no triangle are absent. */
+  /** Per-VERTEX triangle counts (t), vertices in no triangle absent.
+   * Same adaptive split as [[edgeSupport]]: per-edge intersections
+   * summed per endpoint (each triangle seen from two incident edges,
+   * hence /2) for hub-free graphs; the oriented once-per-triangle
+   * enumeration crediting all three vertices (no halving) beyond the
+   * hub threshold. Values are identical. */
   private[wcc] def vertexTriangles[V: scala.reflect.ClassTag](
       graph: Graph[V, _]): org.apache.spark.rdd.RDD[(Long, Int)] = {
-    val gDeg: Graph[Int, _] =
-      graph.outerJoinVertices(graph.degrees)((_, _, d) => d.getOrElse(0))
-    val outAdj: VertexRDD[Array[Long]] = gDeg.aggregateMessages[Array[Long]](
-      ctx => {
-        val srcLower = ctx.srcAttr < ctx.dstAttr ||
-          (ctx.srcAttr == ctx.dstAttr && ctx.srcId < ctx.dstId)
-        if (srcLower) ctx.sendToSrc(Array(ctx.dstId))
-        else ctx.sendToDst(Array(ctx.srcId))
-      }, _ ++ _)
-    val withAdj: Graph[Array[Long], _] =
-      graph.outerJoinVertices(outAdj)((_, _, a) =>
-        a.map(_.sorted).getOrElse(Array.empty[Long]))
-    withAdj.triplets.flatMap { t =>
+    if (maxDegree(graph) <= HubDegreeThreshold) {
+      val g = fullAdj(graph)
+      g.aggregateMessages[Int](
+        ctx => {
+          val c = sortedIntersectCount(ctx.srcAttr, ctx.dstAttr)
+          if (c > 0) { ctx.sendToSrc(c); ctx.sendToDst(c) }
+        }, _ + _)
+        .map { case (id, twoT) => (id, twoT / 2) }
+        .filter(_._2 > 0)
+    } else orientedAdj(graph).triplets.flatMap { t =>
       val a = t.srcAttr; val b = t.dstAttr
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
       var i = 0; var j = 0
