@@ -107,20 +107,45 @@ object CommunityOps {
     val sc = graph.vertices.sparkContext
     val bStats = sc.broadcast(stats)
 
-    // Same-community subgraph once per evaluation; vtC is then its
-    // degree (Int messages — the reference ships same-community
-    // neighbor ARRAYS per edge, `:509-533`, an O(deg_c^2) exchange a
-    // dense community hub turns into the iteration's straggler), and
-    // tC comes from the oriented once-per-triangle enumeration
-    // (TriangleStats.vertexTriangles — found at the lowest-ranked
-    // edge, credits all three vertices, so values need no halving).
-    // Both are exact integers, so the WCC doubles are VALUE-IDENTICAL
-    // to the array-exchange form (`:462-507`) at a fraction of the
-    // message volume.
-    val sameG = graph.subgraph(epred = t => t.srcAttr.cId == t.dstAttr.cId)
-    val vtC: VertexRDD[Int] = sameG.aggregateMessages[Int](
-      ctx => { ctx.sendToSrc(1); ctx.sendToDst(1) }, _ + _)
-    val tC = TriangleStats.vertexTriangles(sameG)
+    // vtC first, with Int messages (same-community degree) — always
+    // cheaper than the reference's array shipment for this value.
+    val vtC: VertexRDD[Int] = graph.aggregateMessages[Int](
+      ctx => if (ctx.srcAttr.cId == ctx.dstAttr.cId) {
+        ctx.sendToSrc(1); ctx.sendToDst(1)
+      }, _ + _)
+    vtC.cache()
+    val maxSameDeg = vtC.map(_._2).fold(0)(math.max)
+
+    // tC, adaptive on the same hub threshold as TriangleStats: the
+    // common case (every community's internal degree bounded) ships
+    // same-community neighbor arrays per edge and merge-intersects
+    // them per same-community edge — two aggregateMessages, the
+    // reference's own plan (`:462-533`), each triangle seen from two
+    // incident edges hence /2. A community with an internal hub
+    // above the threshold would concentrate O(deg_c^2) merge work in
+    // that hub's tasks, so the oriented once-per-triangle
+    // enumeration takes over (bounded out-lists, credits all three
+    // vertices, no halving). Exact integers either way — the WCC
+    // doubles cannot move.
+    val tC: org.apache.spark.rdd.RDD[(Long, Int)] =
+      if (maxSameDeg <= TriangleStats.HubDegreeThreshold) {
+        val commNbors: VertexRDD[Array[Long]] = graph.aggregateMessages[Array[Long]](
+          ctx => if (ctx.srcAttr.cId == ctx.dstAttr.cId) {
+            ctx.sendToSrc(Array(ctx.dstId)); ctx.sendToDst(Array(ctx.srcId))
+          }, _ ++ _)
+        val gA: Graph[(VertexData, Array[Long]), Int] =
+          graph.outerJoinVertices(commNbors)((_, vd, a) =>
+            (vd, a.map(_.sorted).getOrElse(Array.empty[Long])))
+        gA.aggregateMessages[Int](
+          ctx => if (ctx.srcAttr._1.cId == ctx.dstAttr._1.cId) {
+            val c = TriangleStats.sortedIntersectCount(ctx.srcAttr._2, ctx.dstAttr._2)
+            if (c > 0) { ctx.sendToSrc(c); ctx.sendToDst(c) }
+          }, _ + _)
+          .map { case (id, twoT) => (id, twoT / 2) }
+      } else {
+        TriangleStats.vertexTriangles(
+          graph.subgraph(epred = t => t.srcAttr.cId == t.dstAttr.cId))
+      }
 
     val sumWcc = graph
       .outerJoinVertices(vtC)((_, vd, o) => (vd, o.getOrElse(0)))
@@ -130,6 +155,7 @@ object CommunityOps {
         WCCMetric.computeWccV(vd, bStats.value(vd.cId), vtc, tc)
       }
       .sum()
+    vtC.unpersist(blocking = false)
     bStats.destroy()
     sumWcc / vertexCount
   }
