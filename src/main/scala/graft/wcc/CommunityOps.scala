@@ -107,55 +107,61 @@ object CommunityOps {
     val sc = graph.vertices.sparkContext
     val bStats = sc.broadcast(stats)
 
-    // vtC first, with Int messages (same-community degree) — always
-    // cheaper than the reference's array shipment for this value.
-    val vtC: VertexRDD[Int] = graph.aggregateMessages[Int](
-      ctx => if (ctx.srcAttr.cId == ctx.dstAttr.cId) {
-        ctx.sendToSrc(1); ctx.sendToDst(1)
-      }, _ + _)
-    vtC.cache()
-    val maxSameDeg = vtC.map(_._2).fold(0)(math.max)
+    // Hub guard at ZERO cost: a vertex's same-community degree is
+    // bounded by its community's size - 1, and sizes are already on
+    // the driver in `stats`. Only when some community could hold an
+    // internal hub above the threshold does the evaluation divert to
+    // the oriented once-per-triangle path; the common case runs the
+    // reference's own two-aggregateMessages array plan verbatim
+    // (`:462-533`), where vtC is the array length for free.
+    val maxInternalDeg =
+      (if (stats.isEmpty) 0 else stats.values.map(_.r).max) - 1
 
-    // tC, adaptive on the same hub threshold as TriangleStats: the
-    // common case (every community's internal degree bounded) ships
-    // same-community neighbor arrays per edge and merge-intersects
-    // them per same-community edge — two aggregateMessages, the
-    // reference's own plan (`:462-533`), each triangle seen from two
-    // incident edges hence /2. A community with an internal hub
-    // above the threshold would concentrate O(deg_c^2) merge work in
-    // that hub's tasks, so the oriented once-per-triangle
-    // enumeration takes over (bounded out-lists, credits all three
-    // vertices, no halving). Exact integers either way — the WCC
-    // doubles cannot move.
-    val tC: org.apache.spark.rdd.RDD[(Long, Int)] =
-      if (maxSameDeg <= TriangleStats.HubDegreeThreshold) {
-        val commNbors: VertexRDD[Array[Long]] = graph.aggregateMessages[Array[Long]](
-          ctx => if (ctx.srcAttr.cId == ctx.dstAttr.cId) {
-            ctx.sendToSrc(Array(ctx.dstId)); ctx.sendToDst(Array(ctx.srcId))
-          }, _ ++ _)
-        val gA: Graph[(VertexData, Array[Long]), Int] =
-          graph.outerJoinVertices(commNbors)((_, vd, a) =>
-            (vd, a.map(_.sorted).getOrElse(Array.empty[Long])))
-        gA.aggregateMessages[Int](
-          ctx => if (ctx.srcAttr._1.cId == ctx.dstAttr._1.cId) {
-            val c = TriangleStats.sortedIntersectCount(ctx.srcAttr._2, ctx.dstAttr._2)
-            if (c > 0) { ctx.sendToSrc(c); ctx.sendToDst(c) }
-          }, _ + _)
-          .map { case (id, twoT) => (id, twoT / 2) }
-      } else {
-        TriangleStats.vertexTriangles(
-          graph.subgraph(epred = t => t.srcAttr.cId == t.dstAttr.cId))
-      }
-
-    val sumWcc = graph
-      .outerJoinVertices(vtC)((_, vd, o) => (vd, o.getOrElse(0)))
-      .outerJoinVertices(tC)((_, p, o) => (p._1, p._2, o.getOrElse(0)))
-      .vertices
-      .map { case (_, (vd, vtc, tc)) =>
-        WCCMetric.computeWccV(vd, bStats.value(vd.cId), vtc, tc)
-      }
-      .sum()
-    vtC.unpersist(blocking = false)
+    val sumWcc = if (maxInternalDeg <= TriangleStats.HubDegreeThreshold) {
+      // same-community neighbor ids per vertex (`:509-533`)
+      val commNbors: VertexRDD[Array[Long]] = graph.aggregateMessages[Array[Long]](
+        ctx => if (ctx.srcAttr.cId == ctx.dstAttr.cId) {
+          ctx.sendToSrc(Array(ctx.dstId)); ctx.sendToDst(Array(ctx.srcId))
+        }, _ ++ _)
+      val gA: Graph[(VertexData, Array[Long]), Int] =
+        graph.outerJoinVertices(commNbors)((_, vd, a) =>
+          (vd, a.map(_.sorted).getOrElse(Array.empty[Long])))
+      // intra-community triangles per vertex (`:462-507`): per
+      // same-community edge, merge-intersect the two same-community
+      // neighborhoods; each triangle is seen once per incident edge,
+      // hence /2. Endpoints cannot appear in an intersection (no
+      // self-loops).
+      val commTri: VertexRDD[Int] = gA.aggregateMessages[Int](
+        ctx => if (ctx.srcAttr._1.cId == ctx.dstAttr._1.cId) {
+          val c = TriangleStats.sortedIntersectCount(ctx.srcAttr._2, ctx.dstAttr._2)
+          ctx.sendToSrc(c); ctx.sendToDst(c)
+        }, _ + _)
+      gA.outerJoinVertices(commTri)((_, va, tcOpt) =>
+          (va._1, va._2.length, tcOpt.getOrElse(0) / 2))
+        .vertices
+        .map { case (_, (vd, vtC, tC)) =>
+          WCCMetric.computeWccV(vd, bStats.value(vd.cId), vtC, tC)
+        }
+        .sum()
+    } else {
+      // a community big enough to hide a hub: Int-message degrees
+      // for vtC, oriented enumeration for tC (bounded out-lists,
+      // each triangle credits its three vertices, no halving)
+      val vtC: VertexRDD[Int] = graph.aggregateMessages[Int](
+        ctx => if (ctx.srcAttr.cId == ctx.dstAttr.cId) {
+          ctx.sendToSrc(1); ctx.sendToDst(1)
+        }, _ + _)
+      val tC = TriangleStats.vertexTriangles(
+        graph.subgraph(epred = t => t.srcAttr.cId == t.dstAttr.cId))
+      graph
+        .outerJoinVertices(vtC)((_, vd, o) => (vd, o.getOrElse(0)))
+        .outerJoinVertices(tC)((_, p, o) => (p._1, p._2, o.getOrElse(0)))
+        .vertices
+        .map { case (_, (vd, vtc, tc)) =>
+          WCCMetric.computeWccV(vd, bStats.value(vd.cId), vtc, tc)
+        }
+        .sum()
+    }
     bStats.destroy()
     sumWcc / vertexCount
   }
