@@ -40,34 +40,49 @@ object InitialPartition {
 
   private val ord = NborMsg.ordering
 
-  /** Reference `DistributedWCC.scala:226-228`. */
-  private def highestCenterNeighbor(nbors: Map[Long, NborMsg]): Option[NborMsg] = {
-    var best: NborMsg = null
-    val it = nbors.valuesIterator
-    while (it.hasNext) {
-      val m = it.next()
-      if (m.isCenter && (best == null || ord.gt(m, best))) best = m
-    }
-    Option(best)
-  }
-
   /** One vertex-program step for a vertex that received messages
-   * (reference `DistributedWCC.scala:169-207`). */
+   * (reference `DistributedWCC.scala:169-207`). The neighbor cache
+   * is the compact [[NborCache]]: a message can only flip its
+   * sender's center flag ((cc, vt, id) are immutable during the
+   * loop), and the flag array is copy-on-write so superseded state
+   * generations are never mutated. */
   private[wcc] def vprog(st: PState, messages: Map[Long, NborMsg]): PState = {
     val self = st.data
     // refresh cached neighbor communities (`:181-185,230-235`)
-    val nbors: Map[Long, NborMsg] =
-      if (st.neighbors.isEmpty) messages - self.vId
-      else st.neighbors.map { case (id, cached) =>
-        id -> messages.getOrElse(id, cached)
+    val cache: NborCache =
+      if (st.neighbors.isEmpty) {
+        val entries = (messages - self.vId).toArray.sortBy(_._1)
+        NborCache(entries.map(_._1), entries.map(_._2.vt),
+          entries.map(_._2.cc), entries.map(_._2.isCenter))
+      } else {
+        val c = st.neighbors
+        var center = c.center
+        var copied = false
+        messages.foreach { case (id, m) =>
+          val idx = java.util.Arrays.binarySearch(c.ids, id)
+          if (idx >= 0 && center(idx) != m.isCenter) {
+            if (!copied) { center = center.clone(); copied = true }
+            center(idx) = m.isCenter
+          }
+        }
+        if (copied) NborCache(c.ids, c.vts, c.ccs, center) else c
       }
-    val highest = highestCenterNeighbor(nbors)
-    if (highest.isDefined && ord.gt(highest.get, NborMsg.of(self))) {
+    // highest center neighbor (`:226-228`) — same (cc, vt, vId) order
+    var best: NborMsg = null
+    var i = 0
+    while (i < cache.ids.length) {
+      if (cache.center(i)) {
+        val m = NborMsg(cache.ids(i), cache.vts(i), cache.ccs(i), cache.ids(i))
+        if (best == null || ord.gt(m, best)) best = m
+      }
+      i += 1
+    }
+    if (best != null && ord.gt(best, NborMsg.of(self))) {
       // adopt the best center neighbor (`:190-194`)
-      PState(self.copy(cId = highest.get.vId), changed = self.isCenter, nbors)
+      PState(self.copy(cId = best.vId), changed = self.isCenter, cache)
     } else {
       // become (stay) own center (`:195-198`)
-      PState(self.copy(cId = self.vId), changed = !self.isCenter, nbors)
+      PState(self.copy(cId = self.vId), changed = !self.isCenter, cache)
     }
   }
 
@@ -82,7 +97,7 @@ object InitialPartition {
     // full Pregel state (incl. neighbor caches), vertex-side only
     var state: VertexRDD[PState] =
       lean.vertices.mapValues((v: (VertexData, Boolean)) =>
-        PState(v._1, changed = true, Map.empty)).cache()
+        PState(v._1, changed = true, NborCache.empty)).cache()
 
     // Superstep 1: every vertex broadcasts itself to all neighbors
     // (`DistributedWCC.scala:161-166`).

@@ -45,14 +45,34 @@ object NborMsg {
     Ordering.by((m: NborMsg) => (m.cc, m.vt, m.vId))
 }
 
+/** Compact neighbor cache for the initial-partition Pregel: each
+ * neighbor's decision-relevant coordinates in id-sorted parallel
+ * PRIMITIVE arrays. (cc, vt, id) are immutable during the loop —
+ * a later message can only flip the sender's center-ness — so one
+ * boolean per neighbor replaces a boxed Map entry. This is the
+ * pipeline's largest resident state (O(sum of pruned degrees) per
+ * superstep generation); the array form is ~8x smaller than
+ * Map[Long, NborMsg], which at 10x scale is the difference between
+ * a ~42 GiB and a single-digit-GiB peak heap. Content-equal to the
+ * reference's per-vertex neighbor List (`VertexData.scala:24-26`). */
+final case class NborCache(
+    ids: Array[Long], vts: Array[Int], ccs: Array[Double],
+    center: Array[Boolean]) {
+  def isEmpty: Boolean = ids.length == 0
+}
+
+object NborCache {
+  val empty: NborCache = NborCache(Array.emptyLongArray,
+    Array.emptyIntArray, Array.emptyDoubleArray, Array.empty[Boolean])
+}
+
 /** Initial-partition Pregel vertex state: VertexData + send-gate +
- * cached neighbor messages keyed by sender id (the reference keeps a
- * List, unique by vId — a Map is the same content addressable by key,
- * reference `VertexData.scala:24-26`). */
+ * the cached neighbor coordinates (reference `VertexData.scala:24-26`,
+ * a List unique by vId — here the compact [[NborCache]]). */
 final case class PState(
     data: VertexData,
     changed: Boolean,
-    neighbors: Map[Long, NborMsg])
+    neighbors: NborCache)
 
 /** Community statistics.
  *
