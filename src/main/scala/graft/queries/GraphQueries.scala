@@ -725,8 +725,10 @@ object GraphQueries {
 
   /** Weighted single-source shortest paths over the full co-purchase
    * graph with edge length 1/w (strong ties are short) from the
-   * smallest vertex id. Rows-only (Pregel relaxation); path algebra
-   * is pinned by unit tests on a hand-built weighted graph. */
+   * smallest vertex id. Value-checked: the oracle unrolls the same
+   * Bellman-Ford recurrence in SQL — both engines left-fold path
+   * sums, so the converged doubles are bit-identical. Path algebra
+   * also pinned by unit tests on a hand-built weighted graph. */
   def ssspWeighted(spark: SparkSession, sfDir: String): DataFrame = {
     val weighted = weightedEdges(spark, sfDir)
     val source = weighted.agg(min(col("src"))).head().getLong(0)
@@ -957,6 +959,37 @@ object GraphQueries {
          |md AS (SELECT root, vid, min(d) AS d FROM bfs GROUP BY root, vid)
          |SELECT root, count(*) AS n_reached, CAST(max(d) AS BIGINT) AS ecc
          |FROM md GROUP BY root""".stripMargin,
+    // Exact value oracle for the weighted SSSP fixpoint: unrolled
+    // Bellman-Ford rounds (d_{k+1} = min(d_k, min over edges of
+    // d_k[src] + len)). Every candidate distance is a left-folded
+    // path sum in BOTH engines (Pregel relaxation uses the same
+    // recurrence), so the converged doubles are bit-identical — no
+    // tolerance needed. sf0.1 converges in 4 effective rounds; 8
+    // gives 2x margin. CAST(1.0 AS DOUBLE): DuckDB's bare 1.0 is
+    // DECIMAL and decimal division would break bit-equality.
+    "g_sssp_weighted" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""d$i AS (SELECT vid, min(dist) AS dist FROM (
+           |  SELECT vid, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS vid, d.dist + e.len AS dist
+           |  FROM d${i - 1} d JOIN we e ON e.src = d.vid) GROUP BY vid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wraw AS (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2
+         |), we AS (
+         |  SELECT src, dst, CAST(1.0 AS DOUBLE) / w AS len FROM wraw
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst, CAST(1.0 AS DOUBLE) / w AS len FROM wraw
+         |), d0 AS (
+         |  SELECT min(src) AS vid, CAST(0.0 AS DOUBLE) AS dist FROM we
+         |),
+         |$rounds
+         |SELECT vid, floor(dist * 1e6 + 0.5) / 1e6 AS dist FROM d8""".stripMargin
+    },
     // Bellman certificate booleans TRUE; reachable-set size by SQL
     // recursion (see ssspCertified)
     "g_sssp_certified" ->
