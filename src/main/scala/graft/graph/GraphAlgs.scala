@@ -59,6 +59,53 @@ object CoreHist {
   }
 }
 
+/** Delta message for the incremental k-core rounds: parallel
+ * (old, new) neighbor-estimate arrays, merged in place with doubling
+ * growth (O(deg) total per hub combine tree, same discipline as
+ * [[CoreHist]]). A receiver applies each pair to its persistent
+ * histogram: bucket(min(old, deg)) -= 1, bucket(min(new, deg)) += 1. */
+final class CoreDelta(o: Int, n: Int) extends Serializable {
+  var olds: Array[Int] = { val a = new Array[Int](4); a(0) = o; a }
+  var news: Array[Int] = { val a = new Array[Int](4); a(0) = n; a }
+  var size: Int = 1
+
+  private def ensure(extra: Int): Unit = {
+    if (size + extra > olds.length) {
+      val cap = math.max(size + extra, olds.length * 2)
+      olds = java.util.Arrays.copyOf(olds, cap)
+      news = java.util.Arrays.copyOf(news, cap)
+    }
+  }
+
+  def add(o: Int, n: Int): CoreDelta = {
+    ensure(1)
+    olds(size) = o
+    news(size) = n
+    size += 1
+    this
+  }
+
+  private[graph] def addAll(other: CoreDelta): CoreDelta = {
+    ensure(other.size)
+    System.arraycopy(other.olds, 0, olds, size, other.size)
+    System.arraycopy(other.news, 0, news, size, other.size)
+    size += other.size
+    this
+  }
+}
+
+object CoreDelta {
+  def merge(a: CoreDelta, b: CoreDelta): CoreDelta =
+    if (a.size >= b.size) a.addAll(b) else b.addAll(a)
+}
+
+/** Per-vertex k-core loop state: current estimate, the previous
+ * round's estimate (`prev != est` is the send gate), and the
+ * neighbor-estimate histogram clipped at the vertex's fixed degree
+ * (`counts.length - 1`). The histogram is copy-on-write: rounds that
+ * deliver no delta to a vertex reuse the same array reference. */
+final case class CoreState(est: Int, prev: Int, counts: Array[Int])
+
 object GraphAlgs {
 
   /**
@@ -117,78 +164,187 @@ object GraphAlgs {
    * global peeling order needed, so it partitions like any other
    * aggregateMessages loop.
    *
-   * Messages are single neighbor estimates, clipped at the
-   * receiver's own estimate at send time (the h-index never needs
-   * finer resolution than that), and accumulate IN PLACE into a
-   * growable per-vertex count histogram — O(deg + own) work and
-   * allocation per vertex per round. An array-concat merge
-   * (`_ ++ _`) would instead copy both sides on every combine:
-   * O(deg²) copying per hub per round on skewed graphs, on top of
-   * shipping degree-sized arrays each superstep. Iteration stops
-   * when no estimate changed or after `maxIter` rounds.
+   * Only round 0 is a full-|E| exchange (each vertex collects its
+   * neighbors' degrees into a persistent histogram, clipped at its
+   * own fixed degree). Every later round ships only (old, new)
+   * DELTAS from vertices whose estimate changed — message volume
+   * tracks the change frontier, not |E|. The loop runs on plain
+   * co-partitioned pair RDDs (adjacency arrays + per-vertex state
+   * under one HashPartitioner), NOT GraphX: a Pregel-shaped graph
+   * loop re-ships every vertex attribute to the edge partitions on
+   * every round, which dominates once the frontier collapses; here a
+   * round is a frontier-sized shuffle plus two narrow joins.
+   * Histograms are copy-on-write; the per-round synchronous
+   * estimates (and hence the fixpoint and round count) are identical
+   * to the full-rebroadcast formulation: clipping at the fixed
+   * degree instead of the current estimate re-buckets only entries
+   * above the h-index scan's return range. At 100 TB the tail
+   * rounds of a power-law graph are frontier-sized, which is
+   * exactly what this formulation pays.
    */
   def coreness[V: scala.reflect.ClassTag](g: Graph[V, Int], maxIter: Int = 50): Graph[Int, Int] = {
-    // h-index from the clipped histogram: largest h with >= h
-    // neighbor estimates >= h (values were clipped at own <= deg)
-    def hIndex(own: Int, h: CoreHist): Int = {
-      if (h.counts == null) { // singleton message: one neighbor
-        if (own >= 1 && h.single >= 1) 1 else 0
-      } else {
-        val c = h.counts
-        var k = math.min(own, c.length - 1); var cum = 0
-        while (k >= 1) {
-          cum += c(k)
-          if (cum >= k) return k
-          k -= 1
-        }
-        0
-      }
-    }
-    var cur: Graph[Int, Int] = g.outerJoinVertices(g.degrees)((_, _, d) => d.getOrElse(0))
-    cur.cache()
-    // materialize BOTH surfaces each generation before dropping the
-    // previous one — vertices alone leave the edge/shipping lineage
-    // lazy, and each superstep then rebuilds the whole chain from
-    // scratch (quadratic blow-up; the same discipline as the WCC
-    // loops)
-    cur.vertices.count(); cur.edges.count()
-    var it = 0
-    var changed = 1L
-    while (changed > 0 && it < maxIter) {
-      it += 1
-      val ests = cur.aggregateMessages[CoreHist](
-        ctx => {
-          ctx.sendToSrc(new CoreHist(math.min(ctx.dstAttr, ctx.srcAttr)))
-          ctx.sendToDst(new CoreHist(math.min(ctx.srcAttr, ctx.dstAttr)))
-        },
-        CoreHist.merge)
-      ests.cache()
-      val prev = cur
-      val next = prev.outerJoinVertices(ests)((_, own, h) =>
-        h.map(hh => math.min(own, hIndex(own, hh))).getOrElse(0))
-      next.cache()
-      changed = prev.vertices.join(next.vertices)
-        .filter { case (_, (a, b)) => a != b }.count()
-      next.edges.count()
-      ests.unpersist(blocking = false)
-      prev.unpersistVertices(blocking = false)
-      prev.edges.unpersist(blocking = false)
-      cur = next
-    }
-    System.err.println(s"[graft-kcore] converged in $it rounds")
-    cur
+    val (ests, release) = corenessStates(g, maxIter)
+    val out = g.outerJoinVertices(ests)((_, _, e) => e.getOrElse(0))
+    out.cache()
+    out.vertices.count()
+    release()
+    out
   }
 
-  /** (vid, core) rows for the whole vertex set (materialized before
-   * the iteration surfaces are released — see bfsHopsDF). */
+  /** Core of the k-core loop: final (vid, coreness) for every
+   * non-isolated vertex (isolated vertices have coreness 0 and are
+   * absent), plus a release handle for the loop's cached RDDs. The
+   * returned RDD stays persisted until `release()`. */
+  private def corenessStates[V](g: Graph[V, Int],
+      maxIter: Int): (org.apache.spark.rdd.RDD[(Long, Int)], () => Unit) = {
+    // largest k <= bound with >= k neighbor estimates >= k, from a
+    // histogram clipped at deg (cum accumulates the >= k tail,
+    // including buckets above bound)
+    def hIndexOf(bound: Int, deg: Int, c: Array[Int]): Int = {
+      var cum = 0; var k = deg
+      while (k >= 1) {
+        cum += c(k)
+        if (k <= bound && cum >= k) return k
+        k -= 1
+      }
+      0
+    }
+    // size the loop's partitioner to the data: tens of frontier
+    // rounds each launch a job over every partition, so empty-task
+    // overhead dominates when partitions far outnumber the state
+    // (~500k adjacency entries per partition; never more partitions
+    // than the edge RDD has)
+    val nEdges = g.edges.count()
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(g.edges.getNumPartitions, (2 * nEdges / 500000L).toInt)))
+    val adj: org.apache.spark.rdd.RDD[(Long, Array[Long])] = g.edges
+      .flatMap(e => Iterator((e.srcId, e.dstId), (e.dstId, e.srcId)))
+      .groupByKey(p).mapValues(_.toArray).persist()
+    adj.count()
+
+    // round 0: the one full exchange — every vertex's degree to every
+    // neighbor, combined into per-vertex histograms map-side
+    val hist0 = adj
+      .flatMap { case (_, nbrs) =>
+        val d = nbrs.length
+        nbrs.iterator.map(v => (v, d))
+      }
+      .combineByKey[CoreHist](
+        (v: Int) => new CoreHist(v),
+        (h: CoreHist, v: Int) => h.add(v),
+        (a: CoreHist, b: CoreHist) => CoreHist.merge(a, b),
+        p)
+
+    var state: org.apache.spark.rdd.RDD[(Long, CoreState)] =
+      adj.join(hist0, p).mapValues { case (nbrs, h) =>
+        val deg = nbrs.length
+        val counts = new Array[Int](deg + 1)
+        if (h.counts == null) counts(math.min(h.single, deg)) += 1
+        else {
+          var i = 0
+          while (i < h.counts.length) {
+            if (h.counts(i) > 0) counts(math.min(i, deg)) += h.counts(i)
+            i += 1
+          }
+        }
+        CoreState(hIndexOf(deg, deg, counts), deg, counts)
+      }.persist()
+    state.count()
+
+    // one hash map of the partition's adjacency per partition: a
+    // round then costs O(frontier) lookups, not a cogroup that
+    // re-iterates (and re-buffers) the full adjacency every round
+    val adjMap: org.apache.spark.rdd.RDD[java.util.HashMap[Long, Array[Long]]] =
+      adj.mapPartitions { it =>
+        val m = new java.util.HashMap[Long, Array[Long]]()
+        it.foreach(kv => m.put(kv._1, kv._2))
+        Iterator.single(m)
+      }.persist()
+    adjMap.count()
+    adj.unpersist(blocking = false)
+
+    // One Spark job per round: the dmsgs count below is the round's
+    // only action, and computing it materializes the (persisted)
+    // current state generation en route — so unpersists trail by one
+    // generation (a generation's blocks are only dropped once the
+    // NEXT generation is safely cached).
+    var prevState: org.apache.spark.rdd.RDD[(Long, CoreState)] = null
+    var prevDmsgs: org.apache.spark.rdd.RDD[(Long, CoreDelta)] = null
+    var it = 1
+    var quiescent = false
+    while (!quiescent && it < maxIter) {
+      // the frontier filter preserves keys, so the co-partitioning
+      // with adjMap (derived from adj under the same partitioner)
+      // survives and zipPartitions lines up
+      val frontier = state.mapPartitions(
+        _.collect { case (v, st) if st.prev != st.est => (v, (st.prev, st.est)) },
+        preservesPartitioning = true)
+      val dmsgs = frontier.zipPartitions(adjMap) { (fIt, mIt) =>
+        val m = mIt.next()
+        fIt.flatMap { case (v, (o, n)) =>
+          val nbrs = m.get(v)
+          if (nbrs == null) Iterator.empty
+          else nbrs.iterator.map(u => (u, (o, n)))
+        }
+      }
+        .combineByKey[CoreDelta](
+          (on: (Int, Int)) => new CoreDelta(on._1, on._2),
+          (d: CoreDelta, on: (Int, Int)) => d.add(on._1, on._2),
+          (a: CoreDelta, b: CoreDelta) => CoreDelta.merge(a, b),
+          p)
+      dmsgs.persist()
+      val n = dmsgs.count() // materializes `state` (its one consumer)
+      if (prevState != null) prevState.unpersist(blocking = false)
+      if (prevDmsgs != null) prevDmsgs.unpersist(blocking = false)
+      if (n == 0) {
+        quiescent = true
+        dmsgs.unpersist(blocking = false)
+      } else {
+        it += 1
+        prevState = state
+        prevDmsgs = dmsgs
+        state = prevState.leftOuterJoin(dmsgs, p).mapValues {
+          case (st, Some(m)) =>
+            val deg = st.counts.length - 1
+            val c = st.counts.clone()
+            var j = 0
+            while (j < m.size) {
+              c(math.min(m.olds(j), deg)) -= 1
+              c(math.min(m.news(j), deg)) += 1
+              j += 1
+            }
+            CoreState(math.min(st.est, hIndexOf(st.est, deg, c)), st.est, c)
+          case (st, None) =>
+            // clear the send gate on non-receivers: a vertex only
+            // re-sends in the round after it changed
+            if (st.prev != st.est) st.copy(prev = st.est) else st
+        }.persist()
+      }
+    }
+    state.count() // materialize the final generation
+    if (prevState != null) prevState.unpersist(blocking = false)
+    if (prevDmsgs != null) prevDmsgs.unpersist(blocking = false)
+    System.err.println(s"[graft-kcore] converged in $it rounds")
+    val finalState = state
+    val ests = state.mapValues(_.est)
+    (ests, () => {
+      finalState.unpersist(blocking = false)
+      adjMap.unpersist(blocking = false)
+    })
+  }
+
+  /** (vid, core) rows for the whole vertex set (isolated vertices at
+   * coreness 0), materialized before the loop surfaces are released
+   * — see bfsHopsDF. Goes through `corenessStates` directly so no
+   * graph sharing the caller's cached edge RDD is ever unpersisted. */
   def corenessDF[V: scala.reflect.ClassTag](g: Graph[V, Int], maxIter: Int = 50): DataFrame = {
-    val c = coreness(g, maxIter)
+    val (ests, release) = corenessStates(g, maxIter)
+    val rows = g.vertices.leftOuterJoin(ests)
+      .map { case (id, (_, e)) => (id, e.getOrElse(0).toLong) }
     val spark = org.apache.spark.sql.SparkSession.active
-    val df = spark.createDataFrame(c.vertices.map { case (id, k) => (id, k.toLong) })
-      .toDF("vid", "core").cache()
+    val df = spark.createDataFrame(rows).toDF("vid", "core").cache()
     df.count()
-    c.unpersistVertices(blocking = false)
-    c.edges.unpersist(blocking = false)
+    release()
     df
   }
 
