@@ -90,6 +90,143 @@ object CommunityOps {
     if (a.size >= b.size) b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0) + v) }
     else a.foldLeft(b) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0) + v) }
 
+  /** Finalized per-vertex neighborhood surface for one refinement
+   * iteration: neighbor-community ids (sorted, unique) with their
+   * edge counts, plus the same-community neighbor ids (sorted) —
+   * everything the movement decision, the derived community stats,
+   * AND the WCC evaluation need, from ONE edge exchange instead of
+   * the two separate Map- and array-building passes. */
+  final case class NbrSurface(cIds: Array[Long], counts: Array[Int],
+      sameNbrs: Array[Long]) {
+    def totalDeg: Int = { var s = 0; var i = 0; while (i < counts.length) { s += counts(i); i += 1 }; s }
+    def degreeIn(cId: Long): Int = {
+      val i = java.util.Arrays.binarySearch(cIds, cId)
+      if (i >= 0) counts(i) else 0
+    }
+  }
+
+  /** Growable accumulator for the fused exchange: raw neighbor
+   * community ids + same-community neighbor ids, appended in place
+   * (O(deg) total per combine tree, the CoreDelta discipline). */
+  final class NbrAgg(cId0: Long, same0: Long) extends Serializable {
+    var cids: Array[Long] = { val a = new Array[Long](4); a(0) = cId0; a }
+    var csize: Int = 1
+    var same: Array[Long] =
+      if (same0 == -1L) Array.emptyLongArray
+      else { val a = new Array[Long](4); a(0) = same0; a }
+    var ssize: Int = if (same0 == -1L) 0 else 1
+
+    private[wcc] def addAll(o: NbrAgg): NbrAgg = {
+      if (csize + o.csize > cids.length)
+        cids = java.util.Arrays.copyOf(cids,
+          math.max(csize + o.csize, cids.length * 2))
+      System.arraycopy(o.cids, 0, cids, csize, o.csize)
+      csize += o.csize
+      if (o.ssize > 0) {
+        if (ssize + o.ssize > same.length)
+          same = java.util.Arrays.copyOf(same,
+            math.max(ssize + o.ssize, math.max(4, same.length * 2)))
+        System.arraycopy(o.same, 0, same, ssize, o.ssize)
+        ssize += o.ssize
+      }
+      this
+    }
+  }
+
+  object NbrAgg {
+    def merge(a: NbrAgg, b: NbrAgg): NbrAgg =
+      if (a.csize >= b.csize) a.addAll(b) else b.addAll(a)
+  }
+
+  /** The fused exchange: one aggregateMessages pass producing each
+   * vertex's [[NbrSurface]]. Value-identical to
+   * `vertexCommunityDegrees` + the evaluation's same-community
+   * array build; intended for hub-free graphs (callers check max
+   * degree once — on a hub graph the separate Map/oriented paths
+   * apply). */
+  def nbrSurfaces(graph: Graph[VertexData, Int]): VertexRDD[NbrSurface] =
+    graph.aggregateMessages[NbrAgg](
+      ctx => {
+        val cs = ctx.srcAttr.cId; val cd = ctx.dstAttr.cId
+        val same = cs == cd
+        ctx.sendToSrc(new NbrAgg(cd, if (same) ctx.dstId else -1L))
+        ctx.sendToDst(new NbrAgg(cs, if (same) ctx.srcId else -1L))
+      },
+      NbrAgg.merge)
+      .mapValues { agg =>
+        val raw = java.util.Arrays.copyOf(agg.cids, agg.csize)
+        java.util.Arrays.sort(raw)
+        // run-length encode the sorted community ids
+        var uniq = 0
+        var i = 0
+        while (i < raw.length) {
+          var j = i + 1
+          while (j < raw.length && raw(j) == raw(i)) j += 1
+          uniq += 1; i = j
+        }
+        val cIds = new Array[Long](uniq)
+        val counts = new Array[Int](uniq)
+        var k = 0; i = 0
+        while (i < raw.length) {
+          var j = i + 1
+          while (j < raw.length && raw(j) == raw(i)) j += 1
+          cIds(k) = raw(i); counts(k) = j - i; k += 1; i = j
+        }
+        val sameNbrs = java.util.Arrays.copyOf(agg.same, agg.ssize)
+        java.util.Arrays.sort(sameNbrs)
+        NbrSurface(cIds, counts, sameNbrs)
+      }
+
+  /** `statsFromDegrees` on the compact surface — same integer
+   * arithmetic, value-identical. */
+  def statsFromSurfaces(graph: Graph[VertexData, Int],
+      surf: VertexRDD[NbrSurface]): Map[Long, CommunityData] = {
+    val perVertex = graph.vertices.leftJoin(surf) { (_, vd, sOpt) =>
+      sOpt match {
+        case Some(s) =>
+          val own = s.degreeIn(vd.cId)
+          (vd.cId, own, s.totalDeg - own)
+        case None => (vd.cId, 0, 0)
+      }
+    }
+    val counts = perVertex
+      .map { case (_, (c, own, ext)) => (c, (1, own, ext)) }
+      .reduceByKey((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
+      .collectAsMap()
+    counts.map { case (c, (r, sameDeg, ext)) =>
+      (c, CommunityData(r, (sameDeg / 2).toDouble, ext))
+    }.toMap
+  }
+
+  /** G7 on the compact surface: the same-community neighbor arrays
+   * were already built by the fused exchange, so the evaluation is
+   * just the per-edge intersection pass + the WCC_V sum. Only valid
+   * on hub-free graphs (callers' max-degree check); value-identical
+   * to `computeGlobalWCC`'s direct branch. */
+  def computeGlobalWccFromSurfaces(graph: Graph[VertexData, Int],
+      surf: VertexRDD[NbrSurface], stats: Map[Long, CommunityData],
+      vertexCount: Long): Double = {
+    val sc = graph.vertices.sparkContext
+    val bStats = sc.broadcast(stats)
+    val gA: Graph[(VertexData, Array[Long]), Int] =
+      graph.outerJoinVertices(surf)((_, vd, sOpt) =>
+        (vd, sOpt.map(_.sameNbrs).getOrElse(Array.emptyLongArray)))
+    val commTri: VertexRDD[Int] = gA.aggregateMessages[Int](
+      ctx => if (ctx.srcAttr._1.cId == ctx.dstAttr._1.cId) {
+        val c = TriangleStats.sortedIntersectCount(ctx.srcAttr._2, ctx.dstAttr._2)
+        ctx.sendToSrc(c); ctx.sendToDst(c)
+      }, _ + _)
+    val sumWcc = gA.outerJoinVertices(commTri)((_, va, tcOpt) =>
+        (va._1, va._2.length, tcOpt.getOrElse(0) / 2))
+      .vertices
+      .map { case (_, (vd, vtC, tC)) =>
+        WCCMetric.computeWccV(vd, bStats.value(vd.cId), vtC, tC)
+      }
+      .sum()
+    bStats.destroy()
+    sumWcc / vertexCount
+  }
+
   /**
    * G7: global WCC = (sum over vertices of WCC_V) / vertexCount.
    *

@@ -104,6 +104,83 @@ object DistributedWCC {
     // (reference `:261-262` — the sum runs on the optimized graph).
     val globalCC = initGraph.vertices.map(_._2.cc).sum() / vertexCount
 
+    // Strategy choice, once per refinement: on a hub-free graph
+    // (internal degrees bounded by max degree <= threshold) each
+    // iteration runs ONE fused exchange producing the compact
+    // NbrSurface, which feeds movements, derived stats AND the WCC
+    // evaluation. Hub graphs keep the Map-based path with its
+    // per-iteration oriented escape. Both paths are value-identical,
+    // so the choice cannot move the trajectory.
+    val hubFree = initGraph.degrees.map(_._2).fold(0)(math.max) <=
+      TriangleStats.HubDegreeThreshold
+    if (hubFree) refineCompact(initGraph, vertexCount, maxRetries, globalCC)
+    else refineWithMaps(initGraph, vertexCount, maxRetries, globalCC)
+  }
+
+  private def refineCompact(initGraph: Graph[VertexData, Int], vertexCount: Long,
+      maxRetries: Int, globalCC: Double): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
+    var bestPartition = initGraph
+    var bestSurf = CommunityOps.nbrSurfaces(bestPartition)
+    bestSurf.cache()
+    var bestCs = CommunityOps.statsFromSurfaces(bestPartition, bestSurf)
+    var bestWcc = CommunityOps.computeGlobalWccFromSurfaces(bestPartition, bestSurf,
+      bestCs, vertexCount)
+
+    var foundNewBestPartition = true
+    var retriesLeft = maxRetries
+    var iter = 0
+    do {
+      val t0 = System.currentTimeMillis()
+      val sc = bestPartition.vertices.sparkContext
+      val bStats = sc.broadcast(bestCs)
+      val movementGraph = bestPartition.outerJoinVertices(bestSurf) { (_, vd, sOpt) =>
+        sOpt match {
+          case Some(s) => bestMovementCompact(vd, s.cIds, s.counts, bStats.value,
+            globalCC, vertexCount)
+          case None => vd
+        }
+      }
+      movementGraph.cache()
+      iter += 1
+      val sc0 = movementGraph.vertices.sparkContext
+      if (iter % 8 == 0 && sc0.getCheckpointDir.isDefined) movementGraph.checkpoint()
+
+      val movedSurf = CommunityOps.nbrSurfaces(movementGraph)
+      movedSurf.cache()
+      val newCs = CommunityOps.statsFromSurfaces(movementGraph, movedSurf)
+      val newWcc = CommunityOps.computeGlobalWccFromSurfaces(movementGraph, movedSurf,
+        newCs, vertexCount)
+      retriesLeft -= 1
+      System.err.println(s"[graft-wcc] refine iter $iter: " +
+        s"${System.currentTimeMillis() - t0} ms, wcc=$newWcc (best=$bestWcc)")
+
+      if (newWcc > bestWcc) {
+        if (newWcc / bestWcc - 1 > Threshold) retriesLeft = maxRetries
+        val prev = bestPartition
+        val prevSurf = bestSurf
+        bestPartition = movementGraph
+        bestSurf = movedSurf
+        bestWcc = newWcc
+        bestCs = newCs
+        prevSurf.unpersist(blocking = false)
+        if (prev ne initGraph) {
+          prev.unpersistVertices(blocking = false)
+          prev.edges.unpersist(blocking = false)
+        }
+      } else {
+        foundNewBestPartition = false
+        movedSurf.unpersist(blocking = false)
+        movementGraph.unpersistVertices(blocking = false)
+        movementGraph.edges.unpersist(blocking = false)
+      }
+    } while (foundNewBestPartition && retriesLeft > 0)
+    bestSurf.unpersist(blocking = false)
+
+    (bestPartition, bestCs, bestWcc, globalCC)
+  }
+
+  private def refineWithMaps(initGraph: Graph[VertexData, Int], vertexCount: Long,
+      maxRetries: Int, globalCC: Double): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
     var bestPartition = initGraph
     var bestDeg = CommunityOps.vertexCommunityDegrees(bestPartition)
     bestDeg.cache()
@@ -180,27 +257,51 @@ object DistributedWCC {
   /** F7 (reference `DistributedWCC.scala:368-405`): REMOVE iff
    * wccR - wccT > 1e-5 and wccR > 0; else TRANSFER to the best
    * candidate iff wccT > 0; else STAY. Candidates are the neighbor
-   * communities with r > 1 other than the current one. */
+   * communities with r > 1 other than the current one. Map adapter
+   * over the compact core (used by the reference simulator in the
+   * parity suite, so the sim exercises the same decision code). */
   private[wcc] def bestMovement(vertex: VertexData, vcDegrees: Map[Long, Int],
       communityStats: Map[Long, CommunityData], globalCC: Double,
       vertexCount: Long): VertexData = {
-    val wccR = WCCMetric.computeWccR(vertex, vcDegrees, communityStats(vertex.cId),
-      globalCC, vertexCount)
+    val sorted = vcDegrees.toArray.sortBy(_._1)
+    bestMovementCompact(vertex, sorted.map(_._1), sorted.map(_._2),
+      communityStats, globalCC, vertexCount)
+  }
+
+  /** The movement decision on the compact (sorted cId, count)
+   * arrays. Candidate iteration in ascending cId order: the
+   * reference iterates an unspecified Map order, so ties on
+   * candidateWccT are implementation-defined there; sorting makes
+   * ours deterministic. */
+  private[wcc] def bestMovementCompact(vertex: VertexData, cIds: Array[Long],
+      counts: Array[Int], communityStats: Map[Long, CommunityData],
+      globalCC: Double, vertexCount: Long): VertexData = {
+    var total = 0
+    var i = 0
+    while (i < counts.length) { total += counts(i); i += 1 }
+    val ownIdx = java.util.Arrays.binarySearch(cIds, vertex.cId)
+    val dInOwn = if (ownIdx >= 0) counts(ownIdx) else 0
+    val wccR = WCCMetric.computeWccRFromDegrees(vertex, dInOwn, total - dInOwn,
+      communityStats(vertex.cId), globalCC, vertexCount)
     var wccT = 0.0
     var bestC = vertex.cId
-    // Candidate iteration in sorted cId order: the reference iterates
-    // an unspecified Map order, so ties on candidateWccT are
-    // implementation-defined there; sorting makes ours deterministic.
-    vcDegrees.toSeq.sortBy(_._1).foreach { case (cId, dIn) =>
-      val cData = communityStats(cId)
-      if (vertex.cId != cId && cData.r > 1) {
-        val dOut = vcDegrees.values.sum - dIn
-        val candidateWccT = wccR + WCCMetric.computeWccI(cData, dIn, dOut, globalCC, vertexCount)
-        if (candidateWccT > wccT) {
-          wccT = candidateWccT
-          bestC = cId
+    i = 0
+    while (i < cIds.length) {
+      val cId = cIds(i)
+      if (vertex.cId != cId) {
+        val cData = communityStats(cId)
+        if (cData.r > 1) {
+          val dIn = counts(i)
+          val dOut = total - dIn
+          val candidateWccT = wccR +
+            WCCMetric.computeWccI(cData, dIn, dOut, globalCC, vertexCount)
+          if (candidateWccT > wccT) {
+            wccT = candidateWccT
+            bestC = cId
+          }
         }
       }
+      i += 1
     }
     if (wccR - wccT > 0.00001 && wccR > 0.0) vertex.copy(cId = vertex.vId)
     else if (wccT > 0.0) vertex.copy(cId = bestC)

@@ -201,41 +201,78 @@ object IncrementalWCC {
   private[wcc] def refinePartition(initGraph: Graph[VertexData, Int],
       globalCC: Double, vertexCount: Long): (Graph[VertexData, Int], Map[Long, CommunityData]) = {
     val sc = initGraph.vertices.sparkContext
-    // one degree pass per iteration feeds BOTH the movement join and
-    // the (integer-exact, value-identical) derived community stats
-    var curDeg = CommunityOps.vertexCommunityDegrees(initGraph)
-    curDeg.cache()
-    var bestCs = CommunityOps.statsFromDegrees(initGraph, curDeg)
-    var g = initGraph
-    var it = 0
-    do {
-      it += 1
-      val bStats = sc.broadcast(bestCs)
-      val moved = g.outerJoinVertices(curDeg) { (_, vd, degOpt) =>
-        degOpt match {
-          case Some(deg) =>
-            // the reference restricts candidates to stats-present
-            // communities (`:372`), which is vacuous here: stats are
-            // recomputed from this same graph, so every neighbor cId
-            // is present — pass the full map.
-            DistributedWCC.bestMovement(vd, deg, bStats.value, globalCC, vertexCount)
-          case None => vd
+    // Same strategy split as the batch refinement: on hub-free
+    // graphs one fused exchange per iteration feeds BOTH the
+    // movement join and the (integer-exact, value-identical)
+    // derived community stats; hub graphs keep the Map path.
+    val hubFree = initGraph.degrees.map(_._2).fold(0)(math.max) <=
+      TriangleStats.HubDegreeThreshold
+    if (hubFree) {
+      var curSurf = CommunityOps.nbrSurfaces(initGraph)
+      curSurf.cache()
+      var bestCs = CommunityOps.statsFromSurfaces(initGraph, curSurf)
+      var g = initGraph
+      var it = 0
+      do {
+        it += 1
+        val bStats = sc.broadcast(bestCs)
+        val moved = g.outerJoinVertices(curSurf) { (_, vd, sOpt) =>
+          sOpt match {
+            case Some(s) =>
+              // the reference restricts candidates to stats-present
+              // communities (`:372`), which is vacuous here: stats
+              // are recomputed from this same graph, so every
+              // neighbor cId is present — pass the full map.
+              DistributedWCC.bestMovementCompact(vd, s.cIds, s.counts,
+                bStats.value, globalCC, vertexCount)
+            case None => vd
+          }
         }
-      }
-      moved.cache()
-      val movedDeg = CommunityOps.vertexCommunityDegrees(moved)
-      movedDeg.cache()
-      bestCs = CommunityOps.statsFromDegrees(moved, movedDeg)
+        moved.cache()
+        val movedSurf = CommunityOps.nbrSurfaces(moved)
+        movedSurf.cache()
+        bestCs = CommunityOps.statsFromSurfaces(moved, movedSurf)
+        curSurf.unpersist(blocking = false)
+        curSurf = movedSurf
+        if (g ne initGraph) {
+          g.unpersistVertices(blocking = false)
+          g.edges.unpersist(blocking = false)
+        }
+        g = moved
+      } while (it < 5)
+      curSurf.unpersist(blocking = false)
+      (g, bestCs)
+    } else {
+      var curDeg = CommunityOps.vertexCommunityDegrees(initGraph)
+      curDeg.cache()
+      var bestCs = CommunityOps.statsFromDegrees(initGraph, curDeg)
+      var g = initGraph
+      var it = 0
+      do {
+        it += 1
+        val bStats = sc.broadcast(bestCs)
+        val moved = g.outerJoinVertices(curDeg) { (_, vd, degOpt) =>
+          degOpt match {
+            case Some(deg) =>
+              DistributedWCC.bestMovement(vd, deg, bStats.value, globalCC, vertexCount)
+            case None => vd
+          }
+        }
+        moved.cache()
+        val movedDeg = CommunityOps.vertexCommunityDegrees(moved)
+        movedDeg.cache()
+        bestCs = CommunityOps.statsFromDegrees(moved, movedDeg)
+        curDeg.unpersist(blocking = false)
+        curDeg = movedDeg
+        if (g ne initGraph) {
+          g.unpersistVertices(blocking = false)
+          g.edges.unpersist(blocking = false)
+        }
+        g = moved
+      } while (it < 5)
       curDeg.unpersist(blocking = false)
-      curDeg = movedDeg
-      if (g ne initGraph) {
-        g.unpersistVertices(blocking = false)
-        g.edges.unpersist(blocking = false)
-      }
-      g = moved
-    } while (it < 5)
-    curDeg.unpersist(blocking = false)
-    (g, bestCs)
+      (g, bestCs)
+    }
   }
 
   private def timed[T](phase: String)(f: => T): T = {

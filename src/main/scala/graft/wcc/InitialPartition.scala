@@ -3,9 +3,40 @@ package graft.wcc
 import org.apache.spark.graphx._
 import org.apache.spark.storage.StorageLevel
 
+/** Growable center-flag message for the steady-state seeding rounds:
+ * parallel (senderId, isCenter) arrays merged in place (collision-free
+ * — at most one message per sender per receiver per superstep), the
+ * same in-place-merge discipline as the k-core CoreDelta. */
+final class FlagMsg(id0: Long, flag0: Boolean) extends Serializable {
+  var ids: Array[Long] = { val a = new Array[Long](4); a(0) = id0; a }
+  var flags: Array[Boolean] = { val a = new Array[Boolean](4); a(0) = flag0; a }
+  var size: Int = 1
+
+  private def ensure(extra: Int): Unit = {
+    if (size + extra > ids.length) {
+      val cap = math.max(size + extra, ids.length * 2)
+      ids = java.util.Arrays.copyOf(ids, cap)
+      flags = java.util.Arrays.copyOf(flags, cap)
+    }
+  }
+
+  private[wcc] def addAll(other: FlagMsg): FlagMsg = {
+    ensure(other.size)
+    System.arraycopy(other.ids, 0, ids, size, other.size)
+    System.arraycopy(other.flags, 0, flags, size, other.size)
+    size += other.size
+    this
+  }
+}
+
+object FlagMsg {
+  def merge(a: FlagMsg, b: FlagMsg): FlagMsg =
+    if (a.size >= b.size) a.addAll(b) else b.addAll(a)
+}
+
 /**
  * Clustering-coefficient-seeded initial partition (G4 in SURVEY.md
- * §2.8): a Pregel loop in which every vertex repeatedly adopts the
+ * §2.8): a superstep loop in which every vertex repeatedly adopts the
  * highest-ranked *center* neighbor by the total order (cc, vt, vId),
  * or reverts to being its own center.
  *
@@ -31,152 +62,172 @@ import org.apache.spark.storage.StorageLevel
  * terminate on true message quiescence instead of always burning
  * maxIterations supersteps.
  *
- * Messages are Map[senderId -> NborMsg]; a target receives at most
- * one message per sender per superstep, so the map-union combine
- * (`DistributedWCC.scala:243-255`) is collision-free and
- * deterministic.
+ * Execution shape: only superstep 1 (every vertex broadcasts its
+ * (cc, vt, vId, center) to all neighbors, building the per-vertex
+ * [[NborCache]]) runs as a GraphX exchange. Every later superstep
+ * runs on a co-partitioned pair-RDD state — a changed vertex emits
+ * (id, isCenter) to its strictly lower-ranked neighbors, whose ids
+ * it already knows FROM ITS OWN CACHE, so the steady-state loop
+ * needs no adjacency structure and no per-superstep graph rebuild:
+ * one frontier-sized shuffle job per superstep. A Pregel-shaped
+ * loop instead re-ships every vertex attribute to the edge
+ * partitions on every superstep, which dominates once the adoption
+ * frontier collapses (the same finding as the k-core loop).
  */
 object InitialPartition {
 
-  private val ord = NborMsg.ordering
+  /** (cc, vt, vId) total order on primitives — no NaN/-0.0 can occur
+   * (cc = 2t/(vt(vt-1)) with t >= 1, vt >= 2 on pruned vertices), so
+   * plain comparisons equal the reference's Ordering. */
+  @inline private def rankGt(cc1: Double, vt1: Int, id1: Long,
+      cc2: Double, vt2: Int, id2: Long): Boolean =
+    cc1 > cc2 || (cc1 == cc2 && (vt1 > vt2 || (vt1 == vt2 && id1 > id2)))
 
-  /** One vertex-program step for a vertex that received messages
-   * (reference `DistributedWCC.scala:169-207`). The neighbor cache
-   * is the compact [[NborCache]]: a message can only flip its
-   * sender's center flag ((cc, vt, id) are immutable during the
-   * loop), and the flag array is copy-on-write so superseded state
-   * generations are never mutated. */
-  private[wcc] def vprog(st: PState, messages: Map[Long, NborMsg]): PState = {
-    val self = st.data
-    // refresh cached neighbor communities (`:181-185,230-235`)
-    val cache: NborCache =
-      if (st.neighbors.isEmpty) {
-        val entries = (messages - self.vId).toArray.sortBy(_._1)
-        NborCache(entries.map(_._1), entries.map(_._2.vt),
-          entries.map(_._2.cc), entries.map(_._2.isCenter))
-      } else {
-        val c = st.neighbors
-        var center = c.center
-        var copied = false
-        messages.foreach { case (id, m) =>
-          val idx = java.util.Arrays.binarySearch(c.ids, id)
-          if (idx >= 0 && center(idx) != m.isCenter) {
-            if (!copied) { center = center.clone(); copied = true }
-            center(idx) = m.isCenter
-          }
-        }
-        if (copied) NborCache(c.ids, c.vts, c.ccs, center) else c
-      }
-    // highest center neighbor (`:226-228`) — same (cc, vt, vId) order
-    var best: NborMsg = null
+  /** The adoption decision (reference `DistributedWCC.scala:186-198`):
+   * adopt the highest-ranked center neighbor if it outranks self,
+   * else become (stay) own center; `changed` is exactly the
+   * center-transition flag. */
+  private[wcc] def decide(self: VertexData, cache: NborCache): PState = {
+    var bi = -1
     var i = 0
     while (i < cache.ids.length) {
-      if (cache.center(i)) {
-        val m = NborMsg(cache.ids(i), cache.vts(i), cache.ccs(i), cache.ids(i))
-        if (best == null || ord.gt(m, best)) best = m
-      }
+      if (cache.center(i) &&
+          (bi < 0 || rankGt(cache.ccs(i), cache.vts(i), cache.ids(i),
+            cache.ccs(bi), cache.vts(bi), cache.ids(bi)))) bi = i
       i += 1
     }
-    if (best != null && ord.gt(best, NborMsg.of(self))) {
-      // adopt the best center neighbor (`:190-194`)
-      PState(self.copy(cId = best.vId), changed = self.isCenter, cache)
-    } else {
-      // become (stay) own center (`:195-198`)
+    if (bi >= 0 && rankGt(cache.ccs(bi), cache.vts(bi), cache.ids(bi),
+        self.cc, self.vt, self.vId))
+      PState(self.copy(cId = cache.ids(bi)), changed = self.isCenter, cache)
+    else
       PState(self.copy(cId = self.vId), changed = !self.isCenter, cache)
+  }
+
+  /** Superstep-2 vertex program (the cache-building receipt of the
+   * initial broadcast, reference `DistributedWCC.scala:169-207`). */
+  private[wcc] def vprog(st: PState, messages: Map[Long, NborMsg]): PState = {
+    val self = st.data
+    val entries = (messages - self.vId).toArray.sortBy(_._1)
+    val cache = NborCache(entries.map(_._1), entries.map(_._2.vt),
+      entries.map(_._2.cc), entries.map(_._2.isCenter))
+    decide(self, cache)
+  }
+
+  /** Steady-state vertex program: flip the senders' cached center
+   * flags (copy-on-write) and re-run the adoption decision. */
+  private[wcc] def applyFlags(st: PState, m: FlagMsg): PState = {
+    val c = st.neighbors
+    var center = c.center
+    var copied = false
+    var j = 0
+    while (j < m.size) {
+      val idx = java.util.Arrays.binarySearch(c.ids, m.ids(j))
+      if (idx >= 0 && center(idx) != m.flags(j)) {
+        if (!copied) { center = center.clone(); copied = true }
+        center(idx) = m.flags(j)
+      }
+      j += 1
     }
+    decide(st.data,
+      if (copied) NborCache(c.ids, c.vts, c.ccs, center) else c)
   }
 
   def run(pruned: Graph[VertexData, Int], maxIterations: Int = 50): Graph[VertexData, Int] = {
-    // The graph shipped to edge partitions carries only the lean
-    // (VertexData, changed) pair; the per-vertex neighbor caches
-    // (degree-sized maps) stay in a vertex-side VertexRDD and never
-    // cross the vertex->edge replication boundary — shipping them made
-    // each superstep ~20x more expensive on dense graphs.
-    var lean: Graph[(VertexData, Boolean), Int] =
-      pruned.mapVertices((_, vd) => (vd, true)).cache()
-    // full Pregel state (incl. neighbor caches), vertex-side only
-    var state: VertexRDD[PState] =
-      lean.vertices.mapValues((v: (VertexData, Boolean)) =>
-        PState(v._1, changed = true, NborCache.empty)).cache()
+    val nEdges = pruned.edges.count()
+    // loop partitioner sized to the resident state (the caches are
+    // O(sum of pruned degrees)); floor 8 keeps the one full shuffle
+    // parallel, cap at the edge RDD's own partitioning
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(pruned.edges.getNumPartitions,
+        (2 * nEdges / 500000L).toInt)))
 
     // Superstep 1: every vertex broadcasts itself to all neighbors
-    // (`DistributedWCC.scala:161-166`).
-    var msgs: VertexRDD[Map[Long, NborMsg]] = lean.aggregateMessages(
+    // (`DistributedWCC.scala:161-166`) — the loop's only full
+    // exchange, and the only GraphX step.
+    val msgs0: VertexRDD[Map[Long, NborMsg]] = pruned.aggregateMessages(
       ctx => {
-        ctx.sendToDst(Map(ctx.srcId -> NborMsg.of(ctx.srcAttr._1)))
-        ctx.sendToSrc(Map(ctx.dstId -> NborMsg.of(ctx.dstAttr._1)))
+        ctx.sendToDst(Map(ctx.srcId -> NborMsg.of(ctx.srcAttr)))
+        ctx.sendToSrc(Map(ctx.dstId -> NborMsg.of(ctx.dstAttr)))
       },
       (a: Map[Long, NborMsg], b: Map[Long, NborMsg]) => a ++ b)
-    msgs.cache()
 
-    var activeMessages = msgs.count()
-    var i = 1
-    while (activeMessages > 0 && i < maxIterations) {
-      val prevLean = lean
-      val prevState = state
-      val prevMsgs = msgs
-
-      // vprog vertex-side: receivers update state+cache; the consumed
-      // send-gate clears on non-receivers so a vertex only sends in
-      // the superstep it ran.
-      state = state.leftJoin(msgs) { (_, st, mOpt) =>
+    // Superstep 2 builds the caches and makes the first decisions;
+    // from here the state lives under the loop partitioner.
+    var state: org.apache.spark.rdd.RDD[(Long, PState)] = pruned.vertices
+      .leftJoin(msgs0) { (_, vd, mOpt) =>
         mOpt match {
-          case Some(m) => vprog(st, m)
-          case None    => if (st.changed) st.copy(changed = false) else st
+          case Some(m) => vprog(PState(vd, changed = true, NborCache.empty), m)
+          case None    => PState(vd, changed = false, NborCache.empty)
         }
-      }.cache()
+      }
+      .partitionBy(p)
+    state.persist(StorageLevel.MEMORY_AND_DISK)
 
-      lean = prevLean.outerJoinVertices(state) { (_, old, p) =>
-        p.map(s => (s.data, s.changed)).getOrElse(old)
-      }.cache()
-
-      // send phase (`DistributedWCC.scala:210-218`): a changed vertex
-      // sends its state to every strictly lower-ranked neighbor. The
-      // rank comparison uses immutable (cc, vt, vId), so evaluating it
-      // on live triplet attrs equals the reference's cached-message
-      // comparison. Senders necessarily received messages this
-      // superstep (non-receivers have their send-gate cleared), so
-      // restricting the scan to the receivers' active set skips
-      // quiescent edge partitions with identical output.
-      msgs = org.apache.spark.graphx.GraftGraphShims
-        .aggregateMessagesWithActiveSet[(VertexData, Boolean), Int, Map[Long, NborMsg]](
-          lean,
-          ctx => {
-            val (sd, sc) = ctx.srcAttr
-            val (dd, dc) = ctx.dstAttr
-            if (sc || dc) {
-              val sm = NborMsg.of(sd)
-              val dm = NborMsg.of(dd)
-              if (sc && ord.gt(sm, dm)) ctx.sendToDst(Map(ctx.srcId -> sm))
-              if (dc && ord.gt(dm, sm)) ctx.sendToSrc(Map(ctx.dstId -> dm))
-            }
-          },
-          (a, b) => a ++ b,
-          org.apache.spark.graphx.TripletFields.All,
-          prevMsgs)
-      msgs.cache()
-      // materializes msgs, the new lean vertices, and (as lean's
-      // lineage parent) the new state before the previous generation
-      // is dropped
-      activeMessages = msgs.count()
-
-      prevMsgs.unpersist(blocking = false)
-      prevState.unpersist(blocking = false)
-      prevLean.unpersistVertices(blocking = false)
-      prevLean.edges.unpersist(blocking = false)
-      i += 1
+    // One Spark job per superstep: the msgs count is the round's only
+    // action and materializes the current state generation en route,
+    // so unpersists trail by one generation.
+    var prevState: org.apache.spark.rdd.RDD[(Long, PState)] = null
+    var prevMsgs: org.apache.spark.rdd.RDD[(Long, FlagMsg)] = null
+    var i = 2
+    var quiescent = false
+    while (!quiescent && i < maxIterations) {
+      // send phase (`DistributedWCC.scala:210-218`): a vertex whose
+      // center-ness flipped sends its new flag to every strictly
+      // lower-ranked neighbor — neighbor ids and (immutable) ranks
+      // come from the sender's own cache
+      val msgs = state.mapPartitions(_.flatMap { case (_, st) =>
+        if (!st.changed) Iterator.empty
+        else {
+          val self = st.data
+          val c = st.neighbors
+          val flag = self.isCenter
+          val out = Iterator.range(0, c.ids.length).filter { k =>
+            rankGt(self.cc, self.vt, self.vId, c.ccs(k), c.vts(k), c.ids(k))
+          }.map(k => (c.ids(k), new FlagMsg(self.vId, flag)))
+          out
+        }
+      })
+        .combineByKey[FlagMsg](
+          (m: FlagMsg) => m,
+          (acc: FlagMsg, m: FlagMsg) => acc.addAll(m),
+          (a: FlagMsg, b: FlagMsg) => FlagMsg.merge(a, b),
+          p)
+      msgs.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = msgs.count() // materializes `state` (its one consumer)
+      if (prevState != null) prevState.unpersist(blocking = false)
+      if (prevMsgs != null) prevMsgs.unpersist(blocking = false)
+      if (n == 0) {
+        quiescent = true
+        msgs.unpersist(blocking = false)
+      } else {
+        i += 1
+        prevState = state
+        prevMsgs = msgs
+        state = prevState.leftOuterJoin(msgs, p).mapValues {
+          case (st, Some(m)) => applyFlags(st, m)
+          case (st, None)    =>
+            // the consumed send-gate clears on non-receivers so a
+            // vertex only sends in the superstep after it ran
+            if (st.changed) st.copy(changed = false) else st
+        }
+        state.persist(StorageLevel.MEMORY_AND_DISK)
+      }
     }
+    state.count() // materialize the final generation
+    if (prevState != null) prevState.unpersist(blocking = false)
+    if (prevMsgs != null) prevMsgs.unpersist(blocking = false)
     System.err.println(s"[graft-wcc] initial-partition supersteps: $i")
-    msgs.unpersist(blocking = false)
-    val out = lean.mapVertices((_, st) => st._1)
+
+    val finalState = state
+    val out = pruned.outerJoinVertices(state.mapValues(_.data)) { (_, old, opt) =>
+      opt.getOrElse(old)
+    }
     out.cache()
-    // force vertices AND edges so the final lean generation (whose
-    // edge partitions `out` derives from) can be fully dropped
+    // force vertices AND edges so the loop state (and the input's
+    // shipped attrs) can be dropped
     out.vertices.count()
     out.edges.count()
-    lean.unpersistVertices(blocking = false)
-    lean.edges.unpersist(blocking = false)
-    state.unpersist(blocking = false)
+    finalState.unpersist(blocking = false)
     out
   }
 }

@@ -34,9 +34,16 @@ object WCCMetric {
    */
   def computeWccR(v: VertexData, cDegrees: Map[Long, Int], c: CommunityData,
       globalCC: Double, vertexCount: Long): Double = {
-    if (c.r == 1) return 0.0
     val toOwn = cDegrees.getOrElse(v.cId, 0)
     val toRest = cDegrees.values.sum - toOwn
+    computeWccRFromDegrees(v, toOwn, toRest, c, globalCC, vertexCount)
+  }
+
+  /** `computeWccR` on pre-split own/rest degree counts (the compact
+   * movement path) — identical arithmetic. */
+  def computeWccRFromDegrees(v: VertexData, toOwn: Int, toRest: Int,
+      c: CommunityData, globalCC: Double, vertexCount: Long): Double = {
+    if (c.r == 1) return 0.0
     val shrunk = c.removeVertex(toOwn, toRest)
     -computeWccI(shrunk, toOwn, toRest, globalCC, vertexCount)
   }
