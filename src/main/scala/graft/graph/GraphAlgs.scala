@@ -142,15 +142,123 @@ object GraphAlgs {
    * surfaces are unpersisted — the DataFrame is lazy, so releasing
    * first would force a full lineage recompute at evaluation time. */
   def bfsHopsDF[V](g: Graph[V, Int], source: VertexId, maxHops: Int = 30): DataFrame = {
-    val bfs = bfsHops(g, source, maxHops)
-    val rows = bfs.vertices.filter(_._2 != Long.MaxValue)
-    val out = rows.map { case (id, d) => (id, d) }
+    val (state, release) = multiSourceBfsRDD(g, Array(source), maxHops)
+    val rows = state.map { case (id, ds) => (id, ds(0).toLong) }
     val spark = org.apache.spark.sql.SparkSession.active
-    val df = spark.createDataFrame(out).toDF("vid", "hops").cache()
+    val df = spark.createDataFrame(rows).toDF("vid", "hops").cache()
     df.count()
-    bfs.unpersistVertices(blocking = false)
-    bfs.edges.unpersist(blocking = false)
+    release()
     df
+  }
+
+  /**
+   * Frontier BFS from k sources on co-partitioned pair RDDs — the
+   * same execution shape as the k-core loop: a per-partition
+   * adjacency hash map is built once, and each round is ONE
+   * frontier-sized shuffle job (vertices first reached last round
+   * send a k-bit source mask to their neighbors; receivers set the
+   * still-unset distances). Unweighted BFS sets each (vertex,
+   * source) distance exactly once, so message volume tracks the
+   * expanding wavefront, never |E| per round. Distances are
+   * identical to the Pregel formulation (both compute hop-layer
+   * fixpoints); only reached vertices appear in the result.
+   *
+   * Returns the persisted (vid, per-source hop distances) RDD
+   * (Int.MaxValue = unreached) plus a release handle.
+   */
+  def multiSourceBfsRDD[V](g: Graph[V, Int], sources: Array[VertexId],
+      maxHops: Int): (org.apache.spark.rdd.RDD[(Long, Array[Int])], () => Unit) = {
+    require(sources.length <= 64, "source mask is a Long")
+    val k = sources.length
+    val INF = Int.MaxValue
+    val sc = g.edges.sparkContext
+    val nEdges = g.edges.count()
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(g.edges.getNumPartitions, (2 * nEdges / 500000L).toInt)))
+    val adjMap: org.apache.spark.rdd.RDD[java.util.HashMap[Long, Array[Long]]] =
+      g.edges.flatMap(e => Iterator((e.srcId, e.dstId), (e.dstId, e.srcId)))
+        .groupByKey(p).mapPartitions { it =>
+          val m = new java.util.HashMap[Long, Array[Long]]()
+          it.foreach(kv => m.put(kv._1, kv._2.toArray))
+          Iterator.single(m)
+        }.persist()
+    adjMap.count()
+
+    // state value: (per-source hops, mask of sources set LAST round)
+    val src0: Seq[(Long, (Array[Int], Long))] = sources.zipWithIndex
+      .groupBy(_._1).toSeq.map { case (id, ss) =>
+        val a = Array.fill(k)(INF)
+        var mask = 0L
+        ss.foreach { case (_, i) => a(i) = 0; mask |= 1L << i }
+        (id, (a, mask))
+      }
+    var state: org.apache.spark.rdd.RDD[(Long, (Array[Int], Long))] =
+      sc.parallelize(src0).partitionBy(p).persist()
+
+    var prevState: org.apache.spark.rdd.RDD[(Long, (Array[Int], Long))] = null
+    var prevMsgs: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    var round = 0
+    var quiescent = false
+    while (!quiescent && round < maxHops) {
+      val frontier = state.mapPartitions(
+        _.collect { case (v, (_, m)) if m != 0L => (v, m) },
+        preservesPartitioning = true)
+      val msgs = frontier.zipPartitions(adjMap) { (fIt, mIt) =>
+        val m = mIt.next()
+        fIt.flatMap { case (v, mask) =>
+          val nbrs = m.get(v)
+          if (nbrs == null) Iterator.empty
+          else nbrs.iterator.map(u => (u, mask))
+        }
+      }.reduceByKey(p, _ | _)
+      msgs.persist()
+      val n = msgs.count() // materializes `state` (its one consumer)
+      if (prevState != null) prevState.unpersist(blocking = false)
+      if (prevMsgs != null) prevMsgs.unpersist(blocking = false)
+      if (n == 0) {
+        quiescent = true
+        msgs.unpersist(blocking = false)
+      } else {
+        round += 1
+        val d = round
+        prevState = state
+        prevMsgs = msgs
+        state = prevState.fullOuterJoin(msgs, p).mapValues {
+          case (Some((a, _)), Some(mask)) =>
+            var arr = a; var set = 0L; var copied = false
+            var i = 0
+            while (i < k) {
+              if (((mask >> i) & 1L) == 1L && arr(i) == INF) {
+                if (!copied) { arr = a.clone(); copied = true }
+                arr(i) = d; set |= 1L << i
+              }
+              i += 1
+            }
+            (arr, set)
+          case (Some((a, _)), None) => (a, 0L)
+          case (None, Some(mask)) =>
+            val arr = Array.fill(k)(INF)
+            var set = 0L
+            var i = 0
+            while (i < k) {
+              if (((mask >> i) & 1L) == 1L) { arr(i) = d; set |= 1L << i }
+              i += 1
+            }
+            (arr, set)
+          case (None, None) => throw new IllegalStateException("unreachable")
+        }.persist()
+      }
+    }
+    state.count() // materialize the final generation
+    if (prevState != null) prevState.unpersist(blocking = false)
+    if (prevMsgs != null) prevMsgs.unpersist(blocking = false)
+
+    val finalState = state
+    val dists = state.mapValues(_._1)
+    (dists, () => {
+      finalState.unpersist(blocking = false)
+      adjMap.unpersist(blocking = false)
+    })
   }
 
   /**
@@ -472,8 +580,8 @@ object GraphAlgs {
    * Pregel surfaces are released (see bfsHopsDF). */
   def multiSourceBfsDF[V: scala.reflect.ClassTag](
       g: Graph[V, Int], sources: Array[VertexId], maxHops: Int = 10): DataFrame = {
-    val bfs = multiSourceBfs(g, sources, maxHops)
-    val rows = bfs.vertices.flatMap { case (id, ds) =>
+    val (state, release) = multiSourceBfsRDD(g, sources, maxHops)
+    val rows = state.flatMap { case (id, ds) =>
       val reached = ds.filter(_ != Int.MaxValue)
       if (reached.isEmpty) None
       else Some((id, reached.length.toLong, reached.map(_.toLong).sum, reached.min.toLong))
@@ -482,8 +590,7 @@ object GraphAlgs {
     val df = spark.createDataFrame(rows)
       .toDF("vid", "n_reached", "sum_dist", "min_dist").cache()
     df.count()
-    bfs.unpersistVertices(blocking = false)
-    bfs.edges.unpersist(blocking = false)
+    release()
     df
   }
 

@@ -336,15 +336,15 @@ object GraphQueries {
       val sources = canonEdges(spark, sfDir)
         .select(col("src")).distinct().orderBy("src").limit(5)
         .collect().map(_.getLong(0))
-      val bfs = graft.graph.GraphAlgs.multiSourceBfs(graph(spark, sfDir), sources, maxHops = 8)
-      val perRoot = bfs.vertices.flatMap { case (_, ds) =>
+      val (state, release) = graft.graph.GraphAlgs
+        .multiSourceBfsRDD(graph(spark, sfDir), sources, maxHops = 8)
+      val perRoot = state.flatMap { case (_, ds) =>
         ds.zipWithIndex.collect { case (d, i) if d != Int.MaxValue => (i, d) }
       }.aggregateByKey((0L, 0L, 0))(
         { case ((n, s, mx), d) => (n + 1, s + d, math.max(mx, d)) },
         { case ((n1, s1, m1), (n2, s2, m2)) => (n1 + n2, s1 + s2, math.max(m1, m2)) })
         .collect().sortBy(_._1)
-      bfs.unpersistVertices(blocking = false)
-      bfs.edges.unpersist(blocking = false)
+      release()
       perRoot.map { case (i, (n, s, mx)) => (sources(i), n, s, mx.toLong) }
     }
 

@@ -51,6 +51,29 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("multiSourceBfsRDD frontier loop agrees with the Pregel form") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L), (7L, 8L))
+      .toDF("src", "dst")
+    val g = EdgeOps.toGraph(edges)
+    val sources = Array(1L, 7L)
+    val pregel = GraphAlgs.multiSourceBfs(g, sources, maxHops = 10)
+      .vertices.collect().toMap
+      // the RDD form only carries touched vertices
+      .filter { case (_, ds) => ds.exists(_ != Int.MaxValue) }
+    val (state, release) = GraphAlgs.multiSourceBfsRDD(g, sources, maxHops = 10)
+    val rdd = state.collect().toMap
+    release()
+    assert(rdd.keySet === pregel.keySet)
+    rdd.foreach { case (vid, ds) =>
+      assert(ds.toSeq === pregel(vid).toSeq, s"vid=$vid")
+    }
+    // maxHops cap semantics match the Pregel superstep budget
+    val (capped, release2) = GraphAlgs.multiSourceBfsRDD(g, Array(1L), maxHops = 2)
+    val cm = capped.collect().toMap
+    release2()
+    assert(cm(3L)(0) === 2 && !cm.contains(4L))
+  }
+
   // ---- resource allocation -----------------------------------------
 
   test("resourceAllocation sums 1/deg over common neighbors") {
