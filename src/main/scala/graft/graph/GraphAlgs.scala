@@ -749,41 +749,79 @@ object GraphAlgs {
    */
   def eigenCentrality[V: scala.reflect.ClassTag](
       g: Graph[V, Int], iters: Int = 20): Graph[Double, Int] = {
-    var cur = g.mapVertices((_, _) => 1.0).cache()
-    cur.vertices.count(); cur.edges.count()
+    val (scores, release) = eigenCentralityRDD(g, iters)
+    val out = g.outerJoinVertices(scores)((_, _, s) => s.getOrElse(0.0))
+    out.cache()
+    out.vertices.count()
+    release()
+    out
+  }
+
+  /** The power-iteration loop on co-partitioned pair RDDs: scores +
+   * a per-partition adjacency hash map (built once). Every round is
+   * inherently a full exchange (all scores change), but the RDD form
+   * still skips the per-round GraphX graph rebuild and
+   * vertex-attribute re-shipping: one message shuffle + one
+   * normalization job per round. */
+  private def eigenCentralityRDD[V](g: Graph[V, Int],
+      iters: Int): (org.apache.spark.rdd.RDD[(Long, Double)], () => Unit) = {
+    val nEdges = g.edges.count()
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(g.edges.getNumPartitions, (2 * nEdges / 500000L).toInt)))
+    val adj: org.apache.spark.rdd.RDD[(Long, Array[Long])] = g.edges
+      .flatMap(e => Iterator((e.srcId, e.dstId), (e.dstId, e.srcId)))
+      .groupByKey(p).mapValues(_.toArray).persist()
+    adj.count()
+    // every vertex of g scores 1.0 initially, including isolated ones
+    var cur: org.apache.spark.rdd.RDD[(Long, Double)] = g.vertices
+      .map { case (id, _) => (id, 1.0) }.partitionBy(p).persist()
+    cur.count()
+
+    var prev: org.apache.spark.rdd.RDD[(Long, Double)] = null
     var i = 0
     while (i < iters) {
-      val sums = cur.aggregateMessages[Double](
-        ctx => { ctx.sendToDst(ctx.srcAttr); ctx.sendToSrc(ctx.dstAttr) },
-        _ + _)
-      val raw = cur.vertices.leftJoin(sums) {
-        (_, own, s) => own + s.getOrElse(0.0)
-      }.cache()
+      // co-partitioned zip: hash the (small) score side per
+      // partition, stream the adjacency — no cogroup buffers
+      val sums = adj.zipPartitions(cur) { (aIt, cIt) =>
+        val m = new java.util.HashMap[Long, Double]()
+        cIt.foreach(kv => m.put(kv._1, kv._2))
+        aIt.flatMap { case (u, nbrs) =>
+          val s: Double = m.get(u)
+          nbrs.iterator.map(n => (n, s))
+        }
+      }.reduceByKey(p, _ + _)
+      // x' = (A+I)x: the self term keeps isolated vertices and breaks
+      // bipartite oscillation
+      val raw = cur.leftOuterJoin(sums, p)
+        .mapValues { case (own, s) => own + s.getOrElse(0.0) }
+      raw.persist()
       val mx = math.max(raw.map(_._2).fold(0.0)(math.max), Double.MinPositiveValue)
-      val next = cur.outerJoinVertices(raw) {
-        (_, _, r) => r.getOrElse(0.0) / mx
-      }.cache()
-      next.vertices.count(); next.edges.count()
+      val next = raw.mapValues(_ / mx).persist()
+      next.count() // materializes next (raw already forced by the max)
       raw.unpersist(blocking = false)
-      cur.unpersistVertices(blocking = false)
-      cur.edges.unpersist(blocking = false)
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = cur
       cur = next
       i += 1
     }
-    cur
+    if (prev != null) prev.unpersist(blocking = false)
+    val finalScores = cur
+    (cur, () => {
+      finalScores.unpersist(blocking = false)
+      adj.unpersist(blocking = false)
+    })
   }
 
   /** (vid, score) rows rounded to 1e-6; materialize-then-release. */
   def eigenCentralityDF[V: scala.reflect.ClassTag](
       g: Graph[V, Int], iters: Int = 20): DataFrame = {
-    val scored = eigenCentrality(g, iters)
+    val (scores, release) = eigenCentralityRDD(g, iters)
     val spark = org.apache.spark.sql.SparkSession.active
     val df = spark.createDataFrame(
-      scored.vertices.map { case (id, s) => (id, math.floor(s * 1e6 + 0.5) / 1e6) })
+      scores.map { case (id, s) => (id, math.floor(s * 1e6 + 0.5) / 1e6) })
       .toDF("vid", "score").cache()
     df.count()
-    scored.unpersistVertices(blocking = false)
-    scored.edges.unpersist(blocking = false)
+    release()
     df
   }
 
