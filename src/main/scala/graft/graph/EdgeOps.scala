@@ -92,11 +92,17 @@ object EdgeOps {
       minW: Int = 1): DataFrame = {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
-    val a = li.as("a")
-    val b = li.as("b")
-    a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    // Pair generation via ONE shuffle (group the order's parts, then
+    // explode the per-order cross product a < b map-side) instead of
+    // the orderkey self-join, which shuffles the lineitem table
+    // twice and pays join machinery for the same k^2-per-order
+    // output. Result identical: pair counts over lineitem pairs.
+    li.groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("a"), col("parts"))
+      .select(col("a"), explode(col("parts")).as("b"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a").as("src"), col("b").as("dst"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= minW)
   }
