@@ -77,12 +77,15 @@ object ScaleProbe {
     }
     val vertexCount = g.numVertices
     phase("one refinement iteration") {
-      val deg = CommunityOps.vertexCommunityDegrees(init)
-      deg.cache()
-      val cs = CommunityOps.statsFromDegrees(init, deg)
-      val wcc = CommunityOps.computeGlobalWCC(init, cs, vertexCount)
+      // mirrors the production refineCompact iteration: one fused
+      // exchange feeding stats AND the WCC evaluation (the replicated
+      // probe graph is hub-free like its sf base)
+      val surf = CommunityOps.nbrSurfaces(init)
+      surf.cache()
+      val cs = CommunityOps.statsFromSurfaces(init, surf)
+      val wcc = CommunityOps.computeGlobalWccFromSurfaces(init, surf, cs, vertexCount)
       println(s"[scale-probe] communities=${cs.size} wcc=$wcc")
-      deg.unpersist(blocking = false)
+      surf.unpersist(blocking = false)
     }
     spark.stop()
   }
