@@ -67,6 +67,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused NbrSurface equals the Map-based degrees + same-community arrays") {
+    forAll(edgeGen) { edges =>
+      if (edges.nonEmpty) {
+        // random-ish partition: cId = vId % 3 (exercises multi- and
+        // single-community neighborhoods)
+        val g = graphOf(spark, edges)
+          .mapVertices((id, _) => VertexData(id, 1, 2, id % 3))
+        val surf = CommunityOps.nbrSurfaces(g).collect().toMap
+        val deg = CommunityOps.vertexCommunityDegrees(g).collect().toMap
+        assert(surf.keySet === deg.keySet)
+        surf.foreach { case (vid, s) =>
+          val asMap = s.cIds.zip(s.counts).toMap
+          assert(asMap === deg(vid), s"community degrees diverge at $vid")
+          assert(s.cIds.toSeq === s.cIds.sorted.toSeq)
+          assert(s.sameNbrs.toSeq === s.sameNbrs.sorted.toSeq)
+        }
+        // same-community neighbor sets against brute force
+        val und = edges.filter(e => e._1 != e._2)
+          .map(e => if (e._1 < e._2) e else e.swap).distinct
+        val cid = und.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => (v, v % 3)).toMap
+        und.foreach { case (a, b) =>
+          if (cid(a) == cid(b)) {
+            assert(surf(a).sameNbrs.contains(b) && surf(b).sameNbrs.contains(a))
+          }
+        }
+        // derived stats identical to both existing formulations
+        val s1 = CommunityOps.statsFromSurfaces(g, CommunityOps.nbrSurfaces(g))
+        val s2 = CommunityOps.statsFromDegrees(g, CommunityOps.vertexCommunityDegrees(g))
+        val s3 = CommunityOps.computeCommunityStats(g)
+        assert(s1 === s2)
+        assert(s1 === s3)
+        // WCC evaluation: per-vertex terms identical, scalar equal up
+        // to float summation order
+        val w1 = CommunityOps.computeGlobalWccFromSurfaces(
+          g, CommunityOps.nbrSurfaces(g), s1, g.numVertices)
+        val w2 = CommunityOps.computeGlobalWCC(g, s3, g.numVertices)
+        assert(math.abs(w1 - w2) < 1e-12, s"wcc $w1 vs $w2")
+      }
+    }
+  }
+
   test("DWCC output covers every vertex exactly once with a valid community") {
     forAll(edgeGen, 4) { edges =>
       if (edges.nonEmpty) {
