@@ -234,6 +234,54 @@ object GraphQueries {
     df.orderBy("vid")
   }
 
+  /** Deterministic fixed-point PageRank: the reproducible twin of
+   * g_pagerank. Ranks live in integer micro-units (rank_0 = 10^6;
+   * rank_{k+1} = 150000 + (850000 * Σ_{u∈N(v)} rank_k(u) div deg(u))
+   * div 10^6, 10 rounds) — integer sums are order-free, so the
+   * result is BIT-IDENTICAL across engines, partitionings, and
+   * runs, and the oracle replays the identical recurrence in SQL.
+   * Exactly what a training-data pipeline needs when a score must
+   * reproduce byte-for-byte between runs. Long-overflow bound:
+   * per-vertex contribution sums are bounded by the total rank mass
+   * ~10^6·|V|, so 850000·sum stays inside Long for |V| well past
+   * 10^9; the DuckDB side sums in HUGEINT and casts back. */
+  def pagerankDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new org.apache.spark.HashPartitioner(8)
+    val adj = canonEdges(spark, sfDir)
+      .select(col("src").cast("long"), col("dst").cast("long")).rdd
+      .flatMap(r => Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .groupByKey(p).mapValues(_.toArray).persist()
+    adj.count()
+    var rank: org.apache.spark.rdd.RDD[(Long, Long)] =
+      adj.mapValues(_ => 1000000L).persist()
+    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    (1 to 10).foreach { _ =>
+      // stream the adjacency against a per-partition rank hash (the
+      // eigencentrality loop's shape) — integer contribution
+      // rank div deg from each sender, order-free integer sums
+      val next = adj.zipPartitions(rank) { (aIt, rIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        rIt.foreach(kv => m.put(kv._1, kv._2))
+        aIt.flatMap { case (u, nbrs) =>
+          val c = m.get(u) / nbrs.length
+          nbrs.iterator.map(n => (n, c))
+        }
+      }.reduceByKey(p, _ + _)
+        .mapValues(s => 150000L + (850000L * s) / 1000000L)
+        .persist()
+      next.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = rank
+      rank = next
+    }
+    if (prev != null) prev.unpersist(blocking = false)
+    val df = spark.createDataFrame(rank).toDF("vid", "rank").cache()
+    df.count()
+    rank.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
+    df.orderBy("vid")
+  }
+
   /** G8+G9 (rows-only): incremental IDWCC over the co-purchase graph
    * via the reference's bulk/stream split-and-replay driver loop.
    * Memoized so the invariant certificate shares the run. */
@@ -959,6 +1007,24 @@ object GraphQueries {
          |md AS (SELECT root, vid, min(d) AS d FROM bfs GROUP BY root, vid)
          |SELECT root, count(*) AS n_reached, CAST(max(d) AS BIGINT) AS ecc
          |FROM md GROUP BY root""".stripMargin,
+    // Deterministic integer PageRank: the oracle replays the exact
+    // micro-unit recurrence (// is DuckDB integer floor division —
+    // identical to Spark's div on these positive operands; sum()
+    // over BIGINT widens to HUGEINT, hence the final cast)
+    "g_pagerank_det" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (SELECT e.dst AS vid,
+           |  CAST(150000 + (850000 * sum(r.rank // e.deg)) // 1000000 AS BIGINT) AS rank
+           |  FROM e JOIN r${i - 1} r ON r.vid = e.src GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""$EdgeCte,
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |e AS (SELECT edges.src, edges.dst, deg.deg
+         |      FROM edges JOIN deg ON deg.src = edges.src),
+         |r0 AS (SELECT src AS vid, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         |$rounds
+         |SELECT vid, rank FROM r10""".stripMargin
+    },
     // Exact value oracle for the weighted SSSP fixpoint: unrolled
     // Bellman-Ford rounds (d_{k+1} = min(d_k, min over edges of
     // d_k[src] + len)). Every candidate distance is a left-folded
@@ -1160,6 +1226,7 @@ object GraphQueries {
     "g_wcc_initial_partition" -> wccInitialPartition _,
     "g_wcc_incremental" -> wccIncremental _,
     "g_pagerank" -> pagerank _,
+    "g_pagerank_det" -> pagerankDeterministic _,
     "g_csv_roundtrip" -> csvRoundtrip _,
     "g_bfs_hops" -> bfsHops _,
     "g_neighbor_jaccard" -> neighborJaccard _,
