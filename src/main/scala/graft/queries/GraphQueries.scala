@@ -247,11 +247,7 @@ object GraphQueries {
    * 10^9; the DuckDB side sums in HUGEINT and casts back. */
   def pagerankDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
     val p = new org.apache.spark.HashPartitioner(8)
-    val adj = canonEdges(spark, sfDir)
-      .select(col("src").cast("long"), col("dst").cast("long")).rdd
-      .flatMap(r => Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
-      .groupByKey(p).mapValues(_.toArray).persist()
-    adj.count()
+    val adj = adjArrays(spark, sfDir)
     var rank: org.apache.spark.rdd.RDD[(Long, Long)] =
       adj.mapValues(_ => 1000000L).persist()
     var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
@@ -278,7 +274,6 @@ object GraphQueries {
     val df = spark.createDataFrame(rank).toDF("vid", "rank").cache()
     df.count()
     rank.unpersist(blocking = false)
-    adj.unpersist(blocking = false)
     df.orderBy("vid")
   }
 
@@ -466,6 +461,105 @@ object GraphQueries {
       dist.count(), srcOk && agg.getLong(0) == 0L,
       agg.getLong(1) == 0L, tight.getLong(0) == 0L)))
       .toDF("n_reached", "closure_ok", "relaxed_ok", "support_ok")
+  }
+
+  /** Cached symmetric adjacency arrays under a small fixed
+   * partitioner — shared by the deterministic integer fixpoints
+   * (pagerank/eigen/label-propagation twins), which all stream it
+   * against a per-partition state hash. */
+  private def adjArrays(spark: SparkSession, sfDir: String)
+      : org.apache.spark.rdd.RDD[(Long, Array[Long])] =
+    memoize(spark, s"adjArrays:$sfDir") {
+      val p = new org.apache.spark.HashPartitioner(8)
+      val adj = canonEdges(spark, sfDir)
+        .select(col("src").cast("long"), col("dst").cast("long")).rdd
+        .flatMap(r => Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+        .groupByKey(p).mapValues(_.toArray).persist()
+      adj.count()
+      adj
+    }
+
+  /** Deterministic integer eigenvector centrality: the reproducible
+   * twin of g_eigencentrality. Shifted power iteration in micro
+   * units — s_v = x_v + Σ_{u∈N(v)} x_u, then max-normalize by
+   * x'_v = (s_v * 10^6) div max(s) — 12 rounds, all integer, so the
+   * scores are bit-identical across engines/partitionings and the
+   * oracle replays the identical recurrence. The argmax vertex
+   * lands on exactly 10^6 every round. Long bound: s_v * 10^6 needs
+   * deg(hub) below ~9·10^6 at these units; beyond that a 128-bit
+   * accumulator build would be required (DuckDB already sums in
+   * HUGEINT). */
+  def eigenCentralityDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new org.apache.spark.HashPartitioner(8)
+    val adj = adjArrays(spark, sfDir)
+    var x: org.apache.spark.rdd.RDD[(Long, Long)] =
+      adj.mapValues(_ => 1000000L).persist()
+    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    (1 to 12).foreach { _ =>
+      val sums = adj.zipPartitions(x) { (aIt, xIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        xIt.foreach(kv => m.put(kv._1, kv._2))
+        aIt.flatMap { case (u, nbrs) =>
+          val xu = m.get(u)
+          nbrs.iterator.map(n => (n, xu))
+        }
+      }.reduceByKey(p, _ + _)
+      val s = x.leftOuterJoin(sums, p)
+        .mapValues { case (own, nb) => own + nb.getOrElse(0L) }
+        .persist()
+      val mx = s.map(_._2).fold(1L)(math.max)
+      val next = s.mapValues(v => v * 1000000L / mx).persist()
+      next.count()
+      s.unpersist(blocking = false)
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = x
+      x = next
+    }
+    if (prev != null) prev.unpersist(blocking = false)
+    val df = spark.createDataFrame(x).toDF("vid", "score").cache()
+    df.count()
+    x.unpersist(blocking = false)
+    df.orderBy("vid")
+  }
+
+  /** Deterministic synchronous label propagation: the value-checked
+   * twin of g_label_propagation. 4 fixed rounds; each vertex adopts
+   * the most frequent neighbor label with ties broken by SMALLEST
+   * label — a total order, so unlike classic LPA (whose tie-break is
+   * implementation-defined map-iteration order) the result is exact
+   * and the oracle replays it with a row_number window. */
+  def labelPropagationDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new org.apache.spark.HashPartitioner(8)
+    val adj = adjArrays(spark, sfDir)
+    var lab: org.apache.spark.rdd.RDD[(Long, Long)] =
+      adj.mapPartitions(_.map { case (v, _) => (v, v) }, preservesPartitioning = true)
+        .persist()
+    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    (1 to 4).foreach { _ =>
+      val counts = adj.zipPartitions(lab) { (aIt, lIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        lIt.foreach(kv => m.put(kv._1, kv._2))
+        aIt.flatMap { case (u, nbrs) =>
+          val lu = m.get(u)
+          nbrs.iterator.map(n => ((n, lu), 1L))
+        }
+      }.reduceByKey(_ + _)
+      val next = counts
+        .map { case ((v, l), c) => (v, (c, l)) }
+        .reduceByKey(p, (a, b) =>
+          if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+        .mapValues(_._2)
+        .persist()
+      next.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = lab
+      lab = next
+    }
+    if (prev != null) prev.unpersist(blocking = false)
+    val df = spark.createDataFrame(lab).toDF("vid", "label").cache()
+    df.count()
+    lab.unpersist(blocking = false)
+    df.orderBy("vid")
   }
 
   /** PageRank mass certificate: GraphX staticPageRank distributes a
@@ -1025,6 +1119,44 @@ object GraphQueries {
          |$rounds
          |SELECT vid, rank FROM r10""".stripMargin
     },
+    // Deterministic integer eigenvector centrality: exact replay of
+    // the shifted power iteration with integer max-normalization
+    "g_eigencentrality_det" -> {
+      // every CTE in the chain is referenced exactly ONCE — a round
+      // that touches its predecessor twice doubles the inlined plan
+      // per round (2^12 scans blew DuckDB's file handles); the A+I
+      // self term therefore rides a self-loop edge set defined once
+      val rounds = (1 to 12).map { i =>
+        s"""s$i AS (SELECT e.dst AS vid, sum(x.x) AS s
+           |  FROM eself e JOIN x${i - 1} x ON x.vid = e.src GROUP BY e.dst),
+           |x$i AS (SELECT vid,
+           |  CAST((s * 1000000) // (max(s) OVER ()) AS BIGINT) AS x
+           |  FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""$EdgeCte,
+         |eself AS (SELECT src, dst FROM edges
+         |          UNION ALL SELECT DISTINCT src, src AS dst FROM edges),
+         |x0 AS (SELECT DISTINCT src AS vid, CAST(1000000 AS BIGINT) AS x FROM edges),
+         |$rounds
+         |SELECT vid, x AS score FROM x12""".stripMargin
+    },
+    // Deterministic label propagation: most frequent neighbor label,
+    // smallest label on ties — a total order the window replays
+    "g_label_propagation_det" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS (SELECT e.dst AS vid, l.label, count(*) AS c
+           |  FROM edges e JOIN l${i - 1} l ON l.vid = e.src
+           |  GROUP BY e.dst, l.label),
+           |l$i AS (SELECT vid, label FROM (
+           |  SELECT vid, label,
+           |    row_number() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn
+           |  FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$EdgeCte,
+         |l0 AS (SELECT DISTINCT src AS vid, src AS label FROM edges),
+         |$rounds
+         |SELECT vid, label FROM l4""".stripMargin
+    },
     // Exact value oracle for the weighted SSSP fixpoint: unrolled
     // Bellman-Ford rounds (d_{k+1} = min(d_k, min over edges of
     // d_k[src] + len)). Every candidate distance is a left-folded
@@ -1227,6 +1359,8 @@ object GraphQueries {
     "g_wcc_incremental" -> wccIncremental _,
     "g_pagerank" -> pagerank _,
     "g_pagerank_det" -> pagerankDeterministic _,
+    "g_eigencentrality_det" -> eigenCentralityDeterministic _,
+    "g_label_propagation_det" -> labelPropagationDeterministic _,
     "g_csv_roundtrip" -> csvRoundtrip _,
     "g_bfs_hops" -> bfsHops _,
     "g_neighbor_jaccard" -> neighborJaccard _,

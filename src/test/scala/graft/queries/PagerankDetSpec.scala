@@ -35,4 +35,43 @@ class PagerankDetSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(again === got)
   }
+
+  private def adjOf(edges: Array[(Long, Long)]): Map[Long, Seq[Long]] =
+    edges.groupBy(_._1).map { case (v, es) => (v, es.map(_._2).toSeq) }
+
+  test("deterministic eigencentrality equals the sequential recurrence bit-for-bit") {
+    val got = GraphQueries.eigenCentralityDeterministic(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = GraphQueries.symmetrizedEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = adjOf(edges)
+    var x: Map[Long, Long] = adj.map { case (v, _) => (v, 1000000L) }
+    (1 to 12).foreach { _ =>
+      val s = adj.map { case (v, ns) => (v, x(v) + ns.map(x).sum) }
+      val mx = s.values.max
+      x = s.map { case (v, sv) => (v, sv * 1000000L / mx) }
+    }
+    assert(got === x)
+    // the argmax vertex sits at exactly one million
+    assert(got.values.max === 1000000L)
+  }
+
+  test("deterministic label propagation equals the sequential recurrence") {
+    val got = GraphQueries.labelPropagationDeterministic(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = GraphQueries.symmetrizedEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = adjOf(edges)
+    var lab: Map[Long, Long] = adj.map { case (v, _) => (v, v) }
+    (1 to 4).foreach { _ =>
+      lab = adj.map { case (v, ns) =>
+        val byLabel = ns.map(lab).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        // most frequent, smallest label on ties — the total order
+        val best = byLabel.toSeq.minBy { case (l, c) => (-c, l) }._1
+        (v, best)
+      }
+    }
+    assert(got === lab)
+  }
 }
