@@ -169,6 +169,43 @@ object Graft {
       maxHops: Int = 10): DataFrame =
     graft.graph.GraphAlgs.multiSourceBfsDF(graph, sources, maxHops)
 
+  // ---- deterministic integer fixpoints -----------------------------
+  // Bit-identical across engines, partitionings, and runs (order-free
+  // integer arithmetic / total-order tie-breaks) — for pipelines that
+  // must regenerate identical score artifacts. Each builds, uses, and
+  // releases its adjacency; hold adjacencyArrays yourself to amortize.
+
+  private def detDF(spark: SparkSession, canonicalEdges: DataFrame,
+      out: String)(f: org.apache.spark.rdd.RDD[(Long, Array[Long])] =>
+        org.apache.spark.rdd.RDD[(Long, Long)]): DataFrame = {
+    val adj = graft.graph.GraphAlgs.adjacencyArrays(canonicalEdges).persist()
+    adj.count()
+    val r = f(adj)
+    val df = spark.createDataFrame(r).toDF("vid", out).cache()
+    df.count()
+    r.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
+    df
+  }
+
+  /** Deterministic fixed-point PageRank (integer micro-units). */
+  def pagerankDeterministic(spark: SparkSession, canonicalEdges: DataFrame,
+      rounds: Int = 10): DataFrame =
+    detDF(spark, canonicalEdges, "rank")(
+      graft.graph.GraphAlgs.pagerankDetRDD(_, rounds))
+
+  /** Deterministic integer eigenvector centrality (argmax = 10^6). */
+  def eigenCentralityDeterministic(spark: SparkSession, canonicalEdges: DataFrame,
+      rounds: Int = 12): DataFrame =
+    detDF(spark, canonicalEdges, "score")(
+      graft.graph.GraphAlgs.eigenCentralityDetRDD(_, rounds))
+
+  /** Deterministic label propagation (smallest-label tie-break). */
+  def labelPropagationDeterministic(spark: SparkSession, canonicalEdges: DataFrame,
+      rounds: Int = 4): DataFrame =
+    detDF(spark, canonicalEdges, "label")(
+      graft.graph.GraphAlgs.labelPropagationDetRDD(_, rounds))
+
   // ---- data mixing / selection -------------------------------------
 
   /** DSIR-style importance-resampling weights toward a target

@@ -594,6 +594,120 @@ object GraphAlgs {
     df
   }
 
+  /** Symmetric adjacency arrays from a canonical edge DataFrame
+   * under a small fixed partitioner — the shared input of the
+   * deterministic integer fixpoints below, which all stream it
+   * against a per-partition state hash. */
+  def adjacencyArrays(canonical: DataFrame, partitions: Int = 8)
+      : org.apache.spark.rdd.RDD[(Long, Array[Long])] = {
+    val p = new org.apache.spark.HashPartitioner(partitions)
+    canonical
+      .select(col("src").cast("long"), col("dst").cast("long")).rdd
+      .flatMap(r => Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .groupByKey(p).mapValues(_.toArray)
+  }
+
+  /** Deterministic fixed-point PageRank in integer micro-units:
+   * rank_0 = 10^6; rank' = 150000 + (850000 * Σ rank div deg) div
+   * 10^6. Integer sums are order-free, so the scores are
+   * BIT-IDENTICAL across engines, partitionings, and runs — the
+   * reproducibility contract a training pipeline needs when a score
+   * must regenerate byte-for-byte. The adjacency must be partitioned
+   * (as [[adjacencyArrays]] returns) and persisted by the caller. */
+  def pagerankDetRDD(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      rounds: Int = 10): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val p = adj.partitioner.get
+    var rank: org.apache.spark.rdd.RDD[(Long, Long)] =
+      adj.mapValues(_ => 1000000L).persist()
+    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    (1 to rounds).foreach { _ =>
+      val next = adj.zipPartitions(rank) { (aIt, rIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        rIt.foreach(kv => m.put(kv._1, kv._2))
+        aIt.flatMap { case (u, nbrs) =>
+          val c = m.get(u) / nbrs.length
+          nbrs.iterator.map(n => (n, c))
+        }
+      }.reduceByKey(p, _ + _)
+        .mapValues(s => 150000L + (850000L * s) / 1000000L)
+        .persist()
+      next.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = rank
+      rank = next
+    }
+    if (prev != null) prev.unpersist(blocking = false)
+    rank
+  }
+
+  /** Deterministic integer eigenvector centrality: shifted power
+   * iteration s = x + Σ_nbr x with integer max-normalization
+   * x' = (s * 10^6) div max(s) — same bit-identical contract as
+   * [[pagerankDetRDD]]; the argmax vertex sits at exactly 10^6. */
+  def eigenCentralityDetRDD(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      rounds: Int = 12): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val p = adj.partitioner.get
+    var x: org.apache.spark.rdd.RDD[(Long, Long)] =
+      adj.mapValues(_ => 1000000L).persist()
+    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    (1 to rounds).foreach { _ =>
+      val sums = adj.zipPartitions(x) { (aIt, xIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        xIt.foreach(kv => m.put(kv._1, kv._2))
+        aIt.flatMap { case (u, nbrs) =>
+          val xu = m.get(u)
+          nbrs.iterator.map(n => (n, xu))
+        }
+      }.reduceByKey(p, _ + _)
+      val s = x.leftOuterJoin(sums, p)
+        .mapValues { case (own, nb) => own + nb.getOrElse(0L) }
+        .persist()
+      val mx = s.map(_._2).fold(1L)(math.max)
+      val next = s.mapValues(v => v * 1000000L / mx).persist()
+      next.count()
+      s.unpersist(blocking = false)
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = x
+      x = next
+    }
+    if (prev != null) prev.unpersist(blocking = false)
+    x
+  }
+
+  /** Deterministic synchronous label propagation: each vertex adopts
+   * the most frequent neighbor label, ties broken by SMALLEST label
+   * — a total order, so unlike classic LPA (implementation-defined
+   * tie-breaks) the result is exact and SQL-replayable. */
+  def labelPropagationDetRDD(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      rounds: Int = 4): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val p = adj.partitioner.get
+    var lab: org.apache.spark.rdd.RDD[(Long, Long)] =
+      adj.mapPartitions(_.map { case (v, _) => (v, v) }, preservesPartitioning = true)
+        .persist()
+    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    (1 to rounds).foreach { _ =>
+      val next = adj.zipPartitions(lab) { (aIt, lIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        lIt.foreach(kv => m.put(kv._1, kv._2))
+        aIt.flatMap { case (u, nbrs) =>
+          val lu = m.get(u)
+          nbrs.iterator.map(n => ((n, lu), 1L))
+        }
+      }.reduceByKey(_ + _)
+        .map { case ((v, l), c) => (v, (c, l)) }
+        .reduceByKey(p, (a, b) =>
+          if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+        .mapValues(_._2)
+        .persist()
+      next.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = lab
+      lab = next
+    }
+    if (prev != null) prev.unpersist(blocking = false)
+    lab
+  }
+
   def neighborJaccard(canonical: DataFrame, symmetrized: DataFrame): DataFrame =
     neighborJaccardFromAdj(canonical,
       symmetrized.groupBy(col("src").as("vid"))

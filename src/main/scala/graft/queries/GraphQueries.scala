@@ -246,31 +246,7 @@ object GraphQueries {
    * ~10^6·|V|, so 850000·sum stays inside Long for |V| well past
    * 10^9; the DuckDB side sums in HUGEINT and casts back. */
   def pagerankDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = new org.apache.spark.HashPartitioner(8)
-    val adj = adjArrays(spark, sfDir)
-    var rank: org.apache.spark.rdd.RDD[(Long, Long)] =
-      adj.mapValues(_ => 1000000L).persist()
-    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
-    (1 to 10).foreach { _ =>
-      // stream the adjacency against a per-partition rank hash (the
-      // eigencentrality loop's shape) — integer contribution
-      // rank div deg from each sender, order-free integer sums
-      val next = adj.zipPartitions(rank) { (aIt, rIt) =>
-        val m = new java.util.HashMap[Long, Long]()
-        rIt.foreach(kv => m.put(kv._1, kv._2))
-        aIt.flatMap { case (u, nbrs) =>
-          val c = m.get(u) / nbrs.length
-          nbrs.iterator.map(n => (n, c))
-        }
-      }.reduceByKey(p, _ + _)
-        .mapValues(s => 150000L + (850000L * s) / 1000000L)
-        .persist()
-      next.count()
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = rank
-      rank = next
-    }
-    if (prev != null) prev.unpersist(blocking = false)
+    val rank = graft.graph.GraphAlgs.pagerankDetRDD(adjArrays(spark, sfDir))
     val df = spark.createDataFrame(rank).toDF("vid", "rank").cache()
     df.count()
     rank.unpersist(blocking = false)
@@ -470,11 +446,8 @@ object GraphQueries {
   private def adjArrays(spark: SparkSession, sfDir: String)
       : org.apache.spark.rdd.RDD[(Long, Array[Long])] =
     memoize(spark, s"adjArrays:$sfDir") {
-      val p = new org.apache.spark.HashPartitioner(8)
-      val adj = canonEdges(spark, sfDir)
-        .select(col("src").cast("long"), col("dst").cast("long")).rdd
-        .flatMap(r => Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
-        .groupByKey(p).mapValues(_.toArray).persist()
+      val adj = graft.graph.GraphAlgs
+        .adjacencyArrays(canonEdges(spark, sfDir)).persist()
       adj.count()
       adj
     }
@@ -490,32 +463,7 @@ object GraphQueries {
    * accumulator build would be required (DuckDB already sums in
    * HUGEINT). */
   def eigenCentralityDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = new org.apache.spark.HashPartitioner(8)
-    val adj = adjArrays(spark, sfDir)
-    var x: org.apache.spark.rdd.RDD[(Long, Long)] =
-      adj.mapValues(_ => 1000000L).persist()
-    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
-    (1 to 12).foreach { _ =>
-      val sums = adj.zipPartitions(x) { (aIt, xIt) =>
-        val m = new java.util.HashMap[Long, Long]()
-        xIt.foreach(kv => m.put(kv._1, kv._2))
-        aIt.flatMap { case (u, nbrs) =>
-          val xu = m.get(u)
-          nbrs.iterator.map(n => (n, xu))
-        }
-      }.reduceByKey(p, _ + _)
-      val s = x.leftOuterJoin(sums, p)
-        .mapValues { case (own, nb) => own + nb.getOrElse(0L) }
-        .persist()
-      val mx = s.map(_._2).fold(1L)(math.max)
-      val next = s.mapValues(v => v * 1000000L / mx).persist()
-      next.count()
-      s.unpersist(blocking = false)
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = x
-      x = next
-    }
-    if (prev != null) prev.unpersist(blocking = false)
+    val x = graft.graph.GraphAlgs.eigenCentralityDetRDD(adjArrays(spark, sfDir))
     val df = spark.createDataFrame(x).toDF("vid", "score").cache()
     df.count()
     x.unpersist(blocking = false)
@@ -529,33 +477,7 @@ object GraphQueries {
    * implementation-defined map-iteration order) the result is exact
    * and the oracle replays it with a row_number window. */
   def labelPropagationDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = new org.apache.spark.HashPartitioner(8)
-    val adj = adjArrays(spark, sfDir)
-    var lab: org.apache.spark.rdd.RDD[(Long, Long)] =
-      adj.mapPartitions(_.map { case (v, _) => (v, v) }, preservesPartitioning = true)
-        .persist()
-    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
-    (1 to 4).foreach { _ =>
-      val counts = adj.zipPartitions(lab) { (aIt, lIt) =>
-        val m = new java.util.HashMap[Long, Long]()
-        lIt.foreach(kv => m.put(kv._1, kv._2))
-        aIt.flatMap { case (u, nbrs) =>
-          val lu = m.get(u)
-          nbrs.iterator.map(n => ((n, lu), 1L))
-        }
-      }.reduceByKey(_ + _)
-      val next = counts
-        .map { case ((v, l), c) => (v, (c, l)) }
-        .reduceByKey(p, (a, b) =>
-          if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
-        .mapValues(_._2)
-        .persist()
-      next.count()
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = lab
-      lab = next
-    }
-    if (prev != null) prev.unpersist(blocking = false)
+    val lab = graft.graph.GraphAlgs.labelPropagationDetRDD(adjArrays(spark, sfDir))
     val df = spark.createDataFrame(lab).toDF("vid", "label").cache()
     df.count()
     lab.unpersist(blocking = false)
