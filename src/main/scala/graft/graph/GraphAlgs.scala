@@ -594,15 +594,20 @@ object GraphAlgs {
     df
   }
 
-  /** Symmetric adjacency arrays from a canonical edge DataFrame
-   * under a small fixed partitioner — the shared input of the
-   * deterministic integer fixpoints below, which all stream it
-   * against a per-partition state hash. */
-  def adjacencyArrays(canonical: DataFrame, partitions: Int = 8)
+  /** Symmetric adjacency arrays from a canonical edge DataFrame —
+   * the shared input of the deterministic integer fixpoints below,
+   * which all stream it against a per-partition state hash.
+   * `partitions <= 0` sizes the partitioner from the input RDD
+   * (its own parallelism, floored at 8) so the build scales with
+   * the data while small loop states avoid empty-task overhead. */
+  def adjacencyArrays(canonical: DataFrame, partitions: Int = 0)
       : org.apache.spark.rdd.RDD[(Long, Array[Long])] = {
-    val p = new org.apache.spark.HashPartitioner(partitions)
-    canonical
+    val rows = canonical
       .select(col("src").cast("long"), col("dst").cast("long")).rdd
+    val n = if (partitions > 0) partitions
+      else math.max(8, rows.getNumPartitions / 4)
+    val p = new org.apache.spark.HashPartitioner(n)
+    rows
       .flatMap(r => Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
       .groupByKey(p).mapValues(_.toArray)
   }
