@@ -113,16 +113,31 @@ object Graft {
 
   // ---- similarity search -------------------------------------------
 
-  def annBruteForce(embeddings: DataFrame, k: Int = 5): DataFrame =
-    Similarity.bruteForceTopK(embeddings, k)
+  /** Exact cosine top-k ground truth. Unbounded by default; pass
+   * `maxQueryId` at scale to keep the scan O(|sample| * n). */
+  def annBruteForce(embeddings: DataFrame, k: Int = 5,
+      maxQueryId: Long = Long.MaxValue): DataFrame =
+    Similarity.bruteForceTopK(embeddings, k, maxQueryId = maxQueryId)
   def annIvf(embeddings: DataFrame, k: Int = 5): DataFrame =
     Similarity.ivfKmeansTopK(embeddings, k)
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
-    Similarity.nearDupPairs(embeddings, threshold)
 
-  /** Recall@k of the LSH / IVF paths against brute-force truth. */
-  def annRecall(embeddings: DataFrame, k: Int = 5): DataFrame =
-    Similarity.annRecall(embeddings, k)
+  /** Near-duplicate pairs above a cosine threshold. APPROXIMATE by
+   * default: banded-LSH candidate generation (band-key width derived
+   * from the corpus count) followed by an exact cosine re-rank —
+   * pairs above the threshold that collide on no band are missed,
+   * so recall < 1 near the threshold. Pass `exact = true` for the
+   * exhaustive all-pairs scan (recall 1, quadratic — small corpora
+   * only). */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double,
+      exact: Boolean = false): DataFrame =
+    Similarity.nearDupPairs(embeddings, threshold, exact = exact)
+
+  /** Recall@k of the LSH / IVF paths against brute-force truth.
+   * Unbounded by default; pass `maxQueryId` at scale to bound the
+   * brute-force ground-truth leg. */
+  def annRecall(embeddings: DataFrame, k: Int = 5,
+      maxQueryId: Long = Long.MaxValue): DataFrame =
+    Similarity.annRecall(embeddings, k, maxQueryId)
 
   // ---- text / multimodal -------------------------------------------
 

@@ -612,13 +612,34 @@ object GraphAlgs {
       .groupByKey(p).mapValues(_.toArray)
   }
 
+  /** Exact floor(a * b / d) for non-negative operands, safe for any
+   * 128-bit intermediate product: the fast path is the plain 64-bit
+   * `a * b / d` whenever the product provably fits (identical
+   * bits to the historical formula), and the overflow path computes
+   * the same mathematical value through BigInteger instead of
+   * silently wrapping. Keeps the deterministic fixpoints'
+   * bit-reproducibility contract intact at hub degrees / vertex
+   * counts where a raw 64-bit multiply would go negative. */
+  private[graft] def mulDiv(a: Long, b: Long, d: Long): Long = {
+    val lo = a * b
+    if (Math.multiplyHigh(a, b) == 0L && lo >= 0L) lo / d
+    else java.math.BigInteger.valueOf(a)
+      .multiply(java.math.BigInteger.valueOf(b))
+      .divide(java.math.BigInteger.valueOf(d))
+      .longValueExact()
+  }
+
   /** Deterministic fixed-point PageRank in integer micro-units:
    * rank_0 = 10^6; rank' = 150000 + (850000 * Σ rank div deg) div
    * 10^6. Integer sums are order-free, so the scores are
    * BIT-IDENTICAL across engines, partitionings, and runs — the
    * reproducibility contract a training pipeline needs when a score
    * must regenerate byte-for-byte. The adjacency must be partitioned
-   * (as [[adjacencyArrays]] returns) and persisted by the caller. */
+   * (as [[adjacencyArrays]] returns) and persisted by the caller.
+   * Overflow-safe: the 850000 * Σ product routes through [[mulDiv]]
+   * (exact at any Σ a Long can hold) and the contribution sum
+   * itself adds via Math.addExact, so mass concentration beyond
+   * Long range fails loud instead of silently corrupting scores. */
   def pagerankDetRDD(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
       rounds: Int = 10): org.apache.spark.rdd.RDD[(Long, Long)] = {
     val p = adj.partitioner.get
@@ -633,8 +654,8 @@ object GraphAlgs {
           val c = m.get(u) / nbrs.length
           nbrs.iterator.map(n => (n, c))
         }
-      }.reduceByKey(p, _ + _)
-        .mapValues(s => 150000L + (850000L * s) / 1000000L)
+      }.reduceByKey(p, Math.addExact(_, _))
+        .mapValues(s => 150000L + mulDiv(s, 850000L, 1000000L))
         .persist()
       next.count()
       if (prev != null) prev.unpersist(blocking = false)
@@ -648,7 +669,11 @@ object GraphAlgs {
   /** Deterministic integer eigenvector centrality: shifted power
    * iteration s = x + Σ_nbr x with integer max-normalization
    * x' = (s * 10^6) div max(s) — same bit-identical contract as
-   * [[pagerankDetRDD]]; the argmax vertex sits at exactly 10^6. */
+   * [[pagerankDetRDD]]; the argmax vertex sits at exactly 10^6.
+   * Overflow-safe: the s * 10^6 normalization routes through
+   * [[mulDiv]] (exact for any s — with a raw 64-bit multiply a hub
+   * of degree ~9.2e6 would already wrap) and the neighbor sums add
+   * via Math.addExact, failing loud past Long range. */
   def eigenCentralityDetRDD(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
       rounds: Int = 12): org.apache.spark.rdd.RDD[(Long, Long)] = {
     val p = adj.partitioner.get
@@ -663,12 +688,12 @@ object GraphAlgs {
           val xu = m.get(u)
           nbrs.iterator.map(n => (n, xu))
         }
-      }.reduceByKey(p, _ + _)
+      }.reduceByKey(p, Math.addExact(_, _))
       val s = x.leftOuterJoin(sums, p)
-        .mapValues { case (own, nb) => own + nb.getOrElse(0L) }
+        .mapValues { case (own, nb) => Math.addExact(own, nb.getOrElse(0L)) }
         .persist()
       val mx = s.map(_._2).fold(1L)(math.max)
-      val next = s.mapValues(v => v * 1000000L / mx).persist()
+      val next = s.mapValues(v => mulDiv(v, 1000000L, mx)).persist()
       next.count()
       s.unpersist(blocking = false)
       if (prev != null) prev.unpersist(blocking = false)

@@ -48,14 +48,16 @@ object Similarity {
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  /** Exact top-k neighbors for a FIXED absolute query sample:
-   * vec_id % queryMod == 0 and vec_id < maxQueryId (64 queries at
-   * the defaults once ids are dense). The absolute cap is what makes
-   * this ground-truth scan O(|sample| * n) at any corpus size —
-   * a pure modulo sample would grow the query side linearly with
-   * the corpus and turn the broadcast into a second big table. */
+  /** Exact top-k neighbors for the modulo query sample, optionally
+   * capped to vec_id < maxQueryId. The library default is UNBOUNDED
+   * (every queryMod-th vector is a query) so the public surface never
+   * silently drops queries; at cluster scale callers should pass an
+   * absolute cap, which is what keeps this ground-truth scan
+   * O(|sample| * n) at any corpus size — a pure modulo sample grows
+   * the query side linearly with the corpus and turns the broadcast
+   * into a second big table. The benchmark queries pass 640. */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10,
-      maxQueryId: Long = 640L): DataFrame = {
+      maxQueryId: Long = Long.MaxValue): DataFrame = {
     val e = emb(embeddings)
     val q = e.where(col("vec_id") % queryMod === 0 && col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -173,7 +175,7 @@ object Similarity {
    * merge-scan `intersect_count` over sorted arrays; recalls are
    * exact k-ths so every value is bit-deterministic. */
   def annRecall(embeddings: DataFrame, k: Int = 5,
-      maxQueryId: Long = 640L): DataFrame = {
+      maxQueryId: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.graft.GraftExpressions.intersectCount
     def tops(df: DataFrame, name: String) =
       df.groupBy("query_id")
@@ -198,21 +200,33 @@ object Similarity {
           .cast("double") / size(col("bf"))).as("recall_ivf"))
   }
 
-  /** Embedding near-duplicate pairs above a cosine threshold, with
-   * LSH-banded candidate generation: each vector gets a `bits`-bit
-   * sign signature under the fixed hyperplanes, split into `bands`
-   * bands; only pairs that collide on at least one full band are
-   * scored with the exact cosine re-rank. Candidates come from a
-   * bucket equi-join on (band, key) — never an all-pairs product —
-   * so the candidate volume is sub-quadratic for clustered (real)
-   * embedding corpora and tunable via bits/bands at scale: more
-   * bits per band prunes harder, more bands raises recall. The
-   * DuckDB oracle replays the identical signature via the
-   * `lshPlaneSqlLiterals` constants, so the banded predicate is part
-   * of the checked semantics, not a hidden approximation. */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double,
-      bits: Int = 16, dims: Int = 64, bands: Int = 4): DataFrame = {
-    val bandBits = bits / bands
+  /** Band-key width (in sign bits) derived from the corpus size:
+   * ceil(log2 n) clamped to [8, 16], i.e. roughly one bucket per
+   * vector and per band. This is what keeps the banded candidate
+   * equi-join sub-quadratic as the corpus grows — with a FIXED key
+   * width w, uniform data still piles ~n/2^w vectors into each
+   * bucket and the join degenerates toward O(n^2) through a
+   * perfectly shaped equi-join. Deriving w from n holds expected
+   * bucket occupancy at O(1); the [8, 16] clamp bounds the
+   * signature-build cost (bands * w hyperplane projections per
+   * vector) and the minimum pruning power. */
+  def deriveBandBits(corpusSize: Long): Int = {
+    val raw =
+      if (corpusSize <= 2L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(corpusSize - 1)
+    math.min(16, math.max(8, raw))
+  }
+
+  /** The banded-LSH candidate stage of [[nearDupPairs]], exposed so
+   * the candidate volume itself is testable: each vector gets a
+   * (bands * bandBits)-bit sign signature under the fixed
+   * hyperplanes; a pair is a candidate iff it collides on at least
+   * one full band. Candidates come from a bucket equi-join on
+   * (band, key) — never an all-pairs product. Returns one row per
+   * distinct candidate pair with both vectors and norms attached. */
+  def nearDupCandidates(embeddings: DataFrame, bands: Int, bandBits: Int,
+      dims: Int = 64): DataFrame = {
+    val bits = bands * bandBits
     val e = emb(embeddings).withColumn("sig", lshBucket(col("v"), bits, dims))
     val banded = e.select(col("vec_id"), col("v"), col("nrm"),
         posexplode(array((0 until bands).map(i =>
@@ -225,10 +239,46 @@ object Similarity {
       col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("band", "bkey"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("na"), col("vb"), col("nb"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold.
+   *
+   * APPROXIMATE by default: candidates are banded-LSH collisions
+   * (see [[nearDupCandidates]]) scored with an exact cosine
+   * re-rank, so pairs above the threshold that collide on no band
+   * are missed — recall < 1, tunable via bands (more bands = more
+   * recall, more candidate volume). The band-key width defaults to
+   * [[deriveBandBits]] of the corpus count, keeping the candidate
+   * join sub-quadratic at any scale; pass `bandBits` explicitly to
+   * pin the signature (the oracle-checked benchmark entry does, so
+   * its replayed literals stay in sync). The DuckDB oracle replays
+   * the identical signature via the `lshPlaneSqlLiterals`
+   * constants, so the banded predicate is part of the checked
+   * semantics, not a hidden approximation.
+   *
+   * Pass `exact = true` for the exhaustive all-pairs scan (recall
+   * 1) — a cartesian product, viable only on small corpora. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double,
+      bands: Int = 16, bandBits: Int = 0, dims: Int = 64,
+      exact: Boolean = false): DataFrame = {
+    val cand =
+      if (exact) {
+        val e = emb(embeddings)
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb"))
+        a.join(b, col("id_a") < col("id_b"))
+      } else {
+        val bb = if (bandBits > 0) bandBits else deriveBandBits(embeddings.count())
+        nearDupCandidates(embeddings, bands, bb, dims)
+      }
+    cand
       .select(col("id_a"), col("id_b"),
         TextOps.rnd(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("cos"))
       .where(col("cos") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Symmetric per-vector int8 quantization — the storage/bandwidth

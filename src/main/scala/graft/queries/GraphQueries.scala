@@ -241,10 +241,14 @@ object GraphQueries {
    * result is BIT-IDENTICAL across engines, partitionings, and
    * runs, and the oracle replays the identical recurrence in SQL.
    * Exactly what a training-data pipeline needs when a score must
-   * reproduce byte-for-byte between runs. Long-overflow bound:
-   * per-vertex contribution sums are bounded by the total rank mass
-   * ~10^6·|V|, so 850000·sum stays inside Long for |V| well past
-   * 10^9; the DuckDB side sums in HUGEINT and casts back. */
+   * reproduce byte-for-byte between runs. Overflow: a vertex's
+   * contribution sum is bounded only by the total rank mass
+   * ~10^6·|V| (worst-case concentration onto one hub), so the
+   * 850000·sum product runs through GraphAlgs.mulDiv — exact for
+   * any sum a Long can hold, which moves the safe bound from
+   * |V|~10^7 (raw 64-bit multiply) to |V|~9·10^12; past that the
+   * sums themselves addExact-throw rather than corrupt. The DuckDB
+   * side sums in HUGEINT and casts back. */
   def pagerankDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
     val rank = graft.graph.GraphAlgs.pagerankDetRDD(adjArrays(spark, sfDir))
     val df = spark.createDataFrame(rank).toDF("vid", "rank").cache()
@@ -458,10 +462,11 @@ object GraphQueries {
    * x'_v = (s_v * 10^6) div max(s) — 12 rounds, all integer, so the
    * scores are bit-identical across engines/partitionings and the
    * oracle replays the identical recurrence. The argmax vertex
-   * lands on exactly 10^6 every round. Long bound: s_v * 10^6 needs
-   * deg(hub) below ~9·10^6 at these units; beyond that a 128-bit
-   * accumulator build would be required (DuckDB already sums in
-   * HUGEINT). */
+   * lands on exactly 10^6 every round. Overflow: the s_v * 10^6
+   * normalization runs through GraphAlgs.mulDiv (128-bit exact), so
+   * hub degree is no longer capped at ~9·10^6 by the raw multiply;
+   * sums past Long range addExact-throw rather than corrupt (DuckDB
+   * already sums in HUGEINT). */
   def eigenCentralityDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
     val x = graft.graph.GraphAlgs.eigenCentralityDetRDD(adjArrays(spark, sfDir))
     val df = spark.createDataFrame(x).toDF("vid", "score").cache()
@@ -727,9 +732,13 @@ object GraphQueries {
   def connectedComponentsTwoPhase(spark: SparkSession, sfDir: String): DataFrame =
     memoize(spark, s"cc2:$sfDir") {
       val r = graft.graph.GraphAlgs.connectedComponentsTwoPhase(backboneEdges(spark, sfDir))
-      if (!r.converged)
+      if (!r.converged) {
+        // free the cached (and possibly wrong) labels before failing
+        // — otherwise they leak in the block manager with no handle
+        r.release()
         throw new IllegalStateException(
           s"two-phase CC: no fixpoint within ${r.rounds} rounds")
+      }
       r.labels
     }.orderBy("vid")
 

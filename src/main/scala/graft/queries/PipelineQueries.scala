@@ -298,8 +298,12 @@ object PipelineQueries {
     "p_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash(docs(s, d)), Dedup.consecutivePairs(docs(s, d)))
         .orderBy("doc_a")),
+    // the 640 cap is passed EXPLICITLY here (the library default is
+    // unbounded): it bounds the ground-truth scan at O(64 * n) for
+    // any corpus size, and the oracle hardcodes the same literal
     "p_ann_bruteforce" -> ((s, d) =>
-      Similarity.bruteForceTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
+      Similarity.bruteForceTopK(embs(s, d), maxQueryId = 640L)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")),
     "p_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
@@ -331,10 +335,14 @@ object PipelineQueries {
         expr("bool_and(mono = 1)").as("monotone_ok"),
         expr("bool_and(selfhit = 0)").as("no_self_ok"))
     }),
+    // band-key width pinned to deriveBandBits(500) = 9 — the sf0.01
+    // corpus count the driver verifies at — so the static oracle's
+    // inlined plane literals replay the identical signature
     "p_embed_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(embs(s, d), NearDupThreshold).orderBy("id_a", "id_b")),
+      Similarity.nearDupPairs(embs(s, d), NearDupThreshold,
+        bands = NearDupBands, bandBits = NearDupBandBits).orderBy("id_a", "id_b")),
     "p_ann_recall" -> ((s, d) =>
-      Similarity.annRecall(embs(s, d)).orderBy("query_id")),
+      Similarity.annRecall(embs(s, d), maxQueryId = 640L).orderBy("query_id")),
     // per-label centroid components (the IVF cell-center / k-means
     // support aggregation): posexplode to (label, dim) then a plain
     // partial-aggregated mean — element-wise array aggregation
@@ -439,10 +447,21 @@ object PipelineQueries {
     .map(arr => s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END")
     .mkString("concat(", ",\n    ", ")")
 
-  /** 16-plane sign signature for the banded near-dup candidate join —
-   * the same fixed-hyperplane constants `Similarity.nearDupPairs`
-   * evaluates, emitted in shortest-round-trip decimal form. */
-  private val NearDupSigSql = Similarity.lshPlaneSqlLiterals(16, 64)
+  /** Banded near-dup signature parameters: 16 bands of
+   * deriveBandBits(500) = 9-bit keys (500 is the sf0.01 embeddings
+   * count the driver's oracle runs against — ~one bucket per vector
+   * per band, the sub-quadratic operating point). The Spark query
+   * pins the same width explicitly so the 144 inlined plane
+   * literals below replay the identical signature. */
+  private val NearDupBands = 16
+  private val NearDupBandBits = Similarity.deriveBandBits(500L)
+
+  /** 144-plane sign signature for the banded near-dup candidate
+   * join — the same fixed-hyperplane constants
+   * `Similarity.nearDupPairs` evaluates, emitted in
+   * shortest-round-trip decimal form. */
+  private val NearDupSigSql =
+    Similarity.lshPlaneSqlLiterals(NearDupBands * NearDupBandBits, 64)
     .map(arr => s"CASE WHEN list_dot_product(v, $arr) >= 0 THEN '1' ELSE '0' END")
     .mkString("concat(", ",\n    ", ")")
 
@@ -917,14 +936,15 @@ object PipelineQueries {
          |  len(list_intersect(bf, coalesce(lsh, [])))::DOUBLE / len(bf) AS recall_lsh,
          |  len(list_intersect(bf, coalesce(ivf, [])))::DOUBLE / len(bf) AS recall_ivf
          |FROM bl LEFT JOIN ll USING (query_id) LEFT JOIN il USING (query_id)""".stripMargin,
-    // banded-LSH candidates first (4 bands x 4 sign-bits under the
+    // banded-LSH candidates first (16 bands x 9 sign-bits under the
     // shared fixed hyperplanes), then the exact cosine re-rank — the
     // band predicate is part of the checked semantics on BOTH sides
     "p_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |s AS (SELECT vec_id, v, $NearDupSigSql AS sig FROM e),
-         |bd AS (SELECT vec_id, band, substring(sig, band * 4 + 1, 4) AS bkey
-         |  FROM s, unnest(generate_series(0, 3)) t(band)),
+         |bd AS (SELECT vec_id, band,
+         |  substring(sig, band * $NearDupBandBits + 1, $NearDupBandBits) AS bkey
+         |  FROM s, unnest(generate_series(0, ${NearDupBands - 1})) t(band)),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey
          |    AND a.vec_id < b.vec_id),

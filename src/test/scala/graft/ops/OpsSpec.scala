@@ -106,6 +106,78 @@ class SimilaritySpec extends SparkSpec {
       assert(labels(r.getLong(0)) === labels(r.getLong(2)))
     }
   }
+
+  test("deriveBandBits: ~log2(n) clamped to [8, 16]") {
+    assert(Similarity.deriveBandBits(1L) === 8)
+    assert(Similarity.deriveBandBits(500L) === 9)   // the sf0.01 corpus
+    assert(Similarity.deriveBandBits(512L) === 9)
+    assert(Similarity.deriveBandBits(513L) === 10)
+    assert(Similarity.deriveBandBits(1L << 20) === 16)
+    assert(Similarity.deriveBandBits(1000000000L) === 16)
+  }
+
+  /** Deterministic synthetic corpus: `clusters` tight clusters of
+   * `members` vectors each (unit base direction + small noise), so
+   * within-cluster cosines are high and cross-cluster cosines hover
+   * near 0. Seeded — identical across runs and engines. */
+  private def clusteredCorpus(clusters: Int, members: Int, dims: Int,
+      noise: Double): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      c <- 0 until clusters
+      base = Array.fill(dims)(rnd.nextGaussian())
+      m <- 0 until members
+    } yield {
+      val v = base.map(x => (x + rnd.nextGaussian() * noise).toFloat)
+      ((c * members + m).toLong, c, v)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
+  test("near-dup recall: planted near-identical pairs are recovered") {
+    // 50 planted pairs at cos ~0.999+; banded LSH must catch >= 90%
+    // of them (catches a band/bit tuning regression that silently
+    // destroys recall while the subset property still holds)
+    val corpus = clusteredCorpus(clusters = 50, members = 2, dims = 64,
+      noise = 0.01)
+    val found = Similarity.nearDupPairs(corpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 50).map(c => (c * 2L, c * 2L + 1)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"planted-pair recall $recall < 0.9")
+  }
+
+  test("near-dup candidate volume is sub-quadratic on a clustered corpus") {
+    // 256 clusters x 8 members (n = 2048): candidates should be
+    // dominated by within-cluster pairs (256 * 28 = 7168), far below
+    // the n^2/32 bound the derived band width is sized for — with a
+    // 4-bit key (the old fixed default) the cross-cluster collisions
+    // alone would exceed it
+    val corpus = clusteredCorpus(clusters = 256, members = 8, dims = 64,
+      noise = 0.05)
+    val n = 2048L
+    val bb = Similarity.deriveBandBits(n) // 11
+    val cands = Similarity.nearDupCandidates(corpus, bands = 16, bandBits = bb)
+      .count()
+    assert(cands < n * n / 32,
+      s"candidate pairs $cands not << n^2/32 = ${n * n / 32}")
+    // and the candidates must still include essentially all tight
+    // within-cluster pairs (volume pruning must not cost recall)
+    val within = Similarity.nearDupPairs(corpus, 0.9).count()
+    assert(within >= (256 * 28 * 9) / 10, s"within-cluster recall too low: $within")
+  }
+
+  test("near-dup exact path: all-pairs recall 1 at any threshold") {
+    val corpus = clusteredCorpus(clusters = 10, members = 3, dims = 16,
+      noise = 0.01)
+    val exact = Similarity.nearDupPairs(corpus, 0.5, exact = true).collect()
+    assert(exact.length >= 30) // all 10 * C(3,2) within-cluster pairs
+    val approx = Similarity.nearDupPairs(corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exactSet))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -56,6 +56,31 @@ class PagerankDetSpec extends SparkSpec {
     assert(got.values.max === 1000000L)
   }
 
+  test("mulDiv: exact where a raw 64-bit multiply would wrap") {
+    import graft.graph.GraphAlgs.mulDiv
+    // fast path: bit-identical to the plain formula
+    assert(mulDiv(7L, 850000L, 1000000L) === (7L * 850000L) / 1000000L)
+    assert(mulDiv(0L, 850000L, 1000000L) === 0L)
+    // the pagerank hub-sum regime the raw multiply corrupted:
+    // s = 2e13 -> 850000 * s = 1.7e19 wraps negative in 64 bits
+    assert(20000000000000L * 850000L < 0L) // the old bug, pinned
+    assert(mulDiv(20000000000000L, 850000L, 1000000L) === 17000000000000L)
+    // the eigencentrality normalization regime (v * 1e6 wraps past
+    // hub degree ~9.2e6): exact quotient via the 128-bit path
+    assert(mulDiv(10000000000000L, 1000000L, 3L) === 3333333333333333333L)
+    // randomized agreement with BigInteger on both paths
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val a = math.abs(rnd.nextLong()) % 100000000000000L
+      val b = if (rnd.nextBoolean()) 850000L else 1000000L
+      val d = 1L + math.abs(rnd.nextLong()) % 10000000L
+      val exact = java.math.BigInteger.valueOf(a)
+        .multiply(java.math.BigInteger.valueOf(b))
+        .divide(java.math.BigInteger.valueOf(d)).longValueExact()
+      assert(mulDiv(a, b, d) === exact, s"a=$a b=$b d=$d")
+    }
+  }
+
   test("deterministic label propagation equals the sequential recurrence") {
     val got = GraphQueries.labelPropagationDeterministic(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
