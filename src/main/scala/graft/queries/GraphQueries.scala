@@ -174,6 +174,32 @@ object GraphQueries {
       .toDF("n_vertices", "wcc_recompute_ok", "wcc_in_unit")
   }
 
+  /** Value-level certificate for the SEEDING phase, mirroring
+   * [[wccPartitionWccCheck]]: the pipeline's own evaluation of the
+   * seed partition (community stats + computeGlobalWCC on the seeded
+   * core — the same machinery that scores the refinement loop's
+   * iteration 0) must agree to 1e-9 with a fully independent
+   * DataFrame recomputation ([[WccCheck]]) from nothing but the
+   * emitted labels (core labels + pruned-out singletons, the Output
+   * graft-back contract) and the raw canonical edges. Rides the
+   * memoized seeding run — no extra Pregel work. */
+  def wccInitialPartitionWccCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val ig = init(spark, sfDir)
+    val nVertices = graph(spark, sfDir).numVertices
+    val claimed = CommunityOps.computeGlobalWCC(ig,
+      CommunityOps.computeCommunityStats(ig), nVertices)
+    val labels = spark.createDataFrame(
+      graph(spark, sfDir).vertices.leftOuterJoin(
+        ig.vertices.map { case (id, vd) => (id, vd.cId) })
+        .map { case (id, (_, c)) => (id, c.getOrElse(id)) }).toDF("vid", "cid")
+    val recomputed = WccCheck.globalWccOfPartition(canonEdges(spark, sfDir), labels)
+    spark.createDataFrame(Seq((
+      nVertices,
+      math.abs(recomputed - claimed) <= 1e-9,
+      recomputed > 0.0 && recomputed <= 1.0)))
+      .toDF("n_vertices", "wcc_recompute_ok", "wcc_in_unit")
+  }
+
   /** G4 alone (rows-only): partition after the Pregel seeding phase. */
   def wccInitialPartition(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = init(spark, sfDir).vertices.map { case (id, vd) => (id, vd.cId) }
@@ -1146,6 +1172,12 @@ object GraphQueries {
     "g_wcc_partition_wcc_check" ->
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
          |  TRUE AS wcc_recompute_ok, TRUE AS wcc_in_unit FROM edges""".stripMargin,
+    // seeding VALUE certificate: independent recompute of the seed
+    // partition's global WCC equals the pipeline's own evaluation
+    // (see wccInitialPartitionWccCheck)
+    "g_wcc_initial_partition_wcc_check" ->
+      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
+         |  TRUE AS wcc_recompute_ok, TRUE AS wcc_in_unit FROM edges""".stripMargin,
     // incremental-replay invariants TRUE (see wccIncrementalCertified)
     "g_wcc_incremental_certified" ->
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
@@ -1302,6 +1334,7 @@ object GraphQueries {
     "g_pagerank_certified" -> pagerankCertified _,
     "g_wcc_partition_certified" -> wccCertified _,
     "g_wcc_partition_wcc_check" -> wccPartitionWccCheck _,
+    "g_wcc_initial_partition_wcc_check" -> wccInitialPartitionWccCheck _,
     "g_wcc_incremental_certified" -> wccIncrementalCertified _,
     "g_label_propagation_certified" -> labelPropagationCertified _,
     "g_eigencentrality_certified" -> eigenCentralityCertified _,
