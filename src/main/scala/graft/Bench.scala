@@ -24,6 +24,17 @@ object Bench {
     // optional comma-separated name filter for local iteration (the
     // driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // host load (1/5/15-min averages) at run start and end: single
+    // runs on this host swing +/-50% with background load (PERF.md),
+    // so every bench artifact carries the load it was measured under
+    // — cross-round comparisons are mechanically load-annotated
+    def loadAvg(): String =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        s.trim.split("\\s+").take(3).mkString(" ")
+      } catch { case _: Throwable => "unknown" }
+    val loadStart = loadAvg()
     // deterministic run order (alphabetical), errors surfaced on stderr
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
@@ -45,12 +56,16 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val loadEnd = loadAvg()
+    val loadJson =
+      s"""{"start":"$loadStart","end":"$loadEnd"}"""
     val fullMap = jmap(results.map { case (k, v, ok) =>
       k -> (if (ok) d3(v) else "-1") })
     System.err.println(s"[bench-full] $fullMap")
+    System.err.println(s"[bench-load] $loadJson")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        fullMap.getBytes("UTF-8")); ()
+        s"""{"load":$loadJson,"queries":$fullMap}""".getBytes("UTF-8")); ()
     } catch { case _: Throwable => () }
     val groups = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
       .map { case (g, rs) => s"grp_$g" -> d3(rs.collect { case (_, v, true) => v }.sum) }
@@ -59,7 +74,7 @@ object Bench {
     val failed = results.filter(!_._3).map { case (k, _, _) => k -> "-1" }
     val qs = jmap(groups ++ failed ++ slow)
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"load":$loadJson,"queries":$qs,"sf":"$sfDir"}""")
     graft.queries.SessionMemo.clear(spark)
     spark.stop()
   }
