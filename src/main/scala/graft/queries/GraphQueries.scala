@@ -343,13 +343,27 @@ object GraphQueries {
       canonEdges(spark, sfDir), adjW(spark, sfDir))
       .orderBy("src", "dst")
 
-  /** Batched multi-source BFS (one Pregel run, Array-distance
-   * attrs) from the 5 smallest vertex ids; integer-exact summary. */
-  def multiBfs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sources = canonEdges(spark, sfDir)
-      .select(col("src")).distinct().orderBy("src").limit(5)
+  /** The 5 BFS sample roots, hash-picked: smallest md5 of the
+   * decimal vertex-id string (ties by id) over the canonical source
+   * ids. A content-derived rule rather than "5 smallest ids" — the
+   * sample is byte-reproducible under resampling, independent of id
+   * assignment order, and spread uniformly over the id space instead
+   * of clustered at one end (the det-family determinism contract,
+   * same derivation the stratified document sampler uses). Both
+   * engines hash the identical decimal string, so the oracle
+   * replays the exact pick. */
+  private def bfsSources(spark: SparkSession, sfDir: String): Array[Long] =
+    canonEdges(spark, sfDir)
+      .select(col("src")).distinct()
+      .orderBy(md5(col("src").cast("string")), col("src")).limit(5)
       .collect().map(_.getLong(0))
-    graft.graph.GraphAlgs.multiSourceBfsDF(graph(spark, sfDir), sources, maxHops = 8)
+
+  /** Batched multi-source BFS (one Pregel run, Array-distance
+   * attrs) from the 5 hash-picked sample roots; integer-exact
+   * summary. */
+  def multiBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.graph.GraphAlgs.multiSourceBfsDF(graph(spark, sfDir),
+      bfsSources(spark, sfDir), maxHops = 8)
       .orderBy("vid")
   }
 
@@ -376,15 +390,14 @@ object GraphQueries {
       .orderBy("vid")
   }
 
-  /** One batched multi-source BFS from the 5 smallest vertex ids,
-   * reduced to per-root (n_reached, sum_dist, max_dist) — memoized so
-   * g_eccentricity and g_closeness share a single Pregel run (the
-   * per-vertex view, g_multi_bfs, runs its own reduction). */
+  /** One batched multi-source BFS from the 5 hash-picked sample
+   * roots ([[bfsSources]]), reduced to per-root (n_reached,
+   * sum_dist, max_dist) — memoized so g_eccentricity and
+   * g_closeness share a single Pregel run (the per-vertex view,
+   * g_multi_bfs, runs its own reduction). */
   private def bfs5(spark: SparkSession, sfDir: String): Array[(Long, Long, Long, Long)] =
     memoize(spark, s"bfs5:$sfDir") {
-      val sources = canonEdges(spark, sfDir)
-        .select(col("src")).distinct().orderBy("src").limit(5)
-        .collect().map(_.getLong(0))
+      val sources = bfsSources(spark, sfDir)
       val (state, release) = graft.graph.GraphAlgs
         .multiSourceBfsRDD(graph(spark, sfDir), sources, maxHops = 8)
       val perRoot = state.flatMap { case (_, ds) =>
@@ -1036,7 +1049,8 @@ object GraphQueries {
     "g_multi_bfs" ->
       s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
          |srcs AS (SELECT src AS v FROM (
-         |  SELECT DISTINCT src FROM raw ORDER BY src LIMIT 5)),
+         |  SELECT DISTINCT src FROM raw
+         |  ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 5)),
          |bfs AS (
          |  SELECT v AS root, v AS vid, 0 AS d FROM srcs
          |  UNION
@@ -1049,7 +1063,8 @@ object GraphQueries {
     "g_eccentricity" ->
       s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
          |srcs AS (SELECT src AS v FROM (
-         |  SELECT DISTINCT src FROM raw ORDER BY src LIMIT 5)),
+         |  SELECT DISTINCT src FROM raw
+         |  ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 5)),
          |bfs AS (
          |  SELECT v AS root, v AS vid, 0 AS d FROM srcs
          |  UNION
@@ -1223,7 +1238,8 @@ object GraphQueries {
     "g_closeness" ->
       s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
          |srcs AS (SELECT src AS v FROM (
-         |  SELECT DISTINCT src FROM raw ORDER BY src LIMIT 5)),
+         |  SELECT DISTINCT src FROM raw
+         |  ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 5)),
          |bfs AS (
          |  SELECT v AS root, v AS vid, 0 AS d FROM srcs
          |  UNION
