@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
  * decode/feature-extract/frame-sample stages as batch-shaped
  * partition-local transforms.
  *
- * The container has no image/audio codecs, so `decodeStub` is a
- * clearly-marked DETERMINISTIC FAKE — it derives "decoded" metadata
- * arithmetically from the payload bytes. Everything around it (the
- * binary schema, fixed-size chunking for shuffle-friendly payload
- * movement, the mapPartitions batch shape, partitioning) is real and
- * tested; swapping the stub for a real codec changes one function.
+ * The IMAGE modality is decoded for real: `asMediaWithImages`
+ * generates genuine PNG payloads (javax.imageio, in the JVM — no
+ * native deps) and `decodeReal` parses them back with the actual
+ * codec, reporting decoder-read dimensions and a decoded-raster
+ * checksum. The container has no audio/video codecs, so those
+ * modalities run `decodeStub`, a clearly-marked DETERMINISTIC FAKE
+ * deriving "decoded" metadata arithmetically from the payload
+ * bytes. Everything around both (the binary schema, fixed-size
+ * chunking for shuffle-friendly payload movement, the mapPartitions
+ * batch shape, partitioning) is real and tested; swapping the
+ * remaining stub for a codec binding changes one function.
  *
  * Scale: payloads never pass through a groupBy — chunking is a
  * map-side explode with arithmetic bounds, and decode is
@@ -55,6 +60,87 @@ object Multimodal {
   final case class MediaRow(media_id: Long, payload: Array[Byte], media_type: String)
   final case class DecodedRow(media_id: Long, media_type: String,
       width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** asMedia's media_type cycle, as a plain function: doc_id % 3 ->
+   * image / audio / video. */
+  def mediaTypeOf(id: Long): String = (id % 3) match {
+    case 0 => "image"
+    case 1 => "audio"
+    case _ => "video"
+  }
+
+  /** A real `w` x `h` PNG, every pixel the gray level `c` — encoded
+   * by the JVM's own codec (javax.imageio), so downstream decode
+   * exercises a genuine image parser, not arithmetic. The in-memory
+   * cache flag avoids ImageIO's temp-file spill on executors. */
+  def pngBytes(w: Int, h: Int, c: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (c << 16) | (c << 8) | c
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+    bos.toByteArray
+  }
+
+  /** Media ingest with REAL image assets: image-typed rows carry an
+   * actual PNG payload, generated deterministically per record
+   * (width = 1 + n % 64, height = 1 + n % 48, gray level
+   * media_id % 256, with n the utf-8 byte length of the source
+   * text), while audio/video rows keep the opaque text-derived
+   * payload. Per-record generation is partition-local batch work —
+   * the shape a real asset fetch/transcode stage runs in. */
+  def asMediaWithImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val mt = mediaTypeOf(id)
+        val bytes = text.getBytes("UTF-8")
+        val payload =
+          if (mt == "image")
+            pngBytes(1 + bytes.length % 64, 1 + bytes.length % 48, (id % 256).toInt)
+          else bytes
+        MediaRow(id, payload, mt)
+      })
+  }
+
+  /** REAL decode for the image modality: javax.imageio parses the
+   * PNG payload — width/height come from the decoder and the
+   * checksum is the sum of decoded R+G+B over the raster, so a
+   * corrupt payload or broken codec path fails loud (null decode
+   * throws) or hash-mismatches (wrong pixels). audio/video rows run
+   * the documented [[decodeStub]]. */
+  def decodeReal(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.media_type == "image") {
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"media ${r.media_id}: payload is not a decodable image")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedRow(r.media_id, r.media_type, img.getWidth, img.getHeight, 1, sum)
+      } else decodeStub(r)
+    })
+  }
 
   /** DETERMINISTIC FAKE decode — replace with a real codec binding in
    * production. Partition-local batch shape: one pass over the

@@ -358,8 +358,11 @@ object PipelineQueries {
       Similarity.quantizeInt8(embs(s, d)).orderBy("vec_id")),
     "p_media_chunks" -> ((s, d) =>
       Multimodal.chunks(Multimodal.asMedia(docs(s, d))).orderBy("media_id", "chunk_idx")),
+    // image rows are REAL PNGs decoded by javax.imageio (decoder-read
+    // dims + decoded-raster checksum); audio/video run the documented
+    // stub — both legs under one oracle
     "p_media_decode" -> ((s, d) =>
-      Multimodal.decodeAll(s, Multimodal.asMedia(docs(s, d))).toDF()
+      Multimodal.decodeReal(s, Multimodal.asMediaWithImages(s, docs(s, d))).toDF()
         .select(col("media_id"), col("media_type"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
@@ -980,9 +983,13 @@ object PipelineQueries {
         |  FROM m)
         |SELECT media_id, chunk_idx,
         |  least(4096, n_bytes - chunk_idx * 4096) AS chunk_len FROM c""".stripMargin,
-    // checksum is BYTE-based on both sides (Spark sums unsigned UTF-8
-    // payload bytes; here the payload's hex dump is decoded back to
-    // byte values) — holds for any text, ASCII or not.
+    // image rows: the Spark side decodes a REAL generated PNG, so the
+    // oracle predicts the generation parameters (dims from the text
+    // byte length, raster checksum 3*gray*w*h — PNG is lossless, so
+    // the decoded pixels must reproduce the gray level exactly).
+    // audio/video rows: stub semantics — BYTE-based checksum on both
+    // sides (Spark sums unsigned UTF-8 payload bytes; here the
+    // payload's hex dump is decoded back to byte values).
     "p_media_decode" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
         |  octet_length(encode(text)) AS n,
@@ -994,9 +1001,13 @@ object PipelineQueries {
         |    (strpos('0123456789ABCDEF', substring(h, 2*i-1, 1)) - 1) * 16 +
         |    (strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1)) AS BIGINT) AS checksum
         |  FROM hx, unnest(generate_series(1, nb)) t(i) GROUP BY doc_id)
-        |SELECT media_id, media_type, 64 + n % 577 AS width, 64 + n % 433 AS height,
+        |SELECT media_id, media_type,
+        |  CASE WHEN media_type = 'image' THEN 1 + n % 64 ELSE 64 + n % 577 END AS width,
+        |  CASE WHEN media_type = 'image' THEN 1 + n % 48 ELSE 64 + n % 433 END AS height,
         |  CASE WHEN media_type = 'video' THEN 1 + n % 25 ELSE 1 END AS n_frames,
-        |  checksum
+        |  CASE WHEN media_type = 'image'
+        |    THEN 3 * (media_id % 256) * (1 + n % 64) * (1 + n % 48)
+        |    ELSE checksum END AS checksum
         |FROM m JOIN ck ON ck.doc_id = m.media_id""".stripMargin,
     "p_media_resize" ->
       """WITH m AS (SELECT doc_id AS media_id,

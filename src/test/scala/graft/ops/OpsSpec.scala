@@ -201,6 +201,42 @@ class MultimodalSpec extends SparkSpec {
     assert(a.length === docs.count())
     assert(a.forall(d => d.width >= 64 && d.height >= 64 && d.n_frames >= 1))
   }
+
+  test("real image decode: imageio round-trips generated PNG dims and raster") {
+    val media = Multimodal.asMediaWithImages(spark, docs)
+    // image payloads must be real PNGs (magic bytes), not text
+    val png = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    media.collect().foreach { r =>
+      if (r.media_type == "image") assert(r.payload.take(4).sameElements(png))
+      else assert(!r.payload.take(4).sameElements(png))
+    }
+    val out = Multimodal.decodeReal(spark, media).collect().sortBy(_.media_id)
+    assert(out.length === docs.count())
+    val texts = docs.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    out.foreach { d =>
+      val n = texts(d.media_id).getBytes("UTF-8").length
+      if (d.media_type == "image") {
+        // decoder-read dims equal the generation parameters, and the
+        // decoded raster reproduces the gray level exactly (lossless)
+        assert(d.width === 1 + n % 64)
+        assert(d.height === 1 + n % 48)
+        assert(d.checksum === 3L * (d.media_id % 256) * d.width * d.height)
+      } else {
+        assert(d.width === 64 + n % 577) // stub leg unchanged
+      }
+    }
+  }
+
+  test("real image decode fails loud on an undecodable payload") {
+    import spark.implicits._
+    val bad = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "not a png".getBytes("UTF-8"), "image")))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeReal(spark, bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
