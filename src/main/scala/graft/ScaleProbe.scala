@@ -87,6 +87,40 @@ object ScaleProbe {
       println(s"[scale-probe] communities=${cs.size} wcc=$wcc")
       surf.unpersist(blocking = false)
     }
+
+    // ---- peel loops + deterministic fixpoint family ----------------
+    import graft.graph.GraphAlgs
+
+    phase("coreness (k-core peel)") {
+      val df = GraphAlgs.corenessDF(g)
+      df.count()
+      df.unpersist(blocking = false)
+    }
+
+    phase("k-truss peel (k=4)") {
+      val kt = GraphAlgs.ktrussPeel(edges)
+      val n = kt.edges.count()
+      println(s"[scale-probe] ktruss survivors=$n converged=${kt.converged}")
+      kt.release()
+    }
+
+    val adj = phase("det adjacency arrays") {
+      val a = GraphAlgs.adjacencyArrays(edges)
+      a.persist(); a.count(); a
+    }
+    phase("pagerank_det (10 rounds)") {
+      val r = GraphAlgs.pagerankDetRDD(adj)
+      r.count(); r.unpersist(blocking = false)
+    }
+    phase("eigencentrality_det (12 rounds)") {
+      val r = GraphAlgs.eigenCentralityDetRDD(adj)
+      r.count(); r.unpersist(blocking = false)
+    }
+    phase("label_propagation_det (4 rounds)") {
+      val r = GraphAlgs.labelPropagationDetRDD(adj)
+      r.count(); r.unpersist(blocking = false)
+    }
+    adj.unpersist(blocking = false)
     spark.stop()
   }
 }

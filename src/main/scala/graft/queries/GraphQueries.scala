@@ -285,7 +285,17 @@ object GraphQueries {
 
   /** G8+G9 (rows-only): incremental IDWCC over the co-purchase graph
    * via the reference's bulk/stream split-and-replay driver loop.
-   * Memoized so the invariant certificate shares the run. */
+   * Memoized so the invariant certificate shares the run.
+   *
+   * Measured negative result (PERF.md, round 7): deriving the
+   * bulk-prepare's triangle stats from the session's memoized full
+   * adjacency (TriangleStats.restrictedResult — value-identical,
+   * parity-pinned) costs ~9.6 s at sf0.1 vs ~5.2 s for the
+   * from-scratch exchange it replaces: at this bulk size the
+   * DataFrame->GraphX rebuild outweighs the avoided adjacency
+   * shuffle, so the replay keeps the plain path. The derivation
+   * stays in the library (testStream's bulkStatsFor hook) for
+   * callers whose adjacency is much larger than the conversion. */
   def wccIncremental(spark: SparkSession, sfDir: String): DataFrame =
     memoize(spark, s"idwcc:$sfDir") {
       val df = IncrementalWCC.testStream(spark, canonEdges(spark, sfDir)).cache()

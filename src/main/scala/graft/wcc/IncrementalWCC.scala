@@ -42,9 +42,14 @@ object IncrementalWCC {
   /** Reference `IncrementalWCC.scala:73-77`: initial bulk run.
    * CONSUMES the input graph: once the state graph is materialized,
    * the input and the bulk run's phase surfaces are uncached (they
-   * would otherwise stay resident for the whole stream). */
-  def prepare(graph: Graph[Int, Int]): State = {
-    val out = DistributedWCC.run(graph)
+   * would otherwise stay resident for the whole stream).
+   * `precomputedStats` short-circuits the bulk preprocess when the
+   * caller already holds the bulk graph's triangle stats (e.g.
+   * derived from a session-memoized full adjacency via
+   * `TriangleStats.restrictedResult` — value-identical, spec-pinned). */
+  def prepare(graph: Graph[Int, Int],
+      precomputedStats: Option[TriangleStats.Result] = None): State = {
+    val out = DistributedWCC.run(graph, precomputedStats = precomputedStats)
     out.graph.cache()
     out.graph.vertices.count()
     out.graph.edges.count()
@@ -322,7 +327,9 @@ object IncrementalWCC {
   def testStream(spark: org.apache.spark.sql.SparkSession,
       canonicalEdges: org.apache.spark.sql.DataFrame,
       bulkToStreamRatio: Double = 0.8,
-      microBatchCount: Int = 1): org.apache.spark.sql.DataFrame = {
+      microBatchCount: Int = 1,
+      bulkStatsFor: Option[Double => TriangleStats.Result] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, greatest, max}
     val maxVertex = canonicalEdges
       .agg(max(greatest(col("src"), col("dst")))).head().getLong(0)
@@ -336,7 +343,8 @@ object IncrementalWCC {
     val stream = edgeRdd.filter(e => e.srcId >= splitVertex || e.dstId >= splitVertex)
 
     var state = prepare(
-      Graph.fromEdges(bulk, 0).partitionBy(PartitionStrategy.EdgePartition2D))
+      Graph.fromEdges(bulk, 0).partitionBy(PartitionStrategy.EdgePartition2D),
+      bulkStatsFor.map(f => f(splitVertex)))
     val microBatchSize = math.floor((maxVertex - splitVertex) / microBatchCount)
     (1 to microBatchCount).foreach { i =>
       val lower = splitVertex + (i - 1) * microBatchSize

@@ -182,6 +182,45 @@ object TriangleStats {
     // it is handed, and GraphX refuses to change an existing level —
     // every graph in this library therefore uses the GraphX default.
     val counted: Graph[Int, Int] = Graph(graph.vertices, countedEdges, 0)
+    fromCounted(counted)
+  }
+
+  /** Triangle stats of the id-restricted subgraph (both endpoints <
+   * `split`) DERIVED from a precomputed FULL symmetric adjacency
+   * (vid, sorted nbrs) instead of a fresh GraphX adjacency exchange:
+   * the subgraph's neighbor lists are order-preserving filters of
+   * the full lists, so per-edge supports come straight from the
+   * native merge-scan intersection over the filtered arrays —
+   * value-identical to run() on the restricted graph (spec-pinned).
+   * Lets the IDWCC replay harness reuse a session's memoized
+   * adjacency for its bulk-prepare phase instead of re-exchanging
+   * the bulk adjacency from scratch. */
+  def restrictedResult(adj: org.apache.spark.sql.DataFrame,
+      canonical: org.apache.spark.sql.DataFrame, splitId: Double): Result = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.GraftExpressions.intersectCount
+    // a vertex of the restricted graph = a vertex below the split
+    // with >= 1 neighbor below the split (Graph.fromEdges induces
+    // the vertex set from the surviving edges' endpoints)
+    val bulkAdj = adj
+      .where(col("vid") < splitId)
+      .select(col("vid"), filter(col("nbrs"), n => n < splitId).as("nbrs"))
+      .where(size(col("nbrs")) > 0)
+    val sup = canonical.where(col("src") < splitId && col("dst") < splitId)
+      .join(bulkAdj.select(col("vid").as("src"), col("nbrs").as("na")), "src")
+      .join(bulkAdj.select(col("vid").as("dst"), col("nbrs").as("nb")), "dst")
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        intersectCount(col("na"), col("nb")).cast("int").as("cnt"))
+    val countedEdges = sup.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getInt(2)))
+    val verts = bulkAdj.select(col("vid").cast("long")).rdd.map(r => (r.getLong(0), 0))
+    fromCounted(Graph(verts, countedEdges, 0))
+  }
+
+  /** Shared tail of [[run]] / [[restrictedResult]]: per-vertex
+   * (t, vt) and the triangle-core prune from a graph whose edge attr
+   * is the edge's full common-neighbor count (0 for triangle-free
+   * edges, every canonical edge present). */
+  private def fromCounted(counted: Graph[Int, Int]): Result = {
     counted.cache()
 
     // G1+G3: per-vertex (2t, vt) in one pass — map-side combine free.
@@ -193,7 +232,7 @@ object TriangleStats {
       (x, y) => (x._1 + y._1, x._2 + y._2))
 
     val fullStats: VertexRDD[(Int, Int)] =
-      graph.vertices.leftJoin(stats) { (_, _, s) =>
+      counted.vertices.leftJoin(stats) { (_, _, s) =>
         val (twoT, vt) = s.getOrElse((0, 0)); (twoT / 2, vt)
       }
 

@@ -61,6 +61,19 @@ class IncrementalWCCSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("testStream with derived bulk stats equals the from-scratch replay") {
+    val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
+    val canon = EdgeOps.canonicalize(raw)
+    val plain = IncrementalWCC.testStream(spark, canon, 0.8, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adj = graft.graph.GraphAlgs.weightedAdjacency(EdgeOps.symmetrize(canon))
+    val derived = IncrementalWCC.testStream(spark, canon, 0.8, 1,
+      bulkStatsFor = Some(split =>
+        TriangleStats.restrictedResult(adj, canon, split))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(derived === plain)
+  }
+
   test("testStream with multiple micro-batches runs the full replay loop") {
     val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
     val canon = EdgeOps.canonicalize(raw)
