@@ -13,13 +13,21 @@ import org.apache.spark.sql.functions._
  * full refinement-iteration equivalent (degree maps + derived stats
  * + global-WCC evaluation) — while sampling peak JVM heap.
  *
- * Usage: runMain graft.ScaleProbe [replicas] [sfDir]
+ * Usage: runMain graft.ScaleProbe [replicas] [sfDir] [phases]
+ * `phases` (optional, comma-separated substrings) restricts which
+ * timed phases run — isolating a loop from the heap/block-manager
+ * residue of the phases before it (a full sequential run measures
+ * each phase under the previous ones' leftovers).
  * Prints one line per phase: wall-clock seconds + peak heap GiB.
  */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val replicas = if (args.nonEmpty) args(0).toInt else 10
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val phaseFilter: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSeq) else None
+    def wanted(name: String): Boolean =
+      phaseFilter.forall(_.exists(name.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -71,56 +79,64 @@ object ScaleProbe {
     }
     println(s"[scale-probe] |V|=${g.numVertices} |E|=${g.numEdges}")
 
-    val tri = phase("triangle stats + prune")(TriangleStats.run(g))
-    val init = phase("initial partition (Pregel)") {
-      val i = InitialPartition.run(tri.pruned); i.cache(); i.vertices.count(); i
-    }
-    val vertexCount = g.numVertices
-    phase("one refinement iteration") {
-      // mirrors the production refineCompact iteration: one fused
-      // exchange feeding stats AND the WCC evaluation (the replicated
-      // probe graph is hub-free like its sf base)
-      val surf = CommunityOps.nbrSurfaces(init)
-      surf.cache()
-      val cs = CommunityOps.statsFromSurfaces(init, surf)
-      val wcc = CommunityOps.computeGlobalWccFromSurfaces(init, surf, cs, vertexCount)
-      println(s"[scale-probe] communities=${cs.size} wcc=$wcc")
-      surf.unpersist(blocking = false)
+    if (wanted("wcc")) {
+      val tri = phase("triangle stats + prune (wcc)")(TriangleStats.run(g))
+      val init = phase("initial partition Pregel (wcc)") {
+        val i = InitialPartition.run(tri.pruned); i.cache(); i.vertices.count(); i
+      }
+      val vertexCount = g.numVertices
+      phase("one refinement iteration (wcc)") {
+        // mirrors the production refineCompact iteration: one fused
+        // exchange feeding stats AND the WCC evaluation (the replicated
+        // probe graph is hub-free like its sf base)
+        val surf = CommunityOps.nbrSurfaces(init)
+        surf.cache()
+        val cs = CommunityOps.statsFromSurfaces(init, surf)
+        val wcc = CommunityOps.computeGlobalWccFromSurfaces(init, surf, cs, vertexCount)
+        println(s"[scale-probe] communities=${cs.size} wcc=$wcc")
+        surf.unpersist(blocking = false)
+      }
     }
 
     // ---- peel loops + deterministic fixpoint family ----------------
     import graft.graph.GraphAlgs
 
-    phase("coreness (k-core peel)") {
+    if (wanted("coreness")) phase("coreness (k-core peel)") {
       val df = GraphAlgs.corenessDF(g)
       df.count()
       df.unpersist(blocking = false)
     }
 
-    phase("k-truss peel (k=4)") {
+    if (wanted("k-truss")) phase("k-truss peel (k=4)") {
       val kt = GraphAlgs.ktrussPeel(edges)
       val n = kt.edges.count()
       println(s"[scale-probe] ktruss survivors=$n converged=${kt.converged}")
       kt.release()
     }
 
-    val adj = phase("det adjacency arrays") {
-      val a = GraphAlgs.adjacencyArrays(edges)
-      a.persist(); a.count(); a
+    val detAll = wanted("det")
+    if (detAll || wanted("pagerank") || wanted("eigen") || wanted("label")) {
+      val adj = phase("det adjacency arrays") {
+        val a = GraphAlgs.adjacencyArrays(edges)
+        a.persist(); a.count(); a
+      }
+      if (detAll || wanted("pagerank"))
+        phase("pagerank_det (10 rounds)") {
+          val r = GraphAlgs.pagerankDetRDD(adj)
+          r.count(); r.unpersist(blocking = false)
+        }
+      if (detAll || wanted("eigen"))
+        phase("eigencentrality_det (12 rounds)") {
+          val r = GraphAlgs.eigenCentralityDetRDD(adj)
+          r.count(); r.unpersist(blocking = false)
+        }
+      if (detAll || wanted("label"))
+        phase("label_propagation_det (4 rounds)") {
+          val r = GraphAlgs.labelPropagationDetRDD(adj)
+          r.count(); r.unpersist(blocking = false)
+        }
+      adj.unpersist(blocking = false)
     }
-    phase("pagerank_det (10 rounds)") {
-      val r = GraphAlgs.pagerankDetRDD(adj)
-      r.count(); r.unpersist(blocking = false)
-    }
-    phase("eigencentrality_det (12 rounds)") {
-      val r = GraphAlgs.eigenCentralityDetRDD(adj)
-      r.count(); r.unpersist(blocking = false)
-    }
-    phase("label_propagation_det (4 rounds)") {
-      val r = GraphAlgs.labelPropagationDetRDD(adj)
-      r.count(); r.unpersist(blocking = false)
-    }
-    adj.unpersist(blocking = false)
     spark.stop()
   }
 }
