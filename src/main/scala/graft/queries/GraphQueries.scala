@@ -161,11 +161,25 @@ object GraphQueries {
    * it equals the claimed `bestWcc` to 1e-9. Closes the last
    * rows-only trust gap of the DWCC surface: the fixpoint is not
    * SQL-expressible, but the WCC value of the FIXED partition is. */
+  /** The WCC checks' shared per-edge common-neighbor counts,
+   * memoized per (session, sfDir): the flagship and seeding value
+   * checks verify DIFFERENT partitions of the SAME graph, so the
+   * expensive full-graph stage of the independent recompute is paid
+   * once. Independence from the pipeline under test is preserved —
+   * the counts come from WccCheck's own DataFrame path, never from
+   * TriangleStats. */
+  private def wccCheckCnt(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"wccCheckCnt:$sfDir") {
+      val df = WccCheck.edgeCommonCounts(canonEdges(spark, sfDir)).cache()
+      df.count(); df
+    }
+
   def wccPartitionWccCheck(spark: SparkSession, sfDir: String): DataFrame = {
     val out = wccOut(spark, sfDir)
     val labels = spark.createDataFrame(
       out.graph.vertices.map { case (id, vd) => (id, vd.cId) }).toDF("vid", "cid")
-    val recomputed = WccCheck.globalWccOfPartition(canonEdges(spark, sfDir), labels)
+    val recomputed = WccCheck.globalWccOfPartition(canonEdges(spark, sfDir), labels,
+      precomputedCnt = Some(wccCheckCnt(spark, sfDir)))
     val nVertices = graph(spark, sfDir).numVertices
     spark.createDataFrame(Seq((
       nVertices,
@@ -192,7 +206,8 @@ object GraphQueries {
       graph(spark, sfDir).vertices.leftOuterJoin(
         ig.vertices.map { case (id, vd) => (id, vd.cId) })
         .map { case (id, (_, c)) => (id, c.getOrElse(id)) }).toDF("vid", "cid")
-    val recomputed = WccCheck.globalWccOfPartition(canonEdges(spark, sfDir), labels)
+    val recomputed = WccCheck.globalWccOfPartition(canonEdges(spark, sfDir), labels,
+      precomputedCnt = Some(wccCheckCnt(spark, sfDir)))
     spark.createDataFrame(Seq((
       nVertices,
       math.abs(recomputed - claimed) <= 1e-9,

@@ -32,23 +32,34 @@ import org.apache.spark.sql.functions._
  */
 object WccCheck {
 
-  /** Global WCC of the partition `labels` (vid, cid) over the graph
-   * given by canonical undirected `edges` (src < dst, distinct, no
-   * self-loops). Every vertex of the graph must be labeled. */
-  def globalWccOfPartition(edges: DataFrame, labels: DataFrame): Double = {
+  /** Per canonical edge, the common-neighbor count in the full graph
+   * — the expensive shared stage of the WCC value checks, exposed so
+   * a session running BOTH the flagship and the seeding check pays
+   * it once (still computed by this independent DataFrame path only,
+   * never taken from the GraphX pipeline under test). */
+  def edgeCommonCounts(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.GraftExpressions.intersectCount
-
     // adjacency arrays (sorted for the merge-scan intersection)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val adj = sym.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
-
-    // per canonical edge: common-neighbor count in the full graph
-    val cnt = edges
+    edges
       .join(adj.select(col("src").as("ea"), col("nbrs").as("na")), col("src") === col("ea"))
       .join(adj.select(col("src").as("eb"), col("nbrs").as("nb")), col("dst") === col("eb"))
       .select(col("src"), col("dst"), intersectCount(col("na"), col("nb")).as("cnt"))
-      .cache()
+  }
+
+  /** Global WCC of the partition `labels` (vid, cid) over the graph
+   * given by canonical undirected `edges` (src < dst, distinct, no
+   * self-loops). Every vertex of the graph must be labeled.
+   * `precomputedCnt` takes an [[edgeCommonCounts]] result computed
+   * earlier in the session (it must be for the SAME edge set). */
+  def globalWccOfPartition(edges: DataFrame, labels: DataFrame,
+      precomputedCnt: Option[DataFrame] = None): Double = {
+    import org.apache.spark.sql.graft.GraftExpressions.intersectCount
+
+    val cntShared = precomputedCnt.isDefined
+    val cnt = precomputedCnt.getOrElse(edgeCommonCounts(edges).cache())
 
     // full-graph t (each triangle at v is seen by its two incident
     // edges, hence /2) and vt per vertex
@@ -98,7 +109,7 @@ object WccCheck {
                 .cast("double"))
           .as("wcc_v"))
     val total = perVertex.agg(sum("wcc_v")).head().getDouble(0)
-    cnt.unpersist(blocking = false)
+    if (!cntShared) cnt.unpersist(blocking = false)
     total / n
   }
 }
