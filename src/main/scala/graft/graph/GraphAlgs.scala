@@ -689,9 +689,17 @@ object GraphAlgs {
           nbrs.iterator.map(n => (n, xu))
         }
       }.reduceByKey(p, Math.addExact(_, _))
-      val s = x.leftOuterJoin(sums, p)
-        .mapValues { case (own, nb) => Math.addExact(own, nb.getOrElse(0L)) }
-        .persist()
+      // x and sums share partitioner p: a zipPartitions hash merge
+      // instead of the cogroup — same values, no per-key buffer
+      // machinery (sums covers only vertices with >= 1 neighbor, so
+      // absent keys contribute 0)
+      val s = x.zipPartitions(sums, preservesPartitioning = true) { (xIt, sIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        sIt.foreach(kv => m.put(kv._1, kv._2))
+        xIt.map { case (id, own) =>
+          (id, Math.addExact(own, m.getOrDefault(id, 0L)))
+        }
+      }.persist()
       val mx = s.map(_._2).fold(1L)(math.max)
       val next = s.mapValues(v => mulDiv(v, 1000000L, mx)).persist()
       next.count()
