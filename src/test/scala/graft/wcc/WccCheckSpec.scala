@@ -34,4 +34,20 @@ class WccCheckSpec extends SparkSpec {
     assert(math.abs(recomputed - out.bestWcc) <= 1e-9,
       s"recomputed=$recomputed claimed=${out.bestWcc}")
   }
+
+  test("precomputed common-neighbor counts give the identical score") {
+    // the session-shared edgeCommonCounts path (used when both the
+    // flagship and seeding checks run) must be value-identical to
+    // the self-contained recompute
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    val df = edges.toDF("src", "dst")
+    val out = DistributedWCC.run(graphOf(spark, edges))
+    val self = WccCheck.globalWccOfPartition(df, labelsOf(out))
+    val cnt = WccCheck.edgeCommonCounts(df).cache()
+    cnt.count()
+    val shared = WccCheck.globalWccOfPartition(df, labelsOf(out),
+      precomputedCnt = Some(cnt))
+    cnt.unpersist(blocking = false)
+    assert(shared === self)
+  }
 }
