@@ -91,16 +91,16 @@ object Similarity {
       (0 until dims).map(d => planeComponent(p, d).toString)
         .mkString("[", ", ", "]"))
 
-  /** Sign-bucket of a vector under `bits` fixed hyperplanes. */
+  /** Sign-bucket of a vector under `bits` fixed hyperplanes — the
+   * native [[org.apache.spark.sql.graft.SignSignature]] expression
+   * (whole signature in one codegen'd loop nest; the former
+   * per-plane zip_with+aggregate+concat tree cost more to plan and
+   * compile than to run once signatures passed ~100 bits).
+   * Bit-identical: per-plane accumulation is the same left-to-right
+   * fold, and the oracle keeps replaying `lshPlaneSqlLiterals`. */
   def lshBucket(v: Column, bits: Int, dims: Int): Column = {
-    val planes = (0 until bits).map { p =>
-      val comps = (0 until dims).map(d => planeComponent(p, d))
-      val proj = aggregate(
-        zip_with(v, lit(comps.toArray), (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, "1").otherwise("0")
-    }
-    concat(planes: _*)
+    val planes = Array.tabulate(bits, dims)((p, d) => planeComponent(p, d))
+    org.apache.spark.sql.graft.GraftExpressions.signSignature(v, planes)
   }
 
   /** ANN via random-hyperplane LSH buckets + exact re-rank. */

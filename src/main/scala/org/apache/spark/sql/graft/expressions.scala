@@ -240,7 +240,95 @@ case class SortedIntersectWeightedSum(first: Expression, second: Expression, thi
     copy(first = f, second = s, third = t)
 }
 
+/**
+ * Codegen'd random-hyperplane sign signature: for a FIXED plane
+ * matrix (an LSH index parameter, embedded as a codegen reference
+ * object), emit one '1'/'0' character per plane by the sign of the
+ * plane's left-to-right dot product with the input vector — the
+ * whole (planes x dims) signature in ONE generated loop nest.
+ *
+ * The compositional alternative (one zip_with+aggregate fold per
+ * plane concatenated through CASE strings) builds a 144-subtree
+ * expression at 144 signature bits, whose planning + codegen
+ * compilation dwarfs its evaluation and grows with every added bit.
+ * Per-plane accumulation order here is identical to the aggregate
+ * fold it replaces (and to the oracle's list_dot_product), so
+ * signatures are bit-equal.
+ *
+ * Contract: the input vector must have >= dims elements (extra
+ * elements are ignored; the similarity fixtures are fixed-width).
+ * Scala-only facade (the plane matrix is a construction-time
+ * constant, not a SQL-expressible argument).
+ */
+case class SignSignature(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  private val nPlanes: Int = planes.length
+  private val dims: Int = if (planes.isEmpty) 0 else planes(0).length
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](nPlanes * dims)
+    var p = 0
+    while (p < nPlanes) {
+      System.arraycopy(planes(p), 0, f, p * dims, dims)
+      p += 1
+    }
+    f
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val out = new Array[Byte](nPlanes)
+    val n = math.min(v.numElements(), dims)
+    var p = 0
+    while (p < nPlanes) {
+      val base = p * dims
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * flat(base + i); i += 1 }
+      out(p) = if (s >= 0.0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val flatRef = ctx.addReferenceObj("lshPlanes", flat, "double[]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      s"""
+         |byte[] $out = new byte[$nPlanes];
+         |int $n = java.lang.Math.min($v.numElements(), $dims);
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  int $base = $p * $dims;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $v.getDouble($i) * $flatRef[$base + $i];
+         |  }
+         |  $out[$p] = ($s >= 0.0) ? (byte) '1' : (byte) '0';
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SignSignature =
+    copy(child = c)
+}
+
 object GraftExpressions {
+  /** Sign signature of `v` under a fixed hyperplane matrix. */
+  def signSignature(v: Column, planes: Array[Array[Double]]): Column =
+    ExpressionUtils.column(SignSignature(ExpressionUtils.expression(v), planes))
+
   def intersectWeightedSum(aIds: Column, aWts: Column, bIds: Column): Column =
     ExpressionUtils.column(SortedIntersectWeightedSum(
       ExpressionUtils.expression(aIds), ExpressionUtils.expression(aWts),
