@@ -107,6 +107,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SignSignature matches a driver-side replay of the plane folds bit-for-bit") {
+    // the native expression must produce exactly the signature the
+    // oracle derives from lshPlaneSqlLiterals: parse the emitted
+    // literals (shortest round-trip decimals recover the exact
+    // doubles) and fold left-to-right like aggregate /
+    // list_dot_product
+    val bits = 24; val dims = 64
+    val got = e.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding").cast("array<double>"), bits, dims).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val planes = Similarity.lshPlaneSqlLiterals(bits, dims).map(_
+      .stripPrefix("[").stripSuffix("]").split(", ").map(_.toDouble))
+    val vecs = e.select("vec_id", "embedding").collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    assert(vecs.nonEmpty)
+    vecs.foreach { case (id, v) =>
+      val sig = planes.map { plane =>
+        var s = 0.0; var i = 0
+        val n = math.min(v.length, dims)
+        while (i < n) { s += v(i) * plane(i); i += 1 }
+        if (s >= 0.0) '1' else '0'
+      }.mkString
+      assert(got(id) === sig, s"vec $id")
+    }
+  }
+
   test("deriveBandBits: ~log2(n) clamped to [8, 16]") {
     assert(Similarity.deriveBandBits(1L) === 8)
     assert(Similarity.deriveBandBits(500L) === 9)   // the sf0.01 corpus
