@@ -943,9 +943,14 @@ object GraphAlgs {
         }
       }.reduceByKey(p, _ + _)
       // x' = (A+I)x: the self term keeps isolated vertices and breaks
-      // bipartite oscillation
-      val raw = cur.leftOuterJoin(sums, p)
-        .mapValues { case (own, s) => own + s.getOrElse(0.0) }
+      // bipartite oscillation. cur and sums share partitioner p, so
+      // the merge is a zipPartitions hash join (same doubles, no
+      // cogroup buffers — the det-family round's measured win)
+      val raw = cur.zipPartitions(sums, preservesPartitioning = true) { (cIt, sIt) =>
+        val m = new java.util.HashMap[Long, Double]()
+        sIt.foreach(kv => m.put(kv._1, kv._2))
+        cIt.map { case (id, own) => (id, own + m.getOrDefault(id, 0.0)) }
+      }
       raw.persist()
       val mx = math.max(raw.map(_._2).fold(0.0)(math.max), Double.MinPositiveValue)
       val next = raw.mapValues(_ / mx).persist()
