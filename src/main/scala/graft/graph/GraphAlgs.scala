@@ -411,21 +411,33 @@ object GraphAlgs {
         it += 1
         prevState = state
         prevDmsgs = dmsgs
-        state = prevState.leftOuterJoin(dmsgs, p).mapValues {
-          case (st, Some(m)) =>
-            val deg = st.counts.length - 1
-            val c = st.counts.clone()
-            var j = 0
-            while (j < m.size) {
-              c(math.min(m.olds(j), deg)) -= 1
-              c(math.min(m.news(j), deg)) += 1
-              j += 1
+        // both sides live under p: hash the (frontier-sized) delta
+        // side per partition and stream the state — a zipPartitions
+        // merge, not a cogroup that re-buffers the full state every
+        // round
+        state = prevState.zipPartitions(dmsgs, preservesPartitioning = true) {
+          (sIt, mIt) =>
+            val mm = new java.util.HashMap[Long, CoreDelta]()
+            mIt.foreach(kv => mm.put(kv._1, kv._2))
+            sIt.map { case (id, st) =>
+              val m = mm.get(id)
+              val next = if (m != null) {
+                val deg = st.counts.length - 1
+                val c = st.counts.clone()
+                var j = 0
+                while (j < m.size) {
+                  c(math.min(m.olds(j), deg)) -= 1
+                  c(math.min(m.news(j), deg)) += 1
+                  j += 1
+                }
+                CoreState(math.min(st.est, hIndexOf(st.est, deg, c)), st.est, c)
+              } else {
+                // clear the send gate on non-receivers: a vertex only
+                // re-sends in the round after it changed
+                if (st.prev != st.est) st.copy(prev = st.est) else st
+              }
+              (id, next)
             }
-            CoreState(math.min(st.est, hIndexOf(st.est, deg, c)), st.est, c)
-          case (st, None) =>
-            // clear the send gate on non-receivers: a vertex only
-            // re-sends in the round after it changed
-            if (st.prev != st.est) st.copy(prev = st.est) else st
         }.persist()
       }
     }

@@ -203,12 +203,24 @@ object InitialPartition {
         i += 1
         prevState = state
         prevMsgs = msgs
-        state = prevState.leftOuterJoin(msgs, p).mapValues {
-          case (st, Some(m)) => applyFlags(st, m)
-          case (st, None)    =>
-            // the consumed send-gate clears on non-receivers so a
-            // vertex only sends in the superstep after it ran
-            if (st.changed) st.copy(changed = false) else st
+        // both sides live under p: hash the (frontier-sized) message
+        // side per partition and stream the state — a zipPartitions
+        // merge, not a cogroup that re-buffers the full state every
+        // superstep
+        state = prevState.zipPartitions(msgs, preservesPartitioning = true) {
+          (sIt, mIt) =>
+            val mm = new java.util.HashMap[Long, FlagMsg]()
+            mIt.foreach(kv => mm.put(kv._1, kv._2))
+            sIt.map { case (id, st) =>
+              val m = mm.get(id)
+              val next =
+                if (m != null) applyFlags(st, m)
+                // the consumed send-gate clears on non-receivers so a
+                // vertex only sends in the superstep after it ran
+                else if (st.changed) st.copy(changed = false)
+                else st
+              (id, next)
+            }
         }
         state.persist(StorageLevel.MEMORY_AND_DISK)
       }
