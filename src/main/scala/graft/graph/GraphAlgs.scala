@@ -223,29 +223,52 @@ object GraphAlgs {
         val d = round
         prevState = state
         prevMsgs = msgs
-        state = prevState.fullOuterJoin(msgs, p).mapValues {
-          case (Some((a, _)), Some(mask)) =>
-            var arr = a; var set = 0L; var copied = false
-            var i = 0
-            while (i < k) {
-              if (((mask >> i) & 1L) == 1L && arr(i) == INF) {
-                if (!copied) { arr = a.clone(); copied = true }
-                arr(i) = d; set |= 1L << i
+        // both sides live under p, but the state GROWS (first-reached
+        // vertices enter), so the merge streams the state against a
+        // hashed message side and then drains the unmatched messages
+        // as new entries — a zipPartitions full-outer without the
+        // cogroup's re-buffering of every reached vertex per round.
+        // The remainder iterator touches the map only after the
+        // streamed side is exhausted (Iterator.++ is lazy), so the
+        // removes during the first phase are safe.
+        state = prevState.zipPartitions(msgs, preservesPartitioning = true) {
+          (sIt, mIt) =>
+            val mm = new java.util.HashMap[Long, Long]()
+            mIt.foreach(kv => mm.put(kv._1, kv._2))
+            val updated = sIt.map { case (v, (a, _)) =>
+              val boxed = mm.remove(v)
+              if (boxed == null) (v, (a, 0L))
+              else {
+                val mask: Long = boxed
+                var arr = a; var set = 0L; var copied = false
+                var i = 0
+                while (i < k) {
+                  if (((mask >> i) & 1L) == 1L && arr(i) == INF) {
+                    if (!copied) { arr = a.clone(); copied = true }
+                    arr(i) = d; set |= 1L << i
+                  }
+                  i += 1
+                }
+                (v, (arr, set))
               }
-              i += 1
             }
-            (arr, set)
-          case (Some((a, _)), None) => (a, 0L)
-          case (None, Some(mask)) =>
-            val arr = Array.fill(k)(INF)
-            var set = 0L
-            var i = 0
-            while (i < k) {
-              if (((mask >> i) & 1L) == 1L) { arr(i) = d; set |= 1L << i }
-              i += 1
+            val fresh = new scala.collection.AbstractIterator[(Long, (Array[Int], Long))] {
+              private lazy val it = mm.entrySet().iterator()
+              def hasNext: Boolean = it.hasNext
+              def next(): (Long, (Array[Int], Long)) = {
+                val e = it.next()
+                val mask: Long = e.getValue
+                val arr = Array.fill(k)(INF)
+                var set = 0L
+                var i = 0
+                while (i < k) {
+                  if (((mask >> i) & 1L) == 1L) { arr(i) = d; set |= 1L << i }
+                  i += 1
+                }
+                (e.getKey, (arr, set))
+              }
             }
-            (arr, set)
-          case (None, None) => throw new IllegalStateException("unreachable")
+            updated ++ fresh
         }.persist()
       }
     }
