@@ -1117,20 +1117,45 @@ object GraphAlgs {
   final case class KTruss(edges: DataFrame, r1Count: Long, converged: Boolean,
       release: () => Unit)
 
+  /** Merge-scan intersection of two sorted distinct Long arrays,
+   * returning the COMMON ELEMENTS (the delta peel needs the triangle
+   * apexes, not just their count). */
+  /** Merge-scan intersection COUNT over two sorted distinct Long
+   * arrays (the plain-Scala twin of the native `intersect_count`
+   * expression, local to the RDD loops here). */
+  private[graph] def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  private[graph] def sortedIntersect(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](
+      math.min(a.length, b.length))
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { out += x; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    out.toArray
+  }
+
   /**
-   * K-truss peel over a canonical (src < dst, distinct) edge set:
-   * iteratively delete edges whose support (triangles through the
-   * edge within the surviving subgraph) is below k-2, to a fixpoint.
-   *
-   * Each round is one adjacency groupBy over the symmetrized
-   * survivors plus two vertex joins feeding the native codegen'd
-   * sorted-array intersect_count merge scan (the neighborJaccard
-   * plan class) — O(|E| + Σdeg) shuffled rows per round, never a
-   * wedge-enumeration join. Rounds are driver-sequenced with each
-   * generation cached and the previous released, like every other
-   * iterative surface here.
+   * K-truss peel, full-recompute form: each round rebuilds the
+   * survivor adjacency (groupBy over the symmetrized survivors) and
+   * re-intersects EVERY surviving edge's endpoint neighbor lists —
+   * O(|E| + Σdeg) shuffled rows per round regardless of how few
+   * edges the round deletes. Kept as the semantic anchor for the
+   * delta peel's parity spec; [[ktrussPeel]] is the production path.
    */
-  def ktrussPeel(canonical: DataFrame, k: Int = 4, maxRounds: Int = 30): KTruss = {
+  def ktrussPeelRecompute(canonical: DataFrame, k: Int = 4, maxRounds: Int = 30): KTruss = {
     import org.apache.spark.sql.graft.GraftExpressions.intersectCount
     val spark = canonical.sparkSession
     var cur = canonical.select("src", "dst")
@@ -1175,5 +1200,197 @@ object GraphAlgs {
     val last = prevRdd
     KTruss(keepDf, r1N, converged,
       () => if (last != null) { last.unpersist(blocking = false); () })
+  }
+
+  /**
+   * K-truss peel, delta form (the production path): supports are
+   * computed ONCE over the full edge set, then each round only
+   * enumerates the triangles that DIE — those through this round's
+   * deleted edges — and decrements the two surviving edges of each
+   * dead triangle. Identical synchronous fixpoint to
+   * [[ktrussPeelRecompute]] (parity-pinned by KTrussSpec): with
+   * S_r the round-r survivor set and sup_r taken w.r.t. S_r,
+   * a surviving edge (u,w) loses exactly the S_r-triangles
+   * (u,w,x) with (u,x) or (w,x) deleted, each counted once
+   * (dedup by triangle id — a triangle with TWO deleted edges
+   * still decrements its surviving edge by one).
+   *
+   * Scale shape: round 0 is the one full pass (adjacency groupBy +
+   * per-edge merge-scan intersect, the same O(|E| + Σdeg) exchange
+   * as one recompute round); every later round costs O(|S| scan)
+   * for the co-partitioned zipPartitions merges plus work
+   * proportional to the DELETED edges' degree sums — on a peel
+   * whose deletions shrink geometrically this turns ~30 full
+   * passes into ~1 plus change. State (supports keyed by edge,
+   * adjacency keyed by vertex) lives on pair RDDs under fixed
+   * HashPartitioners with the generational persist/release
+   * discipline of every other loop here; messages (deleted edges,
+   * triangle decrements, adjacency removals) are frontier-sized
+   * and always the hashed side of a zipPartitions merge, never a
+   * cogroup over the full state.
+   */
+  def ktrussPeel(canonical: DataFrame, k: Int = 4, maxRounds: Int = 30): KTruss = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = canonical.sparkSession
+    val edges0 = canonical.select("src", "dst").rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = edges0.count()
+    val parts = math.max(8, math.min(edges0.getNumPartitions,
+      math.max(1, (2 * nE / 500000L).toInt)))
+    val pv = new HashPartitioner(parts) // vertex-keyed state
+    val pe = new HashPartitioner(parts) // edge-keyed state
+
+    // A_0: sorted distinct neighbor arrays over the full edge set
+    var adj: RDD[(Long, Array[Long])] = edges0
+      .flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      .groupByKey(pv)
+      .mapValues { it => val a = it.toArray; java.util.Arrays.sort(a); a }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+
+    // sup_0: one full lookup pass — key edges by src, hash the
+    // partition's edges against the streamed adjacency, re-key by
+    // dst, repeat; arrays ship once per edge (the same volume as
+    // one recompute round's two joins)
+    val bySrc = edges0.partitionBy(pv)
+    val withNu: RDD[(Long, (Long, Array[Long]))] = adj.zipPartitions(bySrc) {
+      (aIt, eIt) =>
+        val m = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+        eIt.foreach { case (u, v) =>
+          var l = m.get(u)
+          if (l == null) { l = new java.util.ArrayList[Long](); m.put(u, l) }
+          l.add(v)
+        }
+        aIt.flatMap { case (u, nbrs) =>
+          val l = m.get(u)
+          if (l == null) Iterator.empty
+          else { import scala.jdk.CollectionConverters._
+            l.asScala.iterator.map(v => (v, (u, nbrs))) }
+        }
+    }.partitionBy(pv)
+    var state: RDD[((Long, Long), Int)] = adj.zipPartitions(withNu) {
+      (aIt, wIt) =>
+        val m = new java.util.HashMap[Long, java.util.ArrayList[(Long, Array[Long])]]()
+        wIt.foreach { case (v, un) =>
+          var l = m.get(v)
+          if (l == null) { l = new java.util.ArrayList[(Long, Array[Long])](); m.put(v, l) }
+          l.add(un)
+        }
+        aIt.flatMap { case (v, nv) =>
+          val l = m.get(v)
+          if (l == null) Iterator.empty
+          else { import scala.jdk.CollectionConverters._
+            l.asScala.iterator.map { case (u, nu) =>
+              ((u, v), sortedIntersectCount(nu, nv)) } }
+        }
+    }.partitionBy(pe).persist(StorageLevel.MEMORY_AND_DISK)
+    var stateN = state.count()
+    edges0.unpersist(blocking = false)
+
+    var r1N = -1L
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val d = state.filter(_._2 < k - 2).persist(StorageLevel.MEMORY_AND_DISK)
+      val nD = d.count()
+      if (nD == 0L) {
+        converged = true
+        if (r1N < 0) r1N = stateN
+        d.unpersist(blocking = false)
+      } else {
+        // dead triangles: for each deleted (u,v), the apexes
+        // x ∈ N(u) ∩ N(v) in A_r; each dead triangle decrements its
+        // OTHER two edges, dedup'd by (edge, triangle)
+        val dByU = d.map { case ((u, v), _) => (u, v) }.partitionBy(pv)
+        val dNu: RDD[(Long, (Long, Array[Long]))] = adj.zipPartitions(dByU) {
+          (aIt, dIt) =>
+            val m = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+            dIt.foreach { case (u, v) =>
+              var l = m.get(u)
+              if (l == null) { l = new java.util.ArrayList[Long](); m.put(u, l) }
+              l.add(v)
+            }
+            aIt.flatMap { case (u, nbrs) =>
+              val l = m.get(u)
+              if (l == null) Iterator.empty
+              else { import scala.jdk.CollectionConverters._
+                l.asScala.iterator.map(v => (v, (u, nbrs))) }
+            }
+        }.partitionBy(pv)
+        val dec: RDD[((Long, Long), Int)] = adj.zipPartitions(dNu) { (aIt, wIt) =>
+          val m = new java.util.HashMap[Long, java.util.ArrayList[(Long, Array[Long])]]()
+          wIt.foreach { case (v, un) =>
+            var l = m.get(v)
+            if (l == null) { l = new java.util.ArrayList[(Long, Array[Long])](); m.put(v, l) }
+            l.add(un)
+          }
+          aIt.flatMap { case (v, nv) =>
+            val l = m.get(v)
+            if (l == null) Iterator.empty
+            else { import scala.jdk.CollectionConverters._
+              l.asScala.iterator.flatMap { case (u, nu) =>
+                sortedIntersect(nu, nv).iterator.flatMap { x =>
+                  // triangle (u,v,x) with (u,v) deleted; other edges
+                  val e1 = (math.min(u, x), math.max(u, x))
+                  val e2 = (math.min(v, x), math.max(v, x))
+                  val a = math.min(u, math.min(v, x))
+                  val c = math.max(u, math.max(v, x))
+                  val b = u + v + x - a - c
+                  Iterator((e1, (a, b, c)), (e2, (a, b, c)))
+                } } }
+          }
+        }.distinct(parts)
+          .map { case (e, _) => (e, 1) }
+          .reduceByKey(pe, _ + _)
+        // survivors: drop D, apply decrements (hashed small side)
+        val newState = state.zipPartitions(dec, preservesPartitioning = true) {
+          (sIt, decIt) =>
+            val m = new java.util.HashMap[(Long, Long), Int]()
+            decIt.foreach { case (e, c) => m.put(e, c) }
+            sIt.filter(_._2 >= k - 2).map { case (e, s) =>
+              (e, s - m.getOrDefault(e, 0))
+            }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        val newN = newState.count()
+        // A_{r+1}: strip the deleted pairs (removal side is small)
+        val rem = d.flatMap { case ((u, v), _) => Iterator((u, v), (v, u)) }
+          .groupByKey(pv)
+          .mapValues { it =>
+            val s = new java.util.HashSet[Long]()
+            it.foreach(s.add(_)); s
+          }
+        val newAdj = adj.zipPartitions(rem, preservesPartitioning = true) {
+          (aIt, rIt) =>
+            val m = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+            rIt.foreach { case (v, s) => m.put(v, s) }
+            aIt.map { case (v, nbrs) =>
+              val rm = m.get(v)
+              if (rm == null) (v, nbrs)
+              else (v, nbrs.filterNot(rm.contains(_)))
+            }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        newAdj.count()
+        if (round == 0) r1N = newN
+        // fixpoint is detected by the NEXT round's empty delete set
+        state.unpersist(blocking = false)
+        adj.unpersist(blocking = false)
+        d.unpersist(blocking = false)
+        state = newState
+        adj = newAdj
+        stateN = newN
+      }
+      round += 1
+    }
+    adj.unpersist(blocking = false)
+    val finalState = state
+    val edgesDf = spark.createDataFrame(
+      finalState.map { case ((u, v), s) => (u, v, s) })
+      .toDF("src", "dst", "support")
+    if (r1N < 0) r1N = stateN
+    KTruss(edgesDf, r1N, converged,
+      () => { finalState.unpersist(blocking = false); () })
   }
 }
