@@ -781,6 +781,98 @@ object GraphAlgs {
     lab
   }
 
+  /**
+   * Deterministic integer HITS (hubs & authorities, Kleinberg) over
+   * a DIRECTED edge set, in the det family's micro-unit contract:
+   * h_0 = 10^6 on every source node; each round
+   * a'(v) = Σ_{u→v} h(u), max-normalized to a = (a' * 10^6) div
+   * max(a'), then h'(u) = Σ_{u→v} a(v), normalized the same way.
+   * Integer sums are order-free and the normalization routes through
+   * [[mulDiv]] (exact for any Long sum), so scores are BIT-IDENTICAL
+   * across engines, partitionings, and runs — SQL-replayable as
+   * unrolled CTE rounds with HUGEINT sums.
+   *
+   * Loop shape: the out-adjacency (u → [v]) and in-adjacency
+   * (v → [u]) are built once on fixed HashPartitioners; each
+   * half-round is one zipPartitions hash-merge (scores hashed,
+   * adjacency streamed) + one reduceByKey on the receiving
+   * partitioner — two message shuffles per round, no cogroups, no
+   * graph rebuild. Hub state covers nodes with out-edges, authority
+   * state nodes with in-edges (general HITS: a node with both keeps
+   * both scores).
+   *
+   * Returns (hubs, authorities) keyed by node id, both persisted —
+   * call the release thunk when consumed.
+   */
+  def hitsDetRDD(edges: org.apache.spark.rdd.RDD[(Long, Long)],
+      rounds: Int = 8): (org.apache.spark.rdd.RDD[(Long, Long)],
+        org.apache.spark.rdd.RDD[(Long, Long)], () => Unit) = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val nE = edges.count()
+    val parts = math.max(8, math.min(edges.getNumPartitions,
+      math.max(1, (2 * nE / 500000L).toInt)))
+    val pOut = new HashPartitioner(parts)
+    val pIn = new HashPartitioner(parts)
+    val adjOut: RDD[(Long, Array[Long])] = edges.groupByKey(pOut)
+      .mapValues(_.toArray).persist(StorageLevel.MEMORY_AND_DISK)
+    val adjIn: RDD[(Long, Array[Long])] = edges
+      .map { case (u, v) => (v, u) }.groupByKey(pIn)
+      .mapValues(_.toArray).persist(StorageLevel.MEMORY_AND_DISK)
+    adjOut.count(); adjIn.count()
+
+    var hub: RDD[(Long, Long)] = adjOut
+      .mapPartitions(_.map { case (u, _) => (u, 1000000L) },
+        preservesPartitioning = true).persist()
+    var auth: RDD[(Long, Long)] = null
+    var prevHub: RDD[(Long, Long)] = null
+    var prevAuth: RDD[(Long, Long)] = null
+    (1 to rounds).foreach { _ =>
+      // authority half-round: a'(v) = Σ_{u→v} h(u)
+      val aRaw = adjOut.zipPartitions(hub) { (aIt, hIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        hIt.foreach(kv => m.put(kv._1, kv._2))
+        aIt.flatMap { case (u, outs) =>
+          val hu = m.get(u)
+          outs.iterator.map(v => (v, hu))
+        }
+      }.reduceByKey(pIn, Math.addExact(_, _)).persist()
+      val aMax = aRaw.map(_._2).fold(1L)(math.max)
+      val nextAuth = aRaw.mapValues(v => mulDiv(v, 1000000L, aMax)).persist()
+      nextAuth.count()
+      aRaw.unpersist(blocking = false)
+      if (prevAuth != null) prevAuth.unpersist(blocking = false)
+      prevAuth = auth
+      auth = nextAuth
+      // hub half-round: h'(u) = Σ_{u→v} a(v)
+      val hRaw = adjIn.zipPartitions(auth) { (aIt, sIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        sIt.foreach(kv => m.put(kv._1, kv._2))
+        aIt.flatMap { case (v, ins) =>
+          val av = m.get(v)
+          ins.iterator.map(u => (u, av))
+        }
+      }.reduceByKey(pOut, Math.addExact(_, _)).persist()
+      val hMax = hRaw.map(_._2).fold(1L)(math.max)
+      val nextHub = hRaw.mapValues(v => mulDiv(v, 1000000L, hMax)).persist()
+      nextHub.count()
+      hRaw.unpersist(blocking = false)
+      if (prevHub != null) prevHub.unpersist(blocking = false)
+      prevHub = hub
+      hub = nextHub
+    }
+    if (prevHub != null) prevHub.unpersist(blocking = false)
+    if (prevAuth != null) prevAuth.unpersist(blocking = false)
+    val fh = hub; val fa = auth
+    (hub, auth, () => {
+      fh.unpersist(blocking = false)
+      fa.unpersist(blocking = false)
+      adjOut.unpersist(blocking = false)
+      adjIn.unpersist(blocking = false)
+    })
+  }
+
   def neighborJaccard(canonical: DataFrame, symmetrized: DataFrame): DataFrame =
     neighborJaccardFromAdj(canonical,
       symmetrized.groupBy(col("src").as("vid"))

@@ -417,22 +417,27 @@ object GraphQueries {
 
   /** One batched multi-source BFS from the 5 hash-picked sample
    * roots ([[bfsSources]]), reduced to per-root (n_reached,
-   * sum_dist, max_dist) — memoized so g_eccentricity and
-   * g_closeness share a single Pregel run (the per-vertex view,
-   * g_multi_bfs, runs its own reduction). */
-  private def bfs5(spark: SparkSession, sfDir: String): Array[(Long, Long, Long, Long)] =
+   * sum_dist, max_dist, harm_sum) — memoized so g_eccentricity,
+   * g_closeness, and g_harmonic share a single Pregel run (the
+   * per-vertex view, g_multi_bfs, runs its own reduction).
+   * harm_sum = Σ_{d>0} 10^9 div d in integer micro-units: Long
+   * floor division on positive operands matches DuckDB's `//`, and
+   * the sum is order-free, so the harmonic mass ships bit-exact. */
+  private def bfs5(spark: SparkSession, sfDir: String): Array[(Long, Long, Long, Long, Long)] =
     memoize(spark, s"bfs5:$sfDir") {
       val sources = bfsSources(spark, sfDir)
       val (state, release) = graft.graph.GraphAlgs
         .multiSourceBfsRDD(graph(spark, sfDir), sources, maxHops = 8)
       val perRoot = state.flatMap { case (_, ds) =>
         ds.zipWithIndex.collect { case (d, i) if d != Int.MaxValue => (i, d) }
-      }.aggregateByKey((0L, 0L, 0))(
-        { case ((n, s, mx), d) => (n + 1, s + d, math.max(mx, d)) },
-        { case ((n1, s1, m1), (n2, s2, m2)) => (n1 + n2, s1 + s2, math.max(m1, m2)) })
+      }.aggregateByKey((0L, 0L, 0, 0L))(
+        { case ((n, s, mx, h), d) =>
+          (n + 1, s + d, math.max(mx, d), h + (if (d > 0) 1000000000L / d else 0L)) },
+        { case ((n1, s1, m1, h1), (n2, s2, m2, h2)) =>
+          (n1 + n2, s1 + s2, math.max(m1, m2), h1 + h2) })
         .collect().sortBy(_._1)
       release()
-      perRoot.map { case (i, (n, s, mx)) => (sources(i), n, s, mx.toLong) }
+      perRoot.map { case (i, (n, s, mx, h)) => (sources(i), n, s, mx.toLong, h) }
     }
 
   /** Sampled eccentricity: per BFS root the max bounded hop distance
@@ -440,7 +445,7 @@ object GraphQueries {
    * Integer-exact. */
   def eccentricity(spark: SparkSession, sfDir: String): DataFrame =
     spark.createDataFrame(
-      bfs5(spark, sfDir).map { case (r, n, _, mx) => (r, n, mx) }.toSeq)
+      bfs5(spark, sfDir).map { case (r, n, _, mx, _) => (r, n, mx) }.toSeq)
       .toDF("root", "n_reached", "ecc")
       .orderBy("root")
 
@@ -449,11 +454,24 @@ object GraphQueries {
    * that is well-defined on disconnected graphs. The integer inputs
    * ship exactly; only the final ratio is floating point. */
   def closeness(spark: SparkSession, sfDir: String): DataFrame =
-    spark.createDataFrame(bfs5(spark, sfDir).toSeq)
+    spark.createDataFrame(
+      bfs5(spark, sfDir).map { case (r, n, s, mx, _) => (r, n, s, mx) }.toSeq)
       .toDF("root", "n_reached", "sum_dist", "ecc")
       .select(col("root"), col("n_reached"), col("sum_dist"),
         floor((col("n_reached") - 1).cast("double") / col("sum_dist") * 1e9 + 0.5)
           ./(1e9).as("closeness"))
+      .orderBy("root")
+
+  /** Sampled harmonic centrality: per BFS root the bounded-horizon
+   * harmonic mass Σ_{v reached, d>0} 1/d, carried as the integer
+   * nano-unit sum Σ 10^9 div d — fully order-free, so the row is
+   * bit-exact under the oracle hash with no float tolerance (the
+   * well-known advantage of harmonic over closeness on disconnected
+   * graphs comes for free: unreached vertices contribute 0). */
+  def harmonic(spark: SparkSession, sfDir: String): DataFrame =
+    spark.createDataFrame(
+      bfs5(spark, sfDir).map { case (r, n, _, _, h) => (r, n, h) }.toSeq)
+      .toDF("root", "n_reached", "harm_sum")
       .orderBy("root")
 
   /** SSSP with a COMPLETE optimality certificate: for positive edge
@@ -1274,6 +1292,22 @@ object GraphQueries {
          |SELECT root, count(*) AS n_reached, CAST(sum(d) AS BIGINT) AS sum_dist,
          |  floor((count(*) - 1)::DOUBLE / sum(d) * 1e9 + 0.5) / 1e9 AS closeness
          |FROM md GROUP BY root""".stripMargin,
+    // Harmonic centrality in integer nano-units: 10^9 // d is exact
+    // floor division on both engines, the sum is order-free
+    "g_harmonic" ->
+      s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
+         |srcs AS (SELECT src AS v FROM (
+         |  SELECT DISTINCT src FROM raw
+         |  ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 5)),
+         |bfs AS (
+         |  SELECT v AS root, v AS vid, 0 AS d FROM srcs
+         |  UNION
+         |  SELECT b.root, e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.vid
+         |  WHERE b.d < 8),
+         |md AS (SELECT root, vid, min(d) AS d FROM bfs GROUP BY root, vid)
+         |SELECT root, count(*) AS n_reached,
+         |  CAST(sum(CASE WHEN d > 0 THEN 1000000000 // d ELSE 0 END) AS BIGINT) AS harm_sum
+         |FROM md GROUP BY root""".stripMargin,
     // k-truss invariant contract: full-graph vertex count and the
     // round-1 survivor count (edges whose support in the FULL graph
     // is >= k-2) from SQL; fixpoint booleans TRUE (see ktruss())
@@ -1393,6 +1427,7 @@ object GraphQueries {
     "g_two_hop" -> twoHopReach _,
     "g_eccentricity" -> eccentricity _,
     "g_closeness" -> closeness _,
+    "g_harmonic" -> harmonic _,
     "g_ktruss" -> ktruss _,
     "g_eigencentrality" -> eigenCentrality _,
     "g_recursive_reach" -> recursiveReach _
