@@ -1485,4 +1485,175 @@ object GraphAlgs {
     KTruss(edgesDf, r1N, converged,
       () => { finalState.unpersist(blocking = false); () })
   }
+
+  /**
+   * Minimum spanning forest via distributed Borůvka over a
+   * canonical (u < v, distinct) edge set with integer nano-unit
+   * lengths. Edges are compared by the strict total order
+   * (len, u, v), which makes every weight distinct, so (a) the MSF
+   * is UNIQUE — a deterministic, engine-independent contract like
+   * the det fixpoint family's — and (b) every cycle in a round's
+   * component→min-edge parent digraph is a 2-cycle (the classic
+   * Borůvka argument: a longer choice cycle needs non-increasing
+   * weights all the way around, impossible when they're distinct),
+   * so cycle-breaking is a single parent-of-parent join.
+   *
+   * Loop shape: per round the surviving cross-component edges are
+   * annotated with both endpoint labels (two co-partitioned joins),
+   * reduced to the min edge per component, and the resulting
+   * parent forest is collapsed by pointer doubling (O(log depth)
+   * joins over the component-sized — i.e. geometrically shrinking —
+   * parent map). Components at least halve per round, so the whole
+   * peel is O(log |V|) rounds of O(|cross|) work: the textbook
+   * scale shape for distributed MSF. All state lives on pair RDDs
+   * under one fixed HashPartitioner with generational
+   * persist/release.
+   *
+   * Returns (msfEdges (u, v, lenNano), labels (vid → component as
+   * min member vid), release).
+   */
+  def boruvkaMsfRDD(edges: org.apache.spark.rdd.RDD[(Long, Long, Long)],
+      maxRounds: Int = 40): (org.apache.spark.rdd.RDD[(Long, Long, Long)],
+        org.apache.spark.rdd.RDD[(Long, Long)], () => Unit) = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val nE = edges.count()
+    val parts = math.max(8, math.min(edges.getNumPartitions,
+      math.max(1, (2 * nE / 500000L).toInt)))
+    val pv = new HashPartitioner(parts)
+
+    // static edge set keyed by u once; (len, u, v) rides along
+    val eByU: RDD[(Long, (Long, Long, Long))] = edges
+      .map { case (u, v, len) => (u, (u, v, len)) }
+      .partitionBy(pv).persist(StorageLevel.MEMORY_AND_DISK)
+    eByU.count()
+
+    var labels: RDD[(Long, Long)] = eByU
+      .flatMap { case (_, (u, v, _)) => Iterator(u, v) }
+      .distinct(parts).map(v => (v, v))
+      .partitionBy(pv).persist()
+    labels.count()
+
+    // strict total order on edges: (len, u, v)
+    def less(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean = {
+      val (u1, v1, l1) = a; val (u2, v2, l2) = b
+      l1 < l2 || (l1 == l2 && (u1 < u2 || (u1 == u2 && v1 < v2)))
+    }
+
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[RDD[(Long, Long, Long)]]
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // annotate both endpoints with their labels: edges are the
+      // streamed side, the label state the hashed side
+      val withLu = labels.zipPartitions(eByU) { (lIt, eIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        lIt.foreach(kv => m.put(kv._1, kv._2))
+        eIt.map { case (u, e) => (e._2, (e, m.get(u))) }
+      }.partitionBy(pv)
+      val cross = labels.zipPartitions(withLu) { (lIt, eIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        lIt.foreach(kv => m.put(kv._1, kv._2))
+        eIt.flatMap { case (v, (e, lu)) =>
+          val lv = m.get(v)
+          if (lu == lv) Iterator.empty
+          else Iterator((e, lu, lv))
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      if (cross.isEmpty()) {
+        converged = true
+        cross.unpersist(blocking = false)
+      } else {
+        // min cross edge per component, by the strict total order
+        val minEdge: RDD[(Long, ((Long, Long, Long), Long))] = cross
+          .flatMap { case (e, lu, lv) =>
+            Iterator((lu, (e, lv)), (lv, (e, lu))) }
+          .reduceByKey(pv, (a, b) => if (less(a._1, b._1)) a else b)
+          .persist()
+        val sel = minEdge.map(_._2._1).distinct(parts)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        sel.count()
+        chosen += sel
+
+        // parent digraph over component labels; break 2-cycles at
+        // the smaller endpoint, then collapse by pointer doubling
+        val parent0: RDD[(Long, Long)] = minEdge
+          .map { case (c, (_, other)) => (c, other) }.partitionBy(pv)
+        val pOfP = parent0.map(_.swap).partitionBy(pv)
+          .zipPartitions(parent0) { (sIt, pIt) =>
+            val m = new java.util.HashMap[Long, Long]()
+            pIt.foreach(kv => m.put(kv._1, kv._2))
+            sIt.map { case (p, c) => (c, (p, m.get(p))) }
+          }
+        var ptr: RDD[(Long, Long)] = pOfP.map { case (c, (p, pp)) =>
+          if (pp == c) (c, math.min(c, p)) else (c, p)
+        }.partitionBy(pv).persist()
+        ptr.count()
+        minEdge.unpersist(blocking = false)
+
+        var jumping = true
+        while (jumping) {
+          val next = ptr.map(_.swap).partitionBy(pv)
+            .zipPartitions(ptr) { (sIt, pIt) =>
+              val m = new java.util.HashMap[Long, Long]()
+              pIt.foreach(kv => m.put(kv._1, kv._2))
+              sIt.map { case (p, c) =>
+                (c, if (m.containsKey(p)) m.get(p) else p)
+              }
+            }.partitionBy(pv).persist()
+          val moved = next.zipPartitions(ptr) { (nIt, pIt) =>
+            val m = new java.util.HashMap[Long, Long]()
+            pIt.foreach(kv => m.put(kv._1, kv._2))
+            var changed = 0L
+            nIt.foreach { case (c, r) => if (m.get(c) != r) changed += 1 }
+            Iterator.single(changed)
+          }.sum()
+          if (moved == 0) { next.unpersist(blocking = false); jumping = false }
+          else { ptr.unpersist(blocking = false); ptr = next }
+        }
+
+        // relabel: a component with a parent chain takes its root,
+        // the rest keep their label
+        val newLabels = labels.map(_.swap).partitionBy(pv)
+          .zipPartitions(ptr) { (sIt, pIt) =>
+            val m = new java.util.HashMap[Long, Long]()
+            pIt.foreach(kv => m.put(kv._1, kv._2))
+            sIt.map { case (l, v) =>
+              (v, if (m.containsKey(l)) m.get(l) else l)
+            }
+          }.partitionBy(pv).persist()
+        newLabels.count()
+        ptr.unpersist(blocking = false)
+        cross.unpersist(blocking = false)
+        labels.unpersist(blocking = false)
+        labels = newLabels
+      }
+      round += 1
+    }
+
+    val msf: RDD[(Long, Long, Long)] =
+      if (chosen.isEmpty) edges.sparkContext.emptyRDD
+      else edges.sparkContext.union(chosen.toSeq)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    msf.count()
+
+    // canonical component label = min member vid
+    val minV = labels.map(_.swap).reduceByKey(pv, math.min(_: Long, _: Long))
+    val outLabels = labels.map(_.swap).partitionBy(pv)
+      .zipPartitions(minV) { (sIt, mIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        mIt.foreach(kv => m.put(kv._1, kv._2))
+        sIt.map { case (l, v) => (v, m.get(l)) }
+      }.persist()
+    outLabels.count()
+    val lab = labels
+    (msf, outLabels, () => {
+      msf.unpersist(blocking = false)
+      outLabels.unpersist(blocking = false)
+      lab.unpersist(blocking = false)
+      eByU.unpersist(blocking = false)
+      chosen.foreach(_.unpersist(blocking = false))
+    })
+  }
 }

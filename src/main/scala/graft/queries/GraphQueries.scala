@@ -795,6 +795,42 @@ object GraphQueries {
       g.numVertices; g
     }
 
+  /** Backbone edges with integer nano-unit lengths (10^9 div w —
+   * floor division, exact on both engines), the MSF input. */
+  private[queries] def msfInputEdges(spark: SparkSession, sfDir: String): DataFrame =
+    weightedEdges(spark, sfDir).where(col("w") >= 2)
+      .select(col("src"), col("dst"),
+        expr("CAST(1000000000 div w AS BIGINT)").as("len_nano"))
+
+  /** Minimum spanning forest of the weighted backbone (distributed
+   * Borůvka, [[graft.graph.GraphAlgs.boruvkaMsfRDD]]): per
+   * component its size, MSF edge count, and minimum edge length.
+   * The strict (len, u, v) total order makes the MSF unique, so
+   * the output is deterministic across engines and runs. The
+   * oracle recomputes the component partition via the recursive
+   * reachability fixpoint, predicts n_edges = n_vertices - 1
+   * (spanning + acyclic), and checks min_len_nano against the
+   * component-wide minimum (the cut property puts each component's
+   * global minimum edge in the MSF); full minimality is pinned by
+   * MsfSpec's sequential-Kruskal parity. */
+  def msf(spark: SparkSession, sfDir: String): DataFrame = {
+    val rdd = msfInputEdges(spark, sfDir).rdd
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (msfE, labels, release) = graft.graph.GraphAlgs.boruvkaMsfRDD(rdd)
+    val comp = spark.createDataFrame(labels).toDF("vid", "component").cache()
+    val msfDf = spark.createDataFrame(msfE).toDF("src", "dst", "len_nano")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_vertices"))
+    val eAgg = msfDf
+      .join(comp.withColumnRenamed("vid", "src"), "src")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_edges"), min(col("len_nano")).as("min_len_nano"))
+    val out = sizes.join(eAgg, "component").orderBy("component").cache()
+    out.count()
+    comp.unpersist(blocking = false)
+    release()
+    out
+  }
+
   /** Connected components of the backbone graph, component = min
    * reachable vertex id (GraphX min-label Pregel). Oracle: DuckDB
    * recursive-CTE fixed point over the same edge set. */
@@ -984,6 +1020,31 @@ object GraphQueries {
         |  UNION
         |  SELECT e2.dst, reach.m FROM reach JOIN e2 ON e2.src = reach.v)
         |SELECT v AS vid, min(m) AS component FROM reach GROUP BY v""".stripMargin,
+    // MSF contract: component partition from the reachability
+    // fixpoint, n_edges = n_vertices - 1 (spanning forest), and the
+    // per-component minimum edge length (cut property: the global
+    // min edge of a component is always in its MSF); minimality
+    // beyond that is pinned by MsfSpec's sequential-Kruskal parity
+    "g_msf" ->
+      """WITH RECURSIVE cp AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e2 AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+        |reach(v, m) AS (
+        |  SELECT DISTINCT src, src FROM e2
+        |  UNION
+        |  SELECT e2.dst, reach.m FROM reach JOIN e2 ON e2.src = reach.v),
+        |comp AS (SELECT v AS vid, min(m) AS component FROM reach GROUP BY v),
+        |sizes AS (SELECT component, count(*) AS n_vertices
+        |          FROM comp GROUP BY component),
+        |elen AS (SELECT src, 1000000000 // w AS len_nano FROM cp),
+        |emin AS (SELECT c.component, CAST(min(e.len_nano) AS BIGINT) AS min_len_nano
+        |         FROM elen e JOIN comp c ON c.vid = e.src GROUP BY c.component)
+        |SELECT s.component, s.n_vertices,
+        |  CAST(s.n_vertices - 1 AS BIGINT) AS n_edges, m.min_len_nano
+        |FROM sizes s JOIN emin m ON m.component = s.component""".stripMargin,
     "g_transitivity" ->
       s"""$EdgeCte, t3 AS (
          |  SELECT CAST(sum(t) AS BIGINT) AS sum_t FROM (
@@ -1405,6 +1466,7 @@ object GraphQueries {
     "g_kcore" -> kcore _,
     "g_connected_components" -> connectedComponents _,
     "g_cc_twophase" -> connectedComponentsTwoPhase _,
+    "g_msf" -> msf _,
     "g_sssp_certified" -> ssspCertified _,
     "g_pagerank_certified" -> pagerankCertified _,
     "g_wcc_partition_certified" -> wccCertified _,
