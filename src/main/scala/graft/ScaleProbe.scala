@@ -114,6 +114,24 @@ object ScaleProbe {
       kt.release()
     }
 
+    if (wanted("msf")) phase("boruvka msf") {
+      // deterministic pseudo-lengths: the probe measures loop cost,
+      // not semantics (Boruvka's work is weight-independent)
+      val rdd = edges.rdd.map { r =>
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        (u, v, 1000000000L / (1L + (u + v) % 97L))
+      }
+      val (m, _, rel) = GraphAlgs.boruvkaMsfRDD(rdd)
+      println(s"[scale-probe] msf edges=${m.count()}")
+      rel()
+    }
+
+    if (wanted("hits")) phase("hits_det (8 rounds)") {
+      val rdd = edges.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      val (h, a, rel) = GraphAlgs.hitsDetRDD(rdd)
+      h.count(); a.count(); rel()
+    }
+
     val detAll = wanted("det")
     if (detAll || wanted("pagerank") || wanted("eigen") || wanted("label")) {
       val adj = phase("det adjacency arrays") {

@@ -701,6 +701,47 @@ object GraphAlgs {
     rank
   }
 
+  /** Personalized PageRank in the det family's integer micro-unit
+   * contract: restart mass lands only on the seed set
+   * (r_{k+1}(v) = [v ∈ S]·150000 + (850000 · Σ_{u∈N(v)} r_k(u) div
+   * deg(u)) div 10^6, r_0 = [v ∈ S]·10^6) — the graph-proximity
+   * score a training pipeline uses to expand a trusted document
+   * set. Same loop shape and bit-reproducibility guarantees as
+   * [[pagerankDetRDD]]; integer floor truncation zeroes far-away
+   * mass, which is the deterministic analogue of PPR's natural
+   * locality. Seeds ride a broadcast set (bounded by construction
+   * — callers pass a handful of hash-picked roots). */
+  def pprDetRDD(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      seeds: Set[Long], rounds: Int = 10): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val p = adj.partitioner.get
+    val bc = adj.sparkContext.broadcast(seeds)
+    var rank: org.apache.spark.rdd.RDD[(Long, Long)] =
+      adj.mapPartitions(_.map { case (v, _) =>
+        (v, if (bc.value(v)) 1000000L else 0L) },
+        preservesPartitioning = true).persist()
+    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    (1 to rounds).foreach { _ =>
+      val next = adj.zipPartitions(rank) { (aIt, rIt) =>
+        val m = new java.util.HashMap[Long, Long]()
+        rIt.foreach(kv => m.put(kv._1, kv._2))
+        aIt.flatMap { case (u, nbrs) =>
+          val c = m.get(u) / nbrs.length
+          nbrs.iterator.map(n => (n, c))
+        }
+      }.reduceByKey(p, Math.addExact(_, _))
+        .mapPartitions(_.map { case (v, s) =>
+          (v, (if (bc.value(v)) 150000L else 0L) + mulDiv(s, 850000L, 1000000L)) },
+          preservesPartitioning = true)
+        .persist()
+      next.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = rank
+      rank = next
+    }
+    if (prev != null) prev.unpersist(blocking = false)
+    rank
+  }
+
   /** Deterministic integer eigenvector centrality: shifted power
    * iteration s = x + Σ_nbr x with integer max-normalization
    * x' = (s * 10^6) div max(s) — same bit-identical contract as

@@ -298,6 +298,23 @@ object GraphQueries {
     df.orderBy("vid")
   }
 
+  /** Personalized PageRank, deterministic integer form: restart
+   * mass only on the 5 md5-hash-picked sample roots (the same
+   * documented pick as the BFS family), 10 rounds of
+   * [[graft.graph.GraphAlgs.pprDetRDD]]'s micro-unit recurrence —
+   * the graph-proximity expansion score (seed a trusted doc set,
+   * rank everything by proximity) with the det family's
+   * byte-reproducibility contract. Oracle replays the recurrence
+   * with the seed indicator folded into the edge CTE once. */
+  def pprDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = bfsSources(spark, sfDir).toSet
+    val rank = graft.graph.GraphAlgs.pprDetRDD(adjArrays(spark, sfDir), seeds)
+    val df = spark.createDataFrame(rank).toDF("vid", "rank").cache()
+    df.count()
+    rank.unpersist(blocking = false)
+    df.orderBy("vid")
+  }
+
   /** G8+G9 (rows-only): incremental IDWCC over the co-purchase graph
    * via the reference's bulk/stream split-and-replay driver loop.
    * Memoized so the invariant certificate shares the run.
@@ -377,7 +394,7 @@ object GraphQueries {
    * same derivation the stratified document sampler uses). Both
    * engines hash the identical decimal string, so the oracle
    * replays the exact pick. */
-  private def bfsSources(spark: SparkSession, sfDir: String): Array[Long] =
+  private[queries] def bfsSources(spark: SparkSession, sfDir: String): Array[Long] =
     canonEdges(spark, sfDir)
       .select(col("src")).distinct()
       .orderBy(md5(col("src").cast("string")), col("src")).limit(5)
@@ -1195,6 +1212,30 @@ object GraphQueries {
          |$rounds
          |SELECT vid, rank FROM r10""".stripMargin
     },
+    // Deterministic integer personalized PageRank: the seed
+    // indicator (md5-picked roots, the BFS family's rule) is folded
+    // into the edge CTE once so each unrolled round references only
+    // its predecessor and the static e
+    "g_ppr_det" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (SELECT e.dst AS vid,
+           |  CAST(max(e.base) + (850000 * sum(r.rank // e.deg)) // 1000000 AS BIGINT) AS rank
+           |  FROM e JOIN r${i - 1} r ON r.vid = e.src GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""$EdgeCte,
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |srcs AS (SELECT src AS v FROM (
+         |  SELECT DISTINCT src FROM raw
+         |  ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 5)),
+         |e AS (SELECT edges.src, edges.dst, deg.deg,
+         |      CASE WHEN edges.dst IN (SELECT v FROM srcs) THEN 150000 ELSE 0 END AS base
+         |      FROM edges JOIN deg ON deg.src = edges.src),
+         |r0 AS (SELECT dst AS vid,
+         |       CAST(CASE WHEN max(base) > 0 THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+         |       FROM e GROUP BY dst),
+         |$rounds
+         |SELECT vid, rank FROM r10""".stripMargin
+    },
     // Deterministic integer eigenvector centrality: exact replay of
     // the shifted power iteration with integer max-normalization
     "g_eigencentrality_det" -> {
@@ -1458,6 +1499,7 @@ object GraphQueries {
     "g_wcc_incremental" -> wccIncremental _,
     "g_pagerank" -> pagerank _,
     "g_pagerank_det" -> pagerankDeterministic _,
+    "g_ppr_det" -> pprDeterministic _,
     "g_eigencentrality_det" -> eigenCentralityDeterministic _,
     "g_label_propagation_det" -> labelPropagationDeterministic _,
     "g_csv_roundtrip" -> csvRoundtrip _,

@@ -81,6 +81,29 @@ class PagerankDetSpec extends SparkSpec {
     }
   }
 
+  test("deterministic personalized pagerank equals the sequential recurrence") {
+    val got = GraphQueries.pprDeterministic(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val seeds = GraphQueries.bfsSources(spark, sf).toSet
+    val edges = GraphQueries.symmetrizedEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = adjOf(edges)
+    val deg = adj.map { case (v, ns) => (v, ns.length.toLong) }
+    var rank: Map[Long, Long] = adj.map { case (v, _) =>
+      (v, if (seeds(v)) 1000000L else 0L) }
+    (1 to 10).foreach { _ =>
+      val r = rank
+      rank = adj.map { case (v, ns) =>
+        val s = ns.map(u => r(u) / deg(u)).sum
+        (v, (if (seeds(v)) 150000L else 0L) + (850000L * s) / 1000000L)
+      }
+    }
+    assert(got === rank)
+    // restart mass is concentrated: every seed outranks the median
+    val med = got.values.toSeq.sorted.apply(got.size / 2)
+    seeds.foreach(s => assert(got(s) >= med))
+  }
+
   test("deterministic label propagation equals the sequential recurrence") {
     val got = GraphQueries.labelPropagationDeterministic(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
