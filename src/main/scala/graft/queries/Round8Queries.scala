@@ -47,14 +47,18 @@ object Round8Queries {
    * [[graft.graph.GraphAlgs.hitsDetRDD]]'s max-normalized integer
    * recurrence; output is one row per (role, natural id). */
   def hitsDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = purchaseEdges(spark, sfDir).rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // cache the join+distinct once: the loop builder scans the edge
+    // set three times (count + both adjacency directions)
+    val pe = purchaseEdges(spark, sfDir).cache()
+    pe.count()
+    val edges = pe.rdd.map(r => (r.getLong(0), r.getLong(1)))
     val (hub, auth, release) = graft.graph.GraphAlgs.hitsDetRDD(edges, rounds = 8)
     val rows = hub.map { case (v, s) => ("hub", v, s) }
       .union(auth.map { case (v, s) => ("auth", v - SuppOffset, s) })
     val df = spark.createDataFrame(rows).toDF("role", "id", "score").cache()
     df.count()
     release()
+    pe.unpersist(blocking = false)
     df.orderBy("role", "id")
   }
 
