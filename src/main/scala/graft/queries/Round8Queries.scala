@@ -62,8 +62,50 @@ object Round8Queries {
     df.orderBy("role", "id")
   }
 
+  /** Deterministic random walks (the DeepWalk/node2vec sampling
+   * primitive a graph-embedding pipeline feeds its skip-gram
+   * trainer): 4 walks of 8 steps from each of the 5 md5-hash-picked
+   * sample roots over the co-purchase graph. The "random" choice is
+   * a hash: at step i on vertex v, walk w moves to the neighbor
+   * whose rank (neighbors sorted by id) is
+   * (v·1000003 + w·10007 + i·101) mod deg(v) — plain positive
+   * BIGINT arithmetic both engines evaluate identically, so the
+   * walk corpus is bit-reproducible across engines and runs (the
+   * property a resumable training pipeline needs from its sampler).
+   * Spark side: the ranked adjacency is built once (two window
+   * functions), each step is one broadcast-joined hop of the
+   * 20-row frontier — the same plan a billion-walk frontier would
+   * use with the frontier as the shuffled side instead. */
+  def randomWalks(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = GraphQueries.symmetrizedEdges(spark, sfDir)
+    val byV = Window.partitionBy(col("v"))
+    val adjr = sym.select(col("src").as("v"), col("dst").as("n"))
+      .select(col("v"), col("n"),
+        (row_number().over(byV.orderBy(col("n"))) - 1).cast("long").as("rn"),
+        count(lit(1)).over(byV).as("deg"))
+      .cache()
+    val seeds = GraphQueries.bfsSources(spark, sfDir)
+    var cur = spark.createDataFrame(
+      for { r <- seeds.toSeq; wk <- 0L until 4L } yield (r, wk, r))
+      .toDF("root", "walk", "vid")
+    (1 to 8).foreach { i =>
+      cur = adjr.join(broadcast(cur),
+        col("v") === col("vid") &&
+          col("rn") === (col("vid") * lit(1000003L) + col("walk") * lit(10007L)
+            + lit(i * 101L)) % col("deg"))
+        .select(col("root"), col("walk"), col("n").as("vid"))
+    }
+    val out = cur.select(col("root"), col("walk"), col("vid").as("final_vid"))
+      .orderBy("root", "walk").cache()
+    out.count()
+    adjr.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g_hits_det" -> hitsDeterministic _)
+    "g_hits_det" -> hitsDeterministic _,
+    "g_random_walks" -> randomWalks _)
 
   /** Unrolled-CTE replay of the exact HITS recurrence. Every
    * per-round state CTE is referenced exactly once by the next
@@ -93,5 +135,26 @@ object Round8Queries {
          |SELECT 'hub' AS role, vid AS id, h AS score FROM h8
          |UNION ALL
          |SELECT 'auth' AS role, vid - 1000000 AS id, a AS score FROM a8""".stripMargin
+    },
+    // Exact replay of the hash-walk recurrence: the ranked adjacency
+    // is a window pair, each unrolled step joins only its
+    // predecessor (plus the static adjr)
+    "g_random_walks" -> {
+      val steps = (1 to 8).map { i =>
+        s"""w$i AS (SELECT p.root, p.walk, a.n AS vid
+           |  FROM w${i - 1} p JOIN adjr a ON a.v = p.vid
+           |  AND a.rn = (p.vid * 1000003 + p.walk * 10007 + ${i * 101}) % a.deg)""".stripMargin
+      }.mkString(",\n")
+      s"""${GraphQueries.EdgeCte},
+         |srcs AS (SELECT src AS v FROM (
+         |  SELECT DISTINCT src FROM raw
+         |  ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 5)),
+         |adjr AS (SELECT src AS v, dst AS n,
+         |  row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+         |  count(*) OVER (PARTITION BY src) AS deg FROM edges),
+         |w0 AS (SELECT s.v AS root, CAST(wk.walk AS BIGINT) AS walk, s.v AS vid
+         |       FROM srcs s CROSS JOIN (SELECT unnest([0,1,2,3]) AS walk) wk),
+         |$steps
+         |SELECT root, walk, vid AS final_vid FROM w8""".stripMargin
     })
 }
