@@ -1539,15 +1539,17 @@ object GraphAlgs {
    * weights all the way around, impossible when they're distinct),
    * so cycle-breaking is a single parent-of-parent join.
    *
-   * Loop shape: per round the surviving cross-component edges are
-   * annotated with both endpoint labels (two co-partitioned joins),
-   * reduced to the min edge per component, and the resulting
+   * Loop shape: the candidate set entering a round is the previous
+   * round's surviving cross edges, partition-aligned on one
+   * endpoint (alternating u/v) — annotating that endpoint is a
+   * shuffle-free zipPartitions hash-merge, so a round costs exactly
+   * one |cross|-sized re-key shuffle plus the min-edge reduce; the
    * parent forest is collapsed by pointer doubling (O(log depth)
    * joins over the component-sized — i.e. geometrically shrinking —
    * parent map). Components at least halve per round, so the whole
-   * peel is O(log |V|) rounds of O(|cross|) work: the textbook
-   * scale shape for distributed MSF. All state lives on pair RDDs
-   * under one fixed HashPartitioner with generational
+   * peel is O(log |V|) rounds over a shrinking edge set: the
+   * textbook scale shape for distributed MSF. All state lives on
+   * pair RDDs under one fixed HashPartitioner with generational
    * persist/release.
    *
    * Returns (msfEdges (u, v, lenNano), labels (vid → component as
@@ -1564,11 +1566,23 @@ object GraphAlgs {
       math.max(1, (2 * nE / 500000L).toInt)))
     val pv = new HashPartitioner(parts)
 
-    // static edge set keyed by u once; (len, u, v) rides along
+    // Surviving candidate edge set. Labels only coarsen, so an edge
+    // internal to a component once is internal forever: each
+    // round's input is the previous round's cross set, which the
+    // previous round left PARTITION-ALIGNED on one endpoint
+    // (zipPartitions zips by partition index, so alignment — not a
+    // partitioner object — is all the hash-merge lookup needs).
+    // The alignment endpoint alternates per round (u, v, u, ...):
+    // annotating the aligned endpoint is shuffle-free, so a round
+    // costs exactly ONE |cross|-sized re-key shuffle — round 1 pays
+    // it for the full set, later rounds only for the survivors.
     val eByU: RDD[(Long, (Long, Long, Long))] = edges
       .map { case (u, v, len) => (u, (u, v, len)) }
       .partitionBy(pv).persist(StorageLevel.MEMORY_AND_DISK)
     eByU.count()
+    var curEdges: RDD[(Long, (Long, Long, Long))] = eByU
+    var curN = nE
+    var keyIsU = true
 
     var labels: RDD[(Long, Long)] = eByU
       .flatMap { case (_, (u, v, _)) => Iterator(u, v) }
@@ -1586,20 +1600,27 @@ object GraphAlgs {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // annotate both endpoints with their labels: edges are the
-      // streamed side, the label state the hashed side
-      val withLu = labels.zipPartitions(eByU) { (lIt, eIt) =>
+      // annotate the aligned endpoint shuffle-free, re-key to the
+      // other endpoint (the round's one cross-sized shuffle),
+      // annotate it, and keep only the still-cross edges
+      val kIsU = keyIsU
+      val ann1 = labels.zipPartitions(curEdges) { (lIt, eIt) =>
         val m = new java.util.HashMap[Long, Long]()
         lIt.foreach(kv => m.put(kv._1, kv._2))
-        eIt.map { case (u, e) => (e._2, (e, m.get(u))) }
+        eIt.map { case (_, e) =>
+          val k1 = if (kIsU) e._1 else e._2
+          val k2 = if (kIsU) e._2 else e._1
+          (k2, (e, m.get(k1)))
+        }
       }.partitionBy(pv)
-      val cross = labels.zipPartitions(withLu) { (lIt, eIt) =>
+      // records (k2, e, l1, l2) stay physically in k2's partitions
+      val cross = labels.zipPartitions(ann1) { (lIt, eIt) =>
         val m = new java.util.HashMap[Long, Long]()
         lIt.foreach(kv => m.put(kv._1, kv._2))
-        eIt.flatMap { case (v, (e, lu)) =>
-          val lv = m.get(v)
-          if (lu == lv) Iterator.empty
-          else Iterator((e, lu, lv))
+        eIt.flatMap { case (k2, (e, l1)) =>
+          val l2 = m.get(k2)
+          if (l1 == l2) Iterator.empty
+          else Iterator((k2, e, l1, l2))
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
       if (cross.isEmpty()) {
@@ -1608,8 +1629,8 @@ object GraphAlgs {
       } else {
         // min cross edge per component, by the strict total order
         val minEdge: RDD[(Long, ((Long, Long, Long), Long))] = cross
-          .flatMap { case (e, lu, lv) =>
-            Iterator((lu, (e, lv)), (lv, (e, lu))) }
+          .flatMap { case (_, e, l1, l2) =>
+            Iterator((l1, (e, l2)), (l2, (e, l1))) }
           .reduceByKey(pv, (a, b) => if (less(a._1, b._1)) a else b)
           .persist()
         val sel = minEdge.map(_._2._1).distinct(parts)
@@ -1666,12 +1687,38 @@ object GraphAlgs {
           }.partitionBy(pv).persist()
         newLabels.count()
         ptr.unpersist(blocking = false)
-        cross.unpersist(blocking = false)
+        // Adopt this round's cross set as the next candidate set
+        // ONLY when it at least halves the candidates: adopting
+        // costs one |cross| materialization, and in the
+        // giant-component regime (cross ≈ cur for most rounds —
+        // measured 87 s -> 132 s at the 10x probe when adopting
+        // unconditionally) that persist churn never pays for
+        // itself. In the many-small-components regime cross
+        // collapses after the first rounds and every later round
+        // runs on the shrunken set. The set stays partition-aligned
+        // on k2 (a map in place, no shuffle); the alignment
+        // endpoint flips on adoption.
+        val crossN = cross.count()
+        if (crossN * 2 < curN) {
+          val nextEdges = cross
+            .mapPartitions(_.map { case (k2, e, _, _) => (k2, e) },
+              preservesPartitioning = true)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          nextEdges.count()
+          cross.unpersist(blocking = false)
+          if (curEdges ne eByU) curEdges.unpersist(blocking = false)
+          curEdges = nextEdges
+          curN = crossN
+          keyIsU = !keyIsU
+        } else {
+          cross.unpersist(blocking = false)
+        }
         labels.unpersist(blocking = false)
         labels = newLabels
       }
       round += 1
     }
+    if (curEdges ne eByU) curEdges.unpersist(blocking = false)
 
     val msf: RDD[(Long, Long, Long)] =
       if (chosen.isEmpty) edges.sparkContext.emptyRDD
