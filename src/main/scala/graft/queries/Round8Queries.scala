@@ -103,9 +103,138 @@ object Round8Queries {
     out
   }
 
+  /** Deterministic GraphSAGE-style layered neighbor sampling (the
+   * minibatch-construction primitive a GNN training pipeline runs
+   * billions of times): from each of the 5 hash-picked roots,
+   * sample up to 5 layer-1 neighbors, and up to 3 layer-2
+   * neighbors of each of those. The "sample" is the top-k
+   * neighbors of v ranked by md5(v + "_" + n) — a content-derived
+   * per-edge hash both engines compute identically, so a resumed
+   * or re-sharded run regenerates the exact same blocks. Spark
+   * side: the hash-ranked adjacency is one window pass (one
+   * shuffle by vertex — the scale shape: rank once, sample every
+   * minibatch from the ranked table), each layer a broadcast join
+   * of the tiny frontier against it. */
+  def sageSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = GraphQueries.symmetrizedEdges(spark, sfDir)
+    val byV = Window.partitionBy(col("v"))
+    val adjr = sym.select(col("src").as("v"), col("dst").as("n"))
+      .select(col("v"), col("n"),
+        row_number().over(byV.orderBy(
+          md5(concat(col("v").cast("string"), lit("_"), col("n").cast("string"))),
+          col("n"))).as("hrank"))
+      .where(col("hrank") <= 5)
+      .cache()
+    val seeds = spark.createDataFrame(
+      GraphQueries.bfsSources(spark, sfDir).toSeq.map(Tuple1(_))).toDF("root")
+    val l1 = adjr.join(broadcast(seeds), col("v") === col("root"))
+      .select(col("root"), lit(1L).as("layer"), col("v").as("parent"),
+        col("n").as("vid"))
+    val l2 = adjr.where(col("hrank") <= 3)
+      .join(broadcast(l1.select(col("root").as("r"), col("vid").as("p"))),
+        col("v") === col("p"))
+      .select(col("r").as("root"), lit(2L).as("layer"), col("v").as("parent"),
+        col("n").as("vid"))
+    val out = l1.unionAll(l2).orderBy("root", "layer", "parent", "vid").cache()
+    out.count()
+    adjr.unpersist(blocking = false)
+    out
+  }
+
+  /** Deterministic node2vec-style biased walks: 4 second-order
+   * walks of 8 steps per root, where after the first (uniform
+   * hash-picked) hop each step weights candidate neighbor n of cur
+   * by its relation to the PREVIOUS vertex — return (n = prev)
+   * weight 1, triangle-closing (n adjacent to prev) weight 2,
+   * outward weight 4 (an explorative p/q setting in integer form).
+   * The pick is r = (cur·1000003 + prev·7919 + walk·10007 + i·101)
+   * mod Σw landing in n's cumulative-weight slot — order-free
+   * integer arithmetic, bit-identical across engines. The whole
+   * visited path rides along as a string so the oracle checks
+   * every step, not just the endpoint. Spark side per step: one
+   * broadcast hop of the 20-row frontier against the adjacency,
+   * one broadcast flag join against the edge set for the
+   * triangle test, one tiny window for the cumulative weights —
+   * at billion-walk scale the frontier becomes the shuffled side
+   * and the same plan holds. */
+  def node2vecWalks(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = GraphQueries.symmetrizedEdges(spark, sfDir)
+      .select(col("src").as("v"), col("dst").as("n")).cache()
+    val byV = Window.partitionBy(col("v"))
+    val adjr = sym.select(col("v"), col("n"),
+        (row_number().over(byV.orderBy(col("n"))) - 1).cast("long").as("rn"),
+        count(lit(1)).over(byV).as("deg"))
+      .cache()
+    val seeds = GraphQueries.bfsSources(spark, sfDir)
+    val w0 = spark.createDataFrame(
+      for { r <- seeds.toSeq; wk <- 0L until 4L } yield (r, wk))
+      .toDF("root", "walk")
+    // step 1: uniform hash pick (no previous vertex yet). Each
+    // step's frontier and candidate set are materialized (they're
+    // walk-count-sized): a frontier left lazy re-runs its whole
+    // lineage once per broadcast it feeds — 2-3 rebuilds per step
+    // compound exponentially across 7 steps (measured: 186 s at
+    // sf0.1 lazy vs ~4 s materialized).
+    var cur = adjr.join(broadcast(w0),
+        col("v") === col("root") &&
+          col("rn") === (col("root") * lit(1000003L) + col("walk") * lit(10007L)
+            + lit(101L)) % col("deg"))
+      .select(col("root"), col("walk"), col("v").as("prev"), col("n").as("cur"),
+        concat(col("root").cast("string"), lit("-"), col("n").cast("string"))
+          .as("path"))
+      .cache()
+    cur.count()
+    (2 to 8).foreach { i =>
+      val cand = sym.join(broadcast(cur), col("v") === col("cur"))
+        .select(col("root"), col("walk"), col("prev"), col("cur"), col("n"),
+          col("path"))
+        .cache()
+      val flags = sym
+        .join(broadcast(cand.select(col("prev").as("fp"), col("n").as("fn"))
+          .distinct()),
+          col("v") === col("fp") && col("n") === col("fn"))
+        .select(col("fp"), col("fn"), lit(1L).as("tri"))
+      val weighted = cand
+        .join(broadcast(flags),
+          cand("prev") === flags("fp") && cand("n") === flags("fn"), "left")
+        .select(col("root"), col("walk"), col("prev"), col("cur"), cand("n"),
+          col("path"),
+          when(cand("n") === col("prev"), 1L)
+            .when(col("tri").isNotNull, 2L).otherwise(4L).as("w"))
+      val byWalk = Window.partitionBy(col("root"), col("walk"))
+      val slotted = weighted.select(col("*"),
+        sum(col("w")).over(byWalk.orderBy(col("n"))).as("cumw"),
+        sum(col("w")).over(byWalk).as("tot"))
+      val r = (col("cur") * lit(1000003L) + col("prev") * lit(7919L)
+        + col("walk") * lit(10007L) + lit(i * 101L)) % col("tot")
+      val next = slotted
+        .where(r >= col("cumw") - col("w") && r < col("cumw"))
+        .select(col("root"), col("walk"), col("cur").as("prev"),
+          col("n").as("cur"),
+          concat(col("path"), lit("-"), col("n").cast("string")).as("path"))
+        .cache()
+      next.count()
+      cand.unpersist(blocking = false)
+      cur.unpersist(blocking = false)
+      cur = next
+    }
+    val out = cur.select(col("root"), col("walk"), col("path"),
+        col("cur").as("final_vid"))
+      .orderBy("root", "walk").cache()
+    out.count()
+    cur.unpersist(blocking = false)
+    adjr.unpersist(blocking = false)
+    sym.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_hits_det" -> hitsDeterministic _,
-    "g_random_walks" -> randomWalks _)
+    "g_random_walks" -> randomWalks _,
+    "g_sage_sample" -> sageSample _,
+    "g_node2vec" -> node2vecWalks _)
 
   /** Unrolled-CTE replay of the exact HITS recurrence. Every
    * per-round state CTE is referenced exactly once by the next
@@ -156,5 +285,70 @@ object Round8Queries {
          |       FROM srcs s CROSS JOIN (SELECT unnest([0,1,2,3]) AS walk) wk),
          |$steps
          |SELECT root, walk, vid AS final_vid FROM w8""".stripMargin
+    },
+    // Exact replay of the layered hash sample: same md5 edge hash,
+    // same top-k windows. l1 is referenced twice (l2 + the final
+    // union) — constant-depth duplication, not the per-round kind
+    // the unrolled fixpoints must avoid.
+    "g_sage_sample" ->
+      s"""${GraphQueries.EdgeCte},
+         |srcs AS (SELECT src AS v FROM (
+         |  SELECT DISTINCT src FROM raw
+         |  ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 5)),
+         |adjr AS (SELECT src AS v, dst AS n,
+         |  row_number() OVER (PARTITION BY src ORDER BY
+         |    md5(concat(CAST(src AS VARCHAR), '_', CAST(dst AS VARCHAR))), dst)
+         |    AS hrank FROM edges),
+         |l1 AS (SELECT s.v AS root, CAST(1 AS BIGINT) AS layer, s.v AS parent,
+         |         a.n AS vid
+         |       FROM srcs s JOIN adjr a ON a.v = s.v AND a.hrank <= 5),
+         |l2 AS (SELECT p.root, CAST(2 AS BIGINT) AS layer, p.vid AS parent,
+         |         a.n AS vid
+         |       FROM l1 p JOIN adjr a ON a.v = p.vid AND a.hrank <= 3)
+         |SELECT root, layer, parent, vid FROM l1
+         |UNION ALL
+         |SELECT root, layer, parent, vid FROM l2""".stripMargin,
+    // Exact replay of the biased second-order recurrence: per step
+    // one candidate expansion (edges), one EXISTS triangle flag
+    // (edges again — static set, constant duplication), one window
+    // pair for the cumulative-weight slots. Each w$i is referenced
+    // exactly once by w${i+1}; the path string carries the full
+    // trajectory so no step needs a second reference.
+    "g_node2vec" -> {
+      val steps = (2 to 8).map { i =>
+        s"""c$i AS (SELECT p.root, p.walk, p.prev, p.cur, a.dst AS n, p.path,
+           |    CASE WHEN a.dst = p.prev THEN CAST(1 AS BIGINT)
+           |         WHEN EXISTS (SELECT 1 FROM edges t
+           |                      WHERE t.src = p.prev AND t.dst = a.dst)
+           |           THEN CAST(2 AS BIGINT)
+           |         ELSE CAST(4 AS BIGINT) END AS w
+           |  FROM w${i - 1} p JOIN edges a ON a.src = p.cur),
+           |s$i AS (SELECT *,
+           |    sum(w) OVER (PARTITION BY root, walk ORDER BY n) AS cumw,
+           |    sum(w) OVER (PARTITION BY root, walk) AS tot
+           |  FROM c$i),
+           |w$i AS (SELECT root, walk, cur AS prev, n AS cur,
+           |    path || '-' || CAST(n AS VARCHAR) AS path
+           |  FROM s$i
+           |  WHERE (cur * 1000003 + prev * 7919 + walk * 10007 + ${i * 101})
+           |          % tot >= cumw - w
+           |    AND (cur * 1000003 + prev * 7919 + walk * 10007 + ${i * 101})
+           |          % tot < cumw)""".stripMargin
+      }.mkString(",\n")
+      s"""${GraphQueries.EdgeCte},
+         |srcs AS (SELECT src AS v FROM (
+         |  SELECT DISTINCT src FROM raw
+         |  ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 5)),
+         |adjr AS (SELECT src AS v, dst AS n,
+         |  row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+         |  count(*) OVER (PARTITION BY src) AS deg FROM edges),
+         |w1 AS (SELECT s.v AS root, CAST(wk.walk AS BIGINT) AS walk,
+         |    s.v AS prev, a.n AS cur,
+         |    CAST(s.v AS VARCHAR) || '-' || CAST(a.n AS VARCHAR) AS path
+         |  FROM srcs s CROSS JOIN (SELECT unnest([0,1,2,3]) AS walk) wk
+         |  JOIN adjr a ON a.v = s.v
+         |    AND a.rn = (s.v * 1000003 + wk.walk * 10007 + 101) % a.deg),
+         |$steps
+         |SELECT root, walk, path, cur AS final_vid FROM w8""".stripMargin
     })
 }
