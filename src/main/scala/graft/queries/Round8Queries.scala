@@ -26,6 +26,29 @@ object Round8Queries {
    * SF the offset would be derived from max(custkey)). */
   private val SuppOffset = 1000000L
 
+  /** Materialize a loop-step DataFrame AND truncate its lineage.
+   * `.cache()` alone is NOT enough for a DataFrame fixpoint loop:
+   * the cached plan still embeds the full nested
+   * `AdaptiveSparkPlanExec` tree of every prior step, so a step
+   * that references its predecessor k times grows the analyzed /
+   * physical plan ~k× per iteration — after a handful of steps the
+   * driver spends unbounded CPU just *stringifying* the plan for
+   * listeners (`TreeNode.generateTreeString`, plan strings hitting
+   * Int.MaxValue). Persisting the step's RDD and rebuilding the
+   * frontier via `createDataFrame(rdd, schema)` resets the logical
+   * plan to a flat `LogicalRDD` scan, keeping every step's plan
+   * constant-size (the same pattern
+   * [[graft.graph.GraphAlgs.connectedComponentsTwoPhase]] uses for
+   * its star-contraction rounds). Returns the truncated frame and
+   * a release handle for the persisted RDD. */
+  private[queries] def materializeStep(df: DataFrame): (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    val out = df.sparkSession.createDataFrame(rdd, df.schema)
+    (out, () => { rdd.unpersist(blocking = false); () })
+  }
+
   /** Directed bipartite purchase edges customer → supplier,
    * distinct: one edge per (customer, supplier) pair that shares
    * at least one order line. The orderkey join is a plain
@@ -89,16 +112,26 @@ object Round8Queries {
     var cur = spark.createDataFrame(
       for { r <- seeds.toSeq; wk <- 0L until 4L } yield (r, wk, r))
       .toDF("root", "walk", "vid")
+    // each step is materialized AND lineage-truncated: a frontier
+    // left lazy re-runs its entire prior chain once per broadcast
+    // that consumes it (linear re-execution per step, compounding
+    // across the walk)
+    var release: () => Unit = () => ()
     (1 to 8).foreach { i =>
-      cur = adjr.join(broadcast(cur),
+      val step = adjr.join(broadcast(cur),
         col("v") === col("vid") &&
           col("rn") === (col("vid") * lit(1000003L) + col("walk") * lit(10007L)
             + lit(i * 101L)) % col("deg"))
         .select(col("root"), col("walk"), col("n").as("vid"))
+      val (next, rel) = materializeStep(step)
+      release()
+      release = rel
+      cur = next
     }
     val out = cur.select(col("root"), col("walk"), col("vid").as("final_vid"))
       .orderBy("root", "walk").cache()
     out.count()
+    release()
     adjr.unpersist(blocking = false)
     out
   }
@@ -171,26 +204,30 @@ object Round8Queries {
     val w0 = spark.createDataFrame(
       for { r <- seeds.toSeq; wk <- 0L until 4L } yield (r, wk))
       .toDF("root", "walk")
-    // step 1: uniform hash pick (no previous vertex yet). Each
-    // step's frontier and candidate set are materialized (they're
-    // walk-count-sized): a frontier left lazy re-runs its whole
-    // lineage once per broadcast it feeds — 2-3 rebuilds per step
-    // compound exponentially across 7 steps (measured: 186 s at
-    // sf0.1 lazy vs ~4 s materialized).
-    var cur = adjr.join(broadcast(w0),
+    // step 1: uniform hash pick (no previous vertex yet). Every
+    // step's frontier is materialized AND lineage-truncated via
+    // materializeStep: within a step, cand is referenced by both
+    // flags and weighted, so a frontier whose plan embeds its
+    // predecessor grows the analyzed/physical plan ~3× per step —
+    // .cache() alone kept the nested AdaptiveSparkPlanExec trees
+    // in the plan, which livelocked the driver in plan
+    // stringification (Int.MaxValue plan strings) after 7 steps.
+    // With truncation each step's plan is constant-size.
+    val step1 = adjr.join(broadcast(w0),
         col("v") === col("root") &&
           col("rn") === (col("root") * lit(1000003L) + col("walk") * lit(10007L)
             + lit(101L)) % col("deg"))
       .select(col("root"), col("walk"), col("v").as("prev"), col("n").as("cur"),
         concat(col("root").cast("string"), lit("-"), col("n").cast("string"))
           .as("path"))
-      .cache()
-    cur.count()
+    var (cur, release) = materializeStep(step1)
     (2 to 8).foreach { i =>
+      // cur is a flat LogicalRDD scan, so cand/flags/weighted are
+      // constant-depth plans; cand is walk-count-sized and cheap to
+      // evaluate twice (two broadcast joins against the cached sym)
       val cand = sym.join(broadcast(cur), col("v") === col("cur"))
         .select(col("root"), col("walk"), col("prev"), col("cur"), col("n"),
           col("path"))
-        .cache()
       val flags = sym
         .join(broadcast(cand.select(col("prev").as("fp"), col("n").as("fn"))
           .distinct()),
@@ -209,22 +246,21 @@ object Round8Queries {
         sum(col("w")).over(byWalk).as("tot"))
       val r = (col("cur") * lit(1000003L) + col("prev") * lit(7919L)
         + col("walk") * lit(10007L) + lit(i * 101L)) % col("tot")
-      val next = slotted
+      val step = slotted
         .where(r >= col("cumw") - col("w") && r < col("cumw"))
         .select(col("root"), col("walk"), col("cur").as("prev"),
           col("n").as("cur"),
           concat(col("path"), lit("-"), col("n").cast("string")).as("path"))
-        .cache()
-      next.count()
-      cand.unpersist(blocking = false)
-      cur.unpersist(blocking = false)
+      val (next, rel) = materializeStep(step)
+      release()
+      release = rel
       cur = next
     }
     val out = cur.select(col("root"), col("walk"), col("path"),
         col("cur").as("final_vid"))
       .orderBy("root", "walk").cache()
     out.count()
-    cur.unpersist(blocking = false)
+    release()
     adjr.unpersist(blocking = false)
     sym.unpersist(blocking = false)
     out

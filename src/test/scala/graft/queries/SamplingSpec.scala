@@ -1,12 +1,18 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimits}
+import org.scalatest.time.SpanSugar._
 
 /** The layered-sample blocks and the biased second-order walks must
  * equal a sequential replay of their hash rules exactly on the real
  * sf0.001 graph — the same bit-reproducible-sampler contract
- * RandomWalksSpec pins for the first-order walks. */
-class SamplingSpec extends SparkSpec {
+ * RandomWalksSpec pins for the first-order walks. Both tests carry
+ * failAfter guards: a lineage-accumulation regression in the walk
+ * loops must FAIL the suite, never wedge it (LoopPlanGuardSpec pins
+ * the plan-size invariant itself). */
+class SamplingSpec extends SparkSpec with TimeLimits {
+  private implicit val signaler: Signaler = ThreadSignaler
   private val sf = "/root/testdata/sf0.001"
 
   private def md5hex(s: String): String =
@@ -23,6 +29,7 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("sage sample equals the md5-ranked top-k replay") {
+    failAfter(180.seconds) {
     val got = Round8Queries.sageSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sorted.toSeq
@@ -34,9 +41,11 @@ class SamplingSpec extends SparkSpec {
     val l1 = for { r <- seeds.toSeq; n <- topk(r, 5) } yield (r, 1L, r, n)
     val l2 = for { (r, _, _, p) <- l1; n <- topk(p, 3) } yield (r, 2L, p, n)
     assert(got === (l1 ++ l2).sorted)
+    }
   }
 
   test("node2vec walks equal the biased sequential replay bit-for-bit") {
+    failAfter(180.seconds) {
     val got = Round8Queries.node2vecWalks(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2), r.getLong(3))))
       .toMap
@@ -75,5 +84,6 @@ class SamplingSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2), r.getLong(3))))
       .toMap
     assert(again === got)
+    }
   }
 }
