@@ -37,15 +37,23 @@ object RelationalQueries {
   private[queries] def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as
+  /** Normalize events.ts to session-local TIMESTAMP regardless of
+   * how the generator wrote it: parquet TIMESTAMP(NANOS) arrives as
    * Long (`spark.sql.legacy.parquet.nanosAsLong`, set by
-   * Verify/Bench). Truncate ns -> us exactly like DuckDB does when it
-   * loads the same file, so event-time queries agree. */
+   * Verify/Bench — truncate ns -> us exactly like DuckDB does on the
+   * same file); parquet timestamp[us] without a zone arrives as
+   * TIMESTAMP_NTZ (cast to LTZ — the session zone is pinned to UTC
+   * in every entrypoint, so the cast is instant-preserving and
+   * matches DuckDB's naive epoch_us interpretation); an LTZ
+   * timestamp passes through. Downstream queries all consume ts via
+   * unix_micros, which requires LTZ. */
   private[queries] def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = t(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -130,9 +130,9 @@ object StreamOps {
 
     val name = s"graft_stream_sessions_${callSeq.incrementAndGet()}"
     val dir = stagedEventsDir(sfDir)
-    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+    val src = eventsStream(spark, dir.toString)
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("us"), col("value"))
+        unix_micros(col("ts")).as("us"), col("value"))
       .as[SessionEvent]
 
     def handle(userId: Long, events: Iterator[SessionEvent],
@@ -182,8 +182,7 @@ object StreamOps {
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_dedup_${callSeq.incrementAndGet()}"
     val dir = stagedEventsDir(sfDir)
-    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, dir.toString)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
     val q = src.writeStream
@@ -212,8 +211,7 @@ object StreamOps {
   def streamingDedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_dedup_ww_${callSeq.incrementAndGet()}"
     val dir = stagedEventsDir(sfDir)
-    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, dir.toString)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
     val q = src.writeStream
@@ -240,7 +238,7 @@ object StreamOps {
     val dir = stagedEventsDir(sfDir)
     val customers = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+    val src = eventsStream(spark, dir.toString)
       .join(customers, col("user_id") === col("c_custkey"))
     val agg = src.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
@@ -265,8 +263,7 @@ object StreamOps {
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_join_${callSeq.incrementAndGet()}"
     val dir = stagedEventsDir(sfDir)
-    def src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(spark, dir.toString)
     val views = src.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("v_ts"))
@@ -311,15 +308,13 @@ object StreamOps {
   def multiBatchTopUsers(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val tag = callSeq.incrementAndGet()
     val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-mb$tag")
-    spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+    normTs(spark.read.parquet(s"$sfDir/events.parquet"))
       .repartition(4)
       .write.mode("overwrite").parquet(dir.toString)
     val state = scala.collection.mutable.HashMap.empty[Long, (Long, Double)]
     val applied = scala.collection.mutable.HashSet.empty[Long]
     var batches = 0
-    val q = spark.readStream.schema(EventsSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir.toString)
+    val q = eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
       .writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -364,10 +359,7 @@ object StreamOps {
   def hourlyEventCountsAppend(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_hourly_append_${callSeq.incrementAndGet()}"
     val dir = stagedEventsDir(sfDir)
-    val src = spark.readStream
-      .schema(EventsSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, dir.toString)
       .withWatermark("ts", "1 hour")
     val agg = src
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -386,10 +378,37 @@ object StreamOps {
     spark.table(name).orderBy("hour", "event_type")
   }
 
-  private val EventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** The events table's ts arrives as LongType (parquet
+   * TIMESTAMP(NANOS) under nanosAsLong) or TIMESTAMP_NTZ (parquet
+   * timestamp[us] without a zone) depending on how the generator
+   * wrote it; a streaming reader's declared schema must match the
+   * file's physical type, so probe it with a batch footer read
+   * instead of hardcoding. */
+  private def eventsSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
+
+  /** Normalize events.ts to session-local TIMESTAMP (the session
+   * zone is pinned to UTC in every entrypoint) — same contract as
+   * RelationalQueries.events on the batch side. */
+  private def normTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** readStream over a staged events dir: declared schema = actual
+   * file schema, ts normalized to TIMESTAMP. */
+  private def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    var r = spark.readStream.schema(eventsSchema(spark, dir))
+    if (maxFilesPerTrigger > 0)
+      r = r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    normTs(r.parquet(dir))
+  }
 
   /**
    * Spark 4 state data source (format "statestore"): drain a
@@ -410,7 +429,7 @@ object StreamOps {
     val ckpt = java.nio.file.Files.createTempDirectory(
       s"graft-stream-ssr${callSeq.incrementAndGet()}")
     try {
-      val q = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+      val q = eventsStream(spark, dir.toString)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
         .writeStream
@@ -445,10 +464,7 @@ object StreamOps {
   def hourlyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_hourly_${callSeq.incrementAndGet()}"
     val dir = stagedEventsDir(sfDir)
-    val src = spark.readStream
-      .schema(EventsSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, dir.toString)
     val agg = src
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
         col("event_type"))
@@ -488,7 +504,7 @@ object StreamOps {
     val name = s"graft_stream_running_${callSeq.incrementAndGet()}"
     val tag = callSeq.incrementAndGet()
     val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-rs$tag")
-    spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+    normTs(spark.read.parquet(s"$sfDir/events.parquet"))
       .repartition(4)
       .write.mode("overwrite").parquet(dir.toString)
 
@@ -503,11 +519,9 @@ object StreamOps {
       RunningRow(userId, s.n, s.sum)
     }
 
-    val rows = spark.readStream.schema(EventsSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir.toString)
+    val rows = eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("us"), col("value"))
+        unix_micros(col("ts")).as("us"), col("value"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
@@ -550,8 +564,7 @@ object StreamOps {
   def sessionWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_swin_${callSeq.incrementAndGet()}"
     val dir = stagedEventsDir(sfDir)
-    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, dir.toString)
     val agg = src
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
@@ -590,13 +603,13 @@ object StreamOps {
     val tag = callSeq.incrementAndGet()
     val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-ck$tag")
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-stream-ckpt$tag")
-    val ev = spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+    val ev = normTs(spark.read.parquet(s"$sfDir/events.parquet"))
     ev.where(col("event_id") % 2 === 0)
       .repartition(1).write.mode("append").parquet(dir.toString)
 
     val state = scala.collection.mutable.HashMap.empty[String, (Long, Double)]
     def runOnce(): Unit = {
-      val q = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+      val q = eventsStream(spark, dir.toString)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
         .writeStream
@@ -644,8 +657,7 @@ object StreamOps {
   def streamStreamLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_louter_${callSeq.incrementAndGet()}"
     val dir = stagedEventsDir(sfDir)
-    def src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(spark, dir.toString)
     val views = src.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("v_ts"))
@@ -699,7 +711,7 @@ object StreamOps {
     val name = s"graft_stream_tws_${callSeq.incrementAndGet()}"
     val tag = callSeq.incrementAndGet()
     val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-tws$tag")
-    spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+    normTs(spark.read.parquet(s"$sfDir/events.parquet"))
       .repartition(4)
       .write.mode("overwrite").parquet(dir.toString)
 
@@ -721,11 +733,9 @@ object StreamOps {
     }
 
     withRocksDbProvider(spark) {
-      val rows = spark.readStream.schema(EventsSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(dir.toString)
+      val rows = eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("us"), col("value"))
+          unix_micros(col("ts")).as("us"), col("value"))
         .as[SessionEvent]
         .groupByKey(_.user_id)
         .transformWithState(new RunningProcessor,
@@ -779,7 +789,7 @@ object StreamOps {
     val name = s"graft_stream_twstop_${callSeq.incrementAndGet()}"
     val tag = callSeq.incrementAndGet()
     val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-twstop$tag")
-    spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+    normTs(spark.read.parquet(s"$sfDir/events.parquet"))
       .repartition(4)
       .write.mode("overwrite").parquet(dir.toString)
 
@@ -806,11 +816,9 @@ object StreamOps {
     }
 
     withRocksDbProvider(spark) {
-      val rows = spark.readStream.schema(EventsSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(dir.toString)
+      val rows = eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("us"), col("value"))
+          unix_micros(col("ts")).as("us"), col("value"))
         .as[SessionEvent]
         .groupByKey(_.user_id)
         .transformWithState(new TopProcessor,
@@ -854,7 +862,7 @@ object StreamOps {
   def streamObserve(spark: SparkSession, sfDir: String): DataFrame = {
     val name = s"graft_stream_obs_${callSeq.incrementAndGet()}"
     val dir = stagedEventsDir(sfDir)
-    val src = spark.readStream.schema(EventsSchema).parquet(dir.toString)
+    val src = eventsStream(spark, dir.toString)
       .observe("graft_metrics",
         count(lit(1)).as("n_rows"),
         sum(col("value")).as("sum_value"),
@@ -905,7 +913,7 @@ object StreamOps {
     val name = s"graft_stream_twsmap_${callSeq.incrementAndGet()}"
     val tag = callSeq.incrementAndGet()
     val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-twsmap$tag")
-    spark.read.schema(EventsSchema).parquet(s"$sfDir/events.parquet")
+    normTs(spark.read.parquet(s"$sfDir/events.parquet"))
       .repartition(4)
       .write.mode("overwrite").parquet(dir.toString)
 
@@ -928,9 +936,7 @@ object StreamOps {
     }
 
     withRocksDbProvider(spark) {
-      val rows = spark.readStream.schema(EventsSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(dir.toString)
+      val rows = eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
         .select(col("user_id"), col("event_type"))
         .as[TypedEvent]
         .groupByKey(_.user_id)

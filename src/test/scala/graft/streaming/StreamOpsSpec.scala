@@ -40,8 +40,16 @@ class StreamOpsSpec extends SparkSpec {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = StreamOps.streamStreamJoin(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted
-    val e = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("us", expr("ts div 1000"))
+    // batch leg: normalize ts the same way the library does (nanos
+    // Long or micros TIMESTAMP_NTZ, depending on the generator)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val e = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("us", expr("ts div 1000"))
+      case _ =>
+        raw.withColumn("us",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+    })
     val p = e.where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("pid"), col("us").as("pus"))
     val v = e.where(col("event_type") === "view")
