@@ -1060,12 +1060,15 @@ object GraphAlgs {
    * eigenvector while breaking the period-2 oscillation pure A·x
    * exhibits on bipartite graphs (a star never converges without
    * it); max-normalization keeps the arithmetic inside +/· — no
-   * sqrt, no libm. Each round is one aggregateMessages over the
+   * sqrt, no libm. Each round is one message shuffle over the
    * edge set with both surfaces materialized before the previous
    * generation is released (the iterative-GraphX contract pinned in
-   * PERF.md). Scores are partition-summation floats, so the query
-   * surface is rows-only; structural properties (hub dominance,
-   * symmetry) are pinned by unit tests.
+   * PERF.md). Per-vertex sums fold the incoming contributions in
+   * ascending sender-id order (see [[detFoldSums]]), so the float
+   * result is BIT-IDENTICAL across partitionings and runs and the
+   * DuckDB oracle can replay the recurrence exactly with an
+   * order-preserving list fold; structural properties (hub
+   * dominance, symmetry) are additionally pinned by unit tests.
    */
   def eigenCentrality[V: scala.reflect.ClassTag](
       g: Graph[V, Int], iters: Int = 20): Graph[Double, Int] = {
@@ -1075,6 +1078,101 @@ object GraphAlgs {
     out.vertices.count()
     release()
     out
+  }
+
+  /** Deterministic per-key float sum: fold each key's incoming
+   * (sender, value) contributions in ascending sender-id order.
+   * Float addition is not associative, so a `reduceByKey(_ + _)`
+   * sum depends on partitioning and merge order; fixing the fold
+   * order makes the double result bit-identical across
+   * partitionings, executor counts, and runs — and replayable in
+   * SQL as a fold over `list(value ORDER BY sender)`. Costs the
+   * map-side combine (the full message set shuffles, |E| rows
+   * instead of |V|). Implemented as a secondary sort
+   * (`repartitionAndSortWithinPartitions` on (receiver, sender))
+   * with a streaming run-fold, so no per-key buffer ever
+   * materializes — a hub's contributions stream through the
+   * shuffle's spillable sort instead of a groupByKey heap
+   * Iterable, which is what keeps the pattern viable when a hot
+   * vertex has millions of in-edges. Output partitioning is
+   * receiver-hash, physically identical to `p`. */
+  private def detFoldSums(
+      msgs: org.apache.spark.rdd.RDD[(Long, (Long, Double))],
+      p: org.apache.spark.Partitioner): org.apache.spark.rdd.RDD[(Long, Double)] = {
+    val byReceiver = new org.apache.spark.Partitioner {
+      def numPartitions: Int = p.numPartitions
+      def getPartition(key: Any): Int =
+        p.getPartition(key.asInstanceOf[(Long, Long)]._1)
+    }
+    msgs.map { case (v, (u, x)) => ((v, u), x) }
+      .repartitionAndSortWithinPartitions(byReceiver)
+      .mapPartitions({ it =>
+        val b = it.buffered
+        new Iterator[(Long, Double)] {
+          def hasNext: Boolean = b.hasNext
+          def next(): (Long, Double) = {
+            val v = b.head._1._1
+            var acc = 0.0
+            while (b.hasNext && b.head._1._1 == v) acc += b.next()._2
+            (v, acc)
+          }
+        }
+      }, preservesPartitioning = true)
+  }
+
+  /** Classic float PageRank (10 rounds of rank' = 0.15 + 0.85 ·
+   * Σ_{u∈N(v)} rank(u)/deg(u) over the symmetrized graph, rank_0 =
+   * 1.0) in the det family's loop shape: co-partitioned adjacency +
+   * score pair RDDs, one message shuffle per round, per-round
+   * materialization with generational release. The per-vertex sums
+   * go through [[detFoldSums]], so unlike GraphX's staticPageRank
+   * the double ranks are bit-identical across partitionings and
+   * runs — which is what lets the DuckDB oracle replay the float
+   * recurrence exactly (cf. the integer-exact [[pagerankDetRDD]]
+   * twin; this is the float surface with the same reproducibility
+   * contract). */
+  def pagerankFloatRDD[V: scala.reflect.ClassTag](g: Graph[V, Int],
+      iters: Int = 10): (org.apache.spark.rdd.RDD[(Long, Double)], () => Unit) = {
+    val nEdges = g.edges.count()
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(g.edges.getNumPartitions, (2 * nEdges / 500000L).toInt)))
+    val adj: org.apache.spark.rdd.RDD[(Long, Array[Long])] = g.edges
+      .flatMap(e => Iterator((e.srcId, e.dstId), (e.dstId, e.srcId)))
+      .groupByKey(p).mapValues(_.toArray).persist()
+    adj.count()
+    var cur: org.apache.spark.rdd.RDD[(Long, Double)] = g.vertices
+      .map { case (id, _) => (id, 1.0) }.partitionBy(p).persist()
+    cur.count()
+    var prev: org.apache.spark.rdd.RDD[(Long, Double)] = null
+    var i = 0
+    while (i < iters) {
+      val msgs = adj.zipPartitions(cur) { (aIt, cIt) =>
+        val m = new java.util.HashMap[Long, Double]()
+        cIt.foreach(kv => m.put(kv._1, kv._2))
+        aIt.flatMap { case (u, nbrs) =>
+          // each neighbor receives the same share double — computed
+          // once per sender, exactly like the oracle's rank/deg
+          val share: Double = m.get(u) / nbrs.length
+          nbrs.iterator.map(n => (n, (u, share)))
+        }
+      }
+      // symmetric graph: every vertex has >= 1 neighbor, so the sum
+      // covers the full vertex set — no dangling-vertex patch-up
+      val next = detFoldSums(msgs, p)
+        .mapValues(s => 0.15 + 0.85 * s).persist()
+      next.count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = cur
+      cur = next
+      i += 1
+    }
+    if (prev != null) prev.unpersist(blocking = false)
+    val last = cur
+    (last, () => {
+      adj.unpersist(blocking = false)
+      last.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** The power-iteration loop on co-partitioned pair RDDs: scores +
@@ -1101,15 +1199,19 @@ object GraphAlgs {
     var i = 0
     while (i < iters) {
       // co-partitioned zip: hash the (small) score side per
-      // partition, stream the adjacency — no cogroup buffers
-      val sums = adj.zipPartitions(cur) { (aIt, cIt) =>
+      // partition, stream the adjacency — no cogroup buffers. Each
+      // message carries its sender id so the receive side can fold
+      // deterministically (sender-sorted), making the float sums
+      // order-free — bit-identical across partitionings and replayable
+      // by the DuckDB oracle's ordered list fold.
+      val sums = detFoldSums(adj.zipPartitions(cur) { (aIt, cIt) =>
         val m = new java.util.HashMap[Long, Double]()
         cIt.foreach(kv => m.put(kv._1, kv._2))
         aIt.flatMap { case (u, nbrs) =>
           val s: Double = m.get(u)
-          nbrs.iterator.map(n => (n, s))
+          nbrs.iterator.map(n => (n, (u, s)))
         }
-      }.reduceByKey(p, _ + _)
+      }, p)
       // x' = (A+I)x: the self term keeps isolated vertices and breaks
       // bipartite oscillation. cur and sums share partitioner p, so
       // the merge is a zipPartitions hash join (same doubles, no

@@ -256,22 +256,27 @@ object GraphQueries {
     EdgeOps.loadCsvEdges(spark, dir).orderBy("src", "dst")
   }
 
-  /** Beyond-reference graph breadth (rows-only: iterative float
-   * sums are not SQL-expressible deterministically): 10-iteration
-   * static PageRank on the co-purchase graph. The spec asserts the
-   * rank-mass invariant; the driver check is rows-only. */
+  /** Beyond-reference graph breadth: 10-iteration float PageRank on
+   * the co-purchase graph. The per-vertex sums fold contributions
+   * in ascending sender-id order ([[graft.graph.GraphAlgs
+   * .pagerankFloatRDD]]), so the double ranks are bit-identical
+   * across partitionings and runs and the DuckDB oracle replays the
+   * exact recurrence with an order-preserving `list(... ORDER BY
+   * sender)` fold — the float analogue of the det family's
+   * integer-exact contract (the spec additionally asserts the
+   * rank-mass invariant). */
   def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val pr = graph(spark, sfDir).staticPageRank(10)
-    val rows = pr.vertices.map { case (id, r) =>
+    val (rank, release) =
+      graft.graph.GraphAlgs.pagerankFloatRDD(graph(spark, sfDir))
+    val rows = rank.map { case (id, r) =>
       (id, math.floor(r * 1e6 + 0.5) / 1e6)
     }
     // materialize BEFORE unpersisting: the DataFrame is lazy, and
-    // releasing the PageRank surfaces first would force a full
+    // releasing the loop surfaces first would force a full
     // 10-iteration recompute when the result is evaluated
     val df = spark.createDataFrame(rows).toDF("vid", "rank").cache()
     df.count()
-    pr.unpersistVertices(blocking = false)
-    pr.edges.unpersist(blocking = false)
+    release()
     df.orderBy("vid")
   }
 
@@ -630,8 +635,11 @@ object GraphQueries {
   }
 
   /** Eigenvector centrality (20 max-normalized power-iteration
-   * rounds) — rows-only like the other per-vertex float fixpoints;
-   * hub dominance and symmetry pinned by Round7Spec. */
+   * rounds). The per-vertex sums fold in ascending sender-id order
+   * (GraphAlgs.detFoldSums), so the doubles are bit-identical
+   * across runs and the oracle replays the (A+I)x / max recurrence
+   * exactly; hub dominance and symmetry additionally pinned by
+   * Round7Spec. */
   def eigenCentrality(spark: SparkSession, sfDir: String): DataFrame =
     memoize(spark, s"eigen:$sfDir") {
       // eigenCentralityDF caches + materializes internally
@@ -879,9 +887,10 @@ object GraphQueries {
 
   /** Deterministic synchronous label propagation (5 rounds,
    * most-frequent-neighbor-label, ties to smallest) on the backbone
-   * graph. Rows-only: an iterative fixpoint the oracle cannot
-   * express; determinism + tiny-graph semantics are pinned by unit
-   * tests. */
+   * graph. Label counts are integers, so the oracle replays the 5
+   * rounds exactly as unrolled MATERIALIZED CTEs (argmax via
+   * row_number over (count DESC, label ASC)); determinism +
+   * tiny-graph semantics additionally pinned by unit tests. */
   def labelPropagation(spark: SparkSession, sfDir: String): DataFrame =
     memoize(spark, s"labelProp:$sfDir") {
       val df = graft.graph.GraphAlgs
@@ -1002,6 +1011,54 @@ object GraphQueries {
     s""", verts AS (SELECT DISTINCT src AS vid FROM edges),
        |assign AS (SELECT vid, vid % $SyntheticModulus AS cid FROM verts)""".stripMargin
 
+  /** Full co-purchase edge set as MATERIALIZED CTEs (raw + edges) —
+   * the iterative float-fixpoint oracles reference `edges` in every
+   * unrolled round, and DuckDB 1.0 inlines plain CTEs (the lineitem
+   * self-join would otherwise run once per round). */
+  private val MatEdgeCte: String =
+    """raw AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS MATERIALIZED (
+      |  SELECT src, dst FROM raw UNION SELECT dst AS src, src AS dst FROM raw)""".stripMargin
+
+  /** Connected components of the weighted co-purchase backbone as an
+   * unrolled hash-to-min fixpoint (min over self + neighbors + the
+   * current label's own label = pointer doubling), NOT a recursive
+   * (vertex, seed)-pair transitive closure: the pair enumeration is
+   * O(Σ component²) — 38 s at sf0.01 in DuckDB 1.0 and quadratic
+   * beyond — while hash-to-min is linear work per round and
+   * converges in O(log diameter) rounds (measured: fixpoint at 8
+   * rounds at sf0.01; 16 unrolled = 2× margin, and the
+   * pointer-doubling term covers diameters ~2^16). Every CTE is
+   * MATERIALIZED so DuckDB evaluates each round once even though a
+   * round references its predecessor three times (DuckDB 1.0
+   * inlines non-materialized CTEs — 3 references would cube the
+   * plan per round). Ends with `comp(vid, component)`, component =
+   * min vertex id, exactly what GraphX min-propagation converges
+   * to. */
+  private def backboneCompCte(rounds: Int = 16): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT v, min(m) AS m FROM (
+         |    SELECT v, m FROM l${i - 1}
+         |    UNION ALL SELECT e2.dst AS v, l.m
+         |      FROM e2 JOIN l${i - 1} l ON l.v = e2.src
+         |    UNION ALL SELECT a.v, b.m FROM l${i - 1} a JOIN l${i - 1} b ON b.v = a.m
+         |  ) GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""cp AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e2 AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS m FROM e2),
+       |$rs,
+       |comp AS MATERIALIZED (SELECT v AS vid, m AS component FROM l$rounds)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // min-label fixed point over the weighted backbone (w >= 2):
     // UNION-dedup recursion bounds the working set at (vertex,
@@ -1012,56 +1069,96 @@ object GraphQueries {
     "g_kcore" ->
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
          |  TRUE AS support_ok, TRUE AS bounded_ok FROM edges""".stripMargin,
-    // two independent implementations, one fixed-point oracle
+    // two independent implementations, one hash-to-min fixed point
     "g_cc_twophase" ->
-      """WITH RECURSIVE cp AS (
-        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e2 AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
-        |reach(v, m) AS (
-        |  SELECT DISTINCT src, src FROM e2
-        |  UNION
-        |  SELECT e2.dst, reach.m FROM reach JOIN e2 ON e2.src = reach.v)
-        |SELECT v AS vid, min(m) AS component FROM reach GROUP BY v""".stripMargin,
+      s"""WITH ${backboneCompCte()}
+         |SELECT vid, component FROM comp""".stripMargin,
     "g_connected_components" ->
-      """WITH RECURSIVE cp AS (
-        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e2 AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
-        |reach(v, m) AS (
-        |  SELECT DISTINCT src, src FROM e2
-        |  UNION
-        |  SELECT e2.dst, reach.m FROM reach JOIN e2 ON e2.src = reach.v)
-        |SELECT v AS vid, min(m) AS component FROM reach GROUP BY v""".stripMargin,
-    // MSF contract: component partition from the reachability
+      s"""WITH ${backboneCompCte()}
+         |SELECT vid, component FROM comp""".stripMargin,
+    // float PageRank replayed exactly: the Spark side folds each
+    // vertex's contributions in ascending sender-id order
+    // (GraphAlgs.pagerankFloatRDD), and list_reduce over
+    // list(... ORDER BY e.src) is the same left fold — bit-identical
+    // doubles, zero tolerance. Every CTE a round references more
+    // than once (edges, deg, ed, each r$i via the next round only —
+    // but edges per round) is MATERIALIZED so DuckDB 1.0's CTE
+    // inlining cannot re-run the lineitem self-join per round.
+    "g_pagerank" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT e.dst AS vid,
+           |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * list_reduce(
+           |      list_prepend(CAST(0.0 AS DOUBLE), list(r.rank / e.deg ORDER BY e.src)),
+           |      (acc, x) -> acc + x) AS rank
+           |  FROM ed e JOIN r${i - 1} r ON r.vid = e.src GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $MatEdgeCte,
+         |deg AS MATERIALIZED (SELECT src AS u, count(*) AS deg FROM edges GROUP BY src),
+         |ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.u = e.src),
+         |r0 AS (SELECT DISTINCT src AS vid, CAST(1.0 AS DOUBLE) AS rank FROM edges),
+         |$rounds
+         |SELECT vid, floor(rank * 1e6 + 0.5) / 1e6 AS rank FROM r10""".stripMargin
+    },
+    // (A+I)x / max power iteration replayed exactly: sender-sorted
+    // fold for the neighbor sum, own score added once, then the
+    // order-free max normalization. x$i is referenced twice per
+    // round (neighbor sum + own term) -> MATERIALIZED.
+    "g_eigencentrality" -> {
+      val rounds = (1 to 20).map { i =>
+        val p = i - 1
+        s"""s$i AS (SELECT e.dst AS v, list_reduce(
+           |    list_prepend(CAST(0.0 AS DOUBLE), list(x.score ORDER BY e.src)),
+           |    (acc, y) -> acc + y) AS nsum
+           |  FROM edges e JOIN x$p x ON x.vid = e.src GROUP BY e.dst),
+           |x$i AS MATERIALIZED (
+           |  SELECT r.vid, r.raw / (max(r.raw) OVER ()) AS score FROM (
+           |    SELECT o.vid, o.score + s.nsum AS raw
+           |    FROM x$p o JOIN s$i s ON s.v = o.vid) r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $MatEdgeCte,
+         |x0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS vid, CAST(1.0 AS DOUBLE) AS score FROM edges),
+         |$rounds
+         |SELECT vid, floor(score * 1e6 + 0.5) / 1e6 AS score FROM x20""".stripMargin
+    },
+    // synchronous label propagation replayed exactly: integer label
+    // counts, argmax by (count DESC, label ASC) via row_number — 5
+    // unrolled rounds over the backbone
+    "g_label_propagation" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS v, l.label AS lab, count(*) AS c
+           |  FROM e2 e JOIN l${i - 1} l ON l.vid = e.src GROUP BY e.dst, l.label),
+           |l$i AS MATERIALIZED (SELECT v AS vid, lab AS label FROM (
+           |  SELECT v, lab,
+           |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+           |  FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cp AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e2 AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+         |l0 AS (SELECT DISTINCT src AS vid, src AS label FROM e2),
+         |$rounds
+         |SELECT vid, label FROM l5""".stripMargin
+    },
+    // MSF contract: component partition from the hash-to-min
     // fixpoint, n_edges = n_vertices - 1 (spanning forest), and the
     // per-component minimum edge length (cut property: the global
     // min edge of a component is always in its MSF); minimality
     // beyond that is pinned by MsfSpec's sequential-Kruskal parity
     "g_msf" ->
-      """WITH RECURSIVE cp AS (
-        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e2 AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
-        |reach(v, m) AS (
-        |  SELECT DISTINCT src, src FROM e2
-        |  UNION
-        |  SELECT e2.dst, reach.m FROM reach JOIN e2 ON e2.src = reach.v),
-        |comp AS (SELECT v AS vid, min(m) AS component FROM reach GROUP BY v),
-        |sizes AS (SELECT component, count(*) AS n_vertices
-        |          FROM comp GROUP BY component),
-        |elen AS (SELECT src, 1000000000 // w AS len_nano FROM cp),
-        |emin AS (SELECT c.component, CAST(min(e.len_nano) AS BIGINT) AS min_len_nano
-        |         FROM elen e JOIN comp c ON c.vid = e.src GROUP BY c.component)
-        |SELECT s.component, s.n_vertices,
-        |  CAST(s.n_vertices - 1 AS BIGINT) AS n_edges, m.min_len_nano
-        |FROM sizes s JOIN emin m ON m.component = s.component""".stripMargin,
+      s"""WITH ${backboneCompCte()},
+         |sizes AS (SELECT component, count(*) AS n_vertices
+         |          FROM comp GROUP BY component),
+         |elen AS (SELECT src, 1000000000 // w AS len_nano FROM cp),
+         |emin AS (SELECT c.component, CAST(min(e.len_nano) AS BIGINT) AS min_len_nano
+         |         FROM elen e JOIN comp c ON c.vid = e.src GROUP BY c.component)
+         |SELECT s.component, s.n_vertices,
+         |  CAST(s.n_vertices - 1 AS BIGINT) AS n_edges, m.min_len_nano
+         |FROM sizes s JOIN emin m ON m.component = s.component""".stripMargin,
     "g_transitivity" ->
       s"""$EdgeCte, t3 AS (
          |  SELECT CAST(sum(t) AS BIGINT) AS sum_t FROM (

@@ -174,6 +174,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"planted-pair recall $recall < 0.9")
   }
 
+  test("near-dup recall holds for pairs just above the threshold") {
+    // the hard regime for banded LSH: pairs at cos ~= 0.92 against a
+    // 0.9 threshold (the 0.999 planted-pair test is easy — band
+    // collisions are near-certain there). Construct exact-cosine
+    // pairs: v = 0.92 u + sqrt(1 - 0.92^2) w with w ⊥ u, so every
+    // pair sits ~0.02 above the cut. With the derived 8-bit band key
+    // at n=100 the per-band collision prob at cos 0.92 is ~0.33, so
+    // a 16-band miss is ~(1-0.33)^16 ~= 0.2% per pair — recall >=
+    // 0.85 over 50 pairs is a 6-sigma-safe floor that still catches
+    // any band/bit tuning regression in the near-threshold regime.
+    val dims = 64
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val cos = 0.92
+    val rows = (0 until 50).flatMap { c =>
+      val u = unit(Array.fill(dims)(rnd.nextGaussian()))
+      val r = Array.fill(dims)(rnd.nextGaussian())
+      val proj = u.zip(r).map { case (a, b) => a * b }.sum
+      val w = unit(r.zip(u).map { case (b, a) => b - proj * a })
+      val v = u.zip(w).map { case (a, b) =>
+        cos * a + math.sqrt(1 - cos * cos) * b }
+      Seq((c * 2L, c, u.map(_.toFloat)), (c * 2L + 1, c, v.map(_.toFloat)))
+    }
+    import spark.implicits._
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+    val found = Similarity.nearDupPairs(corpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 50).map(c => (c * 2L, c * 2L + 1)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.85, s"near-threshold recall $recall < 0.85")
+  }
+
   test("near-dup candidate volume is sub-quadratic on a clustered corpus") {
     // 256 clusters x 8 members (n = 2048): candidates should be
     // dominated by within-cluster pairs (256 * 28 = 7168), far below

@@ -59,6 +59,20 @@ class Round7Spec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L))
   }
 
+  test("two-phase CC non-converged release frees every cached surface") {
+    // exhaust the round budget on a long path (needs ~log n rounds),
+    // then assert release() drops the labels AND the per-round RDD
+    // from the block manager — the non-converged path the query
+    // wrapper takes before throwing must not leak (ADVICE round 7)
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cc = GraphAlgs.connectedComponentsTwoPhase(edges, maxRounds = 1)
+    assert(!cc.converged)
+    cc.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
+  }
+
   test("two-phase CC matches GraphX CC on a random-ish graph") {
     val rnd = new scala.util.Random(7)
     val edges = (1 to 60).map { _ =>
