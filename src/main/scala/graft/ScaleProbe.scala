@@ -155,6 +155,25 @@ object ScaleProbe {
         }
       adj.unpersist(blocking = false)
     }
+
+    if (wanted("floatdet")) {
+      // the sender-sorted deterministic float folds (detFoldSums):
+      // unlike reduceByKey these shuffle the full |E2| message set
+      // per round through a secondary sort, so this is the phase
+      // that would regress first if the ordered fold stopped
+      // scaling (hub contributions stream through the shuffle's
+      // spillable sort — no per-key heap buffer to blow up)
+      phase("pagerank float-det (10 rounds)") {
+        val (r, rel) = GraphAlgs.pagerankFloatRDD(g)
+        r.count(); rel()
+      }
+      phase("eigencentrality float-det (20)") {
+        val eg = GraphAlgs.eigenCentrality(g)
+        eg.vertices.count()
+        eg.unpersistVertices(blocking = false)
+        eg.edges.unpersist(blocking = false)
+      }
+    }
     spark.stop()
   }
 }
