@@ -1378,21 +1378,25 @@ object GraphQueries {
     // recurrence), so the converged doubles are bit-identical — no
     // tolerance needed. sf0.1 converges in 4 effective rounds; 8
     // gives 2x margin. CAST(1.0 AS DOUBLE): DuckDB's bare 1.0 is
-    // DECIMAL and decimal division would break bit-equality.
+    // DECIMAL and decimal division would break bit-equality. Every
+    // CTE is MATERIALIZED: each round references its predecessor
+    // TWICE (keep + relax), so DuckDB 1.0's inlining would double
+    // the plan per round — 2^8 copies of the inlined lineitem
+    // self-join, measured 25.5 s at sf0.01 vs 0.2 s materialized.
     "g_sssp_weighted" -> {
       val rounds = (1 to 8).map { i =>
-        s"""d$i AS (SELECT vid, min(dist) AS dist FROM (
+        s"""d$i AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (
            |  SELECT vid, dist FROM d${i - 1}
            |  UNION ALL
            |  SELECT e.dst AS vid, d.dist + e.len AS dist
            |  FROM d${i - 1} d JOIN we e ON e.src = d.vid) GROUP BY vid)""".stripMargin
       }.mkString(",\n")
-      s"""WITH wraw AS (
+      s"""WITH wraw AS MATERIALIZED (
          |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
          |  FROM lineitem a JOIN lineitem b
          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          |  GROUP BY 1, 2
-         |), we AS (
+         |), we AS MATERIALIZED (
          |  SELECT src, dst, CAST(1.0 AS DOUBLE) / w AS len FROM wraw
          |  UNION ALL
          |  SELECT dst AS src, src AS dst, CAST(1.0 AS DOUBLE) / w AS len FROM wraw

@@ -1,16 +1,21 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimits}
+import org.scalatest.time.SpanSugar._
 
 /** The hash-walk corpus must equal a sequential replay of the
  * next-hop rule exactly on the real sf0.001 graph — the
  * bit-reproducible-sampler contract (same family as the det
  * fixpoints: no randomness source, just arithmetic both engines
- * and any partitioning evaluate identically). */
-class RandomWalksSpec extends SparkSpec {
+ * and any partitioning evaluate identically). failAfter: a walk-loop
+ * lineage regression must fail the suite, never wedge it. */
+class RandomWalksSpec extends SparkSpec with TimeLimits {
+  private implicit val signaler: Signaler = ThreadSignaler
   private val sf = "/root/testdata/sf0.001"
 
   test("hash walks equal the sequential replay bit-for-bit") {
+    failAfter(180.seconds) {
     val got = Round8Queries.randomWalks(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
 
@@ -31,5 +36,6 @@ class RandomWalksSpec extends SparkSpec {
     val again = Round8Queries.randomWalks(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(again === got)
+    }
   }
 }
