@@ -252,6 +252,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           (floor(avg(col("n_chars")) * 1e4 + 0.5) / 1e4).as("avg_chars"))
         .orderBy("lang")),
+    // Weighted priority sampling (the downsample-by-quality
+    // primitive: keep k docs with probability ~ weight): each doc
+    // gets an integer priority hash(doc_id) * 10^6 div weight —
+    // higher weight -> smaller expected priority -> more likely in
+    // the global k-smallest. Pure BIGINT arithmetic both engines
+    // evaluate identically, so the sample is bit-reproducible
+    // across engines/runs/partitionings (a resumable pipeline can
+    // re-derive exactly which docs made the cut). Spark plans the
+    // global k-smallest as TakeOrderedAndProject (per-partition
+    // top-k then a k-sized driver merge — no full sort, no single-
+    // partition shuffle; the scan stays parallel at any corpus
+    // size). Weight = n_chars (length-proportional, always > 0
+    // in the corpus).
+    "p_weighted_sample" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          expr("((doc_id * 1000003 + 7919) % 1000000007) * 1000000" +
+            " div n_chars").as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(20)),
     "p_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardFromShingles(shingleRows(s, d),
         Dedup.consecutivePairs(docs(s, d))).orderBy("doc_a")),
@@ -756,6 +776,12 @@ object PipelineQueries {
         |FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
         |GROUP BY lang""".stripMargin,
+    "p_weighted_sample" ->
+      """SELECT doc_id, source, lang, n_chars,
+        |  ((doc_id * 1000003 + 7919) % 1000000007) * 1000000 // n_chars
+        |    AS priority
+        |FROM documents
+        |ORDER BY priority, doc_id LIMIT 20""".stripMargin,
     "p_ngram_jaccard" ->
       s"""WITH base AS (SELECT 1)$W$Sh3,
          |ds AS (SELECT DISTINCT doc_id, s FROM sh),
