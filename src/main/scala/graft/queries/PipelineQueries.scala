@@ -267,6 +267,10 @@ object PipelineQueries {
     // in the corpus).
     "p_weighted_sample" -> ((s, d) =>
       docs(s, d)
+        // zero-weight docs are unsampleable by definition — and the
+        // guard keeps the integer division total on BOTH engines
+        // (DuckDB // 0 throws where Spark div yields null)
+        .where(col("n_chars") > 0)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
           expr("((doc_id * 1000003 + 7919) % 1000000007) * 1000000" +
             " div n_chars").as("priority"))
@@ -780,7 +784,7 @@ object PipelineQueries {
       """SELECT doc_id, source, lang, n_chars,
         |  ((doc_id * 1000003 + 7919) % 1000000007) * 1000000 // n_chars
         |    AS priority
-        |FROM documents
+        |FROM documents WHERE n_chars > 0
         |ORDER BY priority, doc_id LIMIT 20""".stripMargin,
     "p_ngram_jaccard" ->
       s"""WITH base AS (SELECT 1)$W$Sh3,
