@@ -276,6 +276,27 @@ object PipelineQueries {
             " div n_chars").as("priority"))
         .orderBy(col("priority"), col("doc_id"))
         .limit(20)),
+    // Deterministic epoch shuffle (the training-order primitive: a
+    // different but REPRODUCIBLE global order per epoch, so a
+    // preempted training job resumes mid-epoch at an exact
+    // position): order key = (doc_id * 1000003 + epoch * 7919) %
+    // 1000000007 — per-epoch decorrelated, pure BIGINT both engines
+    // evaluate identically. Emits the first 10 positions of epochs
+    // 1-3; at scale the same expression is a sort key for a full
+    // range-partitioned shuffle write (one total-order sort per
+    // epoch — exactly what a data loader manifest needs), while the
+    // head-of-order form here plans as TakeOrderedAndProject per
+    // epoch (no full sort).
+    "p_epoch_shuffle" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"))
+      (1 to 3).map { e =>
+        base.select(lit(e.toLong).as("epoch"), col("doc_id"),
+            expr(s"(doc_id * 1000003 + $e * 7919) % 1000000007").as("okey"))
+          .orderBy(col("okey"), col("doc_id")).limit(10)
+      }.reduce(_ unionAll _)
+        .select(col("epoch"), col("doc_id"), col("okey"))
+        .orderBy("epoch", "okey", "doc_id")
+    }),
     "p_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardFromShingles(shingleRows(s, d),
         Dedup.consecutivePairs(docs(s, d))).orderBy("doc_a")),
@@ -786,6 +807,16 @@ object PipelineQueries {
         |    AS priority
         |FROM documents WHERE n_chars > 0
         |ORDER BY priority, doc_id LIMIT 20""".stripMargin,
+    "p_epoch_shuffle" -> {
+      val epochs = (1 to 3).map { e =>
+        s"""(SELECT CAST($e AS BIGINT) AS epoch, doc_id,
+           |  (doc_id * 1000003 + $e * 7919) % 1000000007 AS okey
+           |FROM documents ORDER BY okey, doc_id LIMIT 10)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT epoch, doc_id, okey FROM (
+         |$epochs
+         |)""".stripMargin
+    },
     "p_ngram_jaccard" ->
       s"""WITH base AS (SELECT 1)$W$Sh3,
          |ds AS (SELECT DISTINCT doc_id, s FROM sh),
