@@ -44,6 +44,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("sampling top-k plans as TakeOrderedAndProject, never a global sort") {
+    // per-partition top-k + k-sized driver merge: the shape that
+    // keeps a corpus-wide sample scan parallel at any size
+    for (name <- Seq("p_weighted_sample", "p_epoch_shuffle")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: expected per-partition top-k, got:\n${p.take(2000)}")
+    }
+  }
+
   test("jaccard uses the native merge-scan intersection, no cross product") {
     val p = plan("g_neighbor_jaccard")
     assert(p.toLowerCase.contains("sortedintersectcount"))
