@@ -276,6 +276,36 @@ object PipelineQueries {
             " div n_chars").as("priority"))
         .orderBy(col("priority"), col("doc_id"))
         .limit(20)),
+    // Token-budget apportionment across sources (the data-mixture
+    // construction op: split a fixed training budget B over corpus
+    // sources proportionally to their volume): largest-remainder
+    // (Hamilton) method in pure BIGINT — floor quotas B*w div W,
+    // then the B - Σfloors leftover units go to the largest
+    // remainders (ties by source name). Σ alloc == B exactly by
+    // construction, and every step is integer arithmetic both
+    // engines evaluate identically. The groupBy is the scalable
+    // part; the windows run over source-cardinality rows (a handful
+    // at any corpus size). B·w stays within Long at these corpus
+    // volumes; a 100 TB corpus would route the product through
+    // Decimal(38) on the Spark side / HUGEINT on DuckDB's.
+    "p_domain_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val all = Window.partitionBy()
+      docs(s, d).where(col("n_chars") > 0)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("w"))
+        .select(col("source"), col("w"), sum(col("w")).over(all).as("tot"))
+        .select(col("source"), col("w"),
+          expr("(1000000 * w) div tot").as("fq"),
+          expr("(1000000 * w) % tot").as("rem"))
+        .select(col("source"), col("w"), col("fq"), col("rem"),
+          (lit(1000000L) - sum(col("fq")).over(all)).as("leftover"),
+          row_number().over(all.orderBy(col("rem").desc, col("source")))
+            .cast("long").as("rk"))
+        .select(col("source"), col("w"),
+          (col("fq") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy("source")
+    }),
     // Deterministic epoch shuffle (the training-order primitive: a
     // different but REPRODUCIBLE global order per epoch, so a
     // preempted training job resumes mid-epoch at an exact
@@ -807,6 +837,24 @@ object PipelineQueries {
         |    AS priority
         |FROM documents WHERE n_chars > 0
         |ORDER BY priority, doc_id LIMIT 20""".stripMargin,
+    "p_domain_mix" ->
+      """WITH sw AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+        |  FROM documents WHERE n_chars > 0 GROUP BY source),
+        |q AS (
+        |  SELECT source, w,
+        |    (1000000 * w) // (sum(w) OVER ()) AS fq,
+        |    (1000000 * w) % (sum(w) OVER ()) AS rem
+        |  FROM sw),
+        |r AS (
+        |  SELECT source, w, fq, rem,
+        |    1000000 - sum(fq) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM q)
+        |SELECT source, w,
+        |  CAST(fq + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r""".stripMargin,
     "p_epoch_shuffle" -> {
       val epochs = (1 to 3).map { e =>
         s"""(SELECT CAST($e AS BIGINT) AS epoch, doc_id,
