@@ -40,6 +40,17 @@ object EdgeOps {
       .option("ignoreTrailingWhiteSpace", "true")
       .csv(path)
 
+  /** S1 variant: JSON-lines edge source (one {"src":..,"dst":..}
+   * object per line — the interchange format pipelines that can't
+   * emit parquet typically produce). The schema is DECLARED, never
+   * inferred: schema inference reads the whole input once before
+   * the real scan — a full extra pass at 100 TB — and can silently
+   * widen types on dirty data. */
+  def loadJsonlEdges(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("src LONG, dst LONG")
+      .json(path)
+
   /** S2+S3: drop self-loops, emit both directions, dedup.
    * Output is the doubled directed edge set (reference
    * `CSVGraph.scala:32-40`). */

@@ -256,6 +256,16 @@ object GraphQueries {
     EdgeOps.loadCsvEdges(spark, dir).orderBy("src", "dst")
   }
 
+  /** S1+S6 variant: JSON-lines sink + source round trip — the
+   * interchange format for pipelines that can't emit parquet
+   * (declared schema on read; see EdgeOps.loadJsonlEdges). */
+  def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    canonEdges(spark, sfDir)
+      .write.mode("overwrite").json(dir)
+    EdgeOps.loadJsonlEdges(spark, dir).orderBy("src", "dst")
+  }
+
   /** Beyond-reference graph breadth: 10-iteration float PageRank on
    * the co-purchase graph. The per-vertex sums fold contributions
    * in ascending sender-id order ([[graft.graph.GraphAlgs
@@ -1183,6 +1193,7 @@ object GraphQueries {
          |    least(vol.vol::DOUBLE, m2.m2 - vol.vol) * 1e9 + 0.5) / 1e9 AS phi
          |FROM vol LEFT JOIN cut ON vol.cid = cut.cid, m2""".stripMargin,
     "g_csv_roundtrip" -> s"$EdgeCte SELECT src, dst FROM raw",
+    "g_jsonl_roundtrip" -> s"$EdgeCte SELECT src, dst FROM raw",
     "g_edges_sym" -> s"$EdgeCte SELECT src, dst FROM edges",
     "g_degrees" -> s"$EdgeCte SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src",
     "g_adjacency" ->
@@ -1604,6 +1615,7 @@ object GraphQueries {
     "g_eigencentrality_det" -> eigenCentralityDeterministic _,
     "g_label_propagation_det" -> labelPropagationDeterministic _,
     "g_csv_roundtrip" -> csvRoundtrip _,
+    "g_jsonl_roundtrip" -> jsonlRoundtrip _,
     "g_bfs_hops" -> bfsHops _,
     "g_neighbor_jaccard" -> neighborJaccard _,
     "g_kcore" -> kcore _,
