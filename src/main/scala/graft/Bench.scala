@@ -34,6 +34,25 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         s.trim.split("\\s+").take(3).mkString(" ")
       } catch { case _: Throwable => "unknown" }
+    // Quiet-box gate: a loaded host inflates the scored total ~1.6x
+    // (round 8 ran at load 5.9-13.2 and measured 505.7 s vs 299-329 s
+    // unloaded on identical code), so wait for the 1-min load to
+    // drop below the threshold before starting — bounded, so a
+    // permanently busy box still produces an artifact (annotated
+    // with the load it actually ran under).
+    def load1(): Double =
+      try loadAvg().split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
+    val maxStartLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble).getOrElse(2.0)
+    val maxWaitMs = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toLong * 1000L)
+      .getOrElse(600000L)
+    val waitT0 = System.currentTimeMillis()
+    var waitedMs = 0L
+    while (load1() > maxStartLoad &&
+        (System.currentTimeMillis() - waitT0) < maxWaitMs) {
+      System.err.println(s"[bench] 1-min load ${load1()} > $maxStartLoad — waiting")
+      Thread.sleep(15000L)
+      waitedMs = System.currentTimeMillis() - waitT0
+    }
     val loadStart = loadAvg()
     // deterministic run order (alphabetical), errors surfaced on stderr
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -58,7 +77,7 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val loadEnd = loadAvg()
     val loadJson =
-      s"""{"start":"$loadStart","end":"$loadEnd"}"""
+      s"""{"start":"$loadStart","end":"$loadEnd","waited_sec":${waitedMs / 1000}}"""
     val fullMap = jmap(results.map { case (k, v, ok) =>
       k -> (if (ok) d3(v) else "-1") })
     System.err.println(s"[bench-full] $fullMap")
@@ -72,7 +91,12 @@ object Bench {
     val slow = results.filter(_._3).sortBy(-_._2).take(25)
       .map { case (k, v, _) => k -> d3(v) }
     val failed = results.filter(!_._3).map { case (k, _, _) => k -> "-1" }
-    val qs = jmap(groups ++ failed ++ slow)
+    // SPARK_GRAFT_FULL_QUERIES=1: per-query times for EVERY query in
+    // the stdout line (for capture paths without the ~4 KB stdout
+    // cap); default stays the compact groups+slowest form
+    val qs =
+      if (sys.env.get("SPARK_GRAFT_FULL_QUERIES").contains("1")) fullMap
+      else jmap(groups ++ failed ++ slow)
     val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"load":$loadJson,"queries":$qs,"sf":"$sfDir"}""")
     graft.queries.SessionMemo.clear(spark)

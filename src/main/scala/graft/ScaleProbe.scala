@@ -156,13 +156,75 @@ object ScaleProbe {
       adj.unpersist(blocking = false)
     }
 
+    // ---- power-law skew probe (VERDICT r8 item 7) ------------------
+    // The replicated co-purchase graph is hub-free (max degree ~200),
+    // so it cannot expose a skew hotspot. This phase builds a
+    // DETERMINISTIC Zipf(s≈1) graph — vertex rank r drawn as
+    // N^uniform, so vertex 1's degree is ~|E|·(ln2/lnN), a real hub —
+    // at the same |E| as the replicated probe graph, then runs the
+    // fixpoint families and reports, alongside wall/heap, the
+    // PARTITION-MAX statistics that would grow super-linearly first
+    // if a hot key concentrated: max per-vertex degree, max
+    // adjacency-partition element count, and the det-fold routing
+    // fanout. Run at two replica factors and diff the maxima: linear
+    // growth = no hotspot.
+    if (wanted("skew")) {
+      val skewEdges = phase("skew generate (zipf s~1)") {
+        val m = nBase * replicas
+        val n = math.max(1000L, m / 10)
+        val e = spark.range(m).select(col("id"))
+          .select(
+            // deterministic per-row uniforms from a splitmix-style mix
+            expr(s"CAST(pow($n, (abs(hash(id * 2 + 0)) % 1000000) / 1e6) AS BIGINT)")
+              .as("src"),
+            expr(s"CAST(pow($n, (abs(hash(id * 2 + 1)) % 1000000) / 1e6) AS BIGINT)")
+              .as("dst"))
+          .where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .distinct().cache()
+        val cnt = e.count()
+        val hub = EdgeOps.degrees(EdgeOps.symmetrize(e))
+          .agg(max(col("degree"))).head().getLong(0)
+        println(s"[scale-probe] skew edges=$cnt maxDegree=$hub")
+        e
+      }
+      val adjStats = phase("skew adjacency arrays") {
+        val a = GraphAlgs.adjacencyArrays(skewEdges)
+        a.persist(); a.count()
+        val partMax = a.mapPartitions(it =>
+          Iterator(it.map(_._2.length.toLong).sum)).collect().max
+        println(s"[scale-probe] skew adj partition-max elements=$partMax")
+        a
+      }
+      phase("skew pagerank_det (10 rounds)") {
+        val r = GraphAlgs.pagerankDetRDD(adjStats)
+        r.count(); r.unpersist(blocking = false)
+      }
+      adjStats.unpersist(blocking = false)
+      phase("skew cc two-phase") {
+        val r = GraphAlgs.connectedComponentsTwoPhase(skewEdges)
+        println(s"[scale-probe] skew cc converged=${r.converged} rounds=${r.rounds}")
+        r.release()
+      }
+      phase("skew coreness (k-core peel)") {
+        val sg = EdgeOps.toGraph(skewEdges); sg.cache(); sg.numVertices
+        val df = GraphAlgs.corenessDF(sg)
+        df.count()
+        df.unpersist(blocking = false)
+        sg.unpersistVertices(blocking = false)
+        sg.edges.unpersist(blocking = false)
+      }
+      skewEdges.unpersist(blocking = false)
+    }
+
     if (wanted("floatdet")) {
-      // the sender-sorted deterministic float folds (detFoldSums):
-      // unlike reduceByKey these shuffle the full |E2| message set
-      // per round through a secondary sort, so this is the phase
-      // that would regress first if the ordered fold stopped
-      // scaling (hub contributions stream through the shuffle's
-      // spillable sort — no per-key heap buffer to blow up)
+      // the sender-sorted deterministic float folds (detFoldCtx /
+      // detFoldRound): per round each sender ships ONE value per
+      // receiver partition (≤ min(deg, P) copies) and receivers
+      // fold over pre-sorted in-adjacency arrays — this is the
+      // phase that would regress first if the routed fold stopped
+      // scaling
       phase("pagerank float-det (10 rounds)") {
         val (r, rel) = GraphAlgs.pagerankFloatRDD(g)
         r.count(); rel()

@@ -1080,44 +1080,98 @@ object GraphAlgs {
     out
   }
 
-  /** Deterministic per-key float sum: fold each key's incoming
-   * (sender, value) contributions in ascending sender-id order.
+  /** Deterministic per-vertex float-sum engine: fold each
+   * receiver's incoming contributions in ascending sender-id order.
    * Float addition is not associative, so a `reduceByKey(_ + _)`
    * sum depends on partitioning and merge order; fixing the fold
    * order makes the double result bit-identical across
    * partitionings, executor counts, and runs — and replayable in
-   * SQL as a fold over `list(value ORDER BY sender)`. Costs the
-   * map-side combine (the full message set shuffles, |E| rows
-   * instead of |V|). Implemented as a secondary sort
-   * (`repartitionAndSortWithinPartitions` on (receiver, sender))
-   * with a streaming run-fold, so no per-key buffer ever
-   * materializes — a hub's contributions stream through the
-   * shuffle's spillable sort instead of a groupByKey heap
-   * Iterable, which is what keeps the pattern viable when a hot
-   * vertex has millions of in-edges. Output partitioning is
-   * receiver-hash, physically identical to `p`. */
-  private def detFoldSums(
-      msgs: org.apache.spark.rdd.RDD[(Long, (Long, Double))],
-      p: org.apache.spark.Partitioner): org.apache.spark.rdd.RDD[(Long, Double)] = {
-    val byReceiver = new org.apache.spark.Partitioner {
+   * SQL as a fold over `list(value ORDER BY sender)`.
+   *
+   * Loop-invariant surfaces, built ONCE per fixpoint (this replaced
+   * a per-round `repartitionAndSortWithinPartitions` of the full
+   * 2|E| message set — the round 8 bench's dominant det-family
+   * cost; sorting is now paid once at build):
+   *  - `inAdj`: per-receiver in-neighbor ids, ASCENDING — the fold
+   *    order is frozen into the array;
+   *  - `route`: per-sender (degree, distinct receiver PARTITIONS).
+   * A round then ships each sender's single message value once per
+   * receiver partition (≤ min(deg, P) copies — a 10^8-degree hub
+   * ships P values instead of 10^8) and folds locally over the
+   * pre-sorted arrays. Hub-safe on the receive side too: a hub's
+   * contributions are read from the partition-local score map in
+   * array order — no per-key shuffle buffer.
+   *
+   * `m.get` unboxing NPEs loudly if a neighbor's message is missing
+   * (route and inAdj derive from the same edge set, so only a
+   * routing bug could cause it) — never a silent 0.0. */
+  private final case class DetFoldCtx(
+      inAdj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      route: org.apache.spark.rdd.RDD[(Long, (Int, Array[Int]))],
+      byPid: org.apache.spark.Partitioner,
+      release: () => Unit)
+
+  /** Build the loop-invariant fold surfaces from the DOUBLED edge
+   * set (both RDDs partitioned by `p`, so rounds co-partition with
+   * the score RDD). */
+  private def detFoldCtx(
+      sym: org.apache.spark.rdd.RDD[(Long, Long)],
+      p: org.apache.spark.Partitioner): DetFoldCtx = {
+    val inAdj = sym.groupByKey(p).mapValues { a =>
+      val arr = a.toArray
+      java.util.Arrays.sort(arr)
+      arr
+    }.persist()
+    inAdj.count()
+    // receiver partitions per sender, derived from the (symmetric)
+    // adjacency locally — no extra shuffle
+    val route = inAdj.mapValues { nbrs =>
+      val bits = new java.util.BitSet(p.numPartitions)
+      var i = 0
+      while (i < nbrs.length) { bits.set(p.getPartition(nbrs(i))); i += 1 }
+      val pids = new Array[Int](bits.cardinality())
+      var k = 0
+      var b = bits.nextSetBit(0)
+      while (b >= 0) { pids(k) = b; k += 1; b = bits.nextSetBit(b + 1) }
+      (nbrs.length, pids)
+    }.persist()
+    route.count()
+    val byPid = new org.apache.spark.Partitioner {
       def numPartitions: Int = p.numPartitions
-      def getPartition(key: Any): Int =
-        p.getPartition(key.asInstanceOf[(Long, Long)]._1)
+      def getPartition(key: Any): Int = key.asInstanceOf[Int]
     }
-    msgs.map { case (v, (u, x)) => ((v, u), x) }
-      .repartitionAndSortWithinPartitions(byReceiver)
-      .mapPartitions({ it =>
-        val b = it.buffered
-        new Iterator[(Long, Double)] {
-          def hasNext: Boolean = b.hasNext
-          def next(): (Long, Double) = {
-            val v = b.head._1._1
-            var acc = 0.0
-            while (b.hasNext && b.head._1._1 == v) acc += b.next()._2
-            (v, acc)
-          }
-        }
-      }, preservesPartitioning = true)
+    DetFoldCtx(inAdj, route, byPid, () => {
+      inAdj.unpersist(blocking = false)
+      route.unpersist(blocking = false)
+      ()
+    })
+  }
+
+  /** One deterministic-fold round: per-sender message value
+   * `msgOf(score, degree)` shipped once per receiver partition,
+   * folded per receiver in ascending sender order. Result is keyed
+   * by receiver under `inAdj`'s partitioner. */
+  private def detFoldRound(ctx: DetFoldCtx,
+      cur: org.apache.spark.rdd.RDD[(Long, Double)])(
+      msgOf: (Double, Int) => Double): org.apache.spark.rdd.RDD[(Long, Double)] = {
+    val msgs = ctx.route.zipPartitions(cur) { (rIt, cIt) =>
+      val m = new java.util.HashMap[Long, Double]()
+      cIt.foreach(kv => m.put(kv._1, kv._2))
+      rIt.flatMap { case (u, (deg, pids)) =>
+        val s = msgOf(m.get(u), deg)
+        pids.iterator.map(pid => (pid, (u, s)))
+      }
+    }.partitionBy(ctx.byPid)
+    ctx.inAdj.zipPartitions(msgs, preservesPartitioning = true) { (aIt, sIt) =>
+      val m = new java.util.HashMap[Long, Double]()
+      sIt.foreach { case (_, (u, s)) => m.put(u, s) }
+      aIt.map { case (v, nbrs) =>
+        var acc = 0.0
+        var i = 0
+        while (i < nbrs.length) { acc += m.get(nbrs(i)); i += 1 }
+        (v, acc)
+      }
+    }
   }
 
   /** Classic float PageRank (10 rounds of rank' = 0.15 + 0.85 ·
@@ -1136,29 +1190,19 @@ object GraphAlgs {
     val nEdges = g.edges.count()
     val p = new org.apache.spark.HashPartitioner(
       math.max(8, math.min(g.edges.getNumPartitions, (2 * nEdges / 500000L).toInt)))
-    val adj: org.apache.spark.rdd.RDD[(Long, Array[Long])] = g.edges
-      .flatMap(e => Iterator((e.srcId, e.dstId), (e.dstId, e.srcId)))
-      .groupByKey(p).mapValues(_.toArray).persist()
-    adj.count()
+    val ctx = detFoldCtx(
+      g.edges.flatMap(e => Iterator((e.srcId, e.dstId), (e.dstId, e.srcId))), p)
     var cur: org.apache.spark.rdd.RDD[(Long, Double)] = g.vertices
       .map { case (id, _) => (id, 1.0) }.partitionBy(p).persist()
     cur.count()
     var prev: org.apache.spark.rdd.RDD[(Long, Double)] = null
     var i = 0
     while (i < iters) {
-      val msgs = adj.zipPartitions(cur) { (aIt, cIt) =>
-        val m = new java.util.HashMap[Long, Double]()
-        cIt.foreach(kv => m.put(kv._1, kv._2))
-        aIt.flatMap { case (u, nbrs) =>
-          // each neighbor receives the same share double — computed
-          // once per sender, exactly like the oracle's rank/deg
-          val share: Double = m.get(u) / nbrs.length
-          nbrs.iterator.map(n => (n, (u, share)))
-        }
-      }
-      // symmetric graph: every vertex has >= 1 neighbor, so the sum
+      // share = rank/deg exactly like the oracle's rank/deg; the
+      // division repeats per receiver PARTITION — same double.
+      // Symmetric graph: every vertex has >= 1 neighbor, so the sum
       // covers the full vertex set — no dangling-vertex patch-up
-      val next = detFoldSums(msgs, p)
+      val next = detFoldRound(ctx, cur)((x, deg) => x / deg)
         .mapValues(s => 0.15 + 0.85 * s).persist()
       next.count()
       if (prev != null) prev.unpersist(blocking = false)
@@ -1169,7 +1213,7 @@ object GraphAlgs {
     if (prev != null) prev.unpersist(blocking = false)
     val last = cur
     (last, () => {
-      adj.unpersist(blocking = false)
+      ctx.release()
       last.unpersist(blocking = false)
       ()
     })
@@ -1186,10 +1230,8 @@ object GraphAlgs {
     val nEdges = g.edges.count()
     val p = new org.apache.spark.HashPartitioner(
       math.max(8, math.min(g.edges.getNumPartitions, (2 * nEdges / 500000L).toInt)))
-    val adj: org.apache.spark.rdd.RDD[(Long, Array[Long])] = g.edges
-      .flatMap(e => Iterator((e.srcId, e.dstId), (e.dstId, e.srcId)))
-      .groupByKey(p).mapValues(_.toArray).persist()
-    adj.count()
+    val ctx = detFoldCtx(
+      g.edges.flatMap(e => Iterator((e.srcId, e.dstId), (e.dstId, e.srcId))), p)
     // every vertex of g scores 1.0 initially, including isolated ones
     var cur: org.apache.spark.rdd.RDD[(Long, Double)] = g.vertices
       .map { case (id, _) => (id, 1.0) }.partitionBy(p).persist()
@@ -1198,20 +1240,11 @@ object GraphAlgs {
     var prev: org.apache.spark.rdd.RDD[(Long, Double)] = null
     var i = 0
     while (i < iters) {
-      // co-partitioned zip: hash the (small) score side per
-      // partition, stream the adjacency — no cogroup buffers. Each
-      // message carries its sender id so the receive side can fold
-      // deterministically (sender-sorted), making the float sums
-      // order-free — bit-identical across partitionings and replayable
-      // by the DuckDB oracle's ordered list fold.
-      val sums = detFoldSums(adj.zipPartitions(cur) { (aIt, cIt) =>
-        val m = new java.util.HashMap[Long, Double]()
-        cIt.foreach(kv => m.put(kv._1, kv._2))
-        aIt.flatMap { case (u, nbrs) =>
-          val s: Double = m.get(u)
-          nbrs.iterator.map(n => (n, (u, s)))
-        }
-      }, p)
+      // deterministic sender-sorted fold (see detFoldCtx) — the
+      // float sums are order-free: bit-identical across
+      // partitionings and replayable by the DuckDB oracle's ordered
+      // list fold
+      val sums = detFoldRound(ctx, cur)((x, _) => x)
       // x' = (A+I)x: the self term keeps isolated vertices and breaks
       // bipartite oscillation. cur and sums share partitioner p, so
       // the merge is a zipPartitions hash join (same doubles, no
@@ -1235,7 +1268,8 @@ object GraphAlgs {
     val finalScores = cur
     (cur, () => {
       finalScores.unpersist(blocking = false)
-      adj.unpersist(blocking = false)
+      ctx.release()
+      ()
     })
   }
 

@@ -139,6 +139,12 @@ object GraphQueries {
     val nVertices = graph(spark, sfDir).numVertices
     val labels = out.graph.vertices.map { case (id, vd) => (id, vd.cId) }.cache()
     val nLabeled = labels.count()
+    // exact-value invariant the oracle recomputes independently in
+    // SQL: the pruned-out singleton count = vertices outside the
+    // triangle core (VERDICT r8 item 4 — certificates carry
+    // SQL-computed values, not only stated TRUEs)
+    val nPrunedSingletons = out.triangleStats
+      .filter { case (_, (t, _)) => t == 0 }.count()
     val prunedSingletonOk = out.triangleStats
       .filter { case (_, (t, _)) => t == 0 }
       .leftOuterJoin(labels)
@@ -148,10 +154,10 @@ object GraphQueries {
       .reduceByKey(_ + _).map(_._2).fold(0L)(math.max)
     labels.unpersist(blocking = false)
     spark.createDataFrame(Seq((
-      nVertices, nLabeled == nVertices, prunedSingletonOk,
+      nVertices, nPrunedSingletons, nLabeled == nVertices, prunedSingletonOk,
       out.bestWcc > 0.0, maxCommunity >= 2L)))
-      .toDF("n_vertices", "partition_total_ok", "pruned_singleton_ok",
-        "wcc_positive", "has_community")
+      .toDF("n_vertices", "n_pruned_singletons", "partition_total_ok",
+        "pruned_singleton_ok", "wcc_positive", "has_community")
   }
 
   /** Value-level certificate for the flagship: recompute the global
@@ -240,17 +246,41 @@ object GraphQueries {
       .filter { case (_, (_, hit)) => hit.isEmpty }.count()
     val maxGroup = labels.map { case (_, cid) => (cid, 1L) }
       .reduceByKey(_ + _).map(_._2).fold(0L)(math.max)
+    // the oracle recomputes the community count from its own
+    // seeding-fixpoint replay (seedReplayCte) — an independent
+    // SQL-computed value, not a stated TRUE
+    val nCommunities = labels.map(_._2).distinct().count()
     labels.unpersist(blocking = false)
     spark.createDataFrame(Seq((
-      nCore, nLabeled == nCore, strays == 0L, maxGroup >= 2L)))
-      .toDF("n_core", "coverage_ok", "labels_in_core_ok", "has_group")
+      nCore, nCommunities, nLabeled == nCore, strays == 0L, maxGroup >= 2L)))
+      .toDF("n_core", "n_communities", "coverage_ok", "labels_in_core_ok",
+        "has_group")
   }
+
+  /** Memoized staging directory per (session, purpose, sfDir),
+   * deleted on JVM exit: repeated sweeps reuse one directory (the
+   * writers run mode=overwrite) instead of accumulating on-disk
+   * copies of the edge set per invocation. */
+  private def stagingDir(spark: SparkSession, key: String): String =
+    memoize(spark, s"staging:$key") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stage")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(dir)) {
+          val all = Files.walk(dir).iterator().asScala.toSeq
+          all.sortBy((p: Path) => -p.getNameCount)
+            .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+        }
+      }
+      dir.toString
+    }
 
   /** S1+S6: CSV sink + edge-list source round trip — write the
    * canonical edge set as a space-delimited CSV (the reference's
    * wire format), read it back through the CSV edge-list scan. */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val dir = stagingDir(spark, s"csv:$sfDir")
     canonEdges(spark, sfDir)
       .write.mode("overwrite").option("sep", " ").csv(dir)
     EdgeOps.loadCsvEdges(spark, dir).orderBy("src", "dst")
@@ -260,7 +290,7 @@ object GraphQueries {
    * interchange format for pipelines that can't emit parquet
    * (declared schema on read; see EdgeOps.loadJsonlEdges). */
   def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val dir = stagingDir(spark, s"jsonl:$sfDir")
     canonEdges(spark, sfDir)
       .write.mode("overwrite").json(dir)
     EdgeOps.loadJsonlEdges(spark, dir).orderBy("src", "dst")
@@ -362,17 +392,31 @@ object GraphQueries {
     val nVertices = graph(spark, sfDir).numVertices
     val nLabeled = labels.count()
     val distinctVids = labels.select("vid").distinct().count()
-    val verts = EdgeOps.symmetrize(canonEdges(spark, sfDir))
-      .select(col("src").as("vid")).distinct()
-    val strays = labels.select("vid").distinct()
-      .join(verts, Seq("vid"), "left_anti").count()
+    // The replay grafts its final state onto the BULK graph's vertex
+    // set (IncrementalWCC.run graft-back, reference quirk `:56-58`),
+    // and the bulk vertex set is pure data arithmetic: endpoints of
+    // edges with both ids below floor(maxId * 0.8). The oracle
+    // recomputes that count in SQL and this query emits the labeled
+    // distinct-vid count under the same column — an exact
+    // cross-engine value check on the replay's coverage (VERDICT r8
+    // item 3), alongside the Spark-certified set equality.
+    val canon = canonEdges(spark, sfDir)
+    val maxVertex = canon.agg(max(greatest(col("src"), col("dst")))).head().getLong(0)
+    val split = math.floor(maxVertex * 0.8)
+    val bulkVerts = canon.where(col("src") < split && col("dst") < split)
+      .select(explode(array(col("src"), col("dst"))).as("vid")).distinct().cache()
+    val nBulk = bulkVerts.count()
+    val coverOk = distinctVids == nBulk &&
+      labels.select("vid").distinct()
+        .join(bulkVerts, Seq("vid"), "left_anti").count() == 0
+    bulkVerts.unpersist(blocking = false)
     val maxCommunity = labels.groupBy("cid").count()
       .agg(max(col("count"))).head().getLong(0)
     spark.createDataFrame(Seq((
-      nVertices, nLabeled == distinctVids, strays == 0L,
+      nVertices, distinctVids, nLabeled == distinctVids, coverOk,
       maxCommunity >= 2L)))
-      .toDF("n_vertices", "labels_unique_ok", "labels_subset_ok",
-        "has_community")
+      .toDF("n_vertices", "n_bulk_vertices", "labels_unique_ok",
+        "labels_cover_bulk_ok", "has_community")
   }
 
   /** Pregel BFS hop distances from the smallest vertex id (oracle =
@@ -618,9 +662,13 @@ object GraphQueries {
     pr.unpersistVertices(blocking = false)
     pr.edges.unpersist(blocking = false)
     val (n, mass, minRank) = stats
+    // mass_round: the total rank mass rounded to the nearest integer
+    // MUST equal |V| exactly (sink-free graph conserves the teleport
+    // mass) — the oracle recomputes |V| in SQL under the same column,
+    // making the mass-balance invariant a cross-engine value check
     spark.createDataFrame(Seq((
-      n, math.abs(mass - n) <= n * 1e-6, minRank >= 0.15 - 1e-9)))
-      .toDF("n_vertices", "mass_ok", "floor_ok")
+      n, math.round(mass), math.abs(mass - n) <= n * 1e-6, minRank >= 0.15 - 1e-9)))
+      .toDF("n_vertices", "mass_round", "mass_ok", "floor_ok")
   }
 
   /** Data-driven recursive CTE (Spark 4 UnionLoop over a real edge
@@ -927,10 +975,14 @@ object GraphQueries {
       .join(verts, Seq("vid"), "left_anti").count()
     val maxGroup = labels.groupBy("label").count()
       .agg(max(col("count"))).head().getLong(0)
+    // distinct-label count: the oracle recomputes it from its own
+    // 5-round propagation replay — an independent SQL-computed value
+    val nLabels = labels.select("label").distinct().count()
     spark.createDataFrame(Seq((
-      nVertices, nLabeled == nVertices && distinctVids == nVertices,
+      nVertices, nLabels, nLabeled == nVertices && distinctVids == nVertices,
       strayLabels == 0L, maxGroup >= 2L)))
-      .toDF("n_vertices", "coverage_ok", "labels_in_domain_ok", "has_group")
+      .toDF("n_vertices", "n_labels", "coverage_ok", "labels_in_domain_ok",
+        "has_group")
   }
 
   /** Eigenvector-centrality invariant certificate: one score per
@@ -943,11 +995,16 @@ object GraphQueries {
     val agg = scores.agg(
       count(lit(1)).as("n"),
       max(col("score")).as("mx"),
-      min(col("score")).as("mn")).head()
+      min(col("score")).as("mn"),
+      // vertices at the normalization peak (rounded score exactly
+      // 1.0) — the oracle recomputes this from its own replay of the
+      // power iteration, an independent SQL-computed value
+      sum(when(col("score") === 1.0, 1L).otherwise(0L)).as("n_at_max")).head()
     spark.createDataFrame(Seq((
-      nVertices, agg.getLong(0) == nVertices,
+      nVertices, agg.getLong(3), agg.getLong(0) == nVertices,
       agg.getDouble(1) == 1.0, agg.getDouble(2) > 0.0)))
-      .toDF("n_vertices", "coverage_ok", "max_is_one", "all_positive")
+      .toDF("n_vertices", "n_at_max", "coverage_ok", "max_is_one",
+        "all_positive")
   }
 
   /** Weighted single-source shortest paths over the full co-purchase
@@ -1069,7 +1126,134 @@ object GraphQueries {
        |comp AS MATERIALIZED (SELECT v AS vid, m AS component FROM l$rounds)""".stripMargin
   }
 
+  /** Exact replay of the clustering-coefficient-seeded initial
+   * partition (the flagship's G4 Pregel, `InitialPartition.run`) as
+   * unrolled MATERIALIZED CTEs — the pattern that graduated
+   * `g_label_propagation`, applied to the seeding fixpoint.
+   *
+   * Why this is exactly replayable: the loop's state per vertex is
+   * just its center flag, and the synchronous recurrence is
+   * `center_k(v) = NOT EXISTS higher-ranked neighbor u (by the
+   * (cc, vt, vId) total order, reference `VertexData.scala:57-59`)
+   * with center_{k-1}(u)`, starting from all-centers; the final
+   * label is the highest-ranked fixpoint-center neighbor that
+   * outranks self, else self. The message-driven Spark loop equals
+   * this recurrence because decisions are pure functions of self +
+   * higher-ranked neighbors' flags, and every flag flip of a
+   * higher-ranked neighbor is delivered (messages go to strictly
+   * lower-ranked neighbors). All decision inputs are integers plus
+   * cc = 2.0*t/(vt*(vt-1)) — a single correctly-rounded IEEE
+   * division of exact integers, bit-identical across engines, and
+   * only COMPARED, never summed.
+   *
+   * Round count: sf0.01 quiesces at 10 supersteps (= 9 flag
+   * generations); 16 unrolled rounds give ~1.8x margin, and extra
+   * rounds past the fixpoint are no-ops. Each round's join is
+   * frontier-free (full vertex set vs the oriented edge list) —
+   * cheap at oracle scale. */
+  private def seedReplayCte(rounds: Int = 16): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""h$i AS (SELECT pe.src AS vid, bool_or(f.flag) AS anyc
+         |  FROM pe JOIN f${i - 1} f ON f.vid = pe.dst GROUP BY pe.src),
+         |f$i AS MATERIALIZED (SELECT c.vid, NOT coalesce(h.anyc, FALSE) AS flag
+         |  FROM core c LEFT JOIN h$i h ON h.vid = c.vid)""".stripMargin
+    }.mkString(",\n")
+    s"""$MatEdgeCte,
+       |sup AS MATERIALIZED (
+       |  SELECT r.src, r.dst, count(*) AS c
+       |  FROM raw r JOIN edges a ON a.src = r.src
+       |             JOIN edges b ON b.src = r.dst AND b.dst = a.dst
+       |  GROUP BY r.src, r.dst),
+       |supd AS MATERIALIZED (
+       |  SELECT src, dst, c FROM sup
+       |  UNION ALL SELECT dst AS src, src AS dst, c FROM sup),
+       |vstat AS MATERIALIZED (
+       |  SELECT src AS vid, CAST(sum(c) // 2 AS BIGINT) AS t, count(*) AS vt,
+       |    CASE WHEN count(*) < 2 THEN CAST(0 AS DOUBLE)
+       |         ELSE CAST(2 AS DOUBLE) * CAST(sum(c) // 2 AS BIGINT)
+       |              / (count(*) * (count(*) - 1)) END AS cc
+       |  FROM supd GROUP BY src),
+       |core AS MATERIALIZED (SELECT vid FROM vstat WHERE t > 0),
+       |pe AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.cc, d.vt, d.vid AS dvid
+       |  FROM supd e JOIN vstat s ON s.vid = e.src
+       |              JOIN vstat d ON d.vid = e.dst
+       |  WHERE d.cc > s.cc OR (d.cc = s.cc AND
+       |        (d.vt > s.vt OR (d.vt = s.vt AND d.vid > s.vid)))),
+       |f0 AS (SELECT vid, TRUE AS flag FROM core),
+       |$rs,
+       |best AS MATERIALIZED (SELECT src AS vid, dst AS cid FROM (
+       |  SELECT pe.src, pe.dst, row_number() OVER (
+       |    PARTITION BY pe.src ORDER BY pe.cc DESC, pe.vt DESC, pe.dvid DESC) AS rn
+       |  FROM pe JOIN f$rounds f ON f.vid = pe.dst WHERE f.flag) WHERE rn = 1)""".stripMargin
+  }
+
+  /** 5-round synchronous label-propagation replay over the backbone,
+   * ending in `l5(vid, label)` (and `e2` for the vertex domain) —
+   * shared by the primary oracle and the certificate's independent
+   * distinct-label recount. */
+  private def labelPropReplayCte: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""c$i AS (SELECT e.dst AS v, l.label AS lab, count(*) AS c
+         |  FROM e2 e JOIN l${i - 1} l ON l.vid = e.src GROUP BY e.dst, l.label),
+         |l$i AS MATERIALIZED (SELECT v AS vid, lab AS label FROM (
+         |  SELECT v, lab,
+         |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+         |  FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""cp AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e2 AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+       |l0 AS (SELECT DISTINCT src AS vid, src AS label FROM e2),
+       |$rounds""".stripMargin
+  }
+
+  /** 20-round (A+I)x / max power-iteration replay ending in
+   * `x20(vid, score)` — shared by the primary eigenvector oracle and
+   * the certificate's independent peak-count recount. */
+  private def eigenReplayCte: String = {
+    val rounds = (1 to 20).map { i =>
+      val p = i - 1
+      s"""s$i AS (SELECT e.dst AS v, list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE), list(x.score ORDER BY e.src)),
+         |    (acc, y) -> acc + y) AS nsum
+         |  FROM edges e JOIN x$p x ON x.vid = e.src GROUP BY e.dst),
+         |x$i AS MATERIALIZED (
+         |  SELECT r.vid, r.raw / (max(r.raw) OVER ()) AS score FROM (
+         |    SELECT o.vid, o.score + s.nsum AS raw
+         |    FROM x$p o JOIN s$i s ON s.v = o.vid) r)""".stripMargin
+    }.mkString(",\n")
+    s"""$MatEdgeCte,
+       |x0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS vid, CAST(1.0 AS DOUBLE) AS score FROM edges),
+       |$rounds""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // G4 seeding fixpoint replayed exactly (see seedReplayCte):
+    // labels for the triangle-core vertex set only (the pruned
+    // graph's vertices, reference `DistributedWCC.scala:109-112`)
+    "g_wcc_initial_partition" ->
+      s"""WITH ${seedReplayCte()}
+         |SELECT c.vid, coalesce(b.cid, c.vid) AS cid
+         |FROM core c LEFT JOIN best b ON b.vid = c.vid""".stripMargin,
+    // The flagship's refinement accepts ZERO movement iterations at
+    // the gate's sf0.01 (measured: iter-1 WCC 0.01358 vs seeding
+    // 0.01691 — a 20% rejection margin, far beyond any float-order
+    // jitter), so the final partition IS the seeding fixpoint
+    // grafted back onto the full vertex set with pruned vertices as
+    // their own singletons (`DistributedWCC.run` graft-back,
+    // reference `:64-77`). The oracle replays exactly that; a
+    // refinement regression that starts accepting movements (or a
+    // seeding change) flips labels and fails this hash.
+    "g_wcc_partition" ->
+      s"""WITH ${seedReplayCte()},
+         |verts AS (SELECT DISTINCT src AS vid FROM edges)
+         |SELECT v.vid, coalesce(b.cid, v.vid) AS cid
+         |FROM verts v LEFT JOIN best b ON b.vid = v.vid""".stripMargin,
     // min-label fixed point over the weighted backbone (w >= 2):
     // UNION-dedup recursion bounds the working set at (vertex,
     // seen-label) pairs, then min per vertex = the component label
@@ -1114,46 +1298,15 @@ object GraphQueries {
     // fold for the neighbor sum, own score added once, then the
     // order-free max normalization. x$i is referenced twice per
     // round (neighbor sum + own term) -> MATERIALIZED.
-    "g_eigencentrality" -> {
-      val rounds = (1 to 20).map { i =>
-        val p = i - 1
-        s"""s$i AS (SELECT e.dst AS v, list_reduce(
-           |    list_prepend(CAST(0.0 AS DOUBLE), list(x.score ORDER BY e.src)),
-           |    (acc, y) -> acc + y) AS nsum
-           |  FROM edges e JOIN x$p x ON x.vid = e.src GROUP BY e.dst),
-           |x$i AS MATERIALIZED (
-           |  SELECT r.vid, r.raw / (max(r.raw) OVER ()) AS score FROM (
-           |    SELECT o.vid, o.score + s.nsum AS raw
-           |    FROM x$p o JOIN s$i s ON s.v = o.vid) r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $MatEdgeCte,
-         |x0 AS MATERIALIZED (
-         |  SELECT DISTINCT src AS vid, CAST(1.0 AS DOUBLE) AS score FROM edges),
-         |$rounds
-         |SELECT vid, floor(score * 1e6 + 0.5) / 1e6 AS score FROM x20""".stripMargin
-    },
+    "g_eigencentrality" ->
+      s"""WITH $eigenReplayCte
+         |SELECT vid, floor(score * 1e6 + 0.5) / 1e6 AS score FROM x20""".stripMargin,
     // synchronous label propagation replayed exactly: integer label
     // counts, argmax by (count DESC, label ASC) via row_number — 5
     // unrolled rounds over the backbone
-    "g_label_propagation" -> {
-      val rounds = (1 to 5).map { i =>
-        s"""c$i AS (SELECT e.dst AS v, l.label AS lab, count(*) AS c
-           |  FROM e2 e JOIN l${i - 1} l ON l.vid = e.src GROUP BY e.dst, l.label),
-           |l$i AS MATERIALIZED (SELECT v AS vid, lab AS label FROM (
-           |  SELECT v, lab,
-           |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
-           |  FROM c$i) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH cp AS MATERIALIZED (
-         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |e2 AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
-         |l0 AS (SELECT DISTINCT src AS vid, src AS label FROM e2),
-         |$rounds
-         |SELECT vid, label FROM l5""".stripMargin
-    },
+    "g_label_propagation" ->
+      s"""WITH $labelPropReplayCte
+         |SELECT vid, label FROM l5""".stripMargin,
     // MSF contract: component partition from the hash-to-min
     // fixpoint, n_edges = n_vertices - 1 (spanning forest), and the
     // per-component minimum edge length (cut property: the global
@@ -1428,15 +1581,27 @@ object GraphQueries {
          |  SELECT e.dst FROM reach JOIN edges e ON e.src = reach.v)
          |SELECT (SELECT count(*) FROM reach) AS n_reached,
          |  TRUE AS closure_ok, TRUE AS relaxed_ok, TRUE AS support_ok""".stripMargin,
-    // rank-mass + teleport-floor invariants TRUE (see pagerankCertified)
+    // rank-mass invariant as a cross-engine VALUE: the rounded total
+    // mass must equal |V|, which the oracle recomputes in SQL;
+    // teleport-floor boolean certified by Spark
     "g_pagerank_certified" ->
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
+         |  count(DISTINCT src) AS mass_round,
          |  TRUE AS mass_ok, TRUE AS floor_ok FROM edges""".stripMargin,
-    // flagship partition invariants TRUE (see wccCertified)
+    // flagship partition invariants: SQL recomputes |V| AND the
+    // pruned-singleton count (vertices outside the triangle core);
+    // booleans certified by Spark
     "g_wcc_partition_certified" ->
-      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
+      s"""$EdgeCte, tc AS (
+         |  SELECT e1.src AS vid FROM edges e1
+         |  JOIN edges e2 ON e2.src = e1.dst
+         |  JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+         |  GROUP BY e1.src)
+         |SELECT (SELECT count(DISTINCT src) FROM edges) AS n_vertices,
+         |  (SELECT count(DISTINCT src) FROM edges)
+         |    - (SELECT count(*) FROM tc) AS n_pruned_singletons,
          |  TRUE AS partition_total_ok, TRUE AS pruned_singleton_ok,
-         |  TRUE AS wcc_positive, TRUE AS has_community FROM edges""".stripMargin,
+         |  TRUE AS wcc_positive, TRUE AS has_community""".stripMargin,
     // flagship VALUE certificate: the independent DataFrame recompute
     // of the emitted partition's global WCC equals the claimed
     // bestWcc (see wccPartitionWccCheck); booleans certified by
@@ -1450,35 +1615,50 @@ object GraphQueries {
     "g_wcc_initial_partition_wcc_check" ->
       s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
          |  TRUE AS wcc_recompute_ok, TRUE AS wcc_in_unit FROM edges""".stripMargin,
-    // incremental-replay invariants TRUE (see wccIncrementalCertified)
+    // incremental-replay invariants: SQL recomputes |V| AND the bulk
+    // vertex-set size (endpoints of edges with both ids below
+    // floor(maxId * 0.8) — the split rule of the micro-batch driver,
+    // IncrementalWCC.testStream), which the graft-back contract makes
+    // the exact labeled set; set equality certified by Spark
     "g_wcc_incremental_certified" ->
-      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
-         |  TRUE AS labels_unique_ok, TRUE AS labels_subset_ok,
-         |  TRUE AS has_community FROM edges""".stripMargin,
-    // label-propagation invariants TRUE over the backbone vertex set
+      s"""$EdgeCte,
+         |mx AS (SELECT max(greatest(src, dst)) AS m FROM raw),
+         |bulk AS (SELECT DISTINCT v FROM (
+         |  SELECT src AS v FROM raw, mx
+         |    WHERE src < floor(m * CAST(0.8 AS DOUBLE))
+         |      AND dst < floor(m * CAST(0.8 AS DOUBLE))
+         |  UNION ALL
+         |  SELECT dst AS v FROM raw, mx
+         |    WHERE src < floor(m * CAST(0.8 AS DOUBLE))
+         |      AND dst < floor(m * CAST(0.8 AS DOUBLE))))
+         |SELECT (SELECT count(DISTINCT src) FROM edges) AS n_vertices,
+         |  (SELECT count(*) FROM bulk) AS n_bulk_vertices,
+         |  TRUE AS labels_unique_ok, TRUE AS labels_cover_bulk_ok,
+         |  TRUE AS has_community""".stripMargin,
+    // label-propagation invariants: SQL recomputes the backbone
+    // vertex count AND the distinct-label count from its own 5-round
+    // replay; booleans certified by Spark
     "g_label_propagation_certified" ->
-      """WITH cp AS (
-        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e2 AS (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp)
-        |SELECT count(DISTINCT src) AS n_vertices,
-        |  TRUE AS coverage_ok, TRUE AS labels_in_domain_ok,
-        |  TRUE AS has_group FROM e2""".stripMargin,
-    // power-iteration invariants TRUE (see eigenCentralityCertified)
+      s"""WITH $labelPropReplayCte
+         |SELECT (SELECT count(DISTINCT src) FROM e2) AS n_vertices,
+         |  (SELECT count(DISTINCT label) FROM l5) AS n_labels,
+         |  TRUE AS coverage_ok, TRUE AS labels_in_domain_ok,
+         |  TRUE AS has_group""".stripMargin,
+    // power-iteration invariants: SQL recomputes |V| AND the count of
+    // vertices at the normalization peak from its own replay
     "g_eigencentrality_certified" ->
-      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
-         |  TRUE AS coverage_ok, TRUE AS max_is_one, TRUE AS all_positive
-         |FROM edges""".stripMargin,
-    // seeding-phase invariants TRUE over the triangle core
+      s"""WITH $eigenReplayCte
+         |SELECT (SELECT count(*) FROM x0) AS n_vertices,
+         |  (SELECT count(*) FROM x20
+         |   WHERE floor(score * 1e6 + 0.5) / 1e6 = 1.0) AS n_at_max,
+         |  TRUE AS coverage_ok, TRUE AS max_is_one, TRUE AS all_positive""".stripMargin,
+    // seeding-phase invariants: SQL recomputes the triangle-core size
+    // AND the community count from its own seeding-fixpoint replay
     "g_wcc_initial_partition_certified" ->
-      s"""$EdgeCte, tc AS (
-         |  SELECT e1.src AS vid FROM edges e1
-         |  JOIN edges e2 ON e2.src = e1.dst
-         |  JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
-         |  GROUP BY e1.src)
-         |SELECT (SELECT count(*) FROM tc) AS n_core,
+      s"""WITH ${seedReplayCte()}
+         |SELECT (SELECT count(*) FROM core) AS n_core,
+         |  (SELECT count(DISTINCT coalesce(b.cid, c.vid))
+         |   FROM core c LEFT JOIN best b ON b.vid = c.vid) AS n_communities,
          |  TRUE AS coverage_ok, TRUE AS labels_in_core_ok,
          |  TRUE AS has_group""".stripMargin,
     "g_recursive_reach" ->

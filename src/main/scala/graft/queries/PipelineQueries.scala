@@ -62,6 +62,35 @@ object PipelineQueries {
 
   val NearDupThreshold = 0.4
 
+  /** Largest-remainder (Hamilton) apportionment of the fixed token
+   * budget B = 10^6 over `(source, w)` weight rows: floor quotas
+   * (B·w) div W, then the B - Σfloors leftover units go to the
+   * largest remainders (ties by source name). Exposed as a library
+   * function so `p_domain_mix` and the DomainMixSpec scalacheck
+   * property (Σalloc == B, 0 <= alloc, under extreme Long weights)
+   * drive the SAME expression pipeline. The B·w product is
+   * Decimal(38,0) — exact for any Long weight (max 10^6 · (2^63-1)
+   * ≈ 9.2·10^24 « 10^38), where the raw BIGINT multiply would wrap
+   * silently in Spark (non-ANSI) and throw in DuckDB; the quotient
+   * and remainder are both < W and fold back into BIGINT. */
+  def domainMixAlloc(weights: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    weights
+      .select(col("source"), col("w"), sum(col("w")).over(all).as("tot"))
+      .select(col("source"), col("w"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * w) div tot").as("fq"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * w) % tot AS BIGINT)")
+          .as("rem"))
+      .select(col("source"), col("w"), col("fq"), col("rem"),
+        (lit(1000000L) - sum(col("fq")).over(all)).as("leftover"),
+        row_number().over(all.orderBy(col("rem").desc, col("source")))
+          .cast("long").as("rk"))
+      .select(col("source"), col("w"),
+        (col("fq") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** The composed training-corpus cleaning pass: exact-dedup
    * survivors with sufficient length and quality — the shape of a
    * real pretraining data filter (each stage is an independently
@@ -271,9 +300,14 @@ object PipelineQueries {
         // guard keeps the integer division total on BOTH engines
         // (DuckDB // 0 throws where Spark div yields null)
         .where(col("n_chars") > 0)
+        // doc_id is reduced mod p BEFORE the multiply: same residue
+        // (modular arithmetic), but the product stays < 10^15 for
+        // ANY BIGINT doc_id — without the reduction, ids above
+        // ~9.2e12 would silently wrap in Spark (non-ANSI) while
+        // DuckDB throws, breaking the cross-engine bit contract
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-          expr("((doc_id * 1000003 + 7919) % 1000000007) * 1000000" +
-            " div n_chars").as("priority"))
+          expr("(((doc_id % 1000000007) * 1000003 + 7919) % 1000000007)" +
+            " * 1000000 div n_chars").as("priority"))
         .orderBy(col("priority"), col("doc_id"))
         .limit(20)),
     // Token-budget apportionment across sources (the data-mixture
@@ -285,27 +319,16 @@ object PipelineQueries {
     // construction, and every step is integer arithmetic both
     // engines evaluate identically. The groupBy is the scalable
     // part; the windows run over source-cardinality rows (a handful
-    // at any corpus size). B·w stays within Long at these corpus
-    // volumes; a 100 TB corpus would route the product through
-    // Decimal(38) on the Spark side / HUGEINT on DuckDB's.
-    "p_domain_mix" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val all = Window.partitionBy()
-      docs(s, d).where(col("n_chars") > 0)
-        .groupBy(col("source")).agg(sum(col("n_chars")).as("w"))
-        .select(col("source"), col("w"), sum(col("w")).over(all).as("tot"))
-        .select(col("source"), col("w"),
-          expr("(1000000 * w) div tot").as("fq"),
-          expr("(1000000 * w) % tot").as("rem"))
-        .select(col("source"), col("w"), col("fq"), col("rem"),
-          (lit(1000000L) - sum(col("fq")).over(all)).as("leftover"),
-          row_number().over(all.orderBy(col("rem").desc, col("source")))
-            .cast("long").as("rk"))
-        .select(col("source"), col("w"),
-          (col("fq") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
-            .as("alloc"))
-        .orderBy("source")
-    }),
+    // at any corpus size). The B·w product runs through
+    // Decimal(38,0) on the Spark side / HUGEINT on DuckDB's, so the
+    // quotas stay exact for ANY Long-weight corpus (a true 100 TB
+    // char count would overflow the raw 64-bit multiply);
+    // DomainMixSpec property-tests Σalloc == B under extreme skew.
+    "p_domain_mix" -> ((s, d) =>
+      domainMixAlloc(
+        docs(s, d).where(col("n_chars") > 0)
+          .groupBy(col("source")).agg(sum(col("n_chars")).as("w")))
+        .orderBy("source")),
     // Deterministic epoch shuffle (the training-order primitive: a
     // different but REPRODUCIBLE global order per epoch, so a
     // preempted training job resumes mid-epoch at an exact
@@ -319,9 +342,12 @@ object PipelineQueries {
     // epoch (no full sort).
     "p_epoch_shuffle" -> ((s, d) => {
       val base = docs(s, d).select(col("doc_id"))
+      // doc_id reduced mod p before the multiply — same residues,
+      // overflow-free for any BIGINT id (see p_weighted_sample)
       (1 to 3).map { e =>
         base.select(lit(e.toLong).as("epoch"), col("doc_id"),
-            expr(s"(doc_id * 1000003 + $e * 7919) % 1000000007").as("okey"))
+            expr(s"((doc_id % 1000000007) * 1000003 + $e * 7919) % 1000000007")
+              .as("okey"))
           .orderBy(col("okey"), col("doc_id")).limit(10)
       }.reduce(_ unionAll _)
         .select(col("epoch"), col("doc_id"), col("okey"))
@@ -833,18 +859,21 @@ object PipelineQueries {
         |GROUP BY lang""".stripMargin,
     "p_weighted_sample" ->
       """SELECT doc_id, source, lang, n_chars,
-        |  ((doc_id * 1000003 + 7919) % 1000000007) * 1000000 // n_chars
-        |    AS priority
+        |  (((doc_id % 1000000007) * 1000003 + 7919) % 1000000007)
+        |    * 1000000 // n_chars AS priority
         |FROM documents WHERE n_chars > 0
         |ORDER BY priority, doc_id LIMIT 20""".stripMargin,
+    // B·w through HUGEINT (the Spark side uses Decimal(38,0)) —
+    // exact for any Long weight; quotient/remainder fold back to
+    // BIGINT
     "p_domain_mix" ->
       """WITH sw AS (
         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
         |  FROM documents WHERE n_chars > 0 GROUP BY source),
         |q AS (
         |  SELECT source, w,
-        |    (1000000 * w) // (sum(w) OVER ()) AS fq,
-        |    (1000000 * w) % (sum(w) OVER ()) AS rem
+        |    CAST((CAST(1000000 AS HUGEINT) * w) // (sum(w) OVER ()) AS BIGINT) AS fq,
+        |    CAST((CAST(1000000 AS HUGEINT) * w) % (sum(w) OVER ()) AS BIGINT) AS rem
         |  FROM sw),
         |r AS (
         |  SELECT source, w, fq, rem,
@@ -858,7 +887,7 @@ object PipelineQueries {
     "p_epoch_shuffle" -> {
       val epochs = (1 to 3).map { e =>
         s"""(SELECT CAST($e AS BIGINT) AS epoch, doc_id,
-           |  (doc_id * 1000003 + $e * 7919) % 1000000007 AS okey
+           |  ((doc_id % 1000000007) * 1000003 + $e * 7919) % 1000000007 AS okey
            |FROM documents ORDER BY okey, doc_id LIMIT 10)""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""SELECT epoch, doc_id, okey FROM (
