@@ -85,6 +85,26 @@ object Round8Queries {
     df.orderBy("role", "id")
   }
 
+  /** Sorted-adjacency RDD (vertex → ascending neighbor ids) shared
+   * by the walk samplers: one groupByKey shuffle off the memoized
+   * symmetrized edge set, hash-partitioned by vertex so every
+   * per-step pick runs inside the partition that owns the vertex.
+   * Session-memoized and kept persisted (like every other shared
+   * graph surface): the samplers are the rank-once / sample-forever
+   * shape, so the ranked table outlives any one query. */
+  private def adjacencyRDD(spark: SparkSession, sfDir: String)
+      : org.apache.spark.rdd.RDD[(Long, Array[Long])] =
+    SessionMemo.memoize(spark, s"walkadj:$sfDir") {
+      val a = GraphQueries.symmetrizedEdges(spark, sfDir)
+        .select(col("src"), col("dst")).rdd
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupByKey()
+        .mapValues { ns => val arr = ns.toArray; java.util.Arrays.sort(arr); arr }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      a
+    }
+
   /** Deterministic random walks (the DeepWalk/node2vec sampling
    * primitive a graph-embedding pipeline feeds its skip-gram
    * trainer): 4 walks of 8 steps from each of the 5 md5-hash-picked
@@ -95,45 +115,37 @@ object Round8Queries {
    * BIGINT arithmetic both engines evaluate identically, so the
    * walk corpus is bit-reproducible across engines and runs (the
    * property a resumable training pipeline needs from its sampler).
-   * Spark side: the ranked adjacency is built once (two window
-   * functions), each step is one broadcast-joined hop of the
-   * 20-row frontier — the same plan a billion-walk frontier would
-   * use with the frontier as the shuffled side instead. */
+   * Spark side: the sorted adjacency is built once (one groupByKey
+   * shuffle), then each step broadcasts the 20-row frontier and
+   * computes the pick with a mapPartitions over the adjacency — the
+   * hop happens in the partition that owns the vertex, and only the
+   * walk states (frontier-sized by construction) return to the
+   * driver. At billion-walk scale the frontier stops being
+   * broadcastable and becomes the shuffled side of a join against
+   * this same adjacency — the per-step data movement is identical. */
   def randomWalks(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sym = GraphQueries.symmetrizedEdges(spark, sfDir)
-    val byV = Window.partitionBy(col("v"))
-    val adjr = sym.select(col("src").as("v"), col("dst").as("n"))
-      .select(col("v"), col("n"),
-        (row_number().over(byV.orderBy(col("n"))) - 1).cast("long").as("rn"),
-        count(lit(1)).over(byV).as("deg"))
-      .cache()
+    val sc = spark.sparkContext
+    val adj = adjacencyRDD(spark, sfDir)
     val seeds = GraphQueries.bfsSources(spark, sfDir)
-    var cur = spark.createDataFrame(
-      for { r <- seeds.toSeq; wk <- 0L until 4L } yield (r, wk, r))
-      .toDF("root", "walk", "vid")
-    // each step is materialized AND lineage-truncated: a frontier
-    // left lazy re-runs its entire prior chain once per broadcast
-    // that consumes it (linear re-execution per step, compounding
-    // across the walk)
-    var release: () => Unit = () => ()
+    // walk state: (root, walk, cur)
+    var frontier: Array[(Long, Long, Long)] =
+      for { r <- seeds; wk <- Array(0L, 1L, 2L, 3L) } yield (r, wk, r)
     (1 to 8).foreach { i =>
-      val step = adjr.join(broadcast(cur),
-        col("v") === col("vid") &&
-          col("rn") === (col("vid") * lit(1000003L) + col("walk") * lit(10007L)
-            + lit(i * 101L)) % col("deg"))
-        .select(col("root"), col("walk"), col("n").as("vid"))
-      val (next, rel) = materializeStep(step)
-      release()
-      release = rel
-      cur = next
+      val bf = sc.broadcast(frontier.groupBy(_._3))
+      val next = adj.mapPartitions { it =>
+        val want = bf.value
+        it.flatMap { case (v, ns) =>
+          want.get(v).iterator.flatMap(_.iterator).map { case (root, wk, _) =>
+            (root, wk, ns(((v * 1000003L + wk * 10007L + i * 101L) % ns.length).toInt))
+          }
+        }
+      }.collect()
+      bf.unpersist(blocking = false)
+      frontier = next
     }
-    val out = cur.select(col("root"), col("walk"), col("vid").as("final_vid"))
-      .orderBy("root", "walk").cache()
-    out.count()
-    release()
-    adjr.unpersist(blocking = false)
-    out
+    spark.createDataFrame(frontier.sortBy(t => (t._1, t._2)).toSeq)
+      .toDF("root", "walk", "final_vid")
+      .orderBy("root", "walk")
   }
 
   /** Deterministic GraphSAGE-style layered neighbor sampling (the
@@ -185,85 +197,80 @@ object Round8Queries {
    * mod Σw landing in n's cumulative-weight slot — order-free
    * integer arithmetic, bit-identical across engines. The whole
    * visited path rides along as a string so the oracle checks
-   * every step, not just the endpoint. Spark side per step: one
-   * broadcast hop of the 20-row frontier against the adjacency,
-   * one broadcast flag join against the edge set for the
-   * triangle test, one tiny window for the cumulative weights —
-   * at billion-walk scale the frontier becomes the shuffled side
-   * and the same plan holds. */
+   * every step, not just the endpoint. Spark side per step: the
+   * 20-row frontier is broadcast and the pick computed by a
+   * mapPartitions over the sorted adjacency — the walk state
+   * carries the PREVIOUS vertex's sorted neighbor array (it was
+   * the candidate array of the step that produced it), so the
+   * triangle test is a local binary search in the partition that
+   * owns the current vertex: one tiny job per step, no per-step
+   * flag join. At billion-walk scale the frontier becomes the
+   * shuffled side of a join against the same adjacency and the
+   * state still carries its prev-neighbor array — identical
+   * per-step data movement. */
   def node2vecWalks(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sym = GraphQueries.symmetrizedEdges(spark, sfDir)
-      .select(col("src").as("v"), col("dst").as("n")).cache()
-    val byV = Window.partitionBy(col("v"))
-    val adjr = sym.select(col("v"), col("n"),
-        (row_number().over(byV.orderBy(col("n"))) - 1).cast("long").as("rn"),
-        count(lit(1)).over(byV).as("deg"))
-      .cache()
+    val sc = spark.sparkContext
+    val adj = adjacencyRDD(spark, sfDir)
     val seeds = GraphQueries.bfsSources(spark, sfDir)
-    val w0 = spark.createDataFrame(
-      for { r <- seeds.toSeq; wk <- 0L until 4L } yield (r, wk))
-      .toDF("root", "walk")
-    // step 1: uniform hash pick (no previous vertex yet). Every
-    // step's frontier is materialized AND lineage-truncated via
-    // materializeStep: within a step, cand is referenced by both
-    // flags and weighted, so a frontier whose plan embeds its
-    // predecessor grows the analyzed/physical plan ~3× per step —
-    // .cache() alone kept the nested AdaptiveSparkPlanExec trees
-    // in the plan, which livelocked the driver in plan
-    // stringification (Int.MaxValue plan strings) after 7 steps.
-    // With truncation each step's plan is constant-size.
-    val step1 = adjr.join(broadcast(w0),
-        col("v") === col("root") &&
-          col("rn") === (col("root") * lit(1000003L) + col("walk") * lit(10007L)
-            + lit(101L)) % col("deg"))
-      .select(col("root"), col("walk"), col("v").as("prev"), col("n").as("cur"),
-        concat(col("root").cast("string"), lit("-"), col("n").cast("string"))
-          .as("path"))
-    var (cur, release) = materializeStep(step1)
-    (2 to 8).foreach { i =>
-      // cur is a flat LogicalRDD scan, so cand/flags/weighted are
-      // constant-depth plans; cand is walk-count-sized and cheap to
-      // evaluate twice (two broadcast joins against the cached sym)
-      val cand = sym.join(broadcast(cur), col("v") === col("cur"))
-        .select(col("root"), col("walk"), col("prev"), col("cur"), col("n"),
-          col("path"))
-      val flags = sym
-        .join(broadcast(cand.select(col("prev").as("fp"), col("n").as("fn"))
-          .distinct()),
-          col("v") === col("fp") && col("n") === col("fn"))
-        .select(col("fp"), col("fn"), lit(1L).as("tri"))
-      val weighted = cand
-        .join(broadcast(flags),
-          cand("prev") === flags("fp") && cand("n") === flags("fn"), "left")
-        .select(col("root"), col("walk"), col("prev"), col("cur"), cand("n"),
-          col("path"),
-          when(cand("n") === col("prev"), 1L)
-            .when(col("tri").isNotNull, 2L).otherwise(4L).as("w"))
-      val byWalk = Window.partitionBy(col("root"), col("walk"))
-      val slotted = weighted.select(col("*"),
-        sum(col("w")).over(byWalk.orderBy(col("n"))).as("cumw"),
-        sum(col("w")).over(byWalk).as("tot"))
-      val r = (col("cur") * lit(1000003L) + col("prev") * lit(7919L)
-        + col("walk") * lit(10007L) + lit(i * 101L)) % col("tot")
-      val step = slotted
-        .where(r >= col("cumw") - col("w") && r < col("cumw"))
-        .select(col("root"), col("walk"), col("cur").as("prev"),
-          col("n").as("cur"),
-          concat(col("path"), lit("-"), col("n").cast("string")).as("path"))
-      val (next, rel) = materializeStep(step)
-      release()
-      release = rel
-      cur = next
+    // walk state: (root, walk, prev, cur, path, prevNbrs) where
+    // prevNbrs is prev's sorted neighbor array
+    // step 1: uniform hash pick (no previous vertex yet)
+    var frontier: Array[(Long, Long, Long, Long, String, Array[Long])] = {
+      val w0 = for { r <- seeds; wk <- Array(0L, 1L, 2L, 3L) } yield (r, wk)
+      val bf = sc.broadcast(w0.groupBy(_._1))
+      val res = adj.mapPartitions { it =>
+        val want = bf.value
+        it.flatMap { case (v, ns) =>
+          want.get(v).iterator.flatMap(_.iterator).map { case (root, wk) =>
+            val cur = ns(((root * 1000003L + wk * 10007L + 101L) % ns.length).toInt)
+            (root, wk, root, cur, s"$root-$cur", ns)
+          }
+        }
+      }.collect()
+      bf.unpersist(blocking = false)
+      res
     }
-    val out = cur.select(col("root"), col("walk"), col("path"),
-        col("cur").as("final_vid"))
-      .orderBy("root", "walk").cache()
-    out.count()
-    release()
-    adjr.unpersist(blocking = false)
-    sym.unpersist(blocking = false)
-    out
+    (2 to 8).foreach { i =>
+      val bf = sc.broadcast(frontier.groupBy(_._4))
+      val next = adj.mapPartitions { it =>
+        val want = bf.value
+        it.flatMap { case (v, ns) =>
+          want.get(v).iterator.flatMap(_.iterator).map {
+            case (root, wk, prev, _, path, prevNbrs) =>
+              // weights in ascending-neighbor order: return 1,
+              // triangle-closing 2, outward 4
+              val ws = new Array[Long](ns.length)
+              var tot = 0L
+              var j = 0
+              while (j < ns.length) {
+                val n = ns(j)
+                ws(j) =
+                  if (n == prev) 1L
+                  else if (java.util.Arrays.binarySearch(prevNbrs, n) >= 0) 2L
+                  else 4L
+                tot += ws(j)
+                j += 1
+              }
+              val r = (v * 1000003L + prev * 7919L + wk * 10007L + i * 101L) % tot
+              var cum = 0L
+              var k = 0
+              var pick = -1L
+              while (pick < 0 && k < ns.length) {
+                cum += ws(k)
+                if (r < cum) pick = ns(k)
+                k += 1
+              }
+              (root, wk, v, pick, s"$path-$pick", ns)
+          }
+        }
+      }.collect()
+      bf.unpersist(blocking = false)
+      frontier = next
+    }
+    spark.createDataFrame(
+        frontier.sortBy(t => (t._1, t._2)).map(t => (t._1, t._2, t._5, t._4)).toSeq)
+      .toDF("root", "walk", "path", "final_vid")
+      .orderBy("root", "walk")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
