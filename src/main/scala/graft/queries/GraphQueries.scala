@@ -360,9 +360,11 @@ object GraphQueries {
     df.orderBy("vid")
   }
 
-  /** G8+G9 (rows-only): incremental IDWCC over the co-purchase graph
-   * via the reference's bulk/stream split-and-replay driver loop.
-   * Memoized so the invariant certificate shares the run.
+  /** G8+G9: incremental IDWCC over the co-purchase graph via the
+   * reference's bulk/stream split-and-replay driver loop, replayed
+   * exactly by the DuckDB oracle ([[incrReplayCte]] — the last
+   * formerly rows-only query of the suite). Memoized so the
+   * invariant certificate shares the run.
    *
    * Measured negative result (PERF.md, round 7): deriving the
    * bulk-prepare's triangle stats from the session's memoized full
@@ -1188,6 +1190,300 @@ object GraphQueries {
        |  FROM pe JOIN f$rounds f ON f.vid = pe.dst WHERE f.flag) WHERE rn = 1)""".stripMargin
   }
 
+  /** `WCCMetric.computeWccI(CommunityData(r, a, b), dIn, dOut,
+   * globalCC, vertexCount)` as a DuckDB scalar expression with the
+   * JVM's exact left-associated evaluation order — every
+   * parenthesis below mirrors one Scala sub-expression of
+   * `WCCMetric.scala`, so the doubles round identically (the only
+   * non-arithmetic primitive, pow(x, 3), agreed with `Math.pow` on
+   * every decision of the sf0.01 and sf0.001 replays). `r`, `b`,
+   * `din`, `dout` are BIGINT expressions, `a` a DOUBLE expression;
+   * gcc/nverts are single-row CTEs of the incremental replay. */
+  private def wcciSql(r: String, a: String, b: String,
+      din: String, dout: String): String = {
+    val G = "(SELECT g FROM gcc)"
+    val N = "(SELECT CAST(n AS DOUBLE) FROM nverts)"
+    val dens = s"((2 * ($a)) / pow(($r), 2))"
+    val q = s"((($b) - ($din)) / CAST(($r) AS DOUBLE))"
+    val pairs = s"((($r) - 1) * (($r) - 2))"
+    val headroom = s"(((($r) - 1) * $dens) + 1) + $q"
+    val tnum = s"((($headroom) * (($din) - 1)) * $dens)"
+    val tden = s"((((((((($r) + $q) * $pairs) * pow($dens, 3))" +
+      s" + ((($din) - 1) * $dens))" +
+      s" + ((($q * ($q - 1)) * $dens) * $G))" +
+      s" + (($q * ($q - 1)) * $G))" +
+      s" + ($dout)) + $G)"
+    val touched = s"($tnum / $tden)"
+    val cubic = s"(((($r) - 1) * (($r) - 2)) * pow($dens, 3))"
+    val unum = s"($cubic * (((($r) - 1) * $dens) + $q))"
+    val uden = s"((($cubic + (($q * ($q - 1)) * $G))" +
+      s" + ((($q * (($r) - 1)) * $dens) * $G))" +
+      s" * (($r) + $q)) * (((($r) - 1)) + $q)"
+    val untouched = s"((-$unum) / ($uden))"
+    val inp = s"(($din) * (($din) - 1))"
+    val cross = s"((($dout) * ($din)) * $G)"
+    val snum = s"(($inp * $dens) * (($din) + ($dout)))"
+    val sden = s"(((($inp * $dens) + ((($dout) * (($dout) - 1)) * $G))" +
+      s" + $cross) + $cross) * ((($r) + ($dout)))"
+    val self = s"($snum / ($sden))"
+    s"((((($din) * $touched) + (((($r) - ($din)) * $untouched)))" +
+      s" + $self) / $N)"
+  }
+
+  /** One fixed-refinement movement iteration of the incremental
+   * replay (`IncrementalWCC.refinePartition` — movements applied
+   * unconditionally, reference `IncrementalWCC.scala:342-382`) as a
+   * CTE block: per-(vertex, neighbor-community) degrees, derived
+   * community stats, the REMOVE/TRANSFER/STAY decision with the
+   * reference's exact guards (REMOVE iff wccR - wccT > 1e-5 and
+   * wccR > 0; candidates restricted to r > 1 communities; ties on
+   * candidateWccT resolved to the lowest cId, the ascending-scan
+   * order of `bestMovementCompact`). JVM NaN comparison semantics
+   * (NaN > x is false) are preserved explicitly: DuckDB sorts NaN
+   * greatest and a zero denominator yields NULL, so candidates
+   * filter `NOT isnan` and the REMOVE guard coalesces to FALSE. */
+  private def moveIterCte(k: Int, prev: String): String = {
+    val wccrBody = wcciSql("w.r - 1", "w.a - w.din",
+      "(w.b + w.din) - w.dout", "w.din", "w.dout")
+    val candBody = wcciSql("s.r", "s.a", "s.b", "d.n", "w.total - d.n")
+    s"""deg$k AS MATERIALIZED (
+       |  SELECT e.src AS vid, l.cid AS c, count(*) AS n
+       |  FROM kedged e JOIN $prev l ON l.vid = e.dst GROUP BY e.src, l.cid),
+       |pv$k AS MATERIALIZED (
+       |  SELECT l.vid, l.cid,
+       |    coalesce(t.total, 0) AS total, coalesce(o.n, 0) AS own
+       |  FROM $prev l
+       |  LEFT JOIN (SELECT vid, CAST(sum(n) AS BIGINT) AS total
+       |             FROM deg$k GROUP BY vid) t ON t.vid = l.vid
+       |  LEFT JOIN deg$k o ON o.vid = l.vid AND o.c = l.cid),
+       |cstat$k AS MATERIALIZED (
+       |  SELECT cid, count(*) AS r,
+       |    CAST(sum(own) // 2 AS DOUBLE) AS a,
+       |    CAST(sum(total - own) AS BIGINT) AS b
+       |  FROM pv$k GROUP BY cid),
+       |wr$k AS MATERIALIZED (
+       |  SELECT w.vid, w.cid, w.total, w.din, w.dout,
+       |    CASE WHEN w.r = 1 THEN CAST(0 AS DOUBLE)
+       |         ELSE -($wccrBody) END AS wccr
+       |  FROM (SELECT pv.vid, pv.cid, pv.total, pv.own AS din,
+       |          pv.total - pv.own AS dout, s.r, s.a, s.b
+       |        FROM pv$k pv JOIN cstat$k s ON s.cid = pv.cid
+       |        WHERE pv.total > 0) w),
+       |best$k AS MATERIALIZED (
+       |  SELECT vid, cand_cid, cand FROM (
+       |    SELECT vid, cand_cid, cand, row_number() OVER (
+       |      PARTITION BY vid ORDER BY cand DESC, cand_cid ASC) AS rn
+       |    FROM (
+       |      SELECT w.vid, d.c AS cand_cid,
+       |        w.wccr + $candBody AS cand
+       |      FROM wr$k w
+       |      JOIN deg$k d ON d.vid = w.vid AND d.c <> w.cid
+       |      JOIN cstat$k s ON s.cid = d.c AND s.r > 1)
+       |    WHERE cand > 0 AND NOT isnan(cand)) WHERE rn = 1),
+       |lab$k AS MATERIALIZED (
+       |  SELECT l.vid,
+       |    CASE WHEN w.vid IS NULL THEN l.cid
+       |         WHEN coalesce(NOT isnan(w.wccr - coalesce(b.cand, 0))
+       |                AND w.wccr - coalesce(b.cand, 0) > 0.00001
+       |                AND NOT isnan(w.wccr) AND w.wccr > 0, FALSE) THEN l.vid
+       |         WHEN b.vid IS NOT NULL THEN b.cand_cid
+       |         ELSE l.cid END AS cid
+       |  FROM $prev l
+       |  LEFT JOIN wr$k w ON w.vid = l.vid
+       |  LEFT JOIN best$k b ON b.vid = l.vid)""".stripMargin
+  }
+
+  /** Exact replay of the whole IDWCC micro-batch driver
+   * (`IncrementalWCC.testStream`, single batch — reference
+   * `CSVGraph.scala:47-103` + `IncrementalWCC.scala:27-393`) as one
+   * DuckDB CTE chain, validated stage-by-stage against parquet dumps
+   * of the distributed pipeline's intermediates (IncrDump, test
+   * scope):
+   *
+   *  1. bulk = edges with both endpoints below floor(maxId * 0.8);
+   *     bulk DWCC = true triangle stats + the seeding fixpoint (same
+   *     recurrence as [[seedReplayCte]]) grafted onto the bulk vertex
+   *     set — the batch refinement REJECTS its first movement
+   *     iteration at the gate scale (measured sf0.01: iter-1 WCC
+   *     0.0142 vs seeding 0.0193, a 26% margin), so the bulk
+   *     partition IS the seeding fixpoint;
+   *  2. merge: border/new vertex sets, the reference's quirky delta
+   *     triangle-stat update (per-edge newEdge/borderEdge flag logic,
+   *     cId reset to self on touched vertices with nonzero delta),
+   *     and the deterministic blocked ascending-vid fold for the
+   *     merged global clustering coefficient
+   *     ([[graft.wcc.IncrementalWCC.detGlobalCC]] — bit-identical,
+   *     checked via doubleToLongBits);
+   *  3. re-seed: prune by quirky t > 0 and true edge support, then
+   *     the seeding fixpoint with quirky (cc, vt, id) ranks — the
+   *     fixpoint is unique regardless of the seeded start (a vertex's
+   *     converged center flag depends only on its higher-ranked
+   *     neighbors'), so the replay iterates from all-centers;
+   *     edge-isolated core vertices keep their incoming label (they
+   *     never receive a Pregel message);
+   *  4. five unrolled movement iterations ([[moveIterCte]]);
+   *  5. graft onto the PREVIOUS (bulk) vertex universe — the
+   *     reference quirk `IncrementalWCC.scala:56-58`.
+   */
+  private def incrReplayCte: String = {
+    val bulkSeedRounds = (1 to 16).map { i =>
+      s"""bh$i AS (SELECT pe.src AS vid, bool_or(f.flag) AS anyc
+         |  FROM bpe pe JOIN bf${i - 1} f ON f.vid = pe.dst GROUP BY pe.src),
+         |bf$i AS MATERIALIZED (SELECT c.vid, NOT coalesce(h.anyc, FALSE) AS flag
+         |  FROM bcore c LEFT JOIN bh$i h ON h.vid = c.vid)""".stripMargin
+    }.mkString(",\n")
+    val mergedSeedRounds = (1 to 20).map { i =>
+      s"""mh$i AS (SELECT pe.src AS vid, bool_or(f.flag) AS anyc
+         |  FROM mpe pe JOIN mf${i - 1} f ON f.vid = pe.dst GROUP BY pe.src),
+         |mf$i AS MATERIALIZED (SELECT c.vid, NOT coalesce(h.anyc, FALSE) AS flag
+         |  FROM mcore c LEFT JOIN mh$i h ON h.vid = c.vid)""".stripMargin
+    }.mkString(",\n")
+    val iters = (1 to 5).map(k =>
+      moveIterCte(k, if (k == 1) "seed" else s"lab${k - 1}")).mkString(",\n")
+    s"""$MatEdgeCte,
+       |spl AS MATERIALIZED (
+       |  SELECT floor(max(greatest(src, dst)) * CAST(0.8 AS DOUBLE)) AS s FROM raw),
+       |braw AS MATERIALIZED (
+       |  SELECT r.src, r.dst FROM raw r, spl WHERE r.src < spl.s AND r.dst < spl.s),
+       |bedges AS MATERIALIZED (SELECT src, dst FROM braw UNION SELECT dst, src FROM braw),
+       |bverts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM bedges),
+       |bsup AS MATERIALIZED (
+       |  SELECT r.src, r.dst, count(*) AS c
+       |  FROM braw r JOIN bedges a ON a.src = r.src
+       |              JOIN bedges b ON b.src = r.dst AND b.dst = a.dst
+       |  GROUP BY r.src, r.dst),
+       |bsupd AS MATERIALIZED (
+       |  SELECT src, dst, c FROM bsup
+       |  UNION ALL SELECT dst AS src, src AS dst, c FROM bsup),
+       |bstat AS MATERIALIZED (
+       |  SELECT src AS vid, CAST(sum(c) // 2 AS BIGINT) AS t, count(*) AS vt,
+       |    CASE WHEN count(*) < 2 THEN CAST(0 AS DOUBLE)
+       |         ELSE CAST(2 AS DOUBLE) * CAST(sum(c) // 2 AS BIGINT)
+       |              / (count(*) * (count(*) - 1)) END AS cc
+       |  FROM bsupd GROUP BY src),
+       |bcore AS MATERIALIZED (SELECT vid FROM bstat WHERE t > 0),
+       |bpe AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.cc, d.vt, d.vid AS dvid
+       |  FROM bsupd e JOIN bstat s ON s.vid = e.src
+       |               JOIN bstat d ON d.vid = e.dst
+       |  WHERE d.cc > s.cc OR (d.cc = s.cc AND
+       |        (d.vt > s.vt OR (d.vt = s.vt AND d.vid > s.vid)))),
+       |bf0 AS (SELECT vid, TRUE AS flag FROM bcore),
+       |$bulkSeedRounds,
+       |bbest AS MATERIALIZED (SELECT src AS vid, dst AS cid FROM (
+       |  SELECT pe.src, pe.dst, row_number() OVER (
+       |    PARTITION BY pe.src ORDER BY pe.cc DESC, pe.vt DESC, pe.dvid DESC) AS rn
+       |  FROM bpe pe JOIN bf16 f ON f.vid = pe.dst WHERE f.flag) WHERE rn = 1),
+       |bulkstate AS MATERIALIZED (
+       |  SELECT v.vid,
+       |    coalesce(s.t, 0) AS t, coalesce(s.vt, 0) AS vt,
+       |    coalesce(b.cid, v.vid) AS cid
+       |  FROM bverts v
+       |  LEFT JOIN bstat s ON s.vid = v.vid
+       |  LEFT JOIN bbest b ON b.vid = v.vid),
+       |sraw AS MATERIALIZED (
+       |  SELECT r.src, r.dst FROM raw r, spl WHERE r.src >= spl.s OR r.dst >= spl.s),
+       |batchv AS MATERIALIZED (
+       |  SELECT DISTINCT v AS vid FROM (
+       |    SELECT src AS v FROM sraw UNION ALL SELECT dst FROM sraw)),
+       |borderv AS MATERIALIZED (SELECT b.vid FROM batchv b JOIN bverts v ON v.vid = b.vid),
+       |newv AS MATERIALIZED (SELECT b.vid FROM batchv b ANTI JOIN bverts v ON v.vid = b.vid),
+       |allverts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM edges),
+       |fsup AS MATERIALIZED (
+       |  SELECT r.src, r.dst, count(*) AS c,
+       |    CAST(count(*) FILTER (WHERE n.vid IS NOT NULL) AS BIGINT) AS cnew
+       |  FROM raw r JOIN edges a ON a.src = r.src
+       |             JOIN edges b ON b.src = r.dst AND b.dst = a.dst
+       |             LEFT JOIN newv n ON n.vid = a.dst
+       |  GROUP BY r.src, r.dst),
+       |qedge AS MATERIALIZED (
+       |  SELECT r.src, r.dst,
+       |    CASE WHEN ne THEN coalesce(f.c, 0) ELSE coalesce(f.cnew, 0) END AS c,
+       |    CASE WHEN ne THEN (CASE WHEN coalesce(f.c, 0) > 0 THEN 1 ELSE 0 END)
+       |         ELSE (CASE WHEN coalesce(f.cnew, 0) > 0
+       |                     AND coalesce(f.cnew, 0) = coalesce(f.c, 0) THEN 1 ELSE 0 END)
+       |    END AS ind
+       |  FROM (
+       |    SELECT r.src, r.dst,
+       |      (ns.vid IS NOT NULL OR nd.vid IS NOT NULL) AS ne,
+       |      (bs.vid IS NOT NULL AND bd.vid IS NOT NULL) AS be
+       |    FROM raw r
+       |    LEFT JOIN newv ns ON ns.vid = r.src
+       |    LEFT JOIN newv nd ON nd.vid = r.dst
+       |    LEFT JOIN borderv bs ON bs.vid = r.src
+       |    LEFT JOIN borderv bd ON bd.vid = r.dst) r
+       |  LEFT JOIN fsup f ON f.src = r.src AND f.dst = r.dst
+       |  WHERE r.ne OR r.be),
+       |delta AS MATERIALIZED (
+       |  SELECT vid, CAST(sum(c) AS BIGINT) AS sc, CAST(sum(ind) AS BIGINT) AS si FROM (
+       |    SELECT src AS vid, c, ind FROM qedge
+       |    UNION ALL SELECT dst AS vid, c, ind FROM qedge)
+       |  GROUP BY vid),
+       |mstat AS MATERIALIZED (
+       |  SELECT av.vid,
+       |    CASE WHEN d.vid IS NOT NULL AND (d.sc <> 0 OR d.si <> 0) THEN
+       |           CASE WHEN bv.vid IS NOT NULL THEN coalesce(bs.t, 0) + d.sc // 2
+       |                ELSE d.sc // 2 END
+       |         ELSE coalesce(bs.t, 0) END AS t,
+       |    CASE WHEN d.vid IS NOT NULL AND (d.sc <> 0 OR d.si <> 0) THEN
+       |           CASE WHEN bv.vid IS NOT NULL THEN coalesce(bs.vt, 0) + d.si
+       |                ELSE d.si END
+       |         ELSE coalesce(bs.vt, 0) END AS vt,
+       |    CASE WHEN d.vid IS NOT NULL AND (d.sc <> 0 OR d.si <> 0) THEN av.vid
+       |         ELSE coalesce(bs.cid, av.vid) END AS cid
+       |  FROM allverts av
+       |  LEFT JOIN bulkstate bs ON bs.vid = av.vid
+       |  LEFT JOIN bverts bv ON bv.vid = av.vid
+       |  LEFT JOIN delta d ON d.vid = av.vid),
+       |mcc AS MATERIALIZED (
+       |  SELECT vid, t, vt, cid,
+       |    CASE WHEN vt < 2 THEN CAST(0 AS DOUBLE)
+       |         ELSE CAST(2 AS DOUBLE) * t / (vt * (vt - 1)) END AS cc
+       |  FROM mstat),
+       |nverts AS (SELECT count(*) AS n FROM mcc),
+       |gcc AS MATERIALIZED (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(bsum ORDER BY blk)),
+       |           (a, x) -> a + x) / (SELECT n FROM nverts) AS g
+       |  FROM (SELECT vid // 65536 AS blk,
+       |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cc ORDER BY vid)),
+       |            (a, x) -> a + x) AS bsum
+       |        FROM mcc GROUP BY vid // 65536)),
+       |mcore AS MATERIALIZED (SELECT vid FROM mcc WHERE t > 0),
+       |kedge AS MATERIALIZED (
+       |  SELECT f.src, f.dst FROM fsup f
+       |  JOIN mcore cs ON cs.vid = f.src
+       |  JOIN mcore cd ON cd.vid = f.dst
+       |  WHERE f.c > 0),
+       |kedged AS MATERIALIZED (
+       |  SELECT src, dst FROM kedge UNION ALL SELECT dst, src FROM kedge),
+       |mpe AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.cc, d.vt, d.vid AS dvid
+       |  FROM kedged e JOIN mcc s ON s.vid = e.src
+       |                JOIN mcc d ON d.vid = e.dst
+       |  WHERE d.cc > s.cc OR (d.cc = s.cc AND
+       |        (d.vt > s.vt OR (d.vt = s.vt AND d.vid > s.vid)))),
+       |mf0 AS (SELECT vid, TRUE AS flag FROM mcore),
+       |$mergedSeedRounds,
+       |mbest AS MATERIALIZED (SELECT src AS vid, dst AS cid FROM (
+       |  SELECT pe.src, pe.dst, row_number() OVER (
+       |    PARTITION BY pe.src ORDER BY pe.cc DESC, pe.vt DESC, pe.dvid DESC) AS rn
+       |  FROM mpe pe JOIN mf20 f ON f.vid = pe.dst WHERE f.flag) WHERE rn = 1),
+       |mdeg AS MATERIALIZED (SELECT DISTINCT src AS vid FROM kedged),
+       |seed AS MATERIALIZED (
+       |  SELECT c.vid,
+       |    CASE WHEN b.cid IS NOT NULL THEN b.cid
+       |         WHEN d.vid IS NOT NULL THEN c.vid
+       |         ELSE m.cid END AS cid
+       |  FROM mcore c
+       |  LEFT JOIN mbest b ON b.vid = c.vid
+       |  LEFT JOIN mdeg d ON d.vid = c.vid
+       |  JOIN mcc m ON m.vid = c.vid),
+       |$iters,
+       |result AS (
+       |  SELECT bs.vid, coalesce(l.cid, bs.vid) AS cid
+       |  FROM bulkstate bs LEFT JOIN lab5 l ON l.vid = bs.vid)""".stripMargin
+  }
+
   /** 5-round synchronous label-propagation replay over the backbone,
    * ending in `l5(vid, label)` (and `e2` for the vertex domain) —
    * shared by the primary oracle and the certificate's independent
@@ -1254,6 +1550,14 @@ object GraphQueries {
          |verts AS (SELECT DISTINCT src AS vid FROM edges)
          |SELECT v.vid, coalesce(b.cid, v.vid) AS cid
          |FROM verts v LEFT JOIN best b ON b.vid = v.vid""".stripMargin,
+    // G8+G9: the whole incremental micro-batch driver replayed
+    // exactly (see incrReplayCte) — bulk seeding fixpoint, quirky
+    // delta-stat merge, re-seed with quirky ranks, five unrolled
+    // movement iterations with the JVM's exact float arithmetic,
+    // graft onto the bulk universe
+    "g_wcc_incremental" ->
+      s"""WITH $incrReplayCte
+         |SELECT vid, cid FROM result""".stripMargin,
     // min-label fixed point over the weighted backbone (w >= 2):
     // UNION-dedup recursion bounds the working set at (vertex,
     // seen-label) pairs, then min per vertex = the component label

@@ -99,9 +99,42 @@ object IncrementalWCC {
     val fullGraph = updateVertexData(fg, bBorder, bNew)
     fullGraph.cache()
     val vertexCount = fullGraph.numVertices
-    val globalCC = fullGraph.vertices.map(_._2.cc).sum() / vertexCount
+    val globalCC = detGlobalCC(fullGraph.vertices, vertexCount)
     bBatch.unpersist(blocking = false)
     MergeResult(fullGraph, fg, bNew, bBorder, vertexCount, globalCC)
+  }
+
+  /** Deterministic global clustering coefficient: ascending-vid left
+   * fold of per-vertex cc within 65536-id blocks, then an
+   * ascending-block left fold of the block sums. The merged-graph cc
+   * average feeds every movement decision of the fixed-5 refinement
+   * (no acceptance test filters them out, unlike the batch loop), so
+   * an arbitrary-order `RDD.sum()` here would make the emitted labels
+   * partition-dependent; the blocked fold is bit-reproducible across
+   * partitionings AND replayable by the DuckDB oracle. On graphs with
+   * max id < 65536 (every parity fixture and the sf gate tables) the
+   * two-level fold degenerates to the plain ascending-vid left fold
+   * the sequential reference simulator uses
+   * (ReferenceSimSpec `incrementalPipeline`). Block sums collect to
+   * the driver: #blocks = maxId/2^16 (a 10^12-id space yields ~15M
+   * doubles; past that add a super-block tier with the same
+   * discipline). */
+  private[wcc] def detGlobalCC(vertices: VertexRDD[VertexData],
+      vertexCount: Long): Double = {
+    val blockSums = vertices
+      .map { case (id, vd) => (id >>> 16, (id, vd.cc)) }
+      .groupByKey()
+      .mapValues { it =>
+        val arr = it.toArray.sortBy(_._1)
+        var s = 0.0; var i = 0
+        while (i < arr.length) { s += arr(i)._2; i += 1 }
+        s
+      }
+      .collect()
+      .sortBy(_._1)
+    var s = 0.0; var i = 0
+    while (i < blockSums.length) { s += blockSums(i)._2; i += 1 }
+    s / vertexCount
   }
 
   /** Delta triangle-stat update (reference `IncrementalWCC.scala:114-181`):

@@ -24,12 +24,13 @@ class EntrySpec extends SparkSpec {
     // replay (seedReplayCte — the refinement accepts zero movement
     // iterations at the gate's sf0.01, measured 20% rejection
     // margin, so the flagship output IS the seeding partition
-    // grafted back). Only the incremental micro-batch driver
-    // remains: its fixed-5 movement refinement scores depend on
-    // driver-loop float state no unrolled CTE can replay; it
-    // carries an invariant certificate with SQL-computed bulk
-    // coverage plus the streaming twin's oracle.
-    val rowsOnly = Set("g_wcc_incremental")
+    // grafted back); g_wcc_incremental (round 9) via the full
+    // micro-batch driver replay (incrReplayCte: bulk seeding, quirky
+    // delta-stat merge, deterministic blocked-fold globalCC, re-seed,
+    // five unrolled movement iterations with the JVM's exact float
+    // arithmetic). Every registered query now carries an exact
+    // DuckDB oracle.
+    val rowsOnly = Set.empty[String]
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual === rowsOnly,
       s"unexpected rows-only queries (add an oracle or document here): " +
