@@ -64,7 +64,11 @@ object ScaleProbe {
     val nBase = base.count()
     val maxId = base.agg(max(greatest(col("src"), col("dst")))).head().getLong(0) + 1
 
-    val edges = phase(s"replicate x$replicas") {
+    // replicated edge set / GraphX graph are built LAZILY: a run
+    // restricted to the synthetic-skew phases (which generate their
+    // own edges) skips both, keeping single-phase isolation runs
+    // inside a tight wall-clock budget
+    lazy val edges = phase(s"replicate x$replicas") {
       val shifted = (0 until replicas).map { k =>
         base.select((col("src") + k * maxId).as("src"),
           (col("dst") + k * maxId).as("dst"))
@@ -74,10 +78,13 @@ object ScaleProbe {
       shifted
     }
 
-    val g = phase("graph build") {
-      val g = EdgeOps.toGraph(edges); g.cache(); g.numVertices; g
+    lazy val g = {
+      val built = phase("graph build") {
+        val g = EdgeOps.toGraph(edges); g.cache(); g.numVertices; g
+      }
+      println(s"[scale-probe] |V|=${built.numVertices} |E|=${built.numEdges}")
+      built
     }
-    println(s"[scale-probe] |V|=${g.numVertices} |E|=${g.numEdges}")
 
     if (wanted("wcc")) {
       val tri = phase("triangle stats + prune (wcc)")(TriangleStats.run(g))
@@ -168,7 +175,15 @@ object ScaleProbe {
     // adjacency-partition element count, and the det-fold routing
     // fanout. Run at two replica factors and diff the maxima: linear
     // growth = no hotspot.
-    if (wanted("skew")) {
+    // block gate: any filter token mentioning "skew" (or no filter)
+    // enters; the individual loops are then gated by hyphenated
+    // tokens (`skew-pagerank`, `skew-cc`, `skew-coreness` — the bare
+    // token `skew` runs all three), so e.g. filter `skew-coreness`
+    // runs ONLY generate + the peel — the slowest skew loop needs its
+    // own JVM to fit a bounded wall-clock probe
+    def skewSub(tok: String): Boolean =
+      phaseFilter.forall(_.exists(f => f == "skew" || f == tok))
+    if (phaseFilter.forall(_.exists(_.contains("skew")))) {
       val skewEdges = phase("skew generate (zipf s~1)") {
         val m = nBase * replicas
         val n = math.max(1000L, m / 10)
@@ -189,32 +204,35 @@ object ScaleProbe {
         println(s"[scale-probe] skew edges=$cnt maxDegree=$hub")
         e
       }
-      val adjStats = phase("skew adjacency arrays") {
-        val a = GraphAlgs.adjacencyArrays(skewEdges)
-        a.persist(); a.count()
-        val partMax = a.mapPartitions(it =>
-          Iterator(it.map(_._2.length.toLong).sum)).collect().max
-        println(s"[scale-probe] skew adj partition-max elements=$partMax")
-        a
+      if (skewSub("skew-pagerank")) {
+        val adjStats = phase("skew adjacency arrays") {
+          val a = GraphAlgs.adjacencyArrays(skewEdges)
+          a.persist(); a.count()
+          val partMax = a.mapPartitions(it =>
+            Iterator(it.map(_._2.length.toLong).sum)).collect().max
+          println(s"[scale-probe] skew adj partition-max elements=$partMax")
+          a
+        }
+        phase("skew pagerank_det (10 rounds)") {
+          val r = GraphAlgs.pagerankDetRDD(adjStats)
+          r.count(); r.unpersist(blocking = false)
+        }
+        adjStats.unpersist(blocking = false)
       }
-      phase("skew pagerank_det (10 rounds)") {
-        val r = GraphAlgs.pagerankDetRDD(adjStats)
-        r.count(); r.unpersist(blocking = false)
-      }
-      adjStats.unpersist(blocking = false)
-      phase("skew cc two-phase") {
+      if (skewSub("skew-cc")) phase("skew cc two-phase") {
         val r = GraphAlgs.connectedComponentsTwoPhase(skewEdges)
         println(s"[scale-probe] skew cc converged=${r.converged} rounds=${r.rounds}")
         r.release()
       }
-      phase("skew coreness (k-core peel)") {
-        val sg = EdgeOps.toGraph(skewEdges); sg.cache(); sg.numVertices
-        val df = GraphAlgs.corenessDF(sg)
-        df.count()
-        df.unpersist(blocking = false)
-        sg.unpersistVertices(blocking = false)
-        sg.edges.unpersist(blocking = false)
-      }
+      if (skewSub("skew-coreness"))
+        phase("skew coreness (k-core peel)") {
+          val sg = EdgeOps.toGraph(skewEdges); sg.cache(); sg.numVertices
+          val df = GraphAlgs.corenessDF(sg)
+          df.count()
+          df.unpersist(blocking = false)
+          sg.unpersistVertices(blocking = false)
+          sg.edges.unpersist(blocking = false)
+        }
       skewEdges.unpersist(blocking = false)
     }
 

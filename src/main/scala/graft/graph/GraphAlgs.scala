@@ -11,58 +11,10 @@ import org.apache.spark.sql.functions._
  * both-direction messaging, not doubled edges (see EdgeOps scale
  * notes).
  */
-/**
- * Mutable coreness message: either a single neighbor estimate
- * (`counts == null`, value in `single`) or a growable count
- * histogram with `counts(v)` = number of neighbor estimates equal
- * to v. [[CoreHist.merge]] accumulates IN PLACE into whichever side
- * already carries a histogram, so a hub's combine tree does O(deg)
- * total work instead of the O(deg²) copying an array-concat merge
- * would do, and singleton messages ship as one boxed int rather
- * than a degree-sized array.
- */
-final class CoreHist(var single: Int) extends Serializable {
-  var counts: Array[Int] = null
-
-  /** Promote to a histogram (folding `single` in) and/or grow so
-   * index `v` is addressable. */
-  private def ensure(v: Int): Unit = {
-    if (counts == null) {
-      counts = new Array[Int](math.max(math.max(v, single) + 1, 8))
-      counts(single) += 1
-    } else if (v >= counts.length) {
-      counts = java.util.Arrays.copyOf(counts, math.max(v + 1, counts.length * 2))
-    }
-  }
-
-  def add(v: Int): CoreHist = { ensure(v); counts(v) += 1; this }
-
-  /** Fold another histogram's counts into this one (this grows to
-   * fit). */
-  private[graph] def addAll(other: Array[Int]): CoreHist = {
-    ensure(other.length - 1)
-    var i = 0
-    while (i < other.length) { counts(i) += other(i); i += 1 }
-    this
-  }
-}
-
-object CoreHist {
-  /** In-place merge for aggregateMessages: reuse an existing
-   * histogram side when there is one; merge the smaller histogram
-   * into the larger. */
-  def merge(a: CoreHist, b: CoreHist): CoreHist = {
-    if (b.counts == null) a.add(b.single)
-    else if (a.counts == null) b.add(a.single)
-    else if (a.counts.length >= b.counts.length) a.addAll(b.counts)
-    else b.addAll(a.counts)
-  }
-}
-
 /** Delta message for the incremental k-core rounds: parallel
  * (old, new) neighbor-estimate arrays, merged in place with doubling
- * growth (O(deg) total per hub combine tree, same discipline as
- * [[CoreHist]]). A receiver applies each pair to its persistent
+ * growth (O(deg) total per hub combine tree — in-place doubling
+ * growth, never an array-concat merge). A receiver applies each pair to its persistent
  * histogram: bucket(min(old, deg)) -= 1, bucket(min(new, deg)) += 1. */
 final class CoreDelta(o: Int, n: Int) extends Serializable {
   var olds: Array[Int] = { val a = new Array[Int](4); a(0) = o; a }
@@ -354,31 +306,44 @@ object GraphAlgs {
     adj.count()
 
     // round 0: the one full exchange — every vertex's degree to every
-    // neighbor, combined into per-vertex histograms map-side
-    val hist0 = adj
+    // neighbor. The histogram is built RECEIVER-side, already clipped
+    // at the receiver's own degree (coreness(v) <= deg(v), so buckets
+    // above deg(v) collapse into the top bucket): the array for v is
+    // exactly deg(v)+1 ints, making round-0 state Σ(deg+1) = O(|E|)
+    // regardless of skew. A value-indexed dense combiner here (the
+    // previous shape) is a hub hazard — every neighbor of a
+    // degree-D hub allocates a D-sized array before clipping, an
+    // O(D²) aggregate that the 10x Zipf probe measured OOMing a
+    // 100 GiB heap at D≈200k. Raw (vid, deg) messages shuffle
+    // without map-side combining; 2|E| fixed-width pairs, the same
+    // volume the det-fold rounds ship.
+    val degMsgs = adj
       .flatMap { case (_, nbrs) =>
         val d = nbrs.length
         nbrs.iterator.map(v => (v, d))
       }
-      .combineByKey[CoreHist](
-        (v: Int) => new CoreHist(v),
-        (h: CoreHist, v: Int) => h.add(v),
-        (a: CoreHist, b: CoreHist) => CoreHist.merge(a, b),
-        p)
+      .partitionBy(p)
 
     var state: org.apache.spark.rdd.RDD[(Long, CoreState)] =
-      adj.join(hist0, p).mapValues { case (nbrs, h) =>
-        val deg = nbrs.length
-        val counts = new Array[Int](deg + 1)
-        if (h.counts == null) counts(math.min(h.single, deg)) += 1
-        else {
-          var i = 0
-          while (i < h.counts.length) {
-            if (h.counts(i) > 0) counts(math.min(i, deg)) += h.counts(i)
-            i += 1
-          }
+      adj.zipPartitions(degMsgs, preservesPartitioning = true) { (aIt, mIt) =>
+        val hm = new java.util.HashMap[Long, Array[Int]]()
+        aIt.foreach { case (v, nbrs) => hm.put(v, new Array[Int](nbrs.length + 1)) }
+        mIt.foreach { case (v, d) =>
+          // NPE loudly on a routing bug: adj and degMsgs derive from
+          // the same doubled edge set, so every receiver has a slot
+          val c = hm.get(v)
+          val deg = c.length - 1
+          c(math.min(d, deg)) += 1
         }
-        CoreState(hIndexOf(deg, deg, counts), deg, counts)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, CoreState)](hm.size)
+        val it = hm.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val counts = e.getValue
+          val deg = counts.length - 1
+          out += ((e.getKey, CoreState(hIndexOf(deg, deg, counts), deg, counts)))
+        }
+        out.iterator
       }.persist()
     state.count()
 
@@ -965,8 +930,8 @@ object GraphAlgs {
    * structures, so a fixed round count is the deterministic stopping
    * rule.
    *
-   * Messages are per-label count maps merged IN PLACE (the CoreHist
-   * lesson: a hub's combine tree does O(deg) total map inserts, and
+   * Messages are per-label count maps merged IN PLACE (the hub
+   * lesson: a combine tree must do O(deg) total map inserts, and
    * map size is bounded by the number of distinct neighbor labels,
    * which shrinks as communities coalesce).
    */

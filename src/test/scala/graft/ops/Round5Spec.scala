@@ -1,26 +1,27 @@
 package graft.ops
 
 import graft.SparkSpec
-import graft.graph.{CoreHist, EdgeOps, GraphAlgs}
+import graft.graph.{EdgeOps, GraphAlgs}
 import org.apache.spark.sql.functions._
 
 class Round5Spec extends SparkSpec {
 
   import spark.implicits._
 
-  // ---- CoreHist (coreness message) ---------------------------------
+  // ---- coreness hub safety -----------------------------------------
 
-  test("CoreHist singleton merge promotes to a histogram with both counts") {
-    val m = CoreHist.merge(new CoreHist(3), new CoreHist(5))
-    assert(m.counts != null)
-    assert(m.counts(3) == 1 && m.counts(5) == 1)
-  }
-
-  test("CoreHist histogram merge accumulates and grows") {
-    val a = new CoreHist(1).add(2).add(2)
-    val b = new CoreHist(7).add(2)
-    val m = CoreHist.merge(a, b)
-    assert(m.counts(1) == 1 && m.counts(2) == 3 && m.counts(7) == 1)
+  test("coreness on a hub star stays correct (receiver-clipped histograms)") {
+    // star: hub 0 with 40 leaves, plus a triangle {100,101,102}
+    // hanging off leaf 1. Round-0 state for each leaf is a clipped
+    // 2-slot histogram, NOT a hub-degree-sized array (the 10x Zipf
+    // probe OOMed the old value-indexed combiner at deg≈200k) —
+    // asserted here by value: hub and leaves are 1-core, triangle 2.
+    val star = (1L to 40L).map(l => (0L, l))
+    val tri = Seq((100L, 101L), (100L, 102L), (101L, 102L), (1L, 100L))
+    val g = EdgeOps.toGraph((star ++ tri).toDF("src", "dst"))
+    val core = GraphAlgs.coreness(g).vertices.collect().toMap
+    assert(core(0L) == 1 && core(40L) == 1 && core(1L) == 1)
+    assert(core(100L) == 2 && core(101L) == 2 && core(102L) == 2)
   }
 
   test("coreness on a clique-plus-pendant graph") {
