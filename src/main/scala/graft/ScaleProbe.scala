@@ -224,6 +224,17 @@ object ScaleProbe {
         println(s"[scale-probe] skew cc converged=${r.converged} rounds=${r.rounds}")
         r.release()
       }
+      if (skewSub("skew-ktruss"))
+        phase("skew k-truss peel (k=4)") {
+          import org.apache.spark.sql.functions.{col, least, greatest}
+          val canon = skewEdges.select(
+            least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst")).distinct()
+          val kt = GraphAlgs.ktrussPeel(canon)
+          val n = kt.edges.count()
+          println(s"[scale-probe] skew ktruss survivors=$n converged=${kt.converged}")
+          kt.release()
+        }
       if (skewSub("skew-coreness"))
         phase("skew coreness (k-core peel)") {
           val sg = EdgeOps.toGraph(skewEdges); sg.cache(); sg.numVertices

@@ -1382,6 +1382,118 @@ object GraphAlgs {
   }
 
   /**
+   * Co-locate the two CURRENT adjacency arrays of every query edge
+   * (u, v) and apply `f(u, v, nu, nv)` where they meet — WITHOUT
+   * ever shipping a hub-sized array blind. Each edge is routed so
+   * the SMALLER endpoint array (ties by vertex id) travels to the
+   * larger endpoint's partition: shipped bytes are
+   * Σ min(deg_u, deg_v) — the arboricity-type bound that stays
+   * near-linear on power-law graphs — where a fixed ship-the-src
+   * side pays Σ deg(src), whose hub term is O(hub²) (the 10x Zipf
+   * probe measured the old k-truss shape OOMing on exactly that).
+   *
+   * Protocol, one constant-width hop per line except the single
+   * min-array ship:
+   *   1. at u: attach deg(u)                  → (v, (u, du))
+   *   2. at v: if (dv, v) < (du, u) ship N(v) → (u, (v, N(v)))
+   *      else request N(u)                    → (u, (v, null))
+   *   3. at u: shipped N(v) → f(u, v, N(u), N(v)) emitted here;
+   *      request → forward N(u)               → (v, (u, N(u)))
+   *   4. at v: f(u, v, N(u), N(v)) for the forwarded half
+   * Hop 3's tagged output is persisted (it feeds both the local
+   * results and the forwards); the returned release() frees it once
+   * the caller has materialized the result. Exactly one f record is
+   * produced per query edge. `adj` must be partitioned by `pv` and
+   * contain every query endpoint (both derive from the same edge
+   * set; a missing endpoint indicates a routing bug upstream).
+   */
+  private def coLocatedIntersect[T: scala.reflect.ClassTag](
+      queries: org.apache.spark.rdd.RDD[(Long, Long)],
+      adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      pv: org.apache.spark.Partitioner)(
+      f: (Long, Long, Array[Long], Array[Long]) => T)
+    : (org.apache.spark.rdd.RDD[T], () => Unit) = {
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    import scala.jdk.CollectionConverters._
+    // hop 1 (at u): attach deg(u)
+    val byU = queries.partitionBy(pv)
+    val withDu: RDD[(Long, (Long, Int))] = adj.zipPartitions(byU) { (aIt, eIt) =>
+      val m = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+      eIt.foreach { case (u, v) =>
+        var l = m.get(u)
+        if (l == null) { l = new java.util.ArrayList[Long](); m.put(u, l) }
+        l.add(v)
+      }
+      aIt.flatMap { case (u, nu) =>
+        val l = m.get(u)
+        if (l == null) Iterator.empty
+        else l.asScala.iterator.map(v => (v, (u, nu.length)))
+      }
+    }.partitionBy(pv)
+    // hop 2 (at v): the smaller side by (deg, id) ships, the larger
+    // side hosts; a null array is the "please ship N(u) back" marker
+    val decided: RDD[(Long, (Long, Array[Long]))] =
+      adj.zipPartitions(withDu) { (aIt, qIt) =>
+        val m = new java.util.HashMap[Long, java.util.ArrayList[(Long, Int)]]()
+        qIt.foreach { case (v, ud) =>
+          var l = m.get(v)
+          if (l == null) { l = new java.util.ArrayList[(Long, Int)](); m.put(v, l) }
+          l.add(ud)
+        }
+        aIt.flatMap { case (v, nv) =>
+          val l = m.get(v)
+          if (l == null) Iterator.empty
+          else l.asScala.iterator.map { case (u, du) =>
+            val vSmaller = nv.length < du || (nv.length == du && v < u)
+            if (vSmaller) (u, (v, nv)) else (u, (v, null: Array[Long]))
+          }
+        }
+      }.partitionBy(pv)
+    // hop 3 (at u): resolve shipped arrays locally, forward N(u) for
+    // the requests. Tagged rows: done=true carries (u, v, result
+    // inputs applied); done=false carries (v, u, N(u)) to hop 4.
+    val hop3: RDD[(Boolean, Long, Long, Array[Long], Any)] =
+      adj.zipPartitions(decided) { (aIt, dIt) =>
+        val m = new java.util.HashMap[Long, java.util.ArrayList[(Long, Array[Long])]]()
+        dIt.foreach { case (u, vn) =>
+          var l = m.get(u)
+          if (l == null) { l = new java.util.ArrayList[(Long, Array[Long])](); m.put(u, l) }
+          l.add(vn)
+        }
+        aIt.flatMap { case (u, nu) =>
+          val l = m.get(u)
+          if (l == null) Iterator.empty
+          else l.asScala.iterator.map { case (v, nvOrNull) =>
+            if (nvOrNull != null)
+              (true, u, v, null: Array[Long], f(u, v, nu, nvOrNull))
+            else (false, v, u, nu, null)
+          }
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    val resLocal = hop3.filter(_._1).map(_._5.asInstanceOf[T])
+    val fwd: RDD[(Long, (Long, Array[Long]))] = hop3
+      .filter(!_._1)
+      .map { case (_, v, u, nu, _) => (v, (u, nu)) }
+      .partitionBy(pv)
+    // hop 4 (at v): the forwarded half
+    val resFwd: RDD[T] = adj.zipPartitions(fwd) { (aIt, fIt) =>
+      val m = new java.util.HashMap[Long, java.util.ArrayList[(Long, Array[Long])]]()
+      fIt.foreach { case (v, un) =>
+        var l = m.get(v)
+        if (l == null) { l = new java.util.ArrayList[(Long, Array[Long])](); m.put(v, l) }
+        l.add(un)
+      }
+      aIt.flatMap { case (v, nv) =>
+        val l = m.get(v)
+        if (l == null) Iterator.empty
+        else l.asScala.iterator.map { case (u, nu) => f(u, v, nu, nv) }
+      }
+    }
+    (resLocal.union(resFwd), () => { hop3.unpersist(blocking = false); () })
+  }
+
+  /**
    * K-truss peel, full-recompute form: each round rebuilds the
    * survivor adjacency (groupBy over the symmetrized survivors) and
    * re-intersects EVERY surviving edge's endpoint neighbor lists —
@@ -1485,43 +1597,17 @@ object GraphAlgs {
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
 
-    // sup_0: one full lookup pass — key edges by src, hash the
-    // partition's edges against the streamed adjacency, re-key by
-    // dst, repeat; arrays ship once per edge (the same volume as
-    // one recompute round's two joins)
-    val bySrc = edges0.partitionBy(pv)
-    val withNu: RDD[(Long, (Long, Array[Long]))] = adj.zipPartitions(bySrc) {
-      (aIt, eIt) =>
-        val m = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
-        eIt.foreach { case (u, v) =>
-          var l = m.get(u)
-          if (l == null) { l = new java.util.ArrayList[Long](); m.put(u, l) }
-          l.add(v)
-        }
-        aIt.flatMap { case (u, nbrs) =>
-          val l = m.get(u)
-          if (l == null) Iterator.empty
-          else { import scala.jdk.CollectionConverters._
-            l.asScala.iterator.map(v => (v, (u, nbrs))) }
-        }
-    }.partitionBy(pv)
-    var state: RDD[((Long, Long), Int)] = adj.zipPartitions(withNu) {
-      (aIt, wIt) =>
-        val m = new java.util.HashMap[Long, java.util.ArrayList[(Long, Array[Long])]]()
-        wIt.foreach { case (v, un) =>
-          var l = m.get(v)
-          if (l == null) { l = new java.util.ArrayList[(Long, Array[Long])](); m.put(v, l) }
-          l.add(un)
-        }
-        aIt.flatMap { case (v, nv) =>
-          val l = m.get(v)
-          if (l == null) Iterator.empty
-          else { import scala.jdk.CollectionConverters._
-            l.asScala.iterator.map { case (u, nu) =>
-              ((u, v), sortedIntersectCount(nu, nv)) } }
-        }
-    }.partitionBy(pe).persist(StorageLevel.MEMORY_AND_DISK)
+    // sup_0: both endpoint arrays co-located with min-side shipping
+    // (see coLocatedIntersect) — exactly one support record per
+    // edge, Σ min(deg_u, deg_v) shipped bytes, hub-safe where the
+    // old ship-N(src)-to-dst pass paid O(hub²) on skewed graphs
+    val (sup0, rel0) = coLocatedIntersect(edges0, adj, pv) {
+      (u, v, nu, nv) => ((u, v), sortedIntersectCount(nu, nv))
+    }
+    var state: RDD[((Long, Long), Int)] =
+      sup0.partitionBy(pe).persist(StorageLevel.MEMORY_AND_DISK)
     var stateN = state.count()
+    rel0()
     edges0.unpersist(blocking = false)
 
     var r1N = -1L
@@ -1536,47 +1622,25 @@ object GraphAlgs {
         d.unpersist(blocking = false)
       } else {
         // dead triangles: for each deleted (u,v), the apexes
-        // x ∈ N(u) ∩ N(v) in A_r; each dead triangle decrements its
+        // x ∈ N(u) ∩ N(v) in A_r (min-side-shipped co-location, same
+        // hub-safety as sup_0); each dead triangle decrements its
         // OTHER two edges, dedup'd by (edge, triangle)
-        val dByU = d.map { case ((u, v), _) => (u, v) }.partitionBy(pv)
-        val dNu: RDD[(Long, (Long, Array[Long]))] = adj.zipPartitions(dByU) {
-          (aIt, dIt) =>
-            val m = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
-            dIt.foreach { case (u, v) =>
-              var l = m.get(u)
-              if (l == null) { l = new java.util.ArrayList[Long](); m.put(u, l) }
-              l.add(v)
+        val (dApex, relD) = coLocatedIntersect(
+          d.map { case ((u, v), _) => (u, v) }, adj, pv) {
+          (u, v, nu, nv) => ((u, v), sortedIntersect(nu, nv))
+        }
+        val dec: RDD[((Long, Long), Int)] = dApex
+          .flatMap { case ((u, v), apexes) =>
+            apexes.iterator.flatMap { x =>
+              // triangle (u,v,x) with (u,v) deleted; other edges
+              val e1 = (math.min(u, x), math.max(u, x))
+              val e2 = (math.min(v, x), math.max(v, x))
+              val a = math.min(u, math.min(v, x))
+              val c = math.max(u, math.max(v, x))
+              val b = u + v + x - a - c
+              Iterator((e1, (a, b, c)), (e2, (a, b, c)))
             }
-            aIt.flatMap { case (u, nbrs) =>
-              val l = m.get(u)
-              if (l == null) Iterator.empty
-              else { import scala.jdk.CollectionConverters._
-                l.asScala.iterator.map(v => (v, (u, nbrs))) }
-            }
-        }.partitionBy(pv)
-        val dec: RDD[((Long, Long), Int)] = adj.zipPartitions(dNu) { (aIt, wIt) =>
-          val m = new java.util.HashMap[Long, java.util.ArrayList[(Long, Array[Long])]]()
-          wIt.foreach { case (v, un) =>
-            var l = m.get(v)
-            if (l == null) { l = new java.util.ArrayList[(Long, Array[Long])](); m.put(v, l) }
-            l.add(un)
-          }
-          aIt.flatMap { case (v, nv) =>
-            val l = m.get(v)
-            if (l == null) Iterator.empty
-            else { import scala.jdk.CollectionConverters._
-              l.asScala.iterator.flatMap { case (u, nu) =>
-                sortedIntersect(nu, nv).iterator.flatMap { x =>
-                  // triangle (u,v,x) with (u,v) deleted; other edges
-                  val e1 = (math.min(u, x), math.max(u, x))
-                  val e2 = (math.min(v, x), math.max(v, x))
-                  val a = math.min(u, math.min(v, x))
-                  val c = math.max(u, math.max(v, x))
-                  val b = u + v + x - a - c
-                  Iterator((e1, (a, b, c)), (e2, (a, b, c)))
-                } } }
-          }
-        }.distinct(parts)
+          }.distinct(parts)
           .map { case (e, _) => (e, 1) }
           .reduceByKey(pe, _ + _)
         // survivors: drop D, apply decrements (hashed small side)
@@ -1589,6 +1653,7 @@ object GraphAlgs {
             }
         }.persist(StorageLevel.MEMORY_AND_DISK)
         val newN = newState.count()
+        relD()
         // A_{r+1}: strip the deleted pairs (removal side is small)
         val rem = d.flatMap { case ((u, v), _) => Iterator((u, v), (v, u)) }
           .groupByKey(pv)
