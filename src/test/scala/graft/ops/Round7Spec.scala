@@ -23,6 +23,28 @@ class Round7Spec extends SparkSpec {
     assert(kept == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
+  test("ktrussPeel on a hub graph: min-side routing preserves exact supports") {
+    // hub 0 adjacent to every vertex of a K4 {1,2,3,4}, 30 extra
+    // leaves (support-0 edges, peeled round 1), and a triangle
+    // {50,51,52} touching the hub at 50. Exercises every routing
+    // case of coLocatedIntersect: hub-as-larger-side (leaf arrays
+    // ship), equal-degree ties (within the K4), and the forwarded
+    // half (request N(u) back). K5 = hub+K4 survives k=4 with every
+    // edge at support 3; everything else is peeled.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val spokes = (1L to 4L).map(v => (0L, v))
+    val leaves = (100L to 129L).map(l => (0L, l))
+    val tri = Seq((0L, 50L), (50L, 51L), (50L, 52L), (51L, 52L))
+    val edges = (k4 ++ spokes ++ leaves ++ tri).toDF("src", "dst")
+    val out = GraphAlgs.ktrussPeel(edges, k = 4)
+    assert(out.converged)
+    val kept = out.edges.select("src", "dst", "support")
+      .as[(Long, Long, Int)].collect().toSet
+    out.release()
+    val k5 = (k4 ++ spokes).map { case (u, v) => (u, v, 3) }.toSet
+    assert(kept == k5, s"expected the K5 at support 3, got $kept")
+  }
+
   test("ktrussPeel cascades: shared-edge triangles unravel to empty") {
     // two triangles sharing edge (2,3): (2,3) survives round 1 at
     // support 2, then loses both wing vertices and is peeled — the
