@@ -224,6 +224,28 @@ object ScaleProbe {
         println(s"[scale-probe] skew cc converged=${r.converged} rounds=${r.rounds}")
         r.release()
       }
+      if (skewSub("skew-wcc")) {
+        // the flagship's heavy phases on a hub graph: the degree-
+        // oriented triangle-stats exchange and the seeding Pregel
+        // (the refinement loop only sees the triangle-PRUNED graph,
+        // whose hubs survive only to the extent they close triangles)
+        val sg = phase("skew graph build") {
+          val sg = EdgeOps.toGraph(skewEdges); sg.cache(); sg.numVertices; sg
+        }
+        val tri = phase("skew triangle stats + prune") {
+          val t = TriangleStats.run(sg)
+          println(s"[scale-probe] skew pruned |V|=${t.pruned.numVertices} |E|=${t.pruned.numEdges}")
+          t
+        }
+        phase("skew initial partition Pregel") {
+          val i = InitialPartition.run(tri.pruned)
+          i.cache(); i.vertices.count()
+          i.unpersistVertices(blocking = false)
+          i.edges.unpersist(blocking = false)
+        }
+        sg.unpersistVertices(blocking = false)
+        sg.edges.unpersist(blocking = false)
+      }
       if (skewSub("skew-ktruss"))
         phase("skew k-truss peel (k=4)") {
           import org.apache.spark.sql.functions.{col, least, greatest}
