@@ -88,6 +88,30 @@ object Dedup {
       .distinct()
   }
 
+  /** STAR-reduced cluster edges from LSH bands: within every
+   * (band, band_hash) bucket, link each member to the bucket's min
+   * doc_id instead of enumerating all pairs. For connected-component
+   * clustering a bucket's star and its clique are EQUIVALENT (both
+   * collapse the bucket into one component), but the star emits
+   * m-1 edges where the pair self-join emits m(m-1)/2 — the
+   * difference between a linear pass and job death on the hot
+   * buckets every web-scale corpus has (boilerplate pages, empty
+   * docs, templated text collide into buckets of millions). Shape:
+   * one groupBy for the bucket minimum + one equi-join back on the
+   * bucket key — both stream through sort-merge machinery at any
+   * bucket size, no windowed buffering, no pair materialization.
+   * Use [[lshCandidatePairsFromBands]] only when the pair LIST
+   * itself is the product (e.g. feeding per-pair verification) and
+   * bucket sizes are bounded; use this for clustering. */
+  def lshClusterEdges(b: DataFrame): DataFrame = {
+    val hubs = b.groupBy(col("band"), col("bh"))
+      .agg(min(col("doc_id")).as("hub"))
+    b.join(hubs, Seq("band", "bh"))
+      .where(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Duplicate CLUSTERS from candidate pairs: connected components
    * over the pair graph, labeling every involved doc with the
    * smallest doc_id reachable from it. Near-dup relations are not

@@ -51,12 +51,30 @@ object PipelineQueries {
       df.count(); df
     }
 
-  /** LSH candidate pairs — input of both `p_lsh_pairs` and the
-   * connected-components cluster labeling. */
+  private def lshBandsMemo(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"bands:$sfDir") {
+      val df = Dedup.lshBandsFromSignatures(minhashSigs(spark, sfDir)).cache()
+      df.count(); df
+    }
+
+  /** LSH candidate pairs — the `p_lsh_pairs` product (the pair LIST
+   * is the contract there). Clustering does NOT go through this:
+   * see [[clusterLabels]]. */
   private def lshPairs(spark: SparkSession, sfDir: String): DataFrame =
     memoize(spark, s"pairs:$sfDir") {
-      val df = Dedup.lshCandidatePairsFromBands(
-        Dedup.lshBandsFromSignatures(minhashSigs(spark, sfDir))).cache()
+      val df = Dedup.lshCandidatePairsFromBands(lshBandsMemo(spark, sfDir)).cache()
+      df.count(); df
+    }
+
+  /** Near-dup cluster labels via the STAR-reduced bucket edges
+   * (`Dedup.lshClusterEdges`): identical components to the pair
+   * clique — the equivalence is spec-pinned — at m-1 edges per
+   * bucket instead of m(m-1)/2, so a hot boilerplate bucket cannot
+   * detonate the clustering path at corpus scale. */
+  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"clusters:$sfDir") {
+      val df = Dedup.clusters(
+        Dedup.lshClusterEdges(lshBandsMemo(spark, sfDir))).cache()
       df.count(); df
     }
 
@@ -172,9 +190,9 @@ object PipelineQueries {
     "p_minhash_sigs" -> ((s, d) => minhashSigs(s, d).orderBy("doc_id")),
     "p_lsh_pairs" -> ((s, d) => lshPairs(s, d).orderBy("doc_a", "doc_b")),
     "p_dedup_clusters" -> ((s, d) =>
-      Dedup.clusters(lshPairs(s, d)).orderBy("doc_id")),
+      clusterLabels(s, d).orderBy("doc_id")),
     "p_dedup_keep" -> ((s, d) =>
-      Dedup.keepDecisions(docs(s, d), Dedup.clusters(lshPairs(s, d)))
+      Dedup.keepDecisions(docs(s, d), clusterLabels(s, d))
         .orderBy("doc_id")),
     // MDM-style survivorship: the canonical record per near-dup
     // cluster is chosen by QUALITY (longest text, id tie-break), not
@@ -182,7 +200,7 @@ object PipelineQueries {
     // clustering (p_dedup_keep is the min-id baseline)
     "p_dedup_survivorship" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val cl = Dedup.clusters(lshPairs(s, d))
+      val cl = clusterLabels(s, d)
       val withCl = docs(s, d).select(col("doc_id"), col("n_chars"))
         .join(cl.withColumnRenamed("doc_id", "cid_doc"),
           col("doc_id") === col("cid_doc"), "left")

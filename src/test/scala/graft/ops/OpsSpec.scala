@@ -32,6 +32,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("star-reduced cluster edges: same components as the pair clique, m-1 edges per hot bucket") {
+    // hot bucket: 30 identical docs (collide in EVERY band) + a
+    // distinct near-dup pair + two singletons. The pair self-join
+    // would emit 30*29/2 = 435 pairs for the hot bucket; the star
+    // emits 29 edges — and the connected components (what the
+    // dedup keep/survivorship policies consume) must be identical.
+    val hot = (1L to 30L).map(i => (i, "the same boilerplate text repeated everywhere"))
+    val near = Seq(
+      (100L, "unique alpha beta gamma delta epsilon"),
+      (101L, "unique alpha beta gamma delta epsilon"))
+    val singles = Seq((200L, "completely different content one"),
+      (201L, "another unrelated document body two"))
+    val d = docsDf(hot ++ near ++ singles: _*)
+    val bands = Dedup.lshBandsFromSignatures(Dedup.minhashSignatures(d)).cache()
+    val starEdges = Dedup.lshClusterEdges(bands)
+    val cliquePairs = Dedup.lshCandidatePairsFromBands(bands)
+    val nStar = starEdges.count()
+    val nClique = cliquePairs.count()
+    assert(nStar === 30L, s"29 hot-bucket star edges + 1 near-dup, got $nStar")
+    assert(nClique === 436L, s"435 hot-bucket pairs + 1 near-dup, got $nClique")
+    def labels(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.clusters(edges).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels(starEdges) === labels(cliquePairs),
+      "star reduction must preserve the connected components exactly")
+    bands.unpersist()
+  }
+
   test("simhash equal for identical docs; hammingBits counts diffs") {
     val d = docsDf((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
     val sh = Dedup.simhash(d).collect().map(r => (r.getLong(0), r.getString(1))).toMap
