@@ -224,15 +224,46 @@ object Similarity {
    * one full band. Candidates come from a bucket equi-join on
    * (band, key) — never an all-pairs product. Returns one row per
    * distinct candidate pair with both vectors and norms attached. */
-  def nearDupCandidates(embeddings: DataFrame, bands: Int, bandBits: Int,
+  /** Banded sign-signature rows (band, bkey, vec_id, v, nrm) — the
+   * shared bucket layout of [[nearDupCandidates]] (pair
+   * enumeration) and [[nearDupClusterEdges]] (star-reduced
+   * clustering). */
+  def bandRows(embeddings: DataFrame, bands: Int, bandBits: Int,
       dims: Int = 64): DataFrame = {
     val bits = bands * bandBits
     val e = emb(embeddings).withColumn("sig", lshBucket(col("v"), bits, dims))
-    val banded = e.select(col("vec_id"), col("v"), col("nrm"),
+    e.select(col("vec_id"), col("v"), col("nrm"),
         posexplode(array((0 until bands).map(i =>
           substring(col("sig"), i * bandBits + 1, bandBits)): _*)))
       .select(col("pos").as("band"), col("col").as("bkey"),
         col("vec_id"), col("v"), col("nrm"))
+  }
+
+  /** STAR-reduced bucket edges over the banded sign signatures:
+   * every bucket member links to the bucket-min vec_id — m-1 edges
+   * per bucket where the pair join emits m(m-1)/2. For
+   * connected-component dedup clustering the two are equivalent
+   * (same components), and the star survives the degenerate corpus
+   * the pair path cannot: millions of near-identical embeddings
+   * (templated pages, zero vectors) collapsing into one bucket.
+   * Pair enumeration there is output-bound — Ω(m²) pairs genuinely
+   * exist — so the scale path must cluster, not enumerate (the same
+   * argument as `Dedup.lshClusterEdges` for text). */
+  def nearDupClusterEdges(embeddings: DataFrame, bands: Int, bandBits: Int,
+      dims: Int = 64): DataFrame = {
+    val b = bandRows(embeddings, bands, bandBits, dims)
+      .select(col("band"), col("bkey"), col("vec_id"))
+    val hubs = b.groupBy(col("band"), col("bkey"))
+      .agg(min(col("vec_id")).as("hub"))
+    b.join(hubs, Seq("band", "bkey"))
+      .where(col("vec_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("vec_id").as("doc_b"))
+      .distinct()
+  }
+
+  def nearDupCandidates(embeddings: DataFrame, bands: Int, bandBits: Int,
+      dims: Int = 64): DataFrame = {
+    val banded = bandRows(embeddings, bands, bandBits, dims)
     val a = banded.select(col("band"), col("bkey"),
       col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = banded.select(col("band"), col("bkey"),

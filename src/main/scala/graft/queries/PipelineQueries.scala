@@ -460,6 +460,20 @@ object PipelineQueries {
     "p_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(embs(s, d), NearDupThreshold,
         bands = NearDupBands, bandBits = NearDupBandBits).orderBy("id_a", "id_b")),
+    // embedding dedup CLUSTERS via star-reduced bucket edges — the
+    // scale path when near-identical embeddings make the pair list
+    // output-bound (see Similarity.nearDupClusterEdges); every
+    // vector labeled, singletons as their own cluster
+    "p_embed_dedup_clusters" -> ((s, d) => {
+      val edges = Similarity.nearDupClusterEdges(embs(s, d),
+        bands = NearDupBands, bandBits = NearDupBandBits)
+      val cl = Dedup.clusters(edges).withColumnRenamed("doc_id", "vec_id")
+      embs(s, d).select(col("vec_id"))
+        .join(cl, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .orderBy("vec_id")
+    }),
     "p_ann_recall" -> ((s, d) =>
       Similarity.annRecall(embs(s, d), maxQueryId = 640L).orderBy("query_id")),
     // per-label centroid components (the IVF cell-center / k-means
@@ -1111,6 +1125,29 @@ object PipelineQueries {
          |  JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, floor(($Cos) * 1e9 + 0.5) / 1e9 AS cos
          |FROM p WHERE floor(($Cos) * 1e9 + 0.5) / 1e9 >= $NearDupThreshold""".stripMargin,
+    // star-reduced bucket edges -> hash-to-min transitive closure:
+    // same replayed band signature as p_embed_neardup, then per
+    // (band, bkey) hub = min vec_id, symmetric closure, min label
+    "p_embed_dedup_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, $NearDupSigSql AS sig FROM e),
+         |bd AS (SELECT vec_id, band,
+         |  substring(sig, band * $NearDupBandBits + 1, $NearDupBandBits) AS bkey
+         |  FROM s, unnest(generate_series(0, ${NearDupBands - 1})) t(band)),
+         |hub AS (SELECT band, bkey, min(vec_id) AS hub FROM bd GROUP BY band, bkey),
+         |ed AS (SELECT DISTINCT h.hub AS a, b.vec_id AS b
+         |  FROM bd b JOIN hub h ON h.band = b.band AND h.bkey = b.bkey
+         |  WHERE b.vec_id <> h.hub),
+         |sym AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON s2.a = r.b
+         |  WHERE s2.b <> r.a),
+         |cl AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a)
+         |SELECT ev.vec_id, coalesce(cl.cluster_id, ev.vec_id) AS cluster_id
+         |FROM e ev LEFT JOIN cl ON cl.vec_id = ev.vec_id""".stripMargin,
     // every arithmetic step mirrors Similarity.quantizeInt8: abs-max
     // (order-free), floor(x*scale+0.5) rounding, left-fold residual
     // sum with a 0.0 seed (0.0 + x is exact, so the seedless

@@ -170,6 +170,31 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.deriveBandBits(1000000000L) === 16)
   }
 
+  test("embedding star-reduced cluster edges == pair-clique components, m-1 edges on a hot bucket") {
+    // 25 IDENTICAL vectors (one bucket in every band) + two tight
+    // 2-member clusters + noise singletons: the star path must give
+    // the same connected components as clustering the full pair
+    // list, with linearly many edges for the identical block.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val hot = (0 until 25).map(i => (i.toLong, Array.fill(8)(0.5)))
+    val rest = (100 until 110).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+    val df = (hot ++ rest).toDF("vec_id", "embedding")
+      .withColumn("label", lit("t"))
+    val edges = Similarity.nearDupClusterEdges(df, bands = 4, bandBits = 8, dims = 8)
+    val pairs = Similarity.nearDupCandidates(df, bands = 4, bandBits = 8, dims = 8)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    def labels(e: org.apache.spark.sql.DataFrame) =
+      Dedup.clusters(e).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels(edges) === labels(pairs),
+      "star reduction must preserve components on embeddings")
+    val nStar = edges.where(col("doc_a") === 0L).count()
+    assert(nStar === 24L, s"hot block: 24 star edges to hub 0, got $nStar")
+    assert(pairs.where(col("doc_a") < 25 && col("doc_b") < 25).count() === 300L,
+      "pair path pays 25*24/2 for the same block")
+  }
+
   /** Deterministic synthetic corpus: `clusters` tight clusters of
    * `members` vectors each (unit base direction + small noise), so
    * within-cluster cosines are high and cross-cluster cosines hover
