@@ -269,6 +269,36 @@ object ScaleProbe {
       skewEdges.unpersist(blocking = false)
     }
 
+    // duplicate-heavy corpus probe: N synthetic docs of which 20%
+    // are ONE identical boilerplate text (the hot LSH bucket every
+    // web corpus has). The star-reduced clustering path must stay
+    // linear; the pair clique would need (N/5)²/2 rows for the hot
+    // block alone (~8x10^8 at N=200k — not runnable, which is the
+    // point).
+    if (phaseFilter.exists(_.exists(_ == "dedup-hot"))) {
+      import graft.ops.Dedup
+      val nDocs = (nBase * replicas / 60L).max(10000L)
+      val docs = phase(s"dedup-hot generate ($nDocs docs)") {
+        val d = spark.range(nDocs).select(col("id").as("doc_id"),
+          when(col("id") % 5 === 0,
+            lit("the same boilerplate navigation header text repeated on every page of the site"))
+            .otherwise(concat(lit("unique document body "),
+              col("id"), lit(" with words "),
+              expr("concat_ws(' ', transform(sequence(1, 12), i -> concat('w', (id * 31 + i) % 99991)))")))
+            .as("text")).cache()
+        d.count(); d
+      }
+      phase("dedup-hot star clustering") {
+        val bands = Dedup.lshBandsFromSignatures(Dedup.minhashSignatures(docs))
+        val edges = Dedup.lshClusterEdges(bands)
+        val nE = edges.count()
+        val cl = Dedup.clusters(edges)
+        val nClusters = cl.select("cluster_id").distinct().count()
+        println(s"[scale-probe] dedup-hot starEdges=$nE clusters=$nClusters (hot block=${nDocs / 5})")
+      }
+      docs.unpersist(blocking = false)
+    }
+
     if (wanted("floatdet")) {
       // the sender-sorted deterministic float folds (detFoldCtx /
       // detFoldRound): per round each sender ships ONE value per
