@@ -26,6 +26,19 @@ object ScaleProbe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val phaseFilter: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(",").toSeq) else None
+    // fail fast on a typo'd token: a misspelled `skew-corenes` would
+    // otherwise pass the block gates, pay the generation phases, then
+    // run zero loops with no warning
+    val KnownTokens = Set(
+      "wcc", "coreness", "k-truss", "msf", "hits", "det", "pagerank",
+      "eigen", "label", "floatdet",
+      "skew", "skew-pagerank", "skew-cc", "skew-coreness", "skew-wcc",
+      "skew-ktruss", "skew-idwcc",
+      "dedup-hot", "ivf-hot", "stream-dedup")
+    phaseFilter.foreach(_.foreach { tok =>
+      require(KnownTokens.contains(tok),
+        s"unknown probe token '$tok' — known: ${KnownTokens.toSeq.sorted.mkString(", ")}")
+    })
     def wanted(name: String): Boolean =
       phaseFilter.forall(_.exists(name.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -177,12 +190,18 @@ object ScaleProbe {
     // growth = no hotspot.
     // block gate: any filter token mentioning "skew" (or no filter)
     // enters; the individual loops are then gated by hyphenated
-    // tokens (`skew-pagerank`, `skew-cc`, `skew-coreness` — the bare
-    // token `skew` runs all three), so e.g. filter `skew-coreness`
-    // runs ONLY generate + the peel — the slowest skew loop needs its
-    // own JVM to fit a bounded wall-clock probe
+    // tokens (`skew-pagerank`, `skew-cc`, `skew-coreness`,
+    // `skew-wcc`, `skew-ktruss`, `skew-idwcc` — the bare token
+    // `skew` runs them all), so e.g. filter `skew-coreness` runs
+    // ONLY generate + the peel — the slowest skew loop needs its
+    // own JVM to fit a bounded wall-clock probe. The light original
+    // trio also runs on a NO-filter probe; the heavy sub-phases
+    // (wcc seeding, the k-truss peel, the incremental merge) are
+    // opt-in only, keeping the default probe's wall-clock bounded.
     def skewSub(tok: String): Boolean =
       phaseFilter.forall(_.exists(f => f == "skew" || f == tok))
+    def skewSubOptIn(tok: String): Boolean =
+      phaseFilter.exists(_.exists(f => f == "skew" || f == tok))
     if (phaseFilter.forall(_.exists(_.contains("skew")))) {
       val skewEdges = phase("skew generate (zipf s~1)") {
         val m = nBase * replicas
@@ -224,7 +243,7 @@ object ScaleProbe {
         println(s"[scale-probe] skew cc converged=${r.converged} rounds=${r.rounds}")
         r.release()
       }
-      if (skewSub("skew-wcc")) {
+      if (skewSubOptIn("skew-wcc")) {
         // the flagship's heavy phases on a hub graph: the degree-
         // oriented triangle-stats exchange and the seeding Pregel
         // (the refinement loop only sees the triangle-PRUNED graph,
@@ -246,7 +265,7 @@ object ScaleProbe {
         sg.unpersistVertices(blocking = false)
         sg.edges.unpersist(blocking = false)
       }
-      if (skewSub("skew-ktruss"))
+      if (skewSubOptIn("skew-ktruss"))
         phase("skew k-truss peel (k=4)") {
           import org.apache.spark.sql.functions.{col, least, greatest}
           val canon = skewEdges.select(

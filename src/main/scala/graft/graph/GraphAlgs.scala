@@ -828,12 +828,24 @@ object GraphAlgs {
       .mapValues(_.toArray).persist(StorageLevel.MEMORY_AND_DISK)
     adjOut.count(); adjIn.count()
 
-    var hub: RDD[(Long, Long)] = adjOut
+    val hub0: RDD[(Long, Long)] = adjOut
       .mapPartitions(_.map { case (u, _) => (u, 1000000L) },
         preservesPartitioning = true).persist()
+    var hub: RDD[(Long, Long)] = hub0
     var auth: RDD[(Long, Long)] = null
-    var prevHub: RDD[(Long, Long)] = null
-    var prevAuth: RDD[(Long, Long)] = null
+    // ONE Spark job per half-round: the max-fold below is the
+    // half-round's only action, and running it materializes the
+    // persisted raw sums en route; the normalized scores are then a
+    // LAZY mapValues view over that cache (partitioning preserved),
+    // consumed by the next half-round's zipPartitions — no separate
+    // count() job per normalization. On a scheduler-latency-bound
+    // host this halves the loop's job count (32 -> 16 for 8 rounds).
+    // The raw generation backing a lazy view must outlive its
+    // consumer, so unpersists trail by one half-round.
+    var aRawLive: RDD[(Long, Long)] = null
+    var hRawLive: RDD[(Long, Long)] = null
+    var prevARaw: RDD[(Long, Long)] = null
+    var prevHRaw: RDD[(Long, Long)] = null
     (1 to rounds).foreach { _ =>
       // authority half-round: a'(v) = Σ_{u→v} h(u)
       val aRaw = adjOut.zipPartitions(hub) { (aIt, hIt) =>
@@ -844,13 +856,11 @@ object GraphAlgs {
           outs.iterator.map(v => (v, hu))
         }
       }.reduceByKey(pIn, Math.addExact(_, _)).persist()
-      val aMax = aRaw.map(_._2).fold(1L)(math.max)
-      val nextAuth = aRaw.mapValues(v => mulDiv(v, 1000000L, aMax)).persist()
-      nextAuth.count()
-      aRaw.unpersist(blocking = false)
-      if (prevAuth != null) prevAuth.unpersist(blocking = false)
-      prevAuth = auth
-      auth = nextAuth
+      val aMax = aRaw.map(_._2).fold(1L)(math.max) // materializes aRaw
+      if (prevARaw != null) prevARaw.unpersist(blocking = false)
+      prevARaw = aRawLive
+      aRawLive = aRaw
+      auth = aRaw.mapValues(v => mulDiv(v, 1000000L, aMax))
       // hub half-round: h'(u) = Σ_{u→v} a(v)
       val hRaw = adjIn.zipPartitions(auth) { (aIt, sIt) =>
         val m = new java.util.HashMap[Long, Long]()
@@ -860,20 +870,19 @@ object GraphAlgs {
           ins.iterator.map(u => (u, av))
         }
       }.reduceByKey(pOut, Math.addExact(_, _)).persist()
-      val hMax = hRaw.map(_._2).fold(1L)(math.max)
-      val nextHub = hRaw.mapValues(v => mulDiv(v, 1000000L, hMax)).persist()
-      nextHub.count()
-      hRaw.unpersist(blocking = false)
-      if (prevHub != null) prevHub.unpersist(blocking = false)
-      prevHub = hub
-      hub = nextHub
+      val hMax = hRaw.map(_._2).fold(1L)(math.max) // materializes hRaw
+      if (prevHRaw != null) prevHRaw.unpersist(blocking = false)
+      prevHRaw = hRawLive
+      hRawLive = hRaw
+      hub = hRaw.mapValues(v => mulDiv(v, 1000000L, hMax))
     }
-    if (prevHub != null) prevHub.unpersist(blocking = false)
-    if (prevAuth != null) prevAuth.unpersist(blocking = false)
-    val fh = hub; val fa = auth
+    if (prevARaw != null) prevARaw.unpersist(blocking = false)
+    if (prevHRaw != null) prevHRaw.unpersist(blocking = false)
+    hub0.unpersist(blocking = false) // superseded after round 1
+    val lastA = aRawLive; val lastH = hRawLive
     (hub, auth, () => {
-      fh.unpersist(blocking = false)
-      fa.unpersist(blocking = false)
+      if (lastA != null) lastA.unpersist(blocking = false)
+      if (lastH != null) lastH.unpersist(blocking = false)
       adjOut.unpersist(blocking = false)
       adjIn.unpersist(blocking = false)
     })
@@ -1416,6 +1425,26 @@ object GraphAlgs {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
     import scala.jdk.CollectionConverters._
+    // Routing invariant, enforced LOUDLY: every query endpoint must
+    // have an adjacency slot on its partition. The lookups below are
+    // adjacency-driven, so a missing endpoint would silently drop
+    // the query (and in ktrussPeel silently lose support records —
+    // a quietly wrong truss). After the adjacency side is exhausted,
+    // any unconsumed query entry throws at materialization time —
+    // zero extra Spark jobs, same loud-or-correct discipline as the
+    // coreness round-0 NPE.
+    def drained[A](m: java.util.HashMap[Long, _], what: String)(
+        it: Iterator[A]): Iterator[A] =
+      it ++ new Iterator[A] {
+        def hasNext: Boolean = {
+          if (!m.isEmpty)
+            throw new IllegalStateException(
+              s"coLocatedIntersect: ${m.size} $what entries reference " +
+                s"vertices absent from the adjacency (first: ${m.keySet.iterator.next()})")
+          false
+        }
+        def next(): A = Iterator.empty.next()
+      }
     // hop 1 (at u): attach deg(u)
     val byU = queries.partitionBy(pv)
     val withDu: RDD[(Long, (Long, Int))] = adj.zipPartitions(byU) { (aIt, eIt) =>
@@ -1425,11 +1454,11 @@ object GraphAlgs {
         if (l == null) { l = new java.util.ArrayList[Long](); m.put(u, l) }
         l.add(v)
       }
-      aIt.flatMap { case (u, nu) =>
-        val l = m.get(u)
+      drained(m, "query-src")(aIt.flatMap { case (u, nu) =>
+        val l = m.remove(u)
         if (l == null) Iterator.empty
         else l.asScala.iterator.map(v => (v, (u, nu.length)))
-      }
+      })
     }.partitionBy(pv)
     // hop 2 (at v): the smaller side by (deg, id) ships, the larger
     // side hosts; a null array is the "please ship N(u) back" marker
@@ -1441,14 +1470,14 @@ object GraphAlgs {
           if (l == null) { l = new java.util.ArrayList[(Long, Int)](); m.put(v, l) }
           l.add(ud)
         }
-        aIt.flatMap { case (v, nv) =>
-          val l = m.get(v)
+        drained(m, "query-dst")(aIt.flatMap { case (v, nv) =>
+          val l = m.remove(v)
           if (l == null) Iterator.empty
           else l.asScala.iterator.map { case (u, du) =>
             val vSmaller = nv.length < du || (nv.length == du && v < u)
             if (vSmaller) (u, (v, nv)) else (u, (v, null: Array[Long]))
           }
-        }
+        })
       }.partitionBy(pv)
     // hop 3 (at u): resolve shipped arrays locally, forward N(u) for
     // the requests. Tagged rows: done=true carries (u, v, result
