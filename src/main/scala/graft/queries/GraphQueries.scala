@@ -184,14 +184,19 @@ object GraphQueries {
     val out = wccOut(spark, sfDir)
     val labels = spark.createDataFrame(
       out.graph.vertices.map { case (id, vd) => (id, vd.cId) }).toDF("vid", "cid")
-    val recomputed = WccCheck.globalWccOfPartition(canonEdges(spark, sfDir), labels,
+    val recomputed = WccCheck.globalWccOfPartitionDet(canonEdges(spark, sfDir), labels,
       precomputedCnt = Some(wccCheckCnt(spark, sfDir)))
     val nVertices = graph(spark, sfDir).numVertices
+    // wcc_round: the recomputed WCC VALUE (1e-9-rounded, scaled to a
+    // BIGINT) — the oracle recomputes it from its own seeding-replay
+    // labels through the identical blocked deterministic fold, so
+    // the hash compares the metric itself, not a stated boolean
     spark.createDataFrame(Seq((
       nVertices,
+      math.floor(recomputed * 1e9 + 0.5).toLong,
       math.abs(recomputed - out.bestWcc) <= 1e-9,
       recomputed > 0.0 && recomputed <= 1.0)))
-      .toDF("n_vertices", "wcc_recompute_ok", "wcc_in_unit")
+      .toDF("n_vertices", "wcc_round", "wcc_recompute_ok", "wcc_in_unit")
   }
 
   /** Value-level certificate for the SEEDING phase, mirroring
@@ -212,13 +217,14 @@ object GraphQueries {
       graph(spark, sfDir).vertices.leftOuterJoin(
         ig.vertices.map { case (id, vd) => (id, vd.cId) })
         .map { case (id, (_, c)) => (id, c.getOrElse(id)) }).toDF("vid", "cid")
-    val recomputed = WccCheck.globalWccOfPartition(canonEdges(spark, sfDir), labels,
+    val recomputed = WccCheck.globalWccOfPartitionDet(canonEdges(spark, sfDir), labels,
       precomputedCnt = Some(wccCheckCnt(spark, sfDir)))
     spark.createDataFrame(Seq((
       nVertices,
+      math.floor(recomputed * 1e9 + 0.5).toLong,
       math.abs(recomputed - claimed) <= 1e-9,
       recomputed > 0.0 && recomputed <= 1.0)))
-      .toDF("n_vertices", "wcc_recompute_ok", "wcc_in_unit")
+      .toDF("n_vertices", "wcc_round", "wcc_recompute_ok", "wcc_in_unit")
   }
 
   /** G4 alone (rows-only): partition after the Pregel seeding phase. */
@@ -819,32 +825,19 @@ object GraphQueries {
       .orderBy("vid")
   }
 
-  /** K-core decomposition via distributed H-index propagation. The
-   * fixpoint itself is not SQL-expressible, so the gate checks the
-   * defining invariants of a correct coreness assignment instead:
-   * every vertex has >= core(v) neighbors of coreness >= core(v)
-   * (the support property) and core(v) <= degree(v). A wrong
-   * decomposition — over-estimates, under-propagation — flips a
-   * boolean and fails the hash; exact per-vertex coreness is pinned
-   * by unit tests on hand-built graphs and served by Graft.kcore. */
-  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
-    val core = graft.graph.GraphAlgs.corenessDF(graph(spark, sfDir))
-    val sym = EdgeOps.symmetrize(canonEdges(spark, sfDir))
-    val nGe = sym
-      .join(core.select(col("vid").as("src"), col("core").as("core_src")), "src")
-      .join(core.select(col("vid").as("dst"), col("core").as("core_dst")), "dst")
-      .where(col("core_dst") >= col("core_src"))
-      .groupBy(col("src")).agg(count(lit(1)).as("n_ge"))
-    val deg = sym.groupBy(col("src").as("dvid")).agg(count(lit(1)).as("deg"))
-    core.join(nGe, col("vid") === col("src"), "left")
-      .join(deg, col("vid") === col("dvid"))
-      .select(col("vid"), col("core"),
-        (coalesce(col("n_ge"), lit(0L)) >= col("core")).as("support_ok"),
-        (col("core") <= col("deg")).as("bounded_ok"))
-      .agg(count(lit(1)).as("n_vertices"),
-        expr("bool_and(support_ok)").as("support_ok"),
-        expr("bool_and(bounded_ok)").as("bounded_ok"))
-  }
+  /** K-core decomposition via distributed H-index propagation,
+   * emitted as the full per-vertex coreness table. The oracle
+   * recomputes every coreness independently: the synchronous
+   * H-index recurrence h_0 = deg, h_{i+1}(v) = H({h_i(u) : u in
+   * N(v)}) is monotonically nonincreasing and converges to the true
+   * coreness (Lu et al., Nature Sci. Rep. 2016 — the same theorem
+   * the distributed loop rests on), and each round is one window
+   * expression in SQL (H-index = max over descending-sorted
+   * neighbor values of min(value, position)). Integer-exact on both
+   * engines, so the whole decomposition is hash-matched — no stated
+   * invariants. */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.corenessDF(graph(spark, sfDir)).orderBy("vid")
 
   /** Per-edge neighborhood Jaccard (link-prediction feature) over
    * the canonical co-purchase edges. */
@@ -1092,6 +1085,30 @@ object GraphQueries {
       |edges AS MATERIALIZED (
       |  SELECT src, dst FROM raw UNION SELECT dst AS src, src AS dst FROM raw)""".stripMargin
 
+  /** Float PageRank replayed exactly (shared by `g_pagerank` and the
+   * `g_pagerank_certified` mass recompute): the Spark side folds
+   * each vertex's contributions in ascending sender-id order
+   * (GraphAlgs.pagerankFloatRDD), and list_reduce over
+   * list(... ORDER BY e.src) is the same left fold — bit-identical
+   * doubles, zero tolerance. Every CTE a round references more than
+   * once is MATERIALIZED so DuckDB 1.0's CTE inlining cannot re-run
+   * the lineitem self-join per round. Ends at `r10 (vid, rank)`. */
+  private lazy val pagerankReplayCtes: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT e.dst AS vid,
+         |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE), list(r.rank / e.deg ORDER BY e.src)),
+         |      (acc, x) -> acc + x) AS rank
+         |  FROM ed e JOIN r${i - 1} r ON r.vid = e.src GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$MatEdgeCte,
+       |deg AS MATERIALIZED (SELECT src AS u, count(*) AS deg FROM edges GROUP BY src),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.u = e.src),
+       |r0 AS (SELECT DISTINCT src AS vid, CAST(1.0 AS DOUBLE) AS rank FROM edges),
+       |$rounds""".stripMargin
+  }
+
   /** Connected components of the weighted co-purchase backbone as an
    * unrolled hash-to-min fixpoint (min over self + neighbors + the
    * current label's own label = pointer doubling), NOT a recursive
@@ -1189,6 +1206,70 @@ object GraphQueries {
        |    PARTITION BY pe.src ORDER BY pe.cc DESC, pe.vt DESC, pe.dvid DESC) AS rn
        |  FROM pe JOIN f$rounds f ON f.vid = pe.dst WHERE f.flag) WHERE rn = 1)""".stripMargin
   }
+
+  /** Independent SQL recomputation of the global WCC VALUE of the
+   * emitted flagship partition, mirroring [[graft.wcc.WccCheck]]'s
+   * closed-form metric term by term: labels come from the seeding
+   * replay's `best` grafted onto the full vertex set (the exact
+   * partition `g_wcc_partition` certifies — the refinement loop
+   * rejects every movement at the gate scale, and the INITIAL
+   * partition's full-universe graft coincides with it by the same
+   * Output contract), full-graph t/vt from the replay's own
+   * common-neighbor counts (`sup`), intra-community tC/vtC from a
+   * second triangle pass over the triangle-pruned same-community
+   * edge set, and wcc_v = (tC * vt) / (t * (r - 1 + vt - vtC)) —
+   * one correctly-rounded IEEE division of exact integer products
+   * per vertex. The global average folds ascending-vid within
+   * 65536-id blocks then ascending-block — bit-identical to
+   * `WccCheck.globalWccOfPartitionDet`'s blocked fold, so the
+   * 1e-9-rounded value hash-matches with zero tolerance. Ends at
+   * `wg (g)`, with `wverts`/`wnv` available for the count. */
+  private def wccValueReplayCtes: String =
+    s"""${seedReplayCte()},
+       |wverts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM edges),
+       |wlab AS MATERIALIZED (
+       |  SELECT v.vid, coalesce(b.cid, v.vid) AS cid
+       |  FROM wverts v LEFT JOIN best b ON b.vid = v.vid),
+       |wtvt AS MATERIALIZED (
+       |  SELECT src AS vid, CAST(sum(c) // 2 AS BIGINT) AS t,
+       |    CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS vt
+       |  FROM supd GROUP BY src),
+       |wps AS MATERIALIZED (
+       |  SELECT s.src, s.dst FROM sup s
+       |  JOIN wlab a ON a.vid = s.src JOIN wlab b ON b.vid = s.dst
+       |  WHERE s.c > 0 AND a.cid = b.cid),
+       |wpsd AS MATERIALIZED (
+       |  SELECT src, dst FROM wps UNION ALL SELECT dst AS src, src AS dst FROM wps),
+       |wvtc AS MATERIALIZED (SELECT src AS vid, count(*) AS vtc FROM wpsd GROUP BY src),
+       |wcsup AS MATERIALIZED (
+       |  SELECT r.src, r.dst, count(*) AS c
+       |  FROM wps r JOIN wpsd a ON a.src = r.src
+       |             JOIN wpsd b ON b.src = r.dst AND b.dst = a.dst
+       |  GROUP BY r.src, r.dst),
+       |wtc AS MATERIALIZED (
+       |  SELECT vid, CAST(sum(c) // 2 AS BIGINT) AS tc FROM (
+       |    SELECT src AS vid, c FROM wcsup
+       |    UNION ALL SELECT dst AS vid, c FROM wcsup) GROUP BY vid),
+       |wr AS MATERIALIZED (SELECT cid, count(*) AS r FROM wlab GROUP BY cid),
+       |wnv AS (SELECT count(*) AS n FROM wlab),
+       |wpv AS MATERIALIZED (
+       |  SELECT l.vid,
+       |    CASE WHEN coalesce(t.t, 0) = 0 THEN CAST(0 AS DOUBLE)
+       |         ELSE CAST(coalesce(c.tc, 0) * t.vt AS DOUBLE)
+       |              / CAST(t.t * (r.r - 1 + t.vt - coalesce(vc.vtc, 0)) AS DOUBLE)
+       |    END AS w
+       |  FROM wlab l
+       |  LEFT JOIN wtvt t ON t.vid = l.vid
+       |  LEFT JOIN wtc c ON c.vid = l.vid
+       |  LEFT JOIN wvtc vc ON vc.vid = l.vid
+       |  JOIN wr r ON r.cid = l.cid),
+       |wg AS (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(bsum ORDER BY blk)),
+       |           (a, x) -> a + x) / (SELECT n FROM wnv) AS g
+       |  FROM (SELECT vid // 65536 AS blk,
+       |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY vid)),
+       |            (a, x) -> a + x) AS bsum
+       |        FROM wpv GROUP BY vid // 65536))""".stripMargin
 
   /** `WCCMetric.computeWccI(CommunityData(r, a, b), dIn, dOut,
    * globalCC, vertexCount)` as a DuckDB scalar expression with the
@@ -1562,11 +1643,28 @@ object GraphQueries {
     // UNION-dedup recursion bounds the working set at (vertex,
     // seen-label) pairs, then min per vertex = the component label
     // GraphX's min-propagation converges to
-    // k-core invariant contract: vertex count from the edge set,
-    // booleans TRUE (see the kcore query comment)
-    "g_kcore" ->
-      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
-         |  TRUE AS support_ok, TRUE AS bounded_ok FROM edges""".stripMargin,
+    // full per-vertex coreness recomputed in SQL: unrolled
+    // synchronous H-index recurrence from the degree (h-index of
+    // descending-sorted neighbor estimates = max(least(value, rank))
+    // per vertex per round). The distributed loop quiesces in 19
+    // rounds at sf0.01 ([graft-kcore] log); 40 unrolled rounds give
+    // >2x margin, and rounds past the fixpoint are no-ops. Both
+    // engines converge to the unique fixpoint (the true coreness),
+    // in pure integers — zero tolerance.
+    "g_kcore" -> {
+      val rounds = (1 to 40).map { i =>
+        s"""kh$i AS MATERIALIZED (
+           |  SELECT vid, max(least(hh, rn)) AS h FROM (
+           |    SELECT e.src AS vid, p.h AS hh, row_number() OVER (
+           |      PARTITION BY e.src ORDER BY p.h DESC) AS rn
+           |    FROM edges e JOIN kh${i - 1} p ON p.vid = e.dst)
+           |  GROUP BY vid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $MatEdgeCte,
+         |kh0 AS MATERIALIZED (SELECT src AS vid, count(*) AS h FROM edges GROUP BY src),
+         |$rounds
+         |SELECT vid, CAST(h AS BIGINT) AS core FROM kh40""".stripMargin
+    },
     // two independent implementations, one hash-to-min fixed point
     "g_cc_twophase" ->
       s"""WITH ${backboneCompCte()}
@@ -1582,22 +1680,9 @@ object GraphQueries {
     // than once (edges, deg, ed, each r$i via the next round only —
     // but edges per round) is MATERIALIZED so DuckDB 1.0's CTE
     // inlining cannot re-run the lineitem self-join per round.
-    "g_pagerank" -> {
-      val rounds = (1 to 10).map { i =>
-        s"""r$i AS MATERIALIZED (
-           |  SELECT e.dst AS vid,
-           |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * list_reduce(
-           |      list_prepend(CAST(0.0 AS DOUBLE), list(r.rank / e.deg ORDER BY e.src)),
-           |      (acc, x) -> acc + x) AS rank
-           |  FROM ed e JOIN r${i - 1} r ON r.vid = e.src GROUP BY e.dst)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $MatEdgeCte,
-         |deg AS MATERIALIZED (SELECT src AS u, count(*) AS deg FROM edges GROUP BY src),
-         |ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.u = e.src),
-         |r0 AS (SELECT DISTINCT src AS vid, CAST(1.0 AS DOUBLE) AS rank FROM edges),
-         |$rounds
-         |SELECT vid, floor(rank * 1e6 + 0.5) / 1e6 AS rank FROM r10""".stripMargin
-    },
+    "g_pagerank" ->
+      s"""WITH $pagerankReplayCtes
+         |SELECT vid, floor(rank * 1e6 + 0.5) / 1e6 AS rank FROM r10""".stripMargin,
     // (A+I)x / max power iteration replayed exactly: sender-sorted
     // fold for the neighbor sum, own score added once, then the
     // order-free max normalization. x$i is referenced twice per
@@ -1885,13 +1970,19 @@ object GraphQueries {
          |  SELECT e.dst FROM reach JOIN edges e ON e.src = reach.v)
          |SELECT (SELECT count(*) FROM reach) AS n_reached,
          |  TRUE AS closure_ok, TRUE AS relaxed_ok, TRUE AS support_ok""".stripMargin,
-    // rank-mass invariant as a cross-engine VALUE: the rounded total
-    // mass must equal |V|, which the oracle recomputes in SQL;
-    // teleport-floor boolean certified by Spark
+    // rank-mass invariant as a cross-engine VALUE: mass_round is the
+    // ACTUAL total rank mass of the 10-round PageRank replay, rounded
+    // to the nearest integer in SQL — sink-free mass conservation
+    // makes it equal |V| on both engines (Spark measures the GraphX
+    // staticPageRank mass, the oracle sums its own replayed ranks;
+    // each is within float noise of |V|, so both round exactly).
+    // A broken iteration that leaks or inflates mass by >= 0.5 flips
+    // this value; teleport-floor boolean certified by Spark.
     "g_pagerank_certified" ->
-      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
-         |  count(DISTINCT src) AS mass_round,
-         |  TRUE AS mass_ok, TRUE AS floor_ok FROM edges""".stripMargin,
+      s"""WITH $pagerankReplayCtes
+         |SELECT (SELECT count(DISTINCT src) FROM edges) AS n_vertices,
+         |  CAST(floor(sum(rank) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mass_round,
+         |  TRUE AS mass_ok, TRUE AS floor_ok FROM r10""".stripMargin,
     // flagship partition invariants: SQL recomputes |V| AND the
     // pruned-singleton count (vertices outside the triangle core);
     // booleans certified by Spark
@@ -1906,19 +1997,30 @@ object GraphQueries {
          |    - (SELECT count(*) FROM tc) AS n_pruned_singletons,
          |  TRUE AS partition_total_ok, TRUE AS pruned_singleton_ok,
          |  TRUE AS wcc_positive, TRUE AS has_community""".stripMargin,
-    // flagship VALUE certificate: the independent DataFrame recompute
-    // of the emitted partition's global WCC equals the claimed
-    // bestWcc (see wccPartitionWccCheck); booleans certified by
-    // Spark, exact vertex count from SQL
+    // flagship VALUE certificate: wcc_round IS the global WCC of the
+    // emitted partition, recomputed in SQL from the seeding replay's
+    // labels via the closed-form metric + the blocked deterministic
+    // fold (see wccValueReplayCtes) — bit-identical to the Spark
+    // side's independent WccCheck recompute, hash-compared at 1e-9
+    // scaling. The claimed-vs-recomputed agreement boolean stays
+    // Spark-certified.
     "g_wcc_partition_wcc_check" ->
-      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
-         |  TRUE AS wcc_recompute_ok, TRUE AS wcc_in_unit FROM edges""".stripMargin,
-    // seeding VALUE certificate: independent recompute of the seed
-    // partition's global WCC equals the pipeline's own evaluation
-    // (see wccInitialPartitionWccCheck)
+      s"""WITH $wccValueReplayCtes
+         |SELECT (SELECT count(*) FROM wverts) AS n_vertices,
+         |  (SELECT CAST(floor(g * CAST(1e9 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |     AS BIGINT) FROM wg) AS wcc_round,
+         |  TRUE AS wcc_recompute_ok, TRUE AS wcc_in_unit""".stripMargin,
+    // seeding VALUE certificate, same machinery: the initial
+    // partition grafted onto the full vertex universe is the same
+    // (vid, cid) set the seeding replay emits (Output graft-back
+    // contract), so its recomputed WCC value is the identical SQL
+    // expression
     "g_wcc_initial_partition_wcc_check" ->
-      s"""$EdgeCte SELECT count(DISTINCT src) AS n_vertices,
-         |  TRUE AS wcc_recompute_ok, TRUE AS wcc_in_unit FROM edges""".stripMargin,
+      s"""WITH $wccValueReplayCtes
+         |SELECT (SELECT count(*) FROM wverts) AS n_vertices,
+         |  (SELECT CAST(floor(g * CAST(1e9 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |     AS BIGINT) FROM wg) AS wcc_round,
+         |  TRUE AS wcc_recompute_ok, TRUE AS wcc_in_unit""".stripMargin,
     // incremental-replay invariants: SQL recomputes |V| AND the bulk
     // vertex-set size (endpoints of edges with both ids below
     // floor(maxId * 0.8) — the split rule of the micro-batch driver,

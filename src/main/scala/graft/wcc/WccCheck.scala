@@ -55,7 +55,27 @@ object WccCheck {
    * `precomputedCnt` takes an [[edgeCommonCounts]] result computed
    * earlier in the session (it must be for the SAME edge set). */
   def globalWccOfPartition(edges: DataFrame, labels: DataFrame,
-      precomputedCnt: Option[DataFrame] = None): Double = {
+      precomputedCnt: Option[DataFrame] = None): Double =
+    globalWccOfPartitionImpl(edges, labels, precomputedCnt, det = false)
+
+  /** [[globalWccOfPartition]] with a DETERMINISTIC summation: the
+   * per-vertex wcc terms fold in ascending-vid order within
+   * 65536-id blocks, then the block sums fold in ascending-block
+   * order — the same two-level discipline as
+   * [[IncrementalWCC.detGlobalCC]], and bit-reproducible across
+   * partitionings. Every per-vertex term is one correctly-rounded
+   * IEEE division of exact integer products, so the whole value is
+   * bit-identical to the DuckDB oracle's replay of the same fold
+   * (list_reduce over list(... ORDER BY vid/blk)) — letting the
+   * `_wcc_check` rows hash-compare the VALUE, not just a stated
+   * boolean. Block sums collect to the driver: O(maxId / 2^16)
+   * doubles. */
+  def globalWccOfPartitionDet(edges: DataFrame, labels: DataFrame,
+      precomputedCnt: Option[DataFrame] = None): Double =
+    globalWccOfPartitionImpl(edges, labels, precomputedCnt, det = true)
+
+  private def globalWccOfPartitionImpl(edges: DataFrame, labels: DataFrame,
+      precomputedCnt: Option[DataFrame], det: Boolean): Double = {
     import org.apache.spark.sql.graft.GraftExpressions.intersectCount
 
     val cntShared = precomputedCnt.isDefined
@@ -101,14 +121,28 @@ object WccCheck {
       .join(vtc, Seq("vid"), "left")
       .join(tc, Seq("vid"), "left")
       .join(r, Seq("cid"))
-      .select(
+      .select(col("vid"),
         when(col("t").isNull || col("t") === 0L, lit(0.0))
           .otherwise(
             (coalesce(col("tc"), lit(0L)) * col("vt")).cast("double") /
               (col("t") * (col("r") - 1L + col("vt") - coalesce(col("vtc"), lit(0L))))
                 .cast("double"))
           .as("wcc_v"))
-    val total = perVertex.agg(sum("wcc_v")).head().getDouble(0)
+    val total =
+      if (!det) perVertex.agg(sum("wcc_v")).head().getDouble(0)
+      else {
+        // blocked ascending-vid left fold (see globalWccOfPartitionDet)
+        val blockSums = perVertex
+          .groupBy(expr("vid div 65536").as("blk"))
+          .agg(expr("aggregate(array_sort(collect_list(struct(vid, wcc_v)))," +
+            " cast(0.0 as double), (acc, x) -> acc + x.wcc_v)").as("bsum"))
+          .collect()
+          .map(row => (row.getLong(0), row.getDouble(1)))
+          .sortBy(_._1)
+        var s = 0.0; var i = 0
+        while (i < blockSums.length) { s += blockSums(i)._2; i += 1 }
+        s
+      }
     if (!cntShared) cnt.unpersist(blocking = false)
     total / n
   }
