@@ -9,17 +9,21 @@ import org.apache.spark.sql.functions._
  * decode/feature-extract/frame-sample stages as batch-shaped
  * partition-local transforms.
  *
- * The IMAGE modality is decoded for real: `asMediaWithImages`
- * generates genuine PNG payloads (javax.imageio, in the JVM — no
- * native deps) and `decodeReal` parses them back with the actual
- * codec, reporting decoder-read dimensions and a decoded-raster
- * checksum. The container has no audio/video codecs, so those
- * modalities run `decodeStub`, a clearly-marked DETERMINISTIC FAKE
- * deriving "decoded" metadata arithmetically from the payload
- * bytes. Everything around both (the binary schema, fixed-size
- * chunking for shuffle-friendly payload movement, the mapPartitions
- * batch shape, partitioning) is real and tested; swapping the
- * remaining stub for a codec binding changes one function.
+ * All THREE modalities are decoded for real: `asMediaWithImages`
+ * generates genuine PNG payloads (javax.imageio), genuine WAV
+ * payloads (javax.sound.sampled — the JVM's own RIFF/WAVE codec,
+ * used for BOTH encode and decode), and genuine Y4M video payloads
+ * (the plain YUV4MPEG2 container: text header + FRAME-delimited raw
+ * 4:2:0 planes, parsed back by a real header/frame walker).
+ * `decodeReal` reports decoder-read dimensions/sample counts and a
+ * decoded-content checksum, so a corrupt payload or a broken codec
+ * path fails loud or hash-mismatches. `decodeStub` remains only as
+ * the documented arithmetic fake for the text-payload pipelines
+ * (resize planning / feature extraction), where the payload is an
+ * opaque stand-in by design. Everything around the codecs (the
+ * binary schema, fixed-size chunking for shuffle-friendly payload
+ * movement, the mapPartitions batch shape, partitioning) is real
+ * and tested.
  *
  * Scale: payloads never pass through a groupBy — chunking is a
  * map-side explode with arithmetic bounds, and decode is
@@ -89,33 +93,158 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Media ingest with REAL image assets: image-typed rows carry an
-   * actual PNG payload, generated deterministically per record
-   * (width = 1 + n % 64, height = 1 + n % 48, gray level
-   * media_id % 256, with n the utf-8 byte length of the source
-   * text), while audio/video rows keep the opaque text-derived
-   * payload. Per-record generation is partition-local batch work —
-   * the shape a real asset fetch/transcode stage runs in. */
+  val WavSampleRate = 8000
+
+  /** A real mono 16-bit PCM WAV of `n` samples, samples
+   * s_i = (seed + i) % 256 - 128 — encoded by the JVM's own
+   * RIFF/WAVE codec (javax.sound.sampled), so downstream decode
+   * exercises the genuine audio container parser. */
+  def wavBytes(n: Int, seed: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      WavSampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((seed + i) % 256) - 128).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** A real YUV4MPEG2 (y4m) clip: plain-text stream header
+   * (`YUV4MPEG2 W.. H.. F25:1 Ip A1:1 C420jpeg`), then per frame a
+   * `FRAME` marker line followed by raw 4:2:0 planes
+   * (w*h + 2*(w/2)*(h/2) bytes). Every plane byte of frame f is
+   * (seed + f) % 256 — the decoder reads the actual bytes; the
+   * oracle predicts the sum arithmetically. */
+  def y4mBytes(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "4:2:0 needs even dimensions")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    val planeBytes = w * h + 2 * (w / 2) * (h / 2)
+    var f = 0
+    while (f < frames) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      val b = ((seed + f) % 256).toInt
+      val plane = new Array[Byte](planeBytes)
+      java.util.Arrays.fill(plane, b.toByte)
+      bos.write(plane)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Media ingest with REAL assets in all three modalities,
+   * generated deterministically per record from (media_id, n) with
+   * n the utf-8 byte length of the source text — so the DuckDB
+   * oracle predicts every decoder-read value arithmetically:
+   *  - image: PNG, width 1 + n % 64, height 1 + n % 48, gray level
+   *    media_id % 256;
+   *  - audio: WAV (PCM mono 16-bit, 8 kHz), 1 + n % 960 samples,
+   *    sample_i = (media_id + i) % 256 - 128;
+   *  - video: y4m, width 2*(1 + n % 16), height 2*(1 + n % 12),
+   *    1 + n % 25 frames, frame-f planes filled with
+   *    (media_id + f) % 256.
+   * Per-record generation is partition-local batch work — the shape
+   * a real asset fetch/transcode stage runs in. */
   def asMediaWithImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val mt = mediaTypeOf(id)
-        val bytes = text.getBytes("UTF-8")
-        val payload =
-          if (mt == "image")
-            pngBytes(1 + bytes.length % 64, 1 + bytes.length % 48, (id % 256).toInt)
-          else bytes
+        val n = text.getBytes("UTF-8").length
+        val payload = mt match {
+          case "image" => pngBytes(1 + n % 64, 1 + n % 48, (id % 256).toInt)
+          case "audio" => wavBytes(1 + n % 960, id)
+          case _       => y4mBytes(2 * (1 + n % 16), 2 * (1 + n % 12), 1 + n % 25, id)
+        }
         MediaRow(id, payload, mt)
       })
   }
 
-  /** REAL decode for the image modality: javax.imageio parses the
-   * PNG payload — width/height come from the decoder and the
-   * checksum is the sum of decoded R+G+B over the raster, so a
-   * corrupt payload or broken codec path fails loud (null decode
-   * throws) or hash-mismatches (wrong pixels). audio/video rows run
-   * the documented [[decodeStub]]. */
+  /** REAL WAV decode via the JVM's audio codec: the container is
+   * parsed by javax.sound.sampled (format, sample rate, frame
+   * count), the PCM payload is read back and reassembled into
+   * 16-bit samples, and the checksum is Σ (sample + 128) over the
+   * DECODED samples. Returns (n_samples, sample_rate, checksum). */
+  def decodeWav(payload: Array[Byte]): (Int, Int, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+      !fmt.isBigEndian, s"unexpected WAV format: $fmt")
+    val nSamples = ais.getFrameLength.toInt
+    val pcm = ais.readAllBytes()
+    require(pcm.length == nSamples * 2,
+      s"WAV data length ${pcm.length} != 2 * $nSamples")
+    var sum = 0L
+    var i = 0
+    while (i < nSamples) {
+      val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+      sum += s.toLong + 128L
+      i += 1
+    }
+    (nSamples, fmt.getSampleRate.toInt, sum)
+  }
+
+  /** REAL y4m decode: walks the actual container — verifies the
+   * YUV4MPEG2 magic, reads W/H from the stream header, then
+   * consumes FRAME-marker lines and the raw 4:2:0 planes they
+   * delimit, summing every decoded plane byte. Returns
+   * (width, height, n_frames, checksum of all plane bytes). */
+  def decodeY4m(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < payload.length && payload(i) != '\n') i += 1
+      require(i < payload.length, "y4m: unterminated header line")
+      i
+    }
+    val he = lineEnd(0)
+    val header = new String(payload, 0, he, "US-ASCII")
+    val toks = header.split(" ")
+    require(toks(0) == "YUV4MPEG2", s"y4m: bad magic '${toks(0)}'")
+    def param(p: Char): Int = toks.find(_.headOption.contains(p)) match {
+      case Some(t) => t.drop(1).toInt
+      case None => throw new IllegalArgumentException(s"y4m: missing $p param")
+    }
+    val w = param('W'); val h = param('H')
+    require(toks.exists(_.startsWith("C420")) || !toks.exists(_.startsWith("C")),
+      "y4m: only 4:2:0 supported")
+    val planeBytes = w * h + 2 * (w / 2) * (h / 2)
+    var pos = he + 1
+    var frames = 0
+    var sum = 0L
+    while (pos < payload.length) {
+      val fe = lineEnd(pos)
+      val marker = new String(payload, pos, fe - pos, "US-ASCII")
+      require(marker == "FRAME" || marker.startsWith("FRAME "),
+        s"y4m: expected FRAME marker at $pos, got '$marker'")
+      pos = fe + 1
+      require(pos + planeBytes <= payload.length, "y4m: truncated frame")
+      var i = 0
+      while (i < planeBytes) { sum += (payload(pos + i) & 0xff).toLong; i += 1 }
+      pos += planeBytes
+      frames += 1
+    }
+    (w, h, frames, sum)
+  }
+
+  /** REAL decode for ALL modalities: javax.imageio parses PNG
+   * payloads (decoder-read dims, decoded-raster R+G+B checksum),
+   * javax.sound.sampled parses WAV payloads ([[decodeWav]]:
+   * width = decoded sample count, height = decoded sample rate,
+   * checksum over decoded samples), and [[decodeY4m]] walks the
+   * y4m container (decoder-read dims + frame count, checksum over
+   * decoded plane bytes). A corrupt payload or broken codec path
+   * fails loud (decode throws) or hash-mismatches (wrong
+   * content). */
   def decodeReal(spark: SparkSession, media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import spark.implicits._
     media.mapPartitions(_.map { r =>
@@ -138,12 +267,20 @@ object Multimodal {
           y += 1
         }
         DecodedRow(r.media_id, r.media_type, img.getWidth, img.getHeight, 1, sum)
-      } else decodeStub(r)
+      } else if (r.media_type == "audio") {
+        val (nSamples, rate, sum) = decodeWav(r.payload)
+        DecodedRow(r.media_id, r.media_type, nSamples, rate, 1, sum)
+      } else {
+        val (w, h, frames, sum) = decodeY4m(r.payload)
+        DecodedRow(r.media_id, r.media_type, w, h, frames, sum)
+      }
     })
   }
 
-  /** DETERMINISTIC FAKE decode — replace with a real codec binding in
-   * production. Partition-local batch shape: one pass over the
+  /** DETERMINISTIC FAKE decode for the text-payload pipelines
+   * (resize planning / feature extraction run on opaque text-derived
+   * payloads by design; real-codec decode of real assets is
+   * [[decodeReal]]). Partition-local batch shape: one pass over the
    * payload bytes per record, no data movement. */
   def decodeStub(r: MediaRow): DecodedRow = {
     var sum = 0L
@@ -198,12 +335,12 @@ object Multimodal {
       })
   }
 
-  /** Frame sampling on the fake-decoded stream: every 5th frame. */
-  def sampleFrames(spark: SparkSession, media: DataFrame): DataFrame = {
-    import spark.implicits._
-    decodeAll(spark, media)
+  /** Frame sampling (every 5th frame) over a decoded table — fed by
+   * [[decodeReal]], so n_frames is the count the y4m walker actually
+   * read out of the container. */
+  def sampleFramesDecoded(decoded: DataFrame): DataFrame =
+    decoded
       .where(col("media_type") === "video")
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
-  }
 }

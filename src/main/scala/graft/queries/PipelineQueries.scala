@@ -491,9 +491,10 @@ object PipelineQueries {
       Similarity.quantizeInt8(embs(s, d)).orderBy("vec_id")),
     "p_media_chunks" -> ((s, d) =>
       Multimodal.chunks(Multimodal.asMedia(docs(s, d))).orderBy("media_id", "chunk_idx")),
-    // image rows are REAL PNGs decoded by javax.imageio (decoder-read
-    // dims + decoded-raster checksum); audio/video run the documented
-    // stub — both legs under one oracle
+    // all three modalities are REAL containers decoded by real
+    // parsers (PNG via javax.imageio, WAV via javax.sound.sampled,
+    // y4m via the frame walker) — decoder-read dims/sample counts +
+    // decoded-content checksums, one oracle across the legs
     "p_media_decode" -> ((s, d) =>
       Multimodal.decodeReal(s, Multimodal.asMediaWithImages(s, docs(s, d))).toDF()
         .select(col("media_id"), col("media_type"),
@@ -501,8 +502,12 @@ object PipelineQueries {
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"), col("checksum"))
         .orderBy("media_id")),
+    // every-5th-frame sampling driven by the REAL y4m decoder's
+    // frame count (the generator writes 1 + n % 25 frames, so the
+    // oracle predicts the decoded count arithmetically)
     "p_media_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(s, Multimodal.asMedia(docs(s, d)))
+      Multimodal.sampleFramesDecoded(
+        Multimodal.decodeReal(s, Multimodal.asMediaWithImages(s, docs(s, d))).toDF())
         .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
           col("frame_idx").cast("long").as("frame_idx"))
         .orderBy("media_id", "frame_idx")),
@@ -1176,32 +1181,47 @@ object PipelineQueries {
         |  FROM m)
         |SELECT media_id, chunk_idx,
         |  least(4096, n_bytes - chunk_idx * 4096) AS chunk_len FROM c""".stripMargin,
-    // image rows: the Spark side decodes a REAL generated PNG, so the
-    // oracle predicts the generation parameters (dims from the text
-    // byte length, raster checksum 3*gray*w*h — PNG is lossless, so
-    // the decoded pixels must reproduce the gray level exactly).
-    // audio/video rows: stub semantics — BYTE-based checksum on both
-    // sides (Spark sums unsigned UTF-8 payload bytes; here the
-    // payload's hex dump is decoded back to byte values).
+    // ALL THREE modalities decode REAL containers Spark-side (PNG via
+    // javax.imageio, WAV via javax.sound.sampled, y4m via the frame
+    // walker), so the oracle predicts the decoder-read values from
+    // the generation parameters — lossless codecs mean the decoded
+    // content must reproduce them exactly:
+    //  - image: dims from the text byte length, raster checksum
+    //    3*gray*w*h;
+    //  - audio: width = sample count 1 + n % 960, height = 8000 Hz,
+    //    checksum = sum over samples of (media_id + i) % 256 (the
+    //    generator writes sample_i = (media_id+i)%256 - 128 and the
+    //    decoder sums sample+128);
+    //  - video: even dims 2*(1+n%16) x 2*(1+n%12), 1 + n % 25
+    //    frames, checksum = sum over frames of (media_id+f)%256
+    //    times the 4:2:0 plane size w*h*3/2.
     "p_media_decode" ->
-      """WITH m AS (SELECT doc_id AS media_id, text,
+      """WITH m AS (SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type
         |  FROM documents),
-        |hx AS (SELECT doc_id, hex(encode(text)) AS h,
-        |  octet_length(encode(text)) AS nb FROM documents),
-        |ck AS (SELECT doc_id, CAST(sum(
-        |    (strpos('0123456789ABCDEF', substring(h, 2*i-1, 1)) - 1) * 16 +
-        |    (strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1)) AS BIGINT) AS checksum
-        |  FROM hx, unnest(generate_series(1, nb)) t(i) GROUP BY doc_id)
-        |SELECT media_id, media_type,
-        |  CASE WHEN media_type = 'image' THEN 1 + n % 64 ELSE 64 + n % 577 END AS width,
-        |  CASE WHEN media_type = 'image' THEN 1 + n % 48 ELSE 64 + n % 433 END AS height,
+        |ack AS (SELECT media_id, CAST(sum((media_id + i) % 256) AS BIGINT) AS checksum
+        |  FROM m, unnest(generate_series(0, 1 + n % 960 - 1)) t(i)
+        |  WHERE media_type = 'audio' GROUP BY media_id),
+        |vck AS (SELECT media_id, CAST(sum(
+        |    ((media_id + f) % 256)
+        |    * ((2 * (1 + n % 16)) * (2 * (1 + n % 12)) * 3 // 2)) AS BIGINT) AS checksum
+        |  FROM m, unnest(generate_series(0, 1 + n % 25 - 1)) t(f)
+        |  WHERE media_type = 'video' GROUP BY media_id)
+        |SELECT m.media_id, media_type,
+        |  CASE WHEN media_type = 'image' THEN 1 + n % 64
+        |       WHEN media_type = 'audio' THEN 1 + n % 960
+        |       ELSE 2 * (1 + n % 16) END AS width,
+        |  CASE WHEN media_type = 'image' THEN 1 + n % 48
+        |       WHEN media_type = 'audio' THEN 8000
+        |       ELSE 2 * (1 + n % 12) END AS height,
         |  CASE WHEN media_type = 'video' THEN 1 + n % 25 ELSE 1 END AS n_frames,
         |  CASE WHEN media_type = 'image'
-        |    THEN 3 * (media_id % 256) * (1 + n % 64) * (1 + n % 48)
-        |    ELSE checksum END AS checksum
-        |FROM m JOIN ck ON ck.doc_id = m.media_id""".stripMargin,
+        |         THEN 3 * (m.media_id % 256) * (1 + n % 64) * (1 + n % 48)
+        |       WHEN media_type = 'audio' THEN a.checksum
+        |       ELSE v.checksum END AS checksum
+        |FROM m LEFT JOIN ack a ON a.media_id = m.media_id
+        |       LEFT JOIN vck v ON v.media_id = m.media_id""".stripMargin,
     "p_media_resize" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n FROM documents),

@@ -315,13 +315,18 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(d => d.width >= 64 && d.height >= 64 && d.n_frames >= 1))
   }
 
-  test("real image decode: imageio round-trips generated PNG dims and raster") {
+  test("real decode: PNG/WAV/y4m containers round-trip generation params") {
     val media = Multimodal.asMediaWithImages(spark, docs)
-    // image payloads must be real PNGs (magic bytes), not text
+    // payloads must be real containers (magic bytes), not text
     val png = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    val riff = "RIFF".getBytes("US-ASCII")
+    val y4m = "YUV4MPEG2".getBytes("US-ASCII")
     media.collect().foreach { r =>
-      if (r.media_type == "image") assert(r.payload.take(4).sameElements(png))
-      else assert(!r.payload.take(4).sameElements(png))
+      r.media_type match {
+        case "image" => assert(r.payload.take(4).sameElements(png))
+        case "audio" => assert(r.payload.take(4).sameElements(riff))
+        case _       => assert(r.payload.take(9).sameElements(y4m))
+      }
     }
     val out = Multimodal.decodeReal(spark, media).collect().sortBy(_.media_id)
     assert(out.length === docs.count())
@@ -329,26 +334,55 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
     out.foreach { d =>
       val n = texts(d.media_id).getBytes("UTF-8").length
-      if (d.media_type == "image") {
-        // decoder-read dims equal the generation parameters, and the
-        // decoded raster reproduces the gray level exactly (lossless)
-        assert(d.width === 1 + n % 64)
-        assert(d.height === 1 + n % 48)
-        assert(d.checksum === 3L * (d.media_id % 256) * d.width * d.height)
-      } else {
-        assert(d.width === 64 + n % 577) // stub leg unchanged
+      d.media_type match {
+        case "image" =>
+          // decoder-read dims equal the generation parameters, and the
+          // decoded raster reproduces the gray level exactly (lossless)
+          assert(d.width === 1 + n % 64)
+          assert(d.height === 1 + n % 48)
+          assert(d.checksum === 3L * (d.media_id % 256) * d.width * d.height)
+        case "audio" =>
+          // decoder-read sample count / rate + checksum over DECODED
+          // 16-bit samples: sum of (id + i) % 256
+          val ns = 1 + n % 960
+          assert(d.width === ns)
+          assert(d.height === Multimodal.WavSampleRate)
+          assert(d.n_frames === 1)
+          assert(d.checksum === (0 until ns).map(i => (d.media_id + i) % 256).sum)
+        case _ =>
+          // y4m walker: header dims, counted FRAME markers, checksum
+          // over decoded plane bytes
+          val (w, h, nf) = (2 * (1 + n % 16), 2 * (1 + n % 12), 1 + n % 25)
+          assert(d.width === w)
+          assert(d.height === h)
+          assert(d.n_frames === nf)
+          val plane = w * h * 3 / 2
+          assert(d.checksum ===
+            (0 until nf).map(f => (d.media_id + f) % 256 * plane).sum)
       }
     }
   }
 
-  test("real image decode fails loud on an undecodable payload") {
+  test("real decode fails loud on undecodable payloads in every modality") {
     import spark.implicits._
-    val bad = spark.createDataset(Seq(
-      Multimodal.MediaRow(1L, "not a png".getBytes("UTF-8"), "image")))
-    val e = intercept[org.apache.spark.SparkException] {
-      Multimodal.decodeReal(spark, bad).collect()
+    for (mt <- Seq("image", "audio", "video")) {
+      val bad = spark.createDataset(Seq(
+        Multimodal.MediaRow(1L, s"not a $mt container".getBytes("UTF-8"), mt)))
+      val e = intercept[org.apache.spark.SparkException] {
+        Multimodal.decodeReal(spark, bad).collect()
+      }
+      assert(e.getMessage != null)
     }
-    assert(e.getMessage != null)
+  }
+
+  test("y4m decode rejects a truncated frame") {
+    val ok = Multimodal.y4mBytes(4, 4, 2, 7L)
+    val (w, h, nf, _) = Multimodal.decodeY4m(ok)
+    assert((w, h, nf) === ((4, 4, 2)))
+    val truncated = ok.dropRight(3)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m(truncated)
+    }
   }
 }
 
