@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE final JSON line (the scored artifact).
+  *
+  * Trustworthiness protocol (VERDICT r9 item 1): a single run on this
+  * host swings +/-50% with invisible co-tenant load (same-day spread
+  * 320 -> 467 s on identical code, PERF.md), and the start-load gate
+  * cannot see mid-run contention. So the suite runs
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) — each under its own
+  * quiet-box gate and a FRESH SparkSession (fresh SparkContext, so no
+  * cross-run cache/memo reuse; JIT warmth does carry, which measures
+  * steady-state) — and the MEDIAN run by total is emitted as the
+  * scored line, with every run's total + load annotations embedded
+  * under "runs" so the scored number is auditable against its
+  * siblings. bench_full.json carries per-query times for all runs.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,84 +23,124 @@ object Bench {
     // at a fraction of the machine
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      .config("spark.sql.adaptive.enabled", "true")
-      // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as Long
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     // optional comma-separated name filter for local iteration (the
     // driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // host load (1/5/15-min averages) at run start and end: single
-    // runs on this host swing +/-50% with background load (PERF.md),
-    // so every bench artifact carries the load it was measured under
-    // — cross-round comparisons are mechanically load-annotated
+
+    // host load (1/5/15-min averages) at run start and end: every
+    // bench artifact carries the load it was measured under —
+    // cross-round comparisons are mechanically load-annotated
     def loadAvg(): String =
       try {
         val s = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         s.trim.split("\\s+").take(3).mkString(" ")
       } catch { case _: Throwable => "unknown" }
-    // Quiet-box gate: a loaded host inflates the scored total ~1.6x
-    // (round 8 ran at load 5.9-13.2 and measured 505.7 s vs 299-329 s
-    // unloaded on identical code), so wait for the 1-min load to
-    // drop below the threshold before starting — bounded, so a
-    // permanently busy box still produces an artifact (annotated
-    // with the load it actually ran under).
     def load1(): Double =
       try loadAvg().split(" ")(0).toDouble catch { case _: Throwable => -1.0 }
+
+    // Quiet-box gate before EACH run: a loaded host inflates totals
+    // ~1.6x (round 8 ran at load 5.9-13.2 and measured 505.7 s vs
+    // 299-329 s unloaded on identical code). Bounded, so a
+    // permanently busy box still produces an artifact (annotated
+    // with the load it actually ran under).
     val maxStartLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble).getOrElse(2.0)
     val maxWaitMs = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toLong * 1000L)
       .getOrElse(600000L)
-    val waitT0 = System.currentTimeMillis()
-    var waitedMs = 0L
-    while (load1() > maxStartLoad &&
-        (System.currentTimeMillis() - waitT0) < maxWaitMs) {
-      System.err.println(s"[bench] 1-min load ${load1()} > $maxStartLoad — waiting")
-      Thread.sleep(15000L)
-      waitedMs = System.currentTimeMillis() - waitT0
-    }
-    val loadStart = loadAvg()
-    // deterministic run order (alphabetical), errors surfaced on stderr
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          false
+    def quietGate(): Long = {
+      val t0 = System.currentTimeMillis()
+      var waited = 0L
+      while (load1() > maxStartLoad &&
+          (System.currentTimeMillis() - t0) < maxWaitMs) {
+        System.err.println(s"[bench] 1-min load ${load1()} > $maxStartLoad — waiting")
+        Thread.sleep(15000L)
+        waited = System.currentTimeMillis() - t0
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      waited / 1000L
     }
-    // The harness captures only the last ~4 KB of stdout; at 130+
-    // queries a full per-query map (~4.5 KB even at 3 decimals) gets
-    // its head truncated → unparseable (BENCH_r03 "parsed": null).
-    // Stdout therefore carries a compact line — group subtotals plus
-    // the slowest 25 queries — and the complete map goes to stderr
-    // and bench_full.json for diagnostics.
+
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val loadEnd = loadAvg()
-    val loadJson =
-      s"""{"start":"$loadStart","end":"$loadEnd","waited_sec":${waitedMs / 1000}}"""
-    val fullMap = jmap(results.map { case (k, v, ok) =>
-      k -> (if (ok) d3(v) else "-1") })
-    System.err.println(s"[bench-full] $fullMap")
-    System.err.println(s"[bench-load] $loadJson")
+
+    final case class Run(results: Seq[(String, Double, Boolean)], loadJson: String) {
+      def total: Double = results.collect { case (_, v, true) => v }.sum
+      def nFailed: Int = results.count(!_._3)
+    }
+
+    def runSuite(runIdx: Int): Run = {
+      val waitedSec = quietGate()
+      val loadStart = loadAvg()
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.adaptive.enabled", "true")
+        // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as Long
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      // deterministic run order (alphabetical), errors surfaced on stderr
+      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      val loadEnd = loadAvg()
+      graft.queries.SessionMemo.clear(spark)
+      spark.stop()
+      val loadJson =
+        s"""{"start":"$loadStart","end":"$loadEnd","waited_sec":$waitedSec}"""
+      val run = Run(results, loadJson)
+      System.err.println(
+        s"[bench] run $runIdx: total=${d3(run.total)} failed=${run.nFailed} load=$loadJson")
+      run
+    }
+
+    val runs = (1 to math.max(1, nRuns)).map(runSuite)
+
+    // the scored run: median total (lower-middle on even counts — for
+    // 2 runs that is the min, the standard clean-code estimator under
+    // additive noise)
+    val byTotal = runs.zipWithIndex.sortBy(_._1.total)
+    val (scored, scoredIdx) = byTotal((byTotal.size - 1) / 2)
+    val results = scored.results
+
+    // The harness captures only the last ~4 KB of stdout; at 250+
+    // queries a full per-query map gets its head truncated →
+    // unparseable (BENCH_r03 "parsed": null). Stdout therefore
+    // carries a compact line — group subtotals plus the slowest 25
+    // queries — and the complete per-run maps go to stderr and
+    // bench_full.json for diagnostics.
+    runs.zipWithIndex.foreach { case (r, i) =>
+      val fullMap = jmap(r.results.map { case (k, v, ok) =>
+        k -> (if (ok) d3(v) else "-1") })
+      System.err.println(s"[bench-full] run=${i + 1} $fullMap")
+    }
+    val runsJson = runs.map(r =>
+      s"""{"total":${d3(r.total)},"failed":${r.nFailed},"load":${r.loadJson}}""")
+      .mkString("[", ",", "]")
     try {
+      val fullRuns = runs.map { r =>
+        val m = jmap(r.results.map { case (k, v, ok) =>
+          k -> (if (ok) d3(v) else "-1") })
+        s"""{"load":${r.loadJson},"queries":$m}"""
+      }.mkString("[", ",", "]")
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"load":$loadJson,"queries":$fullMap}""".getBytes("UTF-8")); ()
+        s"""{"picked":${scoredIdx + 1},"runs":$fullRuns}""".getBytes("UTF-8")); ()
     } catch { case _: Throwable => () }
+
     val groups = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
       .map { case (g, rs) => s"grp_$g" -> d3(rs.collect { case (_, v, true) => v }.sum) }
     val slow = results.filter(_._3).sortBy(-_._2).take(25)
@@ -95,11 +150,9 @@ object Bench {
     // the stdout line (for capture paths without the ~4 KB stdout
     // cap); default stays the compact groups+slowest form
     val qs =
-      if (sys.env.get("SPARK_GRAFT_FULL_QUERIES").contains("1")) fullMap
+      if (sys.env.get("SPARK_GRAFT_FULL_QUERIES").contains("1"))
+        jmap(results.map { case (k, v, ok) => k -> (if (ok) d3(v) else "-1") })
       else jmap(groups ++ failed ++ slow)
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"load":$loadJson,"queries":$qs,"sf":"$sfDir"}""")
-    graft.queries.SessionMemo.clear(spark)
-    spark.stop()
+    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${failed.size},"picked_run":${scoredIdx + 1},"runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
   }
 }
