@@ -265,6 +265,34 @@ object ScaleProbe {
         sg.unpersistVertices(blocking = false)
         sg.edges.unpersist(blocking = false)
       }
+      if (skewSubOptIn("skew-idwcc"))
+        // hub-ARRIVAL micro-batch: the bulk state is the Zipf graph,
+        // and the batch connects ONE brand-new vertex to B existing
+        // vertices — every batch edge touches the new hub, so the
+        // merge's delta triangle recount intersects the hub's
+        // B-long post-merge neighborhood against every batch
+        // neighbor: Σ(deg_i + B) = O(B²) comparisons is the term
+        // that grows first. B scales with |E| so the 2x/10x diff
+        // exposes the growth exponent.
+        phase("skew idwcc hub-arrival merge") {
+          import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+          val maxV = skewEdges
+            .agg(max(greatest(col("src"), col("dst")))).head().getLong(0)
+          val b = math.max(5000L, nBase * replicas / 40L)
+          val hubId = maxV + 1
+          println(s"[scale-probe] idwcc hub batch: B=$b hub=$hubId")
+          val bulkRdd = skewEdges.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+          val bulkGraph = Graph.fromEdges(bulkRdd, 0)
+            .partitionBy(PartitionStrategy.EdgePartition2D)
+          val state = IncrementalWCC.prepare(bulkGraph, None)
+          val batch = spark.sparkContext.range(1L, b + 1)
+            .map(i => Edge(i, hubId, 1))
+          val out = IncrementalWCC.run(state, batch)
+          val n = out.graph.vertices.count()
+          println(s"[scale-probe] idwcc merged |V|=$n")
+          out.graph.unpersistVertices(blocking = false)
+          out.graph.edges.unpersist(blocking = false)
+        }
       if (skewSubOptIn("skew-ktruss"))
         phase("skew k-truss peel (k=4)") {
           import org.apache.spark.sql.functions.{col, least, greatest}
@@ -316,6 +344,81 @@ object ScaleProbe {
         println(s"[scale-probe] dedup-hot starEdges=$nE clusters=$nClusters (hot block=${nDocs / 5})")
       }
       docs.unpersist(blocking = false)
+    }
+
+    // IVF with ONE HOT CELL: 20% of vectors are near-identical, so
+    // k-means collapses them into a single cell. The cell-partitioned
+    // search joins every hot-cell query against every hot-cell
+    // member: (0.2N/queryMod) * 0.2N scored rows — the quadratic
+    // term a skewed corpus exposes that uniform sf embeddings never
+    // do. 2x/10x diff shows the growth exponent of the scored-row
+    // count and wall.
+    if (phaseFilter.exists(_.exists(_ == "ivf-hot"))) {
+      import graft.ops.Similarity
+      val nVec = (nBase * replicas / 16L).max(20000L)
+      val dims = 16
+      val embs = phase(s"ivf-hot generate ($nVec vecs)") {
+        val e = spark.range(nVec).select(
+          col("id").as("vec_id"),
+          (col("id") % 7).cast("int").as("label"),
+          when(col("id") % 5 === 0,
+            // the hot block: one point + per-vector 1e-3 jitter on
+            // dim 0 (keeps vectors distinct but co-celled)
+            expr(s"transform(sequence(1, $dims), j -> CAST(" +
+              "CASE WHEN j = 1 THEN 10.0 + (id % 97) / 97000.0 ELSE 5.0 END" +
+              " AS FLOAT))"))
+            .otherwise(
+              expr(s"transform(sequence(1, $dims), j -> CAST(" +
+                "sin(CAST(id * 31 + j * 7 AS DOUBLE)) AS FLOAT))"))
+            .as("embedding")).cache()
+        e.count(); e
+      }
+      // capped first (the scale path — bounded fanout, runs at any
+      // replica factor), then uncapped (the exponent measurement —
+      // only run it at <= 2x: 10x uncapped is the demonstrated
+      // multi-hour quadratic blowup)
+      phase("ivf-hot kmeans top-k capped") {
+        val out = Similarity.ivfKmeansTopK(embs, k = 5, queryMod = 10,
+          cells = 8, cellCap = 1024)
+        println(s"[scale-probe] ivf-hot capped result rows=${out.count()}")
+      }
+      if (replicas <= 2) phase("ivf-hot kmeans top-k uncapped") {
+        val out = Similarity.ivfKmeansTopK(embs, k = 5, queryMod = 10, cells = 8)
+        println(s"[scale-probe] ivf-hot uncapped result rows=${out.count()}")
+      }
+      embs.unpersist(blocking = false)
+    }
+
+    // Streaming dedup with a HOT KEY: 20% of events carry ONE
+    // (user_id, event_type) pair, so every duplicate hashes to the
+    // same state-store partition — the state stays O(distinct keys)
+    // but one task absorbs the hot key's whole arrival volume. The
+    // probe measures the drain wall at 2x/10x volume.
+    if (phaseFilter.exists(_.exists(_ == "stream-dedup"))) {
+      val nEv = (nBase * replicas).max(100000L)
+      val dir = java.nio.file.Files.createTempDirectory("graft-sdprobe").toString
+      phase(s"stream-dedup generate ($nEv events)") {
+        spark.range(nEv).select(
+          expr("timestamp_micros(CAST(1700000000000000 + id * 1000 AS BIGINT))").as("ts"),
+          when(col("id") % 5 === 0, lit(42L))
+            .otherwise(col("id") % 65536).as("user_id"),
+          when(col("id") % 5 === 0, lit("hot"))
+            .otherwise(concat(lit("t"), (col("id") % 13).cast("string")))
+            .as("event_type"))
+          .coalesce(8).write.mode("overwrite").parquet(dir)
+      }
+      phase("stream-dedup drain") {
+        import org.apache.spark.sql.streaming.Trigger
+        val schema = spark.read.parquet(dir).schema
+        val src = spark.readStream.schema(schema).parquet(dir)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("user_id", "event_type")
+        val q = src.writeStream
+          .outputMode("append").format("memory")
+          .queryName("sdprobe").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        println(s"[scale-probe] stream-dedup distinct=${spark.table("sdprobe").count()}")
+      }
     }
 
     if (wanted("floatdet")) {

@@ -454,6 +454,33 @@ object PipelineQueries {
         expr("bool_and(mono = 1)").as("monotone_ok"),
         expr("bool_and(selfhit = 0)").as("no_self_ok"))
     }),
+    // the hot-cell scale path: per-cell candidate set truncated to
+    // cellCap=32 in deterministic hash order BEFORE scoring (bounds
+    // the cell join at O(queries x cap) under any skew — the
+    // ScaleProbe ivf-hot corpus measures the uncapped path at
+    // growth exponent ~2.9). The cap binds on the sf corpus
+    // (~60-member cells), so the gate exercises the truncated
+    // ranking under the same structural contract as the uncapped
+    // k-means row.
+    "p_ann_ivf_capped" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val topk = Similarity.ivfKmeansTopK(embs(s, d), cellCap = 32)
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      val per = topk
+        .withColumn("prev_score", lag(col("score"), 1).over(w))
+        .groupBy(col("query_id")).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("neighbor_id")).as("nd"),
+          min((col("prev_score").isNull ||
+            col("prev_score") >= col("score")).cast("int")).as("mono"),
+          max((col("neighbor_id") === col("query_id")).cast("int")).as("selfhit"))
+      per.agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("n")).as("n_rows"),
+        expr("bool_and(n = 5 AND nd = 5)").as("k_ok"),
+        expr("bool_and(mono = 1)").as("monotone_ok"),
+        expr("bool_and(selfhit = 0)").as("no_self_ok"))
+    }),
     // band-key width pinned to deriveBandBits(500) = 9 — the sf0.01
     // corpus count the driver verifies at — so the static oracle's
     // inlined plane literals replay the identical signature
@@ -1063,6 +1090,13 @@ object PipelineQueries {
     // structural contract for the k-means IVF path (see the query
     // comment): counts from the probe-set definition, booleans TRUE
     "p_ann_ivf_kmeans" ->
+      """SELECT count(*) AS n_queries, CAST(count(*) * 5 AS BIGINT) AS n_rows,
+        |  TRUE AS k_ok, TRUE AS monotone_ok, TRUE AS no_self_ok
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+    // same structural contract for the capped variant: the cap (32)
+    // stays >= k+1 on every cell, so each probe query still yields
+    // exactly k distinct non-self neighbors in monotone score order
+    "p_ann_ivf_capped" ->
       """SELECT count(*) AS n_queries, CAST(count(*) * 5 AS BIGINT) AS n_rows,
         |  TRUE AS k_ok, TRUE AS monotone_ok, TRUE AS no_self_ok
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
