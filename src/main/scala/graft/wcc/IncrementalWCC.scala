@@ -143,17 +143,30 @@ object IncrementalWCC {
    * reference's newEdge/borderEdge/newVt flag logic. */
   private[wcc] def updateVertexData(graph: Graph[VertexData, Int],
       bBorder: Broadcast[Set[Long]], bNew: Broadcast[Set[Long]]): Graph[VertexData, Int] = {
-    // post-merge neighborhoods for border/new vertices only (`:120-130`)
-    val nbrs: VertexRDD[Array[Long]] = graph.aggregateMessages[Array[Long]](
-      ctx => {
-        val touched = (id: Long) => bBorder.value.contains(id) || bNew.value.contains(id)
-        if (touched(ctx.srcId)) ctx.sendToSrc(Array(ctx.dstId))
-        if (touched(ctx.dstId)) ctx.sendToDst(Array(ctx.srcId))
-      }, _ ++ _)
+    // post-merge neighborhoods for border/new vertices only
+    // (`:120-130`), built with a groupByKey shuffle rather than an
+    // aggregateMessages array-concat combiner: the concat combiner
+    // left-folds `_ ++ _`, reallocating the growing array once per
+    // message — O(D²/P) allocation churn for a degree-D vertex,
+    // which the hub-arrival skew probe measured as tens of GiB of
+    // garbage on a 202k-degree hub. groupByKey buffers the group
+    // once and converts to an array once: O(D) state and
+    // allocations, any skew.
+    val touchedNbrs: org.apache.spark.rdd.RDD[(Long, Array[Long])] = graph.edges
+      .flatMap { e =>
+        // capture eagerly: GraphX edge iterators reuse the Edge object
+        val u = e.srcId; val v = e.dstId
+        val border = bBorder.value; val nw = bNew.value
+        val touched = (id: Long) => border.contains(id) || nw.contains(id)
+        (if (touched(u)) (u, v) :: Nil else Nil) :::
+          (if (touched(v)) (v, u) :: Nil else Nil)
+      }
+      .groupByKey()
+      .mapValues { it => val a = it.toArray; java.util.Arrays.sort(a); a }
 
     val ng: Graph[(VertexData, Array[Long]), Int] =
-      graph.outerJoinVertices(nbrs)((_, vd, a) =>
-        (vd, a.map(_.sorted).getOrElse(Array.empty[Long])))
+      graph.outerJoinVertices(touchedNbrs)((_, vd, a) =>
+        (vd, a.getOrElse(Array.empty[Long])))
 
     // per-edge delta counters with the reference's flag logic
     // (`:132-160`): counter counts common neighbors w of a
@@ -166,16 +179,48 @@ object IncrementalWCC {
         val borderEdge = border.contains(ctx.srcId) && border.contains(ctx.dstId)
         val newEdge = nw.contains(ctx.srcId) || nw.contains(ctx.dstId)
         if (newEdge || borderEdge) {
-          val a = ctx.srcAttr._2; val b = ctx.dstAttr._2
-          var i = 0; var j = 0; var c = 0; var newVt = true
-          while (i < a.length && j < b.length) {
-            val x = a(i); val y = b(j)
-            if (x == y) {
-              if (x != ctx.srcId && x != ctx.dstId) {
-                if (newEdge || nw.contains(x)) c += 1 else newVt = false
+          // skewed pairs (hub-leaf edges dominate a power-law batch)
+          // gallop: scan the SMALLER sorted array and advance in the
+          // larger by doubling steps + binary search — O(min * log
+          // max) instead of the merge scan's O(min + max), which on
+          // a degree-D hub paid O(D) per incident edge = O(D²) per
+          // hub (the skew probe's super-linear wall term). Balanced
+          // pairs keep the linear merge scan. Identical commons
+          // either way — the counts are bit-equal.
+          val sa = ctx.srcAttr._2; val sb = ctx.dstAttr._2
+          val swap = sa.length > sb.length
+          val a = if (swap) sb else sa
+          val b = if (swap) sa else sb
+          var c = 0; var newVt = true
+          @inline def visit(x: Long): Unit =
+            if (x != ctx.srcId && x != ctx.dstId) {
+              if (newEdge || nw.contains(x)) c += 1 else newVt = false
+            }
+          if (a.length.toLong * 16 < b.length) {
+            var i = 0; var lo = 0
+            while (i < a.length && lo < b.length) {
+              val x = a(i)
+              // doubling probe from lo, then binary search the window
+              var step = 1; var hi = lo
+              while (hi < b.length && b(hi) < x) { lo = hi + 1; hi = lo + step - 1; step *= 2 }
+              if (hi >= b.length) hi = b.length - 1
+              // invariant: b(lo-1) < x (if lo>0), b(hi) >= x or hi is last
+              var l = lo; var h = hi
+              while (l < h) {
+                val m = (l + h) >>> 1
+                if (b(m) < x) l = m + 1 else h = m
               }
-              i += 1; j += 1
-            } else if (x < y) i += 1 else j += 1
+              if (l < b.length && b(l) == x) { visit(x); lo = l + 1 }
+              else lo = l
+              i += 1
+            }
+          } else {
+            var i = 0; var j = 0
+            while (i < a.length && j < b.length) {
+              val x = a(i); val y = b(j)
+              if (x == y) { visit(x); i += 1; j += 1 }
+              else if (x < y) i += 1 else j += 1
+            }
           }
           val ind = if (c > 0 && newVt) 1 else 0
           ctx.sendToSrc((c, ind)); ctx.sendToDst((c, ind))
