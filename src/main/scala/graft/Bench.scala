@@ -48,11 +48,16 @@ object Bench {
     val maxStartLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble).getOrElse(2.0)
     val maxWaitMs = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toLong * 1000L)
       .getOrElse(600000L)
-    def quietGate(): Long = {
+    // only the FIRST run gets the full wait budget: with 3 runs a
+    // per-run 10-min gate could stall the artifact ~30 min on a busy
+    // box; later runs start from a just-idle JVM anyway, so a short
+    // top-up wait suffices (the median pick absorbs one noisy run)
+    def quietGate(runIdx: Int): Long = {
+      val budgetMs = if (runIdx == 1) maxWaitMs else math.min(maxWaitMs, 120000L)
       val t0 = System.currentTimeMillis()
       var waited = 0L
       while (load1() > maxStartLoad &&
-          (System.currentTimeMillis() - t0) < maxWaitMs) {
+          (System.currentTimeMillis() - t0) < budgetMs) {
         System.err.println(s"[bench] 1-min load ${load1()} > $maxStartLoad — waiting")
         Thread.sleep(15000L)
         waited = System.currentTimeMillis() - t0
@@ -71,7 +76,7 @@ object Bench {
     }
 
     def runSuite(runIdx: Int): Run = {
-      val waitedSec = quietGate()
+      val waitedSec = quietGate(runIdx)
       val loadStart = loadAvg()
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
