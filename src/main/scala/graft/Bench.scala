@@ -117,9 +117,15 @@ object Bench {
 
     // the scored run: median total (lower-middle on even counts — for
     // 2 runs that is the min, the standard clean-code estimator under
-    // additive noise)
-    val byTotal = runs.zipWithIndex.sortBy(_._1.total)
-    val (scored, scoredIdx) = byTotal((byTotal.size - 1) / 2)
+    // additive noise). Runs with failures sort LAST regardless of
+    // total: a failed query contributes 0 s, so its run's total is
+    // artificially small and must not win the pick while a fully
+    // green sibling exists.
+    val byTotal = runs.zipWithIndex.sortBy { case (r, _) => (r.nFailed, r.total) }
+    val nGreen = runs.count(_.nFailed == 0)
+    val (scored, scoredIdx) =
+      if (nGreen > 0) byTotal((nGreen - 1) / 2)
+      else byTotal((byTotal.size - 1) / 2)
     val results = scored.results
 
     // The harness captures only the last ~4 KB of stdout; at 250+
