@@ -134,18 +134,20 @@ object Bench {
     // carries a compact line — group subtotals plus the slowest 25
     // queries — and the complete per-run maps go to stderr and
     // bench_full.json for diagnostics.
-    runs.zipWithIndex.foreach { case (r, i) =>
-      val fullMap = jmap(r.results.map { case (k, v, ok) =>
-        k -> (if (ok) d3(v) else "-1") })
-      System.err.println(s"[bench-full] run=${i + 1} $fullMap")
+    // one per-query map string per run, shared by the stderr lines,
+    // bench_full.json, and the optional full-queries stdout path —
+    // the three outputs cannot drift in format
+    def fullMapOf(r: Run): String =
+      jmap(r.results.map { case (k, v, ok) => k -> (if (ok) d3(v) else "-1") })
+    val fullMaps = runs.map(fullMapOf)
+    runs.indices.foreach { i =>
+      System.err.println(s"[bench-full] run=${i + 1} ${fullMaps(i)}")
     }
     val runsJson = runs.map(r =>
       s"""{"total":${d3(r.total)},"failed":${r.nFailed},"load":${r.loadJson}}""")
       .mkString("[", ",", "]")
     try {
-      val fullRuns = runs.map { r =>
-        val m = jmap(r.results.map { case (k, v, ok) =>
-          k -> (if (ok) d3(v) else "-1") })
+      val fullRuns = runs.zip(fullMaps).map { case (r, m) =>
         s"""{"load":${r.loadJson},"queries":$m}"""
       }.mkString("[", ",", "]")
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
@@ -161,8 +163,7 @@ object Bench {
     // the stdout line (for capture paths without the ~4 KB stdout
     // cap); default stays the compact groups+slowest form
     val qs =
-      if (sys.env.get("SPARK_GRAFT_FULL_QUERIES").contains("1"))
-        jmap(results.map { case (k, v, ok) => k -> (if (ok) d3(v) else "-1") })
+      if (sys.env.get("SPARK_GRAFT_FULL_QUERIES").contains("1")) fullMapOf(scored)
       else jmap(groups ++ failed ++ slow)
     println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${failed.size},"picked_run":${scoredIdx + 1},"runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
   }

@@ -807,8 +807,11 @@ object GraphAlgs {
    * state nodes with in-edges (general HITS: a node with both keeps
    * both scores).
    *
-   * Returns (hubs, authorities) keyed by node id, both persisted —
-   * call the release thunk when consumed.
+   * Returns (hubs, authorities) keyed by node id — LAZY normalized
+   * views over the final persisted raw-sum generations (cheap
+   * mapValues per action; materialize once and reuse). The release
+   * thunk unpersists the backing raws and adjacencies — after it,
+   * any further action on the views recomputes the full lineage.
    */
   def hitsDetRDD(edges: org.apache.spark.rdd.RDD[(Long, Long)],
       rounds: Int = 8): (org.apache.spark.rdd.RDD[(Long, Long)],
@@ -816,6 +819,7 @@ object GraphAlgs {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
+    require(rounds >= 1, s"hitsDetRDD needs >= 1 round, got $rounds")
     val nE = edges.count()
     val parts = math.max(8, math.min(edges.getNumPartitions,
       math.max(1, (2 * nE / 500000L).toInt)))

@@ -233,6 +233,11 @@ object Multimodal {
       pos += planeBytes
       frames += 1
     }
+    // a header-only payload (truncated right after the stream header)
+    // must fail loud here, not as a downstream sequence() error on
+    // n_frames = 0 — every valid clip this library writes has >= 1
+    // frame
+    require(frames >= 1, "y4m: no frames after stream header")
     (w, h, frames, sum)
   }
 

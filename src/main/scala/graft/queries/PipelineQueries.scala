@@ -36,6 +36,40 @@ object PipelineQueries {
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  /** Shared structural-contract reduction for the k-means IVF rows
+   * (learned cell centers cannot be replayed in SQL): exactly k
+   * distinct non-self neighbors per probe query, scores
+   * non-increasing with rank. A broken index (empty cells, self
+   * matches, unsorted heap) flips a boolean and fails the hash.
+   * One definition for the uncapped and capped rows, so a future
+   * contract tweak cannot silently diverge between them — the
+   * oracle twin is [[AnnStructuralOracle]]. */
+  private def annStructuralContract(topk: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    topk
+      .withColumn("prev_score", lag(col("score"), 1).over(w))
+      .groupBy(col("query_id")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("neighbor_id")).as("nd"),
+        min((col("prev_score").isNull ||
+          col("prev_score") >= col("score")).cast("int")).as("mono"),
+        max((col("neighbor_id") === col("query_id")).cast("int")).as("selfhit"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("n")).as("n_rows"),
+        expr("bool_and(n = 5 AND nd = 5)").as("k_ok"),
+        expr("bool_and(mono = 1)").as("monotone_ok"),
+        expr("bool_and(selfhit = 0)").as("no_self_ok"))
+  }
+
+  /** Oracle twin of [[annStructuralContract]]: counts from the
+   * probe-set definition, booleans TRUE. */
+  private val AnnStructuralOracle: String =
+    """SELECT count(*) AS n_queries, CAST(count(*) * 5 AS BIGINT) AS n_rows,
+      |  TRUE AS k_ok, TRUE AS monotone_ok, TRUE AS no_self_ok
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
   /** Cached (doc_id, shingle) rows — the input of minhash sigs, LSH
    * bands/pairs, and jaccard. */
   private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
@@ -435,25 +469,8 @@ object PipelineQueries {
     // exactly k distinct non-self neighbors per probe query, scores
     // non-increasing with rank. A broken index (empty cells, self
     // matches, unsorted heap) flips a boolean and fails the hash.
-    "p_ann_ivf_kmeans" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val topk = Similarity.ivfKmeansTopK(embs(s, d))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-      val per = topk
-        .withColumn("prev_score", lag(col("score"), 1).over(w))
-        .groupBy(col("query_id")).agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("neighbor_id")).as("nd"),
-          min((col("prev_score").isNull ||
-            col("prev_score") >= col("score")).cast("int")).as("mono"),
-          max((col("neighbor_id") === col("query_id")).cast("int")).as("selfhit"))
-      per.agg(
-        count(lit(1)).as("n_queries"),
-        sum(col("n")).as("n_rows"),
-        expr("bool_and(n = 5 AND nd = 5)").as("k_ok"),
-        expr("bool_and(mono = 1)").as("monotone_ok"),
-        expr("bool_and(selfhit = 0)").as("no_self_ok"))
-    }),
+    "p_ann_ivf_kmeans" -> ((s, d) =>
+      annStructuralContract(Similarity.ivfKmeansTopK(embs(s, d)))),
     // the hot-cell scale path: per-cell candidate set truncated to
     // cellCap=32 in deterministic hash order BEFORE scoring (bounds
     // the cell join at O(queries x cap) under any skew — the
@@ -462,25 +479,8 @@ object PipelineQueries {
     // (~60-member cells), so the gate exercises the truncated
     // ranking under the same structural contract as the uncapped
     // k-means row.
-    "p_ann_ivf_capped" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val topk = Similarity.ivfKmeansTopK(embs(s, d), cellCap = 32)
-      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-      val per = topk
-        .withColumn("prev_score", lag(col("score"), 1).over(w))
-        .groupBy(col("query_id")).agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("neighbor_id")).as("nd"),
-          min((col("prev_score").isNull ||
-            col("prev_score") >= col("score")).cast("int")).as("mono"),
-          max((col("neighbor_id") === col("query_id")).cast("int")).as("selfhit"))
-      per.agg(
-        count(lit(1)).as("n_queries"),
-        sum(col("n")).as("n_rows"),
-        expr("bool_and(n = 5 AND nd = 5)").as("k_ok"),
-        expr("bool_and(mono = 1)").as("monotone_ok"),
-        expr("bool_and(selfhit = 0)").as("no_self_ok"))
-    }),
+    "p_ann_ivf_capped" -> ((s, d) =>
+      annStructuralContract(Similarity.ivfKmeansTopK(embs(s, d), cellCap = 32))),
     // band-key width pinned to deriveBandBits(500) = 9 — the sf0.01
     // corpus count the driver verifies at — so the static oracle's
     // inlined plane literals replay the identical signature
@@ -1087,19 +1087,13 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
-    // structural contract for the k-means IVF path (see the query
-    // comment): counts from the probe-set definition, booleans TRUE
-    "p_ann_ivf_kmeans" ->
-      """SELECT count(*) AS n_queries, CAST(count(*) * 5 AS BIGINT) AS n_rows,
-        |  TRUE AS k_ok, TRUE AS monotone_ok, TRUE AS no_self_ok
-        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
-    // same structural contract for the capped variant: the cap (32)
-    // stays >= k+1 on every cell, so each probe query still yields
-    // exactly k distinct non-self neighbors in monotone score order
-    "p_ann_ivf_capped" ->
-      """SELECT count(*) AS n_queries, CAST(count(*) * 5 AS BIGINT) AS n_rows,
-        |  TRUE AS k_ok, TRUE AS monotone_ok, TRUE AS no_self_ok
-        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+    // structural contract for the k-means IVF paths (see
+    // annStructuralContract): counts from the probe-set definition,
+    // booleans TRUE. The capped variant keeps cap (32) >= k+1 on
+    // every cell, so each probe query still yields exactly k
+    // distinct non-self neighbors in monotone score order.
+    "p_ann_ivf_kmeans" -> AnnStructuralOracle,
+    "p_ann_ivf_capped" -> AnnStructuralOracle,
     "p_embed_centroids" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT label, CAST(i - 1 AS BIGINT) AS dim,

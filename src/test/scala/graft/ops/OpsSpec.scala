@@ -375,13 +375,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("y4m decode rejects a truncated frame") {
+  test("y4m decode rejects a truncated frame and a header-only payload") {
     val ok = Multimodal.y4mBytes(4, 4, 2, 7L)
     val (w, h, nf, _) = Multimodal.decodeY4m(ok)
     assert((w, h, nf) === ((4, 4, 2)))
     val truncated = ok.dropRight(3)
     intercept[IllegalArgumentException] {
       Multimodal.decodeY4m(truncated)
+    }
+    // payload cut right after the stream header: zero frames must
+    // fail loud, not decode to n_frames = 0
+    val headerOnly = ok.takeWhile(_ != '\n') :+ '\n'.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m(headerOnly)
     }
   }
 }
