@@ -302,6 +302,18 @@ object GraphQueries {
     EdgeOps.loadJsonlEdges(spark, dir).orderBy("src", "dst")
   }
 
+  /** S1+S6 variant: ORC sink + source round trip — the columnar
+   * sibling of parquet (same predicate-pushdown / column-pruning
+   * behavior through the DataSource V2 scan; the landing format of
+   * Hive-lineage warehouses a 100 TB ingest commonly starts from).
+   * Declared schema on read, like the JSONL twin. */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagingDir(spark, s"orc:$sfDir")
+    canonEdges(spark, sfDir)
+      .write.mode("overwrite").orc(dir)
+    spark.read.schema("src BIGINT, dst BIGINT").orc(dir).orderBy("src", "dst")
+  }
+
   /** Beyond-reference graph breadth: 10-iteration float PageRank on
    * the co-purchase graph. The per-vertex sums fold contributions
    * in ascending sender-id order ([[graft.graph.GraphAlgs
@@ -1736,6 +1748,7 @@ object GraphQueries {
          |FROM vol LEFT JOIN cut ON vol.cid = cut.cid, m2""".stripMargin,
     "g_csv_roundtrip" -> s"$EdgeCte SELECT src, dst FROM raw",
     "g_jsonl_roundtrip" -> s"$EdgeCte SELECT src, dst FROM raw",
+    "g_orc_roundtrip" -> s"$EdgeCte SELECT src, dst FROM raw",
     "g_edges_sym" -> s"$EdgeCte SELECT src, dst FROM edges",
     "g_degrees" -> s"$EdgeCte SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src",
     "g_adjacency" ->
@@ -2202,6 +2215,7 @@ object GraphQueries {
     "g_label_propagation_det" -> labelPropagationDeterministic _,
     "g_csv_roundtrip" -> csvRoundtrip _,
     "g_jsonl_roundtrip" -> jsonlRoundtrip _,
+    "g_orc_roundtrip" -> orcRoundtrip _,
     "g_bfs_hops" -> bfsHops _,
     "g_neighbor_jaccard" -> neighborJaccard _,
     "g_kcore" -> kcore _,

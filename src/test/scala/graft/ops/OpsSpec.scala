@@ -108,6 +108,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans ivf cellCap: non-binding cap is byte-identical; binding cap bounds candidates") {
+    // cap far above any cell size: results must equal the uncapped
+    // path row-for-row (the 'sub-cap cells byte-identical' contract)
+    val uncapped = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100).collect()
+    val loose = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100,
+      cellCap = 1000000).collect()
+    assert(loose.map(_.toSeq).toSeq === uncapped.map(_.toSeq).toSeq)
+    // binding cap: still k distinct non-self neighbors per query,
+    // deterministic across invocations
+    val a = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100, cellCap = 8).collect()
+    val b = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100, cellCap = 8).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    a.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length === 5)
+      assert(rows.map(_.getLong(2)).distinct.length === 5)
+      assert(!rows.exists(_.getLong(2) == q))
+    }
+  }
+
   test("near-dup pairs: subset of exact all-pairs, identical cosines, no dups") {
     val nd = Similarity.nearDupPairs(e, 0.2).collect()
     assert(nd.nonEmpty)
