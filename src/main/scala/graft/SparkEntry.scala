@@ -27,6 +27,7 @@ object SparkEntry {
     RelationalQueries.queries ++ AdvancedQueries.queries ++ GraphQueries.queries ++
       PipelineQueries.queries ++ SqlSurfaceQueries.queries ++ Round5Queries.queries ++ Round6Queries.queries ++ Round7Queries.queries ++ Round8Queries.queries ++ Map(
       "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _),
+      "s_stream_hourly_rocksdb" -> (graft.streaming.StreamOps.hourlyEventCountsRocksDB _),
       "s_stream_hourly_append" -> (graft.streaming.StreamOps.hourlyEventCountsAppend _),
       "s_stream_multibatch_topk" -> ((s: SparkSession, d: String) =>
         graft.streaming.StreamOps.multiBatchTopUsers(s, d)),
@@ -51,6 +52,9 @@ object SparkEntry {
       // the streaming query drains the bounded source completely, so
       // its final table equals the batch aggregation
       "s_stream_hourly" -> RelationalQueries.oracles("r_events_hourly"),
+      // the RocksDB provider changes only where state lives — same
+      // drained table, same oracle
+      "s_stream_hourly_rocksdb" -> RelationalQueries.oracles("r_events_hourly"),
       // append mode emits exactly the windows whose end the final
       // watermark (max event time - 1h, ms-truncated) has passed
       "s_stream_hourly_append" ->

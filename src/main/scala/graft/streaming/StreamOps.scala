@@ -481,6 +481,28 @@ object StreamOps {
     spark.table(name).orderBy("hour", "event_type")
   }
 
+  /** [[hourlyEventCounts]] twin running its aggregation state in the
+   * ROCKSDB state store provider (rocksdbjni ships in Spark's jars)
+   * — the disk-backed backend that keeps streaming state viable once
+   * it outgrows executor memory at 100 TB scale
+   * (HDFSBackedStateStore holds each partition's full state map
+   * on-heap). The provider changes only WHERE state lives, never
+   * the values, so the drained table equals the batch aggregate and
+   * shares s_stream_hourly's oracle. The session conf is restored
+   * afterwards: the provider is captured per-query at start, and
+   * the other streaming queries must keep their default backend. */
+  def hourlyEventCountsRocksDB(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try hourlyEventCounts(spark, sfDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   final case class RunningAgg(n: Long, sum: Double)
   final case class RunningRow(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -15,6 +15,17 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("rocksdb state-store twin equals the default-backend result and restores the conf") {
+    val sfDir = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val rocks = StreamOps.hourlyEventCountsRocksDB(spark, sfDir).collect()
+    assert(spark.conf.getOption(key) === before,
+      "provider conf must be restored after the RocksDB-backed query")
+    val default = StreamOps.hourlyEventCounts(spark, sfDir).collect()
+    assert(rocks.map(_.toSeq).toSeq === default.map(_.toSeq).toSeq)
+  }
+
   test("streaming watermarked dedup equals batch distinct per key") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
