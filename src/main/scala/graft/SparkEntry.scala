@@ -43,6 +43,7 @@ object SparkEntry {
       "s_stream_left_outer" -> (graft.streaming.StreamOps.streamStreamLeftOuter _),
       "s_stream_ckpt_resume" -> (graft.streaming.StreamOps.checkpointedResume _),
       "s_state_reader" -> (graft.streaming.StreamOps.stateStoreReader _),
+      "s_state_reader_rocksdb" -> (graft.streaming.StreamOps.stateStoreReaderRocksDB _),
       "s_stream_observe" -> (graft.streaming.StreamOps.streamObserve _),
       "s_stream_session_window" -> (graft.streaming.StreamOps.sessionWindowStream _))
 
@@ -127,6 +128,12 @@ object SparkEntry {
       // state data source = the batch per-user aggregate (count/max
       // are batching-insensitive)
       "s_state_reader" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  floor(max(value) * 1e4 + 0.5) / 1e4 AS max_value
+          |FROM events GROUP BY user_id""".stripMargin,
+      // same state, written under the RocksDB provider and re-read
+      // through the same state data source
+      "s_state_reader_rocksdb" ->
         """SELECT user_id, count(*) AS n_events,
           |  floor(max(value) * 1e4 + 0.5) / 1e4 AS max_value
           |FROM events GROUP BY user_id""".stripMargin,
