@@ -115,18 +115,36 @@ object Bench {
 
     val runs = (1 to math.max(1, nRuns)).map(runSuite)
 
-    // the scored run: median total (lower-middle on even counts — for
-    // 2 runs that is the min, the standard clean-code estimator under
-    // additive noise). Runs with failures sort LAST regardless of
+    // the scored run: median total (UPPER-middle on even counts — for
+    // 2 runs that is the slower one, so the scored number is never
+    // the fastest run; an even count must not bias optimistic,
+    // ADVICE r10). Runs with failures sort LAST regardless of
     // total: a failed query contributes 0 s, so its run's total is
     // artificially small and must not win the pick while a fully
     // green sibling exists.
     val byTotal = runs.zipWithIndex.sortBy { case (r, _) => (r.nFailed, r.total) }
     val nGreen = runs.count(_.nFailed == 0)
     val (scored, scoredIdx) =
-      if (nGreen > 0) byTotal((nGreen - 1) / 2)
-      else byTotal((byTotal.size - 1) / 2)
+      if (nGreen > 0) byTotal(nGreen / 2)
+      else byTotal(byTotal.size / 2)
     val results = scored.results
+
+    // per-query MEDIANS across the green runs (all runs if none are
+    // green): the scored run's total stays the headline "value", but
+    // the per-query numbers a reader drills into are medians — one
+    // co-tenant spike in the median-total run can no longer
+    // masquerade as a slow query (VERDICT r10 "what's wrong" 1).
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val medianSrc = if (nGreen > 0) runs.filter(_.nFailed == 0) else runs
+    val medResults: Seq[(String, Double, Boolean)] = results.map { case (name, _, _) =>
+      val vs = medianSrc.flatMap(_.results.collect {
+        case (`name`, v, true) => v })
+      if (vs.nonEmpty) (name, median(vs), true) else (name, -1.0, false)
+    }
+    val medianSum = medResults.collect { case (_, v, true) => v }.sum
 
     // The harness captures only the last ~4 KB of stdout; at 250+
     // queries a full per-query map gets its head truncated →
@@ -146,25 +164,28 @@ object Bench {
     val runsJson = runs.map(r =>
       s"""{"total":${d3(r.total)},"failed":${r.nFailed},"load":${r.loadJson}}""")
       .mkString("[", ",", "]")
+    val medianMap = jmap(medResults.map { case (k, v, ok) =>
+      k -> (if (ok) d3(v) else "-1") })
     try {
       val fullRuns = runs.zip(fullMaps).map { case (r, m) =>
         s"""{"load":${r.loadJson},"queries":$m}"""
       }.mkString("[", ",", "]")
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"picked":${scoredIdx + 1},"runs":$fullRuns}""".getBytes("UTF-8")); ()
+        s"""{"picked":${scoredIdx + 1},"queries_median":$medianMap,"runs":$fullRuns}"""
+          .getBytes("UTF-8")); ()
     } catch { case _: Throwable => () }
 
-    val groups = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+    val groups = medResults.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
       .map { case (g, rs) => s"grp_$g" -> d3(rs.collect { case (_, v, true) => v }.sum) }
-    val slow = results.filter(_._3).sortBy(-_._2).take(25)
+    val slow = medResults.filter(_._3).sortBy(-_._2).take(25)
       .map { case (k, v, _) => k -> d3(v) }
-    val failed = results.filter(!_._3).map { case (k, _, _) => k -> "-1" }
+    val failed = medResults.filter(!_._3).map { case (k, _, _) => k -> "-1" }
     // SPARK_GRAFT_FULL_QUERIES=1: per-query times for EVERY query in
     // the stdout line (for capture paths without the ~4 KB stdout
     // cap); default stays the compact groups+slowest form
     val qs =
-      if (sys.env.get("SPARK_GRAFT_FULL_QUERIES").contains("1")) fullMapOf(scored)
+      if (sys.env.get("SPARK_GRAFT_FULL_QUERIES").contains("1")) medianMap
       else jmap(groups ++ failed ++ slow)
-    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${failed.size},"picked_run":${scoredIdx + 1},"runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${failed.size},"picked_run":${scoredIdx + 1},"query_stat":"per_query_median","median_sum":${d3(medianSum)},"runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -1607,6 +1607,18 @@ object GraphAlgs {
    * triangle decrements, adjacency removals) are frontier-sized
    * and always the hashed side of a zipPartitions merge, never a
    * cogroup over the full state.
+   *
+   * PRECONDITION for the [[coLocatedIntersect]] hops (ADVICE r10):
+   * every intersect query's endpoints must appear in the adjacency
+   * the call is given. Both call sites here satisfy it by
+   * construction (round 0 queries the edge set its own adjacency was
+   * built from; the delta rounds query survivor edges against the
+   * survivor adjacency) — coLocatedIntersect enforces it LOUDLY with
+   * an IllegalStateException deep in a zipPartitions iterator, so a
+   * future caller whose queries are NOT derived from the adjacency's
+   * edge set (degree-0 or external vertices) must pre-filter its
+   * queries against the adjacency's vertex set rather than expect
+   * empty results for the missing endpoints.
    */
   def ktrussPeel(canonical: DataFrame, k: Int = 4, maxRounds: Int = 30): KTruss = {
     import org.apache.spark.HashPartitioner

@@ -1657,12 +1657,22 @@ object GraphQueries {
     // GraphX's min-propagation converges to
     // full per-vertex coreness recomputed in SQL: unrolled
     // synchronous H-index recurrence from the degree (h-index of
-    // descending-sorted neighbor estimates = max(least(value, rank))
+    // descending-sorted neighbor estimates = max(least(value, rn))
     // per vertex per round). The distributed loop quiesces in 19
     // rounds at sf0.01 ([graft-kcore] log); 40 unrolled rounds give
     // >2x margin, and rounds past the fixpoint are no-ops. Both
     // engines converge to the unique fixpoint (the true coreness),
     // in pure integers — zero tolerance.
+    //
+    // SCALE DEPENDENCY + loud guard (ADVICE r10): the round count the
+    // recurrence needs grows with the graph's degeneracy-peeling
+    // depth, so a much larger correctness corpus could need more than
+    // 40 rounds. Rather than fail as a confusing value-hash mismatch,
+    // the final SELECT asserts the fixpoint was REACHED (kh40 = kh39
+    // everywhere) and emits ZERO rows otherwise — a 0-row oracle
+    // against a full Spark result is an unmissable row-count
+    // mismatch whose only cause is this unroll margin. Bumping the
+    // corpus ⇒ check the [graft-kcore] quiesce log and bump 40.
     "g_kcore" -> {
       val rounds = (1 to 40).map { i =>
         s"""kh$i AS MATERIALIZED (
@@ -1675,7 +1685,9 @@ object GraphQueries {
       s"""WITH $MatEdgeCte,
          |kh0 AS MATERIALIZED (SELECT src AS vid, count(*) AS h FROM edges GROUP BY src),
          |$rounds
-         |SELECT vid, CAST(h AS BIGINT) AS core FROM kh40""".stripMargin
+         |SELECT vid, CAST(h AS BIGINT) AS core FROM kh40
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM kh40 a JOIN kh39 b ON a.vid = b.vid AND a.h <> b.h)""".stripMargin
     },
     // two independent implementations, one hash-to-min fixed point
     "g_cc_twophase" ->

@@ -481,22 +481,6 @@ object StreamOps {
     spark.table(name).orderBy("hour", "event_type")
   }
 
-  /** Runs `f` with the session's state-store provider switched to
-   * RocksDB, restoring the previous conf afterwards: the provider is
-   * captured per-query at start, and the other streaming queries
-   * must keep their default backend. */
-  private def withRocksDBStateStore[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   /** [[hourlyEventCounts]] twin running its aggregation state in the
    * ROCKSDB state store provider (rocksdbjni ships in Spark's jars)
    * — the disk-backed backend that keeps streaming state viable once
@@ -508,7 +492,7 @@ object StreamOps {
    * queries already exercise RocksDB on their write path — this
    * twin covers the classic windowed-aggregation state under it.) */
   def hourlyEventCountsRocksDB(spark: SparkSession, sfDir: String): DataFrame =
-    withRocksDBStateStore(spark)(hourlyEventCounts(spark, sfDir))
+    withRocksDbProvider(spark)(hourlyEventCounts(spark, sfDir))
 
   /** [[stateStoreReader]] twin over a ROCKSDB-backed checkpoint: the
    * aggregation state is WRITTEN under the RocksDB provider, then
@@ -516,7 +500,7 @@ object StreamOps {
    * reader across providers (the checkpoint records which provider
    * produced it). Same contract and oracle as s_state_reader. */
   def stateStoreReaderRocksDB(spark: SparkSession, sfDir: String): DataFrame =
-    withRocksDBStateStore(spark)(stateStoreReader(spark, sfDir))
+    withRocksDbProvider(spark)(stateStoreReader(spark, sfDir))
 
   final case class RunningAgg(n: Long, sum: Double)
   final case class RunningRow(user_id: Long, n_events: Long, sum_value: Double)
