@@ -1577,6 +1577,36 @@ object GraphQueries {
        |  FROM bulkstate bs LEFT JOIN lab5 l ON l.vid = bs.vid)""".stripMargin
   }
 
+  /** 8-round Bellman-Ford replay over the weighted (len = 1/w)
+   * symmetric co-purchase graph from the smallest vertex id, ending
+   * in `d8(vid, dist)` (with `we(src, dst, len)` for the edge
+   * domain) — shared by the primary `g_sssp_weighted` value oracle
+   * and the certificate's SQL-computed Bellman predicates. Min over
+   * left-folded path sums is order-free, so the converged doubles
+   * are bit-identical to the Spark fold. */
+  private lazy val ssspReplayCtes: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (
+         |  SELECT vid, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS vid, d.dist + e.len AS dist
+         |  FROM d${i - 1} d JOIN we e ON e.src = d.vid) GROUP BY vid)""".stripMargin
+    }.mkString(",\n")
+    s"""wraw AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), we AS MATERIALIZED (
+       |  SELECT src, dst, CAST(1.0 AS DOUBLE) / w AS len FROM wraw
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst, CAST(1.0 AS DOUBLE) / w AS len FROM wraw
+       |), d0 AS (
+       |  SELECT min(src) AS vid, CAST(0.0 AS DOUBLE) AS dist FROM we
+       |),
+       |$rounds""".stripMargin
+  }
+
   /** 5-round synchronous label-propagation replay over the backbone,
    * ending in `l5(vid, label)` (and `e2` for the vertex domain) —
    * shared by the primary oracle and the certificate's independent
@@ -1961,40 +1991,36 @@ object GraphQueries {
     // TWICE (keep + relax), so DuckDB 1.0's inlining would double
     // the plan per round — 2^8 copies of the inlined lineitem
     // self-join, measured 25.5 s at sf0.01 vs 0.2 s materialized.
-    "g_sssp_weighted" -> {
-      val rounds = (1 to 8).map { i =>
-        s"""d$i AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM (
-           |  SELECT vid, dist FROM d${i - 1}
-           |  UNION ALL
-           |  SELECT e.dst AS vid, d.dist + e.len AS dist
-           |  FROM d${i - 1} d JOIN we e ON e.src = d.vid) GROUP BY vid)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH wraw AS MATERIALIZED (
-         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2
-         |), we AS MATERIALIZED (
-         |  SELECT src, dst, CAST(1.0 AS DOUBLE) / w AS len FROM wraw
-         |  UNION ALL
-         |  SELECT dst AS src, src AS dst, CAST(1.0 AS DOUBLE) / w AS len FROM wraw
-         |), d0 AS (
-         |  SELECT min(src) AS vid, CAST(0.0 AS DOUBLE) AS dist FROM we
-         |),
-         |$rounds
-         |SELECT vid, floor(dist * 1e6 + 0.5) / 1e6 AS dist FROM d8""".stripMargin
-    },
-    // Bellman certificate booleans TRUE; reachable-set size by SQL
-    // recursion (see ssspCertified)
+    "g_sssp_weighted" ->
+      s"""WITH $ssspReplayCtes
+         |SELECT vid, floor(dist * 1e6 + 0.5) / 1e6 AS dist FROM d8""".stripMargin,
+    // Bellman certificate: every boolean COMPUTED by SQL over the
+    // oracle's own replayed distances (d8, the same rounds as
+    // g_sssp_weighted — hash-proven equal to the Spark distances),
+    // mirroring ssspCertified's predicates at the same 1e-9 slack:
+    // closure (source at 0, no edge escapes the reached set),
+    // no-relaxable-edge, and tight-predecessor support. An
+    // unconverged replay (8 rounds no longer enough at a bigger
+    // corpus) flips relaxed_ok to FALSE — a loud hash mismatch.
     "g_sssp_certified" ->
-      s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
-         |root AS (SELECT min(src) AS r FROM edges),
-         |reach(v) AS (
-         |  SELECT r FROM root
-         |  UNION
-         |  SELECT e.dst FROM reach JOIN edges e ON e.src = reach.v)
-         |SELECT (SELECT count(*) FROM reach) AS n_reached,
-         |  TRUE AS closure_ok, TRUE AS relaxed_ok, TRUE AS support_ok""".stripMargin,
+      s"""WITH $ssspReplayCtes,
+         |du AS MATERIALIZED (SELECT vid, dist FROM d8)
+         |SELECT (SELECT count(*) FROM du) AS n_reached,
+         |  ((SELECT dist FROM du WHERE vid = (SELECT min(src) FROM we)) = 0
+         |   AND NOT EXISTS (
+         |     SELECT 1 FROM we e JOIN du a ON a.vid = e.src
+         |     LEFT JOIN du b ON b.vid = e.dst WHERE b.vid IS NULL)) AS closure_ok,
+         |  NOT EXISTS (
+         |    SELECT 1 FROM we e JOIN du a ON a.vid = e.src
+         |    JOIN du b ON b.vid = e.dst
+         |    WHERE b.dist > a.dist + e.len + 1e-9) AS relaxed_ok,
+         |  NOT EXISTS (
+         |    SELECT 1 FROM (
+         |      SELECT e.dst AS v, min(a.dist + e.len - b.dist) AS slack
+         |      FROM we e JOIN du a ON a.vid = e.src
+         |      JOIN du b ON b.vid = e.dst
+         |      WHERE e.dst <> (SELECT min(src) FROM we)
+         |      GROUP BY e.dst) WHERE slack > 1e-9) AS support_ok""".stripMargin,
     // rank-mass invariant as a cross-engine VALUE: mass_round is the
     // ACTUAL total rank mass of the 10-round PageRank replay, rounded
     // to the nearest integer in SQL — sink-free mass conservation
@@ -2002,39 +2028,60 @@ object GraphQueries {
     // staticPageRank mass, the oracle sums its own replayed ranks;
     // each is within float noise of |V|, so both round exactly).
     // A broken iteration that leaks or inflates mass by >= 0.5 flips
-    // this value; teleport-floor boolean certified by Spark.
+    // this value. mass_ok / floor_ok COMPUTED by SQL over the same
+    // replayed ranks at pagerankCertified's exact tolerances
+    // (|mass - n| <= n*1e-6; min rank >= 0.15 - 1e-9): the replay is
+    // bit-identical to the Spark fold, so the predicates agree.
     "g_pagerank_certified" ->
-      s"""WITH $pagerankReplayCtes
-         |SELECT (SELECT count(DISTINCT src) FROM edges) AS n_vertices,
+      s"""WITH $pagerankReplayCtes,
+         |nv AS (SELECT count(DISTINCT src) AS n FROM edges)
+         |SELECT (SELECT n FROM nv) AS n_vertices,
          |  CAST(floor(sum(rank) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mass_round,
-         |  TRUE AS mass_ok, TRUE AS floor_ok FROM r10""".stripMargin,
-    // flagship partition invariants: SQL recomputes |V| AND the
-    // pruned-singleton count (vertices outside the triangle core);
-    // booleans certified by Spark
+         |  (abs(sum(rank) - (SELECT n FROM nv))
+         |    <= (SELECT n FROM nv) * 1e-6) AS mass_ok,
+         |  (min(rank) >= CAST(0.15 AS DOUBLE) - 1e-9) AS floor_ok
+         |FROM r10""".stripMargin,
+    // flagship partition invariants, every boolean now COMPUTED by
+    // SQL over the replay's own partition (wlab — hash-proven equal
+    // to the emitted one by g_wcc_partition) and its recomputed WCC
+    // value (wg): completeness + uniqueness of the labeling, the
+    // prune semantics (non-core vertices are self-labeled
+    // singletons), a strictly positive WCC, and a real >= 2-member
+    // community. The values (|V|, pruned-singleton count) stay exact
+    // SQL recomputes — core = t > 0 in the replay's triangle stats,
+    // the same set the old standalone triangle join counted.
     "g_wcc_partition_certified" ->
-      s"""$EdgeCte, tc AS (
-         |  SELECT e1.src AS vid FROM edges e1
-         |  JOIN edges e2 ON e2.src = e1.dst
-         |  JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
-         |  GROUP BY e1.src)
-         |SELECT (SELECT count(DISTINCT src) FROM edges) AS n_vertices,
-         |  (SELECT count(DISTINCT src) FROM edges)
-         |    - (SELECT count(*) FROM tc) AS n_pruned_singletons,
-         |  TRUE AS partition_total_ok, TRUE AS pruned_singleton_ok,
-         |  TRUE AS wcc_positive, TRUE AS has_community""".stripMargin,
+      s"""WITH $wccValueReplayCtes
+         |SELECT (SELECT count(*) FROM wverts) AS n_vertices,
+         |  (SELECT count(*) FROM wverts)
+         |    - (SELECT count(*) FROM core) AS n_pruned_singletons,
+         |  ((SELECT count(*) FROM wlab) = (SELECT count(*) FROM wverts)
+         |   AND (SELECT count(DISTINCT vid) FROM wlab)
+         |       = (SELECT count(*) FROM wverts)) AS partition_total_ok,
+         |  NOT EXISTS (
+         |    SELECT 1 FROM wlab l LEFT JOIN core c ON c.vid = l.vid
+         |    WHERE c.vid IS NULL AND l.cid <> l.vid) AS pruned_singleton_ok,
+         |  (SELECT g > 0 FROM wg) AS wcc_positive,
+         |  EXISTS (SELECT 1 FROM wlab
+         |          GROUP BY cid HAVING count(*) >= 2) AS has_community""".stripMargin,
     // flagship VALUE certificate: wcc_round IS the global WCC of the
     // emitted partition, recomputed in SQL from the seeding replay's
     // labels via the closed-form metric + the blocked deterministic
     // fold (see wccValueReplayCtes) — bit-identical to the Spark
     // side's independent WccCheck recompute, hash-compared at 1e-9
-    // scaling. The claimed-vs-recomputed agreement boolean stays
-    // Spark-certified.
+    // scaling. wcc_in_unit is COMPUTED from the SQL value; the
+    // claimed-vs-recomputed agreement boolean is inherently
+    // cross-engine (it compares the PIPELINE's claimed bestWcc to
+    // the recompute — a value only Spark holds) and stays
+    // Spark-certified, with the recomputed value itself already in
+    // the hash via wcc_round.
     "g_wcc_partition_wcc_check" ->
       s"""WITH $wccValueReplayCtes
          |SELECT (SELECT count(*) FROM wverts) AS n_vertices,
          |  (SELECT CAST(floor(g * CAST(1e9 AS DOUBLE) + CAST(0.5 AS DOUBLE))
          |     AS BIGINT) FROM wg) AS wcc_round,
-         |  TRUE AS wcc_recompute_ok, TRUE AS wcc_in_unit""".stripMargin,
+         |  TRUE AS wcc_recompute_ok,
+         |  (SELECT g > 0 AND g <= 1 FROM wg) AS wcc_in_unit""".stripMargin,
     // seeding VALUE certificate, same machinery: the initial
     // partition grafted onto the full vertex universe is the same
     // (vid, cid) set the seeding replay emits (Output graft-back
@@ -2045,53 +2092,84 @@ object GraphQueries {
          |SELECT (SELECT count(*) FROM wverts) AS n_vertices,
          |  (SELECT CAST(floor(g * CAST(1e9 AS DOUBLE) + CAST(0.5 AS DOUBLE))
          |     AS BIGINT) FROM wg) AS wcc_round,
-         |  TRUE AS wcc_recompute_ok, TRUE AS wcc_in_unit""".stripMargin,
-    // incremental-replay invariants: SQL recomputes |V| AND the bulk
-    // vertex-set size (endpoints of edges with both ids below
-    // floor(maxId * 0.8) — the split rule of the micro-batch driver,
-    // IncrementalWCC.testStream), which the graft-back contract makes
-    // the exact labeled set; set equality certified by Spark
+         |  TRUE AS wcc_recompute_ok,
+         |  (SELECT g > 0 AND g <= 1 FROM wg) AS wcc_in_unit""".stripMargin,
+    // incremental-replay invariants, every boolean now COMPUTED by
+    // SQL over the replay's own result (hash-proven equal to the
+    // Spark labels by g_wcc_incremental): one label per vertex, the
+    // labeled set exactly the bulk vertex set (endpoints of edges
+    // with both ids below floor(maxId * 0.8) — the micro-batch
+    // driver's split rule, which the graft-back contract makes the
+    // labeled universe), and a real >= 2-member community. The bulk
+    // set (bverts) is pure data arithmetic inside the replay.
     "g_wcc_incremental_certified" ->
-      s"""$EdgeCte,
-         |mx AS (SELECT max(greatest(src, dst)) AS m FROM raw),
-         |bulk AS (SELECT DISTINCT v FROM (
-         |  SELECT src AS v FROM raw, mx
-         |    WHERE src < floor(m * CAST(0.8 AS DOUBLE))
-         |      AND dst < floor(m * CAST(0.8 AS DOUBLE))
-         |  UNION ALL
-         |  SELECT dst AS v FROM raw, mx
-         |    WHERE src < floor(m * CAST(0.8 AS DOUBLE))
-         |      AND dst < floor(m * CAST(0.8 AS DOUBLE))))
-         |SELECT (SELECT count(DISTINCT src) FROM edges) AS n_vertices,
-         |  (SELECT count(*) FROM bulk) AS n_bulk_vertices,
-         |  TRUE AS labels_unique_ok, TRUE AS labels_cover_bulk_ok,
-         |  TRUE AS has_community""".stripMargin,
-    // label-propagation invariants: SQL recomputes the backbone
-    // vertex count AND the distinct-label count from its own 5-round
-    // replay; booleans certified by Spark
+      s"""WITH $incrReplayCte
+         |SELECT (SELECT count(*) FROM allverts) AS n_vertices,
+         |  (SELECT count(*) FROM bverts) AS n_bulk_vertices,
+         |  ((SELECT count(*) FROM result)
+         |    = (SELECT count(DISTINCT vid) FROM result)) AS labels_unique_ok,
+         |  ((SELECT count(DISTINCT vid) FROM result)
+         |    = (SELECT count(*) FROM bverts)
+         |   AND NOT EXISTS (
+         |     SELECT 1 FROM result r LEFT JOIN bverts b ON b.vid = r.vid
+         |     WHERE b.vid IS NULL)) AS labels_cover_bulk_ok,
+         |  EXISTS (SELECT 1 FROM result
+         |          GROUP BY cid HAVING count(*) >= 2) AS has_community""".stripMargin,
+    // label-propagation invariants, every boolean now COMPUTED by
+    // SQL over the replay's own 5-round labels (hash-proven equal to
+    // the Spark labels by g_label_propagation): exactly one label
+    // per backbone vertex, every label a backbone vertex id, and a
+    // real >= 2-member group.
     "g_label_propagation_certified" ->
-      s"""WITH $labelPropReplayCte
-         |SELECT (SELECT count(DISTINCT src) FROM e2) AS n_vertices,
+      s"""WITH $labelPropReplayCte,
+         |lpv AS (SELECT count(DISTINCT src) AS n FROM e2)
+         |SELECT (SELECT n FROM lpv) AS n_vertices,
          |  (SELECT count(DISTINCT label) FROM l5) AS n_labels,
-         |  TRUE AS coverage_ok, TRUE AS labels_in_domain_ok,
-         |  TRUE AS has_group""".stripMargin,
-    // power-iteration invariants: SQL recomputes |V| AND the count of
-    // vertices at the normalization peak from its own replay
+         |  ((SELECT count(*) FROM l5) = (SELECT n FROM lpv)
+         |   AND (SELECT count(DISTINCT vid) FROM l5)
+         |       = (SELECT n FROM lpv)) AS coverage_ok,
+         |  NOT EXISTS (
+         |    SELECT 1 FROM (SELECT DISTINCT label FROM l5) s
+         |    LEFT JOIN (SELECT DISTINCT src FROM e2) v ON v.src = s.label
+         |    WHERE v.src IS NULL) AS labels_in_domain_ok,
+         |  EXISTS (SELECT 1 FROM l5
+         |          GROUP BY label HAVING count(*) >= 2) AS has_group""".stripMargin,
+    // power-iteration invariants, every boolean now COMPUTED by SQL
+    // over the replay's own final round (hash-proven equal to the
+    // Spark scores by g_eigencentrality): one score per vertex,
+    // normalization peak exactly 1, all scores positive — at the
+    // same 1e-6 rounding the Spark side applies before testing.
     "g_eigencentrality_certified" ->
-      s"""WITH $eigenReplayCte
+      s"""WITH $eigenReplayCte,
+         |xr AS (SELECT vid, floor(score * 1e6 + 0.5) / 1e6 AS score FROM x20)
          |SELECT (SELECT count(*) FROM x0) AS n_vertices,
-         |  (SELECT count(*) FROM x20
-         |   WHERE floor(score * 1e6 + 0.5) / 1e6 = 1.0) AS n_at_max,
-         |  TRUE AS coverage_ok, TRUE AS max_is_one, TRUE AS all_positive""".stripMargin,
-    // seeding-phase invariants: SQL recomputes the triangle-core size
-    // AND the community count from its own seeding-fixpoint replay
+         |  (SELECT count(*) FROM xr WHERE score = 1.0) AS n_at_max,
+         |  ((SELECT count(*) FROM xr)
+         |    = (SELECT count(*) FROM x0)) AS coverage_ok,
+         |  ((SELECT max(score) FROM xr) = 1.0) AS max_is_one,
+         |  ((SELECT min(score) FROM xr) > 0) AS all_positive""".stripMargin,
+    // seeding-phase invariants, every boolean now COMPUTED by SQL
+    // over the replay's own seeded labels (hash-proven equal to the
+    // Spark labels by g_wcc_initial_partition): exactly one label
+    // per triangle-core vertex, every label a core vertex id (each
+    // community's seed is a center vertex), and seeding already
+    // forms a real >= 2-member group.
     "g_wcc_initial_partition_certified" ->
-      s"""WITH ${seedReplayCte()}
+      s"""WITH ${seedReplayCte()},
+         |ilab AS MATERIALIZED (
+         |  SELECT c.vid, coalesce(b.cid, c.vid) AS cid
+         |  FROM core c LEFT JOIN best b ON b.vid = c.vid)
          |SELECT (SELECT count(*) FROM core) AS n_core,
-         |  (SELECT count(DISTINCT coalesce(b.cid, c.vid))
-         |   FROM core c LEFT JOIN best b ON b.vid = c.vid) AS n_communities,
-         |  TRUE AS coverage_ok, TRUE AS labels_in_core_ok,
-         |  TRUE AS has_group""".stripMargin,
+         |  (SELECT count(DISTINCT cid) FROM ilab) AS n_communities,
+         |  ((SELECT count(*) FROM ilab) = (SELECT count(*) FROM core)
+         |   AND (SELECT count(DISTINCT vid) FROM ilab)
+         |       = (SELECT count(*) FROM core)) AS coverage_ok,
+         |  NOT EXISTS (
+         |    SELECT 1 FROM (SELECT DISTINCT cid FROM ilab) s
+         |    LEFT JOIN core c ON c.vid = s.cid
+         |    WHERE c.vid IS NULL) AS labels_in_core_ok,
+         |  EXISTS (SELECT 1 FROM ilab
+         |          GROUP BY cid HAVING count(*) >= 2) AS has_group""".stripMargin,
     "g_recursive_reach" ->
       s"""WITH RECURSIVE dummy AS (SELECT 1), ${EdgeCte.stripPrefix("WITH ")},
          |root AS (SELECT min(src) AS r FROM edges),
@@ -2133,20 +2211,41 @@ object GraphQueries {
          |SELECT root, count(*) AS n_reached,
          |  CAST(sum(CASE WHEN d > 0 THEN 1000000000 // d ELSE 0 END) AS BIGINT) AS harm_sum
          |FROM md GROUP BY root""".stripMargin,
-    // k-truss invariant contract: full-graph vertex count and the
-    // round-1 survivor count (edges whose support in the FULL graph
-    // is >= k-2) from SQL; fixpoint booleans TRUE (see ktruss())
-    "g_ktruss" ->
-      s"""$EdgeCte,
-         |sup AS (
-         |  SELECT r.src, r.dst, count(*) AS s
-         |  FROM raw r
-         |  JOIN edges a ON a.src = r.src
-         |  JOIN edges b ON b.src = r.dst AND b.dst = a.dst
-         |  GROUP BY r.src, r.dst)
+    // k-truss invariant contract, fixpoint booleans now COMPUTED by
+    // SQL from an unrolled peel replay: round i recomputes each
+    // surviving edge's support inside the survivor set and drops
+    // support < k-2 = 2 (an edge with NO triangle has no support row
+    // — the inner join drops it, same as the Spark peel). The peel
+    // quiesces in 3 rounds at sf0.01 (measured); 9 unrolled rounds
+    // give 3x margin, and rounds past the fixpoint are no-ops.
+    // support_ok re-verifies every final edge's support >= 2 via the
+    // round-9 support pass; converged compares the last two rounds'
+    // edge counts (FALSE — a loud boolean mismatch — if a bigger
+    // corpus ever needs more than 9 rounds; bump with the corpus).
+    "g_ktruss" -> {
+      val rounds = (1 to 9).map { i =>
+        s"""ts$i AS MATERIALIZED (
+           |  SELECT src, dst FROM te${i - 1}
+           |  UNION ALL SELECT dst, src FROM te${i - 1}),
+           |tsup$i AS MATERIALIZED (
+           |  SELECT r.src, r.dst, count(*) AS c
+           |  FROM te${i - 1} r JOIN ts$i a ON a.src = r.src
+           |                    JOIN ts$i b ON b.src = r.dst AND b.dst = a.dst
+           |  GROUP BY r.src, r.dst),
+           |te$i AS MATERIALIZED (SELECT src, dst FROM tsup$i WHERE c >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $MatEdgeCte,
+         |te0 AS (SELECT src, dst FROM raw),
+         |$rounds
          |SELECT (SELECT count(DISTINCT src) FROM edges) AS n_vertices,
-         |  (SELECT count(*) FROM sup WHERE s >= 2) AS n_edges_r1,
-         |  TRUE AS support_ok, TRUE AS converged""".stripMargin,
+         |  (SELECT count(*) FROM te1) AS n_edges_r1,
+         |  NOT EXISTS (
+         |    SELECT 1 FROM te8 e
+         |    LEFT JOIN tsup9 s ON s.src = e.src AND s.dst = e.dst
+         |    WHERE s.c IS NULL OR s.c < 2) AS support_ok,
+         |  ((SELECT count(*) FROM te9)
+         |    = (SELECT count(*) FROM te8)) AS converged""".stripMargin
+    },
     "g_assortativity" ->
       s"""$EdgeCte,
          |deg AS (SELECT src AS vid, count(*) AS degree FROM edges GROUP BY src),
