@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, GraphQueries, PipelineQueries, RelationalQueries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, SqlSurfaceQueries}
+import graft.queries.{AdvancedQueries, GraphQueries, PipelineQueries, RelationalQueries, Round5Queries, Round6Queries, Round7Queries, Round8Queries, Round11Queries, SqlSurfaceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -25,7 +25,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ AdvancedQueries.queries ++ GraphQueries.queries ++
-      PipelineQueries.queries ++ SqlSurfaceQueries.queries ++ Round5Queries.queries ++ Round6Queries.queries ++ Round7Queries.queries ++ Round8Queries.queries ++ Map(
+      PipelineQueries.queries ++ SqlSurfaceQueries.queries ++ Round5Queries.queries ++ Round6Queries.queries ++ Round7Queries.queries ++ Round8Queries.queries ++ Round11Queries.queries ++ Map(
       "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _),
       "s_stream_hourly_rocksdb" -> (graft.streaming.StreamOps.hourlyEventCountsRocksDB _),
       "s_stream_hourly_append" -> (graft.streaming.StreamOps.hourlyEventCountsAppend _),
@@ -49,7 +49,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
-      PipelineQueries.oracles ++ SqlSurfaceQueries.oracles ++ Round5Queries.oracles ++ Round6Queries.oracles ++ Round7Queries.oracles ++ Round8Queries.oracles ++ Map(
+      PipelineQueries.oracles ++ SqlSurfaceQueries.oracles ++ Round5Queries.oracles ++ Round6Queries.oracles ++ Round7Queries.oracles ++ Round8Queries.oracles ++ Round11Queries.oracles ++ Map(
       // the streaming query drains the bounded source completely, so
       // its final table equals the batch aggregation
       "s_stream_hourly" -> RelationalQueries.oracles("r_events_hourly"),

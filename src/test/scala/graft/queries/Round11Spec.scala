@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Round-11 operators pinned against sequential driver-side replays
+ * on the real sf0.001 corpus: BM25 top-k must equal a from-scratch
+ * Scala replay of the exact tokenization / ratio-idf / sorted-term
+ * fold / tie-break chain (bit-exact doubles — same fold order), and
+ * the Bloom decontamination contract's exact values must equal a
+ * Scala set computation over the same 32/16 chunk hashes. */
+class Round11Spec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def docTexts(): Seq[(Long, String)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def tokens(text: String): Seq[String] =
+    text.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  test("bm25 top-k equals the sequential replay") {
+    val got = Round11Queries.bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+
+    val ds = docTexts()
+    val n = ds.size.toLong
+    val tf = scala.collection.mutable.Map[(Long, String), Long]()
+    ds.foreach { case (id, t) =>
+      tokens(t).foreach(w => tf((id, w)) = tf.getOrElse((id, w), 0L) + 1L)
+    }
+    val dl = tf.toSeq.groupBy(_._1._1).map { case (id, xs) => id -> xs.map(_._2).sum }
+    val df = tf.toSeq.groupBy(_._1._2).map { case (w, xs) => w -> xs.size.toLong }
+    val avgdl = dl.values.sum.toDouble / n
+    val top6 = df.toSeq.sortBy { case (w, c) => (-c, w) }.take(6).map(_._1)
+    val queries = top6.zipWithIndex.groupBy(_._2 % 3)
+      .map { case (q, xs) => q.toLong -> xs.map(_._1) }
+    val expected = queries.toSeq.flatMap { case (qid, terms) =>
+      val perDoc = tf.keys.map(_._1).toSeq.distinct.flatMap { id =>
+        val matched = terms.filter(t => tf.contains((id, t))).sorted
+        if (matched.isEmpty) None
+        else {
+          var acc = 0.0
+          matched.foreach { t =>
+            val f = tf((id, t)); val d = df(t)
+            val idf = (n - d + 0.5) / (d + 0.5)
+            val sat = (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl(id) / avgdl)))
+            acc = acc + idf * sat
+          }
+          Some((id, matched.size.toLong, acc))
+        }
+      }
+      perDoc.sortBy { case (id, _, raw) => (-raw, id) }.take(5).zipWithIndex
+        .map { case ((id, nt, raw), i) =>
+          (qid, (i + 1).toLong, id, nt, math.floor(raw * 1e9 + 0.5) / 1e9)
+        }
+    }.sorted
+
+    assert(got.sorted == expected)
+    // structural sanity on top of the replay: 3 queries, ranks dense
+    assert(got.map(_._1).distinct.sorted == Seq(0L, 1L, 2L))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size).toSeq)
+    }
+  }
+
+  test("bloom decontamination exact values equal the set replay") {
+    val row = Round11Queries.bloomDecontaminate(spark, sf).head()
+
+    def chunks(text: String): Seq[String] = {
+      val w = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (w.isEmpty) Seq.empty
+      else (0 until w.size by 16).map(i => md5hex(w.slice(i, i + 32).mkString(" ")))
+    }
+    val ds = docTexts()
+    val train = ds.filter(_._1 % 10 != 0).flatMap(d => chunks(d._2)).toSet
+    val ev = ds.filter(_._1 % 10 == 0).flatMap(d => chunks(d._2)).toSet
+
+    assert(row.getLong(0) == train.size.toLong)
+    assert(row.getLong(1) == ev.size.toLong)
+    assert(row.getLong(2) == ev.intersect(train).size.toLong)
+    assert(row.getBoolean(3), "bloom lost an exact hit (false negative)")
+    assert(row.getBoolean(4), "bloom false-positive rate out of bound")
+  }
+}
