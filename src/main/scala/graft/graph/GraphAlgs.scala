@@ -237,6 +237,229 @@ object GraphAlgs {
   }
 
   /**
+   * Sampled bounded-horizon betweenness centrality (Brandes, "A
+   * faster algorithm for betweenness centrality", J. Math. Sociol.
+   * 2001, §4 accumulation; sampled-pivot form per Brandes/Pich 2007)
+   * from the given source vertices, truncated at `maxHops` — the
+   * same 5-root / 8-hop sampling contract the closeness and harmonic
+   * rows use.
+   *
+   * Execution shape: a batched multi-source forward BFS that also
+   * accumulates per-source shortest-path counts sigma (one
+   * frontier-sized shuffle per hop, exactly like multiSourceBfsRDD —
+   * sigma sums use Math.addExact, loud-or-exact on overflow), then
+   * the Brandes dependency accumulation walked depth-by-depth
+   * backwards (one frontier-sized shuffle per hop: depth-d vertices
+   * send (sigma, delta) to their neighbors, depth-(d-1) receivers
+   * fold their successor terms sigma_v/sigma_w * (1 + delta_w) in
+   * ascending successor-id order — the deterministic-fold contract,
+   * bit-identical to the oracle's list_reduce replay). State lives
+   * on pair RDDs under one fixed HashPartitioner with the
+   * generational persist/release discipline of the other loops here.
+   *
+   * Returns (vid, n_roots, bc) where bc folds the per-source
+   * dependencies in ascending SOURCE-ID order over the (source,
+   * vertex) pairs with hop distance >= 1 (a root never counts
+   * itself); rows cover exactly the vertices with at least one such
+   * pair.
+   */
+  def sampledBetweennessRDD[V](g: Graph[V, Int], sources: Array[VertexId],
+      maxHops: Int): org.apache.spark.rdd.RDD[(Long, Long, Double)] = {
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    require(sources.length <= 64, "source set is a small sample")
+    val k = sources.length
+    val INF = Int.MaxValue
+    val sc = g.edges.sparkContext
+    val nEdges = g.edges.count()
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(g.edges.getNumPartitions, (2 * nEdges / 500000L).toInt)))
+    val adjMap: RDD[java.util.HashMap[Long, Array[Long]]] =
+      g.edges.flatMap(e => Iterator((e.srcId, e.dstId), (e.dstId, e.srcId)))
+        .groupByKey(p).mapPartitions { it =>
+          val m = new java.util.HashMap[Long, Array[Long]]()
+          it.foreach(kv => m.put(kv._1, kv._2.toArray.sorted))
+          Iterator.single(m)
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+    adjMap.count()
+
+    // ---- forward: dist + sigma, synchronous hop layers ----
+    // state: vid -> (dist per source, sigma per source, lastMask)
+    type FState = (Array[Int], Array[Long], Long)
+    val src0: Seq[(Long, FState)] = sources.zipWithIndex
+      .groupBy(_._1).toSeq.map { case (id, ss) =>
+        val d = Array.fill(k)(INF); val s = Array.fill(k)(0L)
+        var mask = 0L
+        ss.foreach { case (_, i) => d(i) = 0; s(i) = 1L; mask |= 1L << i }
+        (id, (d, s, mask))
+      }
+    var state: RDD[(Long, FState)] =
+      sc.parallelize(src0).partitionBy(p).persist(StorageLevel.MEMORY_AND_DISK)
+    var prevState: RDD[(Long, FState)] = null
+    var prevMsgs: RDD[(Long, Array[Long])] = null
+    var round = 0
+    var quiescent = false
+    while (!quiescent && round < maxHops) {
+      val msgs = state.zipPartitions(adjMap, preservesPartitioning = false) {
+        (sIt, mIt) =>
+          val m = mIt.next()
+          sIt.flatMap { case (v, (_, sig, mask)) =>
+            if (mask == 0L) Iterator.empty
+            else {
+              val nbrs = m.get(v)
+              if (nbrs == null) Iterator.empty
+              else {
+                val contrib = Array.tabulate(k)(i =>
+                  if (((mask >> i) & 1L) == 1L) sig(i) else 0L)
+                nbrs.iterator.map(u => (u, contrib))
+              }
+            }
+          }
+      }.reduceByKey(p, (a, b) => Array.tabulate(k)(i => Math.addExact(a(i), b(i))))
+      msgs.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = msgs.count()
+      if (prevState != null) prevState.unpersist(blocking = false)
+      if (prevMsgs != null) prevMsgs.unpersist(blocking = false)
+      if (n == 0) {
+        quiescent = true
+        msgs.unpersist(blocking = false)
+      } else {
+        round += 1
+        val d = round
+        prevState = state
+        prevMsgs = msgs
+        state = prevState.zipPartitions(msgs, preservesPartitioning = true) {
+          (sIt, mIt) =>
+            val mm = new java.util.HashMap[Long, Array[Long]]()
+            mIt.foreach(kv => mm.put(kv._1, kv._2))
+            val updated = sIt.map { case (v, (da, sa, _)) =>
+              val inc = mm.remove(v)
+              if (inc == null) (v, (da, sa, 0L))
+              else {
+                var dn = da; var sn = sa; var set = 0L; var copied = false
+                var i = 0
+                while (i < k) {
+                  if (inc(i) > 0L && dn(i) == INF) {
+                    if (!copied) { dn = da.clone(); sn = sa.clone(); copied = true }
+                    dn(i) = d; sn(i) = inc(i); set |= 1L << i
+                  }
+                  i += 1
+                }
+                (v, (dn, sn, set))
+              }
+            }
+            val fresh = new scala.collection.AbstractIterator[(Long, FState)] {
+              private lazy val it = mm.entrySet().iterator()
+              def hasNext: Boolean = it.hasNext
+              def next(): (Long, FState) = {
+                val e = it.next()
+                val inc = e.getValue
+                val dn = Array.fill(k)(INF); val sn = Array.fill(k)(0L)
+                var set = 0L; var i = 0
+                while (i < k) {
+                  if (inc(i) > 0L) { dn(i) = d; sn(i) = inc(i); set |= 1L << i }
+                  i += 1
+                }
+                (e.getKey, (dn, sn, set))
+              }
+            }
+            updated ++ fresh
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+    state.count()
+    if (prevState != null) prevState.unpersist(blocking = false)
+    if (prevMsgs != null) prevMsgs.unpersist(blocking = false)
+    val maxD = round // deepest layer actually reached
+
+    // ---- backward: Brandes dependency accumulation per depth ----
+    // bstate: vid -> (dist, sigma, delta)
+    type BState = (Array[Int], Array[Long], Array[Double])
+    var bstate: RDD[(Long, BState)] = state
+      .mapValues { case (d, s, _) => (d, s, Array.fill(k)(0.0)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bstate.count()
+    state.unpersist(blocking = false)
+    var prevB: RDD[(Long, BState)] = null
+    var dDepth = maxD
+    while (dDepth >= 1) {
+      val depth = dDepth
+      // depth-d vertices ship (srcIdx, w, sigma_w, delta_w) to every
+      // neighbor; only depth-(d-1) receivers keep the term
+      val msgs = bstate.zipPartitions(adjMap, preservesPartitioning = false) {
+        (sIt, mIt) =>
+          val m = mIt.next()
+          sIt.flatMap { case (w, (da, sa, ga)) =>
+            var any = false
+            var i = 0
+            while (i < k && !any) { if (da(i) == depth) any = true; i += 1 }
+            if (!any) Iterator.empty
+            else {
+              val nbrs = m.get(w)
+              if (nbrs == null) Iterator.empty
+              else nbrs.iterator.flatMap { u =>
+                (0 until k).iterator.collect {
+                  case i if da(i) == depth => (u, (i, w, sa(i), ga(i)))
+                }
+              }
+            }
+          }
+      }.groupByKey(p)
+      msgs.persist(StorageLevel.MEMORY_AND_DISK)
+      msgs.count()
+      if (prevB != null) prevB.unpersist(blocking = false)
+      prevB = bstate
+      bstate = prevB.zipPartitions(msgs, preservesPartitioning = true) {
+        (sIt, mIt) =>
+          val mm = new java.util.HashMap[Long, Iterable[(Int, Long, Long, Double)]]()
+          mIt.foreach(kv => mm.put(kv._1, kv._2))
+          sIt.map { case (v, (da, sa, ga)) =>
+            val inc = mm.get(v)
+            if (inc == null) (v, (da, sa, ga))
+            else {
+              val byIdx = inc.toArray.filter { case (i, _, _, _) => da(i) == depth - 1 }
+              if (byIdx.isEmpty) (v, (da, sa, ga))
+              else {
+                val gn = ga.clone()
+                byIdx.groupBy(_._1).foreach { case (i, terms) =>
+                  // ascending successor-id fold — the deterministic
+                  // order the oracle's list_reduce replays
+                  var acc = 0.0
+                  terms.sortBy(_._2).foreach { case (_, _, sw, dw) =>
+                    acc = acc + (sa(i).toDouble / sw.toDouble) * (1.0 + dw)
+                  }
+                  gn(i) = acc // one-shot: each (v, i) has one depth
+                }
+                (v, (da, sa, gn))
+              }
+            }
+          }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      bstate.count()
+      msgs.unpersist(blocking = false)
+      dDepth -= 1
+    }
+    if (prevB != null) prevB.unpersist(blocking = false)
+
+    // ascending-source-id fold over the (source, vertex) pairs with
+    // hop distance >= 1
+    val idxBySrc = sources.zipWithIndex.sortBy(_._1).map(_._2)
+    val result = bstate.flatMap { case (v, (da, _, ga)) =>
+      var n = 0L
+      var acc = 0.0
+      idxBySrc.foreach { i =>
+        if (da(i) != INF && da(i) >= 1) { n += 1L; acc = acc + ga(i) }
+      }
+      if (n > 0L) Iterator.single((v, n, acc)) else Iterator.empty
+    }
+    val out = result.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    bstate.unpersist(blocking = false)
+    adjMap.unpersist(blocking = false)
+    out
+  }
+
+  /**
    * K-core decomposition (coreness per vertex) via iterative H-index
    * propagation (Montresor et al., "Distributed k-Core
    * Decomposition", IEEE TPDS 2013): every vertex starts at its

@@ -536,6 +536,27 @@ object GraphQueries {
       perRoot.map { case (i, (n, s, mx, h)) => (sources(i), n, s, mx.toLong, h) }
     }
 
+  /** Sampled bounded-horizon betweenness centrality from the 5
+   * hash-picked BFS roots at the shared 8-hop horizon
+   * (GraphAlgs.sampledBetweennessRDD — Brandes forward sigma + the
+   * depth-walked dependency accumulation, ascending-successor-id
+   * folds). Value-checked: the oracle replays the identical BFS
+   * DAG, integer sigma recurrence, and float fold chain in SQL —
+   * bit-identical doubles, zero tolerance at the shared 1e-9
+   * rounding. */
+  def betweenness(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = graft.graph.GraphAlgs.sampledBetweennessRDD(
+      graph(spark, sfDir), bfsSources(spark, sfDir), maxHops = 8)
+    val out = spark.createDataFrame(rows).toDF("vid", "n_roots", "bc_raw")
+      .select(col("vid"), col("n_roots"),
+        (floor(col("bc_raw") * 1e9 + 0.5) / 1e9).as("bc"))
+      .orderBy("vid")
+    val materialized = out.cache()
+    materialized.count()
+    rows.unpersist(blocking = false)
+    materialized
+  }
+
   /** Sampled eccentricity: per BFS root the max bounded hop distance
    * and reach — max(ecc) lower-bounds the graph diameter.
    * Integer-exact. */
@@ -2195,6 +2216,63 @@ object GraphQueries {
          |SELECT root, count(*) AS n_reached, CAST(sum(d) AS BIGINT) AS sum_dist,
          |  floor((count(*) - 1)::DOUBLE / sum(d) * 1e9 + 0.5) / 1e9 AS closeness
          |FROM md GROUP BY root""".stripMargin,
+    // Sampled Brandes betweenness replayed exactly: the recursive
+    // BFS layers (same pattern as g_closeness), the integer sigma
+    // recurrence per depth (order-free BIGINT sums, loud on
+    // overflow via the HUGEINT->BIGINT cast), and the dependency
+    // accumulation walked from the horizon back — each (root,
+    // vertex)'s successor terms folded ascending-successor-id, the
+    // per-vertex total folded ascending-root, both mirroring the
+    // Spark folds term for term. Bit-identical doubles, zero
+    // tolerance at 1e-9 rounding.
+    "g_betweenness" -> {
+      val sigmas = (1 to 8).map { i =>
+        s"""sg$i AS MATERIALIZED (
+           |  SELECT m.root, m.vid, CAST(sum(p.sigma) AS BIGINT) AS sigma
+           |  FROM md m
+           |  JOIN edges e ON e.dst = m.vid
+           |  JOIN sg${i - 1} p ON p.root = m.root AND p.vid = e.src
+           |  WHERE m.d = $i
+           |  GROUP BY m.root, m.vid)""".stripMargin
+      }.mkString(",\n")
+      val deltas = (7 to 1 by -1).map { i =>
+        s"""ct$i AS (
+           |  SELECT w.root, e.dst AS vid,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list((CAST(sv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+           |        * (CAST(1.0 AS DOUBLE) + w.delta) ORDER BY w.vid)),
+           |      (a, x) -> a + x) AS delta
+           |  FROM dd${i + 1} w
+           |  JOIN edges e ON e.src = w.vid
+           |  JOIN sg$i sv ON sv.root = w.root AND sv.vid = e.dst
+           |  GROUP BY w.root, e.dst),
+           |dd$i AS MATERIALIZED (
+           |  SELECT s.root, s.vid, s.sigma,
+           |    coalesce(c.delta, CAST(0.0 AS DOUBLE)) AS delta
+           |  FROM sg$i s LEFT JOIN ct$i c ON c.root = s.root AND c.vid = s.vid)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 8).map(i => s"SELECT root, vid, delta FROM dd$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE dummy AS (SELECT 1), $MatEdgeCte,
+         |srcs AS MATERIALIZED (SELECT src AS v FROM (
+         |  SELECT DISTINCT src FROM raw
+         |  ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 5)),
+         |bfs AS (
+         |  SELECT v AS root, v AS vid, 0 AS d FROM srcs
+         |  UNION
+         |  SELECT b.root, e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.vid
+         |  WHERE b.d < 8),
+         |md AS MATERIALIZED (SELECT root, vid, min(d) AS d FROM bfs GROUP BY root, vid),
+         |sg0 AS (SELECT v AS root, v AS vid, CAST(1 AS BIGINT) AS sigma FROM srcs),
+         |$sigmas,
+         |dd8 AS (SELECT root, vid, sigma, CAST(0.0 AS DOUBLE) AS delta FROM sg8),
+         |$deltas,
+         |allv AS ($unions)
+         |SELECT vid, CAST(count(*) AS BIGINT) AS n_roots,
+         |  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(delta ORDER BY root)), (a, x) -> a + x) * 1e9 + 0.5) / 1e9 AS bc
+         |FROM allv GROUP BY vid""".stripMargin
+    },
     // Harmonic centrality in integer nano-units: 10^9 // d is exact
     // floor division on both engines, the sum is order-free
     "g_harmonic" ->
@@ -2355,6 +2433,7 @@ object GraphQueries {
     "g_two_hop" -> twoHopReach _,
     "g_eccentricity" -> eccentricity _,
     "g_closeness" -> closeness _,
+    "g_betweenness" -> betweenness _,
     "g_harmonic" -> harmonic _,
     "g_ktruss" -> ktruss _,
     "g_eigencentrality" -> eigenCentrality _,
