@@ -33,7 +33,7 @@ object ScaleProbe {
       "wcc", "coreness", "k-truss", "msf", "hits", "det", "pagerank",
       "eigen", "label", "floatdet",
       "skew", "skew-pagerank", "skew-cc", "skew-coreness", "skew-wcc",
-      "skew-ktruss", "skew-idwcc",
+      "skew-ktruss", "skew-idwcc", "skew-betweenness",
       "dedup-hot", "ivf-hot", "stream-dedup")
     phaseFilter.foreach(_.foreach { tok =>
       require(KnownTokens.contains(tok),
@@ -242,6 +242,25 @@ object ScaleProbe {
         val r = GraphAlgs.connectedComponentsTwoPhase(skewEdges)
         println(s"[scale-probe] skew cc converged=${r.converged} rounds=${r.rounds}")
         r.release()
+      }
+      if (skewSubOptIn("skew-betweenness")) {
+        // Brandes on a hub graph: forward messages are k longs per
+        // frontier edge, backward messages k tuples per incident
+        // edge of the active depth layer — both Σdeg-linear; the
+        // hazard probed here is the hub RECEIVER's groupByKey buffer
+        // in the backward walk (deg(hub) x k tuples in one task)
+        val bg = phase("skew betweenness graph") {
+          val g = EdgeOps.toGraph(skewEdges); g.cache(); g.numVertices; g
+        }
+        phase("skew betweenness (5 roots, 8 hops)") {
+          val roots = skewEdges.select(col("src")).distinct()
+            .orderBy(md5(col("src").cast("string")), col("src")).limit(5)
+            .collect().map(_.getLong(0))
+          val r = GraphAlgs.sampledBetweennessRDD(bg, roots, maxHops = 8)
+          println(s"[scale-probe] skew betweenness rows=${r.count()}")
+          r.unpersist(blocking = false)
+        }
+        bg.unpersist(blocking = false)
       }
       if (skewSubOptIn("skew-wcc")) {
         // the flagship's heavy phases on a hub graph: the degree-
