@@ -157,9 +157,44 @@ object Round11Queries {
         "contains_all_ok", "fp_bounded_ok")
   }
 
+  /** approx_top_k (Spark 4 DataSketches frequent-items aggregate)
+   * over the 100 user buckets of the events table. With 100 distinct
+   * items against the sketch's default 10k tracked slots the
+   * estimates are EXACT (the sketch only sheds when capacity
+   * overflows), so the counts value-match the oracle — the
+   * graduation the HLL rows could not make (their estimate depends
+   * on private sketch internals; frequent-items exactness under
+   * capacity is a documented structural guarantee). The emitted SET
+   * is made tie-free by construction: only keys whose count is
+   * STRICTLY greater than the 10th-largest count survive (the
+   * sketch's choice AMONG boundary-tied keys is hash-arbitrary —
+   * measured: keys 28/42 both at n=144 at sf0.01 — so the boundary
+   * itself must not be emitted). k=20 over-fetch guarantees the
+   * strictly-above set (at most 9 keys) is fully inside the sketch
+   * rows. The rank window runs over <= 20 surviving sketch rows,
+   * not the data. */
+  def approxTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = RelationalQueries.events(spark, sfDir)
+    val sk = ev
+      .selectExpr("explode(approx_top_k(CAST(user_id % 100 AS STRING), 20)) AS e")
+      .select(col("e.item").as("key"), col("e.count").as("n")).cache()
+    val t = sk.orderBy(col("n").desc).limit(10).agg(min(col("n"))).head().getLong(0)
+    val wr = Window.orderBy(col("n").desc, col("key"))
+    val out = sk.where(col("n") > t)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .orderBy("rank")
+    val materialized = out.collect()
+    sk.unpersist(blocking = false)
+    spark.createDataFrame(
+      materialized.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+      .toDF("key", "n", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
-    "p_bloom_decontaminate" -> (bloomDecontaminate _))
+    "p_bloom_decontaminate" -> (bloomDecontaminate _),
+    "r_approx_topk" -> (approxTopK _))
 
   val oracles: Map[String, String] = Map(
     // identical logical plan in DuckDB: same tokenization, same
@@ -213,5 +248,16 @@ object Round11Queries {
         |SELECT (SELECT count(*) FROM train) AS n_train_chunks,
         |  (SELECT count(*) FROM ev) AS n_eval_chunks,
         |  (SELECT count(*) FROM ev JOIN train USING (chunk_hash)) AS n_exact_hits,
-        |  TRUE AS contains_all_ok, TRUE AS fp_bounded_ok""".stripMargin)
+        |  TRUE AS contains_all_ok, TRUE AS fp_bounded_ok""".stripMargin,
+    // exact strictly-above-the-10th-count set: the sketch is under
+    // capacity so counts are exact, and excluding the boundary count
+    // removes the sketch's hash-arbitrary tie choice (see approxTopK)
+    "r_approx_topk" ->
+      """WITH c AS (SELECT CAST(user_id % 100 AS VARCHAR) AS key,
+        |  count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT min(n) AS t FROM (
+        |  SELECT n FROM c ORDER BY n DESC LIMIT 10))
+        |SELECT key, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
+        |FROM c, t WHERE n > t.t""".stripMargin)
 }

@@ -69,6 +69,21 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("approx_top_k strictly-above-boundary set equals the exact replay") {
+    val got = Round11Queries.approxTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val counts = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").collect().map(_.getLong(0))
+      .groupBy(id => (id % 100).toString).map { case (k, xs) => k -> xs.size.toLong }
+    val t = counts.values.toSeq.sorted.reverse.take(10).min
+    val expected = counts.toSeq.filter(_._2 > t)
+      .sortBy { case (k, n) => (-n, k) }.zipWithIndex
+      .map { case ((k, n), i) => (k, n, (i + 1).toLong) }
+
+    assert(got == expected)
+  }
+
   test("bloom decontamination exact values equal the set replay") {
     val row = Round11Queries.bloomDecontaminate(spark, sf).head()
 
