@@ -191,9 +191,79 @@ object Round11Queries {
       .toDF("key", "n", "rank")
   }
 
+  /** BPE tokenizer training: learn the corpus's first 5 byte-pair
+   * merges — the real iterative algorithm (count adjacent symbol
+   * pairs over the weighted word vocabulary, merge the argmax pair
+   * leftmost-non-overlapping, recount), not a one-shot bigram top-k.
+   *
+   * Distributed shape: the loop state is the (word, count,
+   * segmentation) vocabulary table — the same word-count table
+   * fastBPE/HF trainers operate on. Each round is one pair-keyed
+   * aggregation shuffle plus an O(1) argmax collect; at 100 TB the
+   * vocabulary is millions of rows, not the corpus, so the loop
+   * cost is vocabulary-sized after the initial word count.
+   *
+   * Cross-engine parity is purely structural, no floats anywhere:
+   * segmentations are sentinel-wrapped strings ("|a||b||c|" — '|'
+   * does not occur in the corpus charset, and words containing it
+   * are filtered on both sides as a documented contract), the merge
+   * application is plain substring replace ('|a||b|' -> '|ab|',
+   * left-to-right non-overlapping on both engines — exactly BPE's
+   * leftmost application, and the double-sentinel pattern cannot
+   * match inside a longer symbol), pair counts are exact integer
+   * sums, and the argmax tie-breaks on (count desc, left, right).
+   * Emits (round, merge_left, merge_right, pair_count,
+   * symbols_after) — symbols_after is the weighted corpus symbol
+   * count after applying that round's merge, monotonically
+   * decreasing by construction. */
+  def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
+    val vocab0 = docs(spark, sfDir)
+      .select(explode(TextOps.words(lower(col("text")))).as("w"))
+      .where(col("w") =!= "" && !col("w").contains("|"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("seg", regexp_replace(col("w"), "(.)", "|$1|"))
+      .cache()
+    vocab0.count()
+
+    var vocab = vocab0
+    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+    (1 to rounds).foreach { round =>
+      val syms = vocab.withColumn("a",
+        split(expr("btrim(seg, '|')"), "\\|\\|"))
+      val pairs = syms
+        .where(size(col("a")) >= 2) // before explode: sequence(0, -1) descends
+        .select(col("cnt"), col("a"),
+          explode(sequence(lit(0), size(col("a")) - 2)).as("i"))
+        .select(col("cnt"),
+          element_at(col("a"), col("i") + 1).as("l"),
+          element_at(col("a"), col("i") + 2).as("r"))
+        .groupBy("l", "r").agg(sum(col("cnt")).as("c"))
+      val bestRows = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      require(bestRows.nonEmpty, s"BPE round $round: no pairs left to merge")
+      val best = bestRows.head
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      val prev = vocab
+      vocab = prev.withColumn("seg",
+        replace(col("seg"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
+        .cache()
+      val symbolsAfter = vocab
+        .select((col("cnt") *
+          size(split(expr("btrim(seg, '|')"), "\\|\\|"))).as("s"))
+        .agg(sum(col("s"))).head().getLong(0)
+      if (prev ne vocab0) prev.unpersist(blocking = false)
+      merges += ((round.toLong, l, r, c, symbolsAfter))
+    }
+    if (vocab ne vocab0) vocab.unpersist(blocking = false)
+    vocab0.unpersist(blocking = false)
+    spark.createDataFrame(merges.result())
+      .toDF("round", "merge_left", "merge_right", "pair_count", "symbols_after")
+      .orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "p_bloom_decontaminate" -> (bloomDecontaminate _),
+    "p_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "r_approx_topk" -> (approxTopK _))
 
   val oracles: Map[String, String] = Map(
@@ -249,6 +319,42 @@ object Round11Queries {
         |  (SELECT count(*) FROM ev) AS n_eval_chunks,
         |  (SELECT count(*) FROM ev JOIN train USING (chunk_hash)) AS n_exact_hits,
         |  TRUE AS contains_all_ok, TRUE AS fp_bounded_ok""".stripMargin,
+    // the identical 5 unrolled BPE rounds: same sentinel-wrapped
+    // segmentations, same substring-replace merge application, same
+    // integer pair counts and (c desc, l, r) argmax — pure
+    // structural/integer parity, nothing floating point
+    "p_bpe_merges" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""p$k AS (
+           |  SELECT q.a[i] AS l, q.a[i + 1] AS r, CAST(sum(q.cnt) AS BIGINT) AS c
+           |  FROM (SELECT cnt, string_split(trim(seg, '|'), '||') AS a
+           |        FROM v${k - 1}) q,
+           |       unnest(generate_series(1, len(q.a) - 1)) t(i)
+           |  GROUP BY 1, 2),
+           |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+           |v$k AS MATERIALIZED (
+           |  SELECT w, cnt,
+           |    replace(seg, '|' || b.l || '||' || b.r || '|',
+           |      '|' || b.l || b.r || '|') AS seg
+           |  FROM v${k - 1}, b$k b),
+           |s$k AS (SELECT CAST(sum(cnt *
+           |    len(string_split(trim(seg, '|'), '||'))) AS BIGINT) AS n
+           |  FROM v$k)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 5).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS round, l AS merge_left,
+           |  r AS merge_right, c AS pair_count,
+           |  (SELECT n FROM s$k) AS symbols_after FROM b$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v0 AS MATERIALIZED (
+         |  SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS seg FROM (
+         |    SELECT t AS w, count(*) AS cnt FROM (
+         |      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |      FROM documents)
+         |    WHERE t <> '' AND t NOT LIKE '%|%' GROUP BY t)),
+         |$rounds
+         |$out""".stripMargin
+    },
     // exact strictly-above-the-10th-count set: the sketch is under
     // capacity so counts are exact, and excluding the boundary count
     // removes the sketch's hash-arbitrary tie choice (see approxTopK)

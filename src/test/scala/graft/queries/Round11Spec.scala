@@ -84,6 +84,42 @@ class Round11Spec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bpe merges equal the sequential trainer replay") {
+    val got = Round11Queries.bpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+
+    val vocab = scala.collection.mutable.Map[String, Long]()
+    docTexts().foreach { case (_, t) =>
+      tokens(t).filter(!_.contains("|"))
+        .foreach(w => vocab(w) = vocab.getOrElse(w, 0L) + 1L)
+    }
+    var segs: Map[String, (Long, String)] = vocab.toMap.map { case (w, c) =>
+      w -> (c, w.map(ch => s"|$ch|").mkString)
+    }
+    val expected = (1 to 5).map { round =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      segs.values.foreach { case (c, seg) =>
+        val a = seg.stripPrefix("|").stripSuffix("|").split("\\|\\|")
+        (0 until a.length - 1).foreach { i =>
+          pc((a(i), a(i + 1))) = pc.getOrElse((a(i), a(i + 1)), 0L) + c
+        }
+      }
+      val ((l, r), c) = pc.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head
+      segs = segs.map { case (w, (cnt, seg)) =>
+        w -> (cnt, seg.replace(s"|$l||$r|", s"|$l$r|"))
+      }
+      val symbolsAfter = segs.values.map { case (cnt, seg) =>
+        cnt * seg.stripPrefix("|").stripSuffix("|").split("\\|\\|").length
+      }.sum
+      (round.toLong, l, r, c, symbolsAfter)
+    }
+
+    assert(got.sortBy(_._1) == expected)
+    // compression must be monotone
+    assert(expected.map(_._5) == expected.map(_._5).sorted.reverse)
+  }
+
   test("bloom decontamination exact values equal the set replay") {
     val row = Round11Queries.bloomDecontaminate(spark, sf).head()
 
