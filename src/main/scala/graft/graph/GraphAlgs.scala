@@ -384,54 +384,84 @@ object GraphAlgs {
     var dDepth = maxD
     while (dDepth >= 1) {
       val depth = dDepth
-      // depth-d vertices ship (srcIdx, w, sigma_w, delta_w) to every
-      // neighbor; only depth-(d-1) receivers keep the term
-      val msgs = bstate.zipPartitions(adjMap, preservesPartitioning = false) {
-        (sIt, mIt) =>
-          val m = mIt.next()
-          sIt.flatMap { case (w, (da, sa, ga)) =>
-            var any = false
-            var i = 0
-            while (i < k && !any) { if (da(i) == depth) any = true; i += 1 }
-            if (!any) Iterator.empty
-            else {
-              val nbrs = m.get(w)
-              if (nbrs == null) Iterator.empty
-              else nbrs.iterator.flatMap { u =>
-                (0 until k).iterator.collect {
-                  case i if da(i) == depth => (u, (i, w, sa(i), ga(i)))
+      // depth-d vertices ship ONE packed message per incident edge
+      // carrying every active source index at once — [i, sigma_w,
+      // doubleToRawLongBits(delta_w)] triples in a primitive Long
+      // array (k times fewer shuffled records and k times smaller
+      // hub-receiver buffers than a per-(edge, source) tuple);
+      // only depth-(d-1) receivers keep a triple
+      val msgs: RDD[(Long, Iterable[(Long, Array[Long])])] =
+        bstate.zipPartitions(adjMap, preservesPartitioning = false) {
+          (sIt, mIt) =>
+            val m = mIt.next()
+            sIt.flatMap { case (w, (da, sa, ga)) =>
+              var nActive = 0
+              var i = 0
+              while (i < k) { if (da(i) == depth) nActive += 1; i += 1 }
+              if (nActive == 0) Iterator.empty
+              else {
+                val nbrs = m.get(w)
+                if (nbrs == null) Iterator.empty
+                else {
+                  val packed = new Array[Long](nActive * 3)
+                  var j = 0; var ii = 0
+                  while (ii < k) {
+                    if (da(ii) == depth) {
+                      packed(j) = ii.toLong
+                      packed(j + 1) = sa(ii)
+                      packed(j + 2) = java.lang.Double.doubleToRawLongBits(ga(ii))
+                      j += 3
+                    }
+                    ii += 1
+                  }
+                  nbrs.iterator.map(u => (u, (w, packed)))
                 }
               }
             }
-          }
-      }.groupByKey(p)
+        }.groupByKey(p)
       msgs.persist(StorageLevel.MEMORY_AND_DISK)
       msgs.count()
       if (prevB != null) prevB.unpersist(blocking = false)
       prevB = bstate
       bstate = prevB.zipPartitions(msgs, preservesPartitioning = true) {
         (sIt, mIt) =>
-          val mm = new java.util.HashMap[Long, Iterable[(Int, Long, Long, Double)]]()
+          val mm = new java.util.HashMap[Long, Iterable[(Long, Array[Long])]]()
           mIt.foreach(kv => mm.put(kv._1, kv._2))
           sIt.map { case (v, (da, sa, ga)) =>
             val inc = mm.get(v)
             if (inc == null) (v, (da, sa, ga))
             else {
-              val byIdx = inc.toArray.filter { case (i, _, _, _) => da(i) == depth - 1 }
-              if (byIdx.isEmpty) (v, (da, sa, ga))
-              else {
-                val gn = ga.clone()
-                byIdx.groupBy(_._1).foreach { case (i, terms) =>
-                  // ascending successor-id fold — the deterministic
-                  // order the oracle's list_reduce replays
-                  var acc = 0.0
-                  terms.sortBy(_._2).foreach { case (_, _, sw, dw) =>
-                    acc = acc + (sa(i).toDouble / sw.toDouble) * (1.0 + dw)
+              var gn: Array[Double] = null
+              var i = 0
+              while (i < k) {
+                if (da(i) == depth - 1) {
+                  // gather this index's (w, sigma_w, delta_w) terms
+                  val terms = scala.collection.mutable.ArrayBuffer
+                    .empty[(Long, Long, Double)]
+                  inc.foreach { case (w, packed) =>
+                    var j = 0
+                    while (j < packed.length) {
+                      if (packed(j).toInt == i)
+                        terms += ((w, packed(j + 1),
+                          java.lang.Double.longBitsToDouble(packed(j + 2))))
+                      j += 3
+                    }
                   }
-                  gn(i) = acc // one-shot: each (v, i) has one depth
+                  if (terms.nonEmpty) {
+                    // ascending successor-id fold — the deterministic
+                    // order the oracle's list_reduce replays
+                    var acc = 0.0
+                    terms.sortInPlace()(Ordering.by(_._1))
+                    terms.foreach { case (_, sw, dw) =>
+                      acc = acc + (sa(i).toDouble / sw.toDouble) * (1.0 + dw)
+                    }
+                    if (gn == null) gn = ga.clone()
+                    gn(i) = acc // one-shot: each (v, i) has one depth
+                  }
                 }
-                (v, (da, sa, gn))
+                i += 1
               }
+              if (gn == null) (v, (da, sa, ga)) else (v, (da, sa, gn))
             }
           }
       }.persist(StorageLevel.MEMORY_AND_DISK)

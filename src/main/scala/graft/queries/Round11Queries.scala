@@ -216,55 +216,118 @@ object Round11Queries {
    * symbols_after) — symbols_after is the weighted corpus symbol
    * count after applying that round's merge, monotonically
    * decreasing by construction. */
-  def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
-    val vocab0 = docs(spark, sfDir)
-      .select(explode(TextOps.words(lower(col("text")))).as("w"))
-      .where(col("w") =!= "" && !col("w").contains("|"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .withColumn("seg", regexp_replace(col("w"), "(.)", "|$1|"))
-      .cache()
-    vocab0.count()
-
-    var vocab = vocab0
-    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
-    (1 to rounds).foreach { round =>
-      val syms = vocab.withColumn("a",
-        split(expr("btrim(seg, '|')"), "\\|\\|"))
-      val pairs = syms
-        .where(size(col("a")) >= 2) // before explode: sequence(0, -1) descends
-        .select(col("cnt"), col("a"),
-          explode(sequence(lit(0), size(col("a")) - 2)).as("i"))
-        .select(col("cnt"),
-          element_at(col("a"), col("i") + 1).as("l"),
-          element_at(col("a"), col("i") + 2).as("r"))
-        .groupBy("l", "r").agg(sum(col("cnt")).as("c"))
-      val bestRows = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
-      require(bestRows.nonEmpty, s"BPE round $round: no pairs left to merge")
-      val best = bestRows.head
-      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      val prev = vocab
-      vocab = prev.withColumn("seg",
-        replace(col("seg"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
+  /** The trainer state shared by p_bpe_merges and p_bpe_vocab: the
+   * learned merge ledger plus the post-merge segmented vocabulary
+   * (cached; both queries of one Verify/Bench session ride one
+   * training run). */
+  private def bpeState(spark: SparkSession, sfDir: String, rounds: Int = 5)
+    : (Seq[(Long, String, String, Long, Long)], DataFrame) =
+    memoize(spark, s"bpe:$rounds:$sfDir") {
+      val vocab0 = docs(spark, sfDir)
+        .select(explode(TextOps.words(lower(col("text")))).as("w"))
+        .where(col("w") =!= "" && !col("w").contains("|"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("seg", regexp_replace(col("w"), "(.)", "|$1|"))
         .cache()
-      val symbolsAfter = vocab
-        .select((col("cnt") *
-          size(split(expr("btrim(seg, '|')"), "\\|\\|"))).as("s"))
-        .agg(sum(col("s"))).head().getLong(0)
-      if (prev ne vocab0) prev.unpersist(blocking = false)
-      merges += ((round.toLong, l, r, c, symbolsAfter))
+      vocab0.count()
+
+      var vocab = vocab0
+      val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+      (1 to rounds).foreach { round =>
+        val syms = vocab.withColumn("a",
+          split(expr("btrim(seg, '|')"), "\\|\\|"))
+        val pairs = syms
+          .where(size(col("a")) >= 2) // before explode: sequence(0, -1) descends
+          .select(col("cnt"), col("a"),
+            explode(sequence(lit(0), size(col("a")) - 2)).as("i"))
+          .select(col("cnt"),
+            element_at(col("a"), col("i") + 1).as("l"),
+            element_at(col("a"), col("i") + 2).as("r"))
+          .groupBy("l", "r").agg(sum(col("cnt")).as("c"))
+        val bestRows = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+        require(bestRows.nonEmpty, s"BPE round $round: no pairs left to merge")
+        val best = bestRows.head
+        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        val prev = vocab
+        vocab = prev.withColumn("seg",
+          replace(col("seg"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
+          .cache()
+        val symbolsAfter = vocab
+          .select((col("cnt") *
+            size(split(expr("btrim(seg, '|')"), "\\|\\|"))).as("s"))
+          .agg(sum(col("s"))).head().getLong(0)
+        if (prev ne vocab0) prev.unpersist(blocking = false)
+        merges += ((round.toLong, l, r, c, symbolsAfter))
+      }
+      vocab0.unpersist(blocking = false)
+      vocab.count()
+      (merges.result(), vocab)
     }
-    if (vocab ne vocab0) vocab.unpersist(blocking = false)
-    vocab0.unpersist(blocking = false)
-    spark.createDataFrame(merges.result())
+
+  def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame =
+    spark.createDataFrame(bpeState(spark, sfDir, rounds)._1)
       .toDF("round", "merge_left", "merge_right", "pair_count", "symbols_after")
       .orderBy("round")
+
+  /** Top-20 tokens of the learned 5-merge tokenizer by weighted
+   * corpus frequency — the vocabulary report a tokenizer-training
+   * pipeline emits next to its merge ledger. Fully deterministic:
+   * exact integer counts, rank by (count desc, token asc) — ties
+   * inside AND at the boundary resolve identically on both engines
+   * (unlike the sketch row, nothing here is selection-arbitrary).
+   * The top-20 runs as a distributed TakeOrderedAndProject; the
+   * O(20) collect is bounded by construction. */
+  def bpeVocab(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val (_, vocab) = bpeState(spark, sfDir)
+    val top = vocab
+      .select(col("cnt"),
+        explode(split(expr("btrim(seg, '|')"), "\\|\\|")).as("token"))
+      .groupBy("token").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+      .collect()
+    spark.createDataFrame(
+      top.zipWithIndex.map { case (r, i) =>
+        (r.getString(0), r.getLong(1), (i + 1).toLong) }.toSeq)
+      .toDF("token", "n", "rank")
+      .orderBy("rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "p_bloom_decontaminate" -> (bloomDecontaminate _),
     "p_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+    "p_bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
     "r_approx_topk" -> (approxTopK _))
+
+  /** The 5 unrolled BPE training rounds as shared CTEs (v0..v5 +
+   * per-round pair counts, argmax, and weighted symbol counts) —
+   * one definition for both tokenizer oracles. */
+  private lazy val bpeReplayCtes: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""p$k AS (
+         |  SELECT q.a[i] AS l, q.a[i + 1] AS r, CAST(sum(q.cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, string_split(trim(seg, '|'), '||') AS a
+         |        FROM v${k - 1}) q,
+         |       unnest(generate_series(1, len(q.a) - 1)) t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT w, cnt,
+         |    replace(seg, '|' || b.l || '||' || b.r || '|',
+         |      '|' || b.l || b.r || '|') AS seg
+         |  FROM v${k - 1}, b$k b),
+         |s$k AS (SELECT CAST(sum(cnt *
+         |    len(string_split(trim(seg, '|'), '||'))) AS BIGINT) AS n
+         |  FROM v$k)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS MATERIALIZED (
+       |  SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS seg FROM (
+       |    SELECT t AS w, count(*) AS cnt FROM (
+       |      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |      FROM documents)
+       |    WHERE t <> '' AND t NOT LIKE '%|%' GROUP BY t)),
+       |$rounds""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // identical logical plan in DuckDB: same tokenization, same
@@ -324,37 +387,27 @@ object Round11Queries {
     // integer pair counts and (c desc, l, r) argmax — pure
     // structural/integer parity, nothing floating point
     "p_bpe_merges" -> {
-      val rounds = (1 to 5).map { k =>
-        s"""p$k AS (
-           |  SELECT q.a[i] AS l, q.a[i + 1] AS r, CAST(sum(q.cnt) AS BIGINT) AS c
-           |  FROM (SELECT cnt, string_split(trim(seg, '|'), '||') AS a
-           |        FROM v${k - 1}) q,
-           |       unnest(generate_series(1, len(q.a) - 1)) t(i)
-           |  GROUP BY 1, 2),
-           |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
-           |v$k AS MATERIALIZED (
-           |  SELECT w, cnt,
-           |    replace(seg, '|' || b.l || '||' || b.r || '|',
-           |      '|' || b.l || b.r || '|') AS seg
-           |  FROM v${k - 1}, b$k b),
-           |s$k AS (SELECT CAST(sum(cnt *
-           |    len(string_split(trim(seg, '|'), '||'))) AS BIGINT) AS n
-           |  FROM v$k)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to 5).map { k =>
         s"""SELECT CAST($k AS BIGINT) AS round, l AS merge_left,
            |  r AS merge_right, c AS pair_count,
            |  (SELECT n FROM s$k) AS symbols_after FROM b$k""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH v0 AS MATERIALIZED (
-         |  SELECT w, cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS seg FROM (
-         |    SELECT t AS w, count(*) AS cnt FROM (
-         |      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
-         |      FROM documents)
-         |    WHERE t <> '' AND t NOT LIKE '%|%' GROUP BY t)),
-         |$rounds
+      s"""WITH $bpeReplayCtes
          |$out""".stripMargin
     },
+    // the learned tokenizer's weighted top-20 vocabulary off the same
+    // replay: exact integer counts, rank by (n desc, token) — fully
+    // deterministic on ties, boundary included
+    "p_bpe_vocab" ->
+      s"""WITH $bpeReplayCtes,
+         |tokc AS (
+         |  SELECT tok AS token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(string_split(trim(seg, '|'), '||')) AS tok
+         |    FROM v5)
+         |  GROUP BY tok)
+         |SELECT token, n, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+         |  FROM tokc) WHERE rank <= 20""".stripMargin,
     // exact strictly-above-the-10th-count set: the sketch is under
     // capacity so counts are exact, and excluding the boundary count
     // removes the sketch's hash-arbitrary tie choice (see approxTopK)

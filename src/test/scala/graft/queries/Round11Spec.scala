@@ -118,6 +118,18 @@ class Round11Spec extends SparkSpec {
     assert(got.sortBy(_._1) == expected)
     // compression must be monotone
     assert(expected.map(_._5) == expected.map(_._5).sorted.reverse)
+
+    // the vocabulary report off the same trainer state
+    val gotVocab = Round11Queries.bpeVocab(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val tokc = scala.collection.mutable.Map[String, Long]()
+    segs.values.foreach { case (c, seg) =>
+      seg.stripPrefix("|").stripSuffix("|").split("\\|\\|")
+        .foreach(t => tokc(t) = tokc.getOrElse(t, 0L) + c)
+    }
+    val expVocab = tokc.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+      .zipWithIndex.map { case ((t, n), i) => (t, n, (i + 1).toLong) }
+    assert(gotVocab.sortBy(_._3) == expVocab)
   }
 
   test("bloom decontamination exact values equal the set replay") {
