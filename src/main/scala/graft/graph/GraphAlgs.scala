@@ -419,9 +419,8 @@ object GraphAlgs {
               }
             }
         }.groupByKey(p)
-      msgs.persist(StorageLevel.MEMORY_AND_DISK)
-      msgs.count()
-      if (prevB != null) prevB.unpersist(blocking = false)
+      // msgs has exactly one consumer (the state merge below) — no
+      // persist/count: each backward round is ONE Spark job
       prevB = bstate
       bstate = prevB.zipPartitions(msgs, preservesPartitioning = true) {
         (sIt, mIt) =>
@@ -466,10 +465,9 @@ object GraphAlgs {
           }
       }.persist(StorageLevel.MEMORY_AND_DISK)
       bstate.count()
-      msgs.unpersist(blocking = false)
+      prevB.unpersist(blocking = false)
       dDepth -= 1
     }
-    if (prevB != null) prevB.unpersist(blocking = false)
 
     // ascending-source-id fold over the (source, vertex) pairs with
     // hop distance >= 1
