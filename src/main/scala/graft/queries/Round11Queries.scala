@@ -292,7 +292,43 @@ object Round11Queries {
       .orderBy("rank")
   }
 
+  /** XML sink + source round trip through Spark 4's BUILT-IN XML
+   * data source (merged into spark-sql in 4.0 — no external
+   * spark-xml dependency): write the nation table as one
+   * <nation>...</nation> element per row, read it back with a
+   * declared schema (never inference — the round trip must not
+   * depend on sampling), and aggregate. The XML writer escapes
+   * markup characters, so values round-trip byte-exact and the
+   * aggregate equals the oracle's direct parquet aggregation. */
+  def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = memoize(spark, s"xmlstage:$sfDir") {
+      val p = java.nio.file.Files.createTempDirectory("graft-xml")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+            catch { case _: Throwable => () })
+      }
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .write.mode("overwrite").option("rowTag", "nation")
+        .format("xml").save(p.toString)
+      p.toString
+    }
+    spark.read.format("xml")
+      .option("rowTag", "nation")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .load(dir)
+      .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        min(col("n_name")).as("first_name"),
+        max(col("n_name")).as("last_name"))
+      .orderBy("n_regionkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_xml_roundtrip" -> (xmlRoundtrip _),
     "p_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "p_bloom_decontaminate" -> (bloomDecontaminate _),
     "p_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
@@ -330,6 +366,13 @@ object Round11Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the round trip is lossless, so the read-back aggregate equals
+    // the direct table aggregate
+    "r_xml_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+        |  min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
     // identical logical plan in DuckDB: same tokenization, same
     // ratio-idf, same ascending-term left fold, same rounding
     "p_bm25_topk" ->
