@@ -60,4 +60,14 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("sortedintersectcount"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("bm25 broadcasts the query terms and group-limits the top-k") {
+    val p = plan("p_bm25_topk")
+    // the 6-term query list joins the postings as a broadcast, never
+    // a shuffle of tf on the query side; per-query top-k pushes below
+    // the window's final shuffle
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
