@@ -174,20 +174,19 @@ object Round11Queries {
    * rows. The rank window runs over <= 20 surviving sketch rows,
    * not the data. */
   def approxTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = RelationalQueries.events(spark, sfDir)
     val sk = ev
       .selectExpr("explode(approx_top_k(CAST(user_id % 100 AS STRING), 20)) AS e")
       .select(col("e.item").as("key"), col("e.count").as("n")).cache()
     val t = sk.orderBy(col("n").desc).limit(10).agg(min(col("n"))).head().getLong(0)
-    val wr = Window.orderBy(col("n").desc, col("key"))
-    val out = sk.where(col("n") > t)
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .orderBy("rank")
-    val materialized = out.collect()
+    // the survivors are <= 9 sketch rows — rank them driver-side
+    // (no single-partition window, the O(9) collect is bounded)
+    val survivors = sk.where(col("n") > t).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (k, n) => (-n, k) }
     sk.unpersist(blocking = false)
     spark.createDataFrame(
-      materialized.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+      survivors.zipWithIndex.map { case ((k, n), i) => (k, n, (i + 1).toLong) }.toSeq)
       .toDF("key", "n", "rank")
   }
 
