@@ -1156,7 +1156,10 @@ object GraphQueries {
    * inlines non-materialized CTEs — 3 references would cube the
    * plan per round). Ends with `comp(vid, component)`, component =
    * min vertex id, exactly what GraphX min-propagation converges
-   * to. */
+   * to. `comp` carries the loud unroll-margin guard (same pattern
+   * as g_kcore): ZERO rows if round `rounds` still differs from
+   * `rounds - 1`, so an exhausted margin on a bigger corpus fails
+   * as an unmissable row-count mismatch, never a label-hash one. */
   private def backboneCompCte(rounds: Int = 16): String = {
     val rs = (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (
@@ -1175,7 +1178,11 @@ object GraphQueries {
        |e2 AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS m FROM e2),
        |$rs,
-       |comp AS MATERIALIZED (SELECT v AS vid, m AS component FROM l$rounds)""".stripMargin
+       |comp AS MATERIALIZED (
+       |  SELECT v AS vid, m AS component FROM l$rounds
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM l$rounds a JOIN l${rounds - 1} b
+       |    ON a.v = b.v AND a.m <> b.m))""".stripMargin
   }
 
   /** Exact replay of the clustering-coefficient-seeded initial
@@ -2012,9 +2019,18 @@ object GraphQueries {
     // TWICE (keep + relax), so DuckDB 1.0's inlining would double
     // the plan per round — 2^8 copies of the inlined lineitem
     // self-join, measured 25.5 s at sf0.01 vs 0.2 s materialized.
+    // loud unroll-margin guard (same pattern as g_kcore): if 8
+    // Bellman rounds no longer reach the fixpoint on a bigger
+    // corpus (a relaxable edge remains, or the reached set is still
+    // expanding), emit ZERO rows — an unmissable row-count mismatch
+    // — instead of a confusing value-hash failure.
     "g_sssp_weighted" ->
       s"""WITH $ssspReplayCtes
-         |SELECT vid, floor(dist * 1e6 + 0.5) / 1e6 AS dist FROM d8""".stripMargin,
+         |SELECT vid, floor(dist * 1e6 + 0.5) / 1e6 AS dist FROM d8
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM we e JOIN d8 a ON a.vid = e.src
+         |  LEFT JOIN d8 b ON b.vid = e.dst
+         |  WHERE b.vid IS NULL OR b.dist > a.dist + e.len + 1e-9)""".stripMargin,
     // Bellman certificate: every boolean COMPUTED by SQL over the
     // oracle's own replayed distances (d8, the same rounds as
     // g_sssp_weighted — hash-proven equal to the Spark distances),
