@@ -29,6 +29,7 @@ object SparkEntry {
       "s_stream_hourly" -> (graft.streaming.StreamOps.hourlyEventCounts _),
       "s_stream_hourly_rocksdb" -> (graft.streaming.StreamOps.hourlyEventCountsRocksDB _),
       "s_stream_hourly_append" -> (graft.streaming.StreamOps.hourlyEventCountsAppend _),
+      "s_stream_file_sink" -> (graft.streaming.StreamOps.fileSinkRoundtrip _),
       "s_stream_multibatch_topk" -> ((s: SparkSession, d: String) =>
         graft.streaming.StreamOps.multiBatchTopUsers(s, d)),
       "s_stream_sessions" -> (graft.streaming.StreamOps.sessionizeStream _),
@@ -59,6 +60,15 @@ object SparkEntry {
       // append mode emits exactly the windows whose end the final
       // watermark (max event time - 1h, ms-truncated) has passed
       "s_stream_hourly_append" ->
+        """WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour, event_type,
+          |  count(*) AS n, floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+          |  FROM events GROUP BY 1, 2),
+          |wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS w FROM events)
+          |SELECT hour, event_type, n, sum_value FROM b, wm
+          |WHERE epoch_us(hour) + 3600000000 <= w""".stripMargin,
+      // the exactly-once FileStreamSink commits the same closed
+      // windows append mode emits — identical oracle
+      "s_stream_file_sink" ->
         """WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour, event_type,
           |  count(*) AS n, floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
           |  FROM events GROUP BY 1, 2),

@@ -378,6 +378,41 @@ object StreamOps {
     spark.table(name).orderBy("hour", "event_type")
   }
 
+  /** [[hourlyEventCountsAppend]] through Spark's EXACTLY-ONCE
+   * parquet FileStreamSink — the production streaming sink: each
+   * micro-batch's files are committed atomically to the
+   * `_spark_metadata` manifest keyed by batch id, so a retried batch
+   * can never double its rows, and `spark.read.parquet` over the
+   * output honors the manifest (uncommitted files are invisible).
+   * Append mode + watermark emits exactly the closed windows, so
+   * the read-back table shares s_stream_hourly_append's oracle.
+   * Output + checkpoint trees are removed on JVM exit (the returned
+   * DataFrame stays file-backed for the harness to consume). */
+  def fileSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedEventsDir(sfDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fsink-out")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-fsink-ckpt")
+    sys.addShutdownHook { cleanupTree(outDir); cleanupTree(ckptDir) }
+    val src = eventsStream(spark, dir.toString)
+      .withWatermark("ts", "1 hour")
+    val agg = src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckptDir.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally cleanup(dir)
+    spark.read.parquet(outDir.toString).orderBy("hour", "event_type")
+  }
+
   /** The events table's ts arrives as LongType (parquet
    * TIMESTAMP(NANOS) under nanosAsLong) or TIMESTAMP_NTZ (parquet
    * timestamp[us] without a zone) depending on how the generator
