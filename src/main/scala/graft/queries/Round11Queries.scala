@@ -147,6 +147,7 @@ object Round11Queries {
       .join(probed.where(!col("bloom_hit")), Seq("chunk_hash"), "left_semi")
       .count()
     val fpBound = nExact + math.ceil(0.01 * 10 * nEval).toLong
+    bfB.destroy()
     train.unpersist(blocking = false)
     eval_.unpersist(blocking = false)
     probed.unpersist(blocking = false)
@@ -171,8 +172,7 @@ object Round11Queries {
    * measured: keys 28/42 both at n=144 at sf0.01 — so the boundary
    * itself must not be emitted). k=20 over-fetch guarantees the
    * strictly-above set (at most 9 keys) is fully inside the sketch
-   * rows. The rank window runs over <= 20 surviving sketch rows,
-   * not the data. */
+   * rows; the survivors are ranked after a bounded O(9) collect. */
   def approxTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = RelationalQueries.events(spark, sfDir)
     val sk = ev
