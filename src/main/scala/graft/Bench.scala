@@ -186,6 +186,10 @@ object Bench {
     val qs =
       if (sys.env.get("SPARK_GRAFT_FULL_QUERIES").contains("1")) medianMap
       else jmap(groups ++ failed ++ slow)
-    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${failed.size},"picked_run":${scoredIdx + 1},"query_stat":"per_query_median","median_sum":${d3(medianSum)},"runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
+    // the headline "failed" is the SCORED run's failure count (the
+    // run whose total is "value") — a query that failed in every
+    // green-source run additionally shows as -1 in the map; counting
+    // only the -1 entries would underreport when no run is green
+    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${scored.nFailed},"picked_run":${scoredIdx + 1},"query_stat":"per_query_median","median_sum":${d3(medianSum)},"runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -18,6 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object SparkEntry {
 
+  /** Closed-window (watermark-evicted) hourly aggregate — shared by
+   * the append-mode memory sink and the FileStreamSink round trip,
+   * which emit the identical row set. */
+  private val ClosedWindowOracle: String =
+    """WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour, event_type,
+      |  count(*) AS n, floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS w FROM events)
+      |SELECT hour, event_type, n, sum_value FROM b, wm
+      |WHERE epoch_us(hour) + 3600000000 <= w""".stripMargin
+
   /** Flagship: full batch DWCC community detection on the
    * co-purchase graph (SURVEY.md §3.1). */
   def entry(spark: SparkSession): DataFrame =
@@ -59,22 +70,12 @@ object SparkEntry {
       "s_stream_hourly_rocksdb" -> RelationalQueries.oracles("r_events_hourly"),
       // append mode emits exactly the windows whose end the final
       // watermark (max event time - 1h, ms-truncated) has passed
-      "s_stream_hourly_append" ->
-        """WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour, event_type,
-          |  count(*) AS n, floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
-          |  FROM events GROUP BY 1, 2),
-          |wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS w FROM events)
-          |SELECT hour, event_type, n, sum_value FROM b, wm
-          |WHERE epoch_us(hour) + 3600000000 <= w""".stripMargin,
+      "s_stream_hourly_append" -> ClosedWindowOracle,
       // the exactly-once FileStreamSink commits the same closed
-      // windows append mode emits — identical oracle
-      "s_stream_file_sink" ->
-        """WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour, event_type,
-          |  count(*) AS n, floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
-          |  FROM events GROUP BY 1, 2),
-          |wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS w FROM events)
-          |SELECT hour, event_type, n, sum_value FROM b, wm
-          |WHERE epoch_us(hour) + 3600000000 <= w""".stripMargin,
+      // windows append mode emits — ONE shared definition, so a
+      // contract tweak can never leave the twins checking
+      // different SQL
+      "s_stream_file_sink" -> ClosedWindowOracle,
       // within-watermark dedup over a drained bounded stream = batch
       // distinct per (user, type), counted per user
       "s_stream_dedup_ww" ->

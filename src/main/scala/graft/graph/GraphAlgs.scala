@@ -274,11 +274,14 @@ object GraphAlgs {
     val nEdges = g.edges.count()
     val p = new org.apache.spark.HashPartitioner(
       math.max(8, math.min(g.edges.getNumPartitions, (2 * nEdges / 500000L).toInt)))
+    // neighbor order is irrelevant here: forward sigma sums are
+    // order-free reduceByKey folds and the backward pass re-sorts
+    // its terms per receiver — no O(Σ deg log deg) sort at build
     val adjMap: RDD[java.util.HashMap[Long, Array[Long]]] =
       g.edges.flatMap(e => Iterator((e.srcId, e.dstId), (e.dstId, e.srcId)))
         .groupByKey(p).mapPartitions { it =>
           val m = new java.util.HashMap[Long, Array[Long]]()
-          it.foreach(kv => m.put(kv._1, kv._2.toArray.sorted))
+          it.foreach(kv => m.put(kv._1, kv._2.toArray))
           Iterator.single(m)
         }.persist(StorageLevel.MEMORY_AND_DISK)
     adjMap.count()

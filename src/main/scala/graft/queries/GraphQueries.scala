@@ -267,7 +267,7 @@ object GraphQueries {
    * deleted on JVM exit: repeated sweeps reuse one directory (the
    * writers run mode=overwrite) instead of accumulating on-disk
    * copies of the edge set per invocation. */
-  private def stagingDir(spark: SparkSession, key: String): String =
+  private[queries] def stagingDir(spark: SparkSession, key: String): String =
     memoize(spark, s"staging:$key") {
       val dir = java.nio.file.Files.createTempDirectory("graft-stage")
       sys.addShutdownHook {

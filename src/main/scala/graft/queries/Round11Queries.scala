@@ -117,6 +117,8 @@ object Round11Queries {
    * the requested 1% fpp (a destroyed filter — wrong hashing, merged
    * wrong — fails one or both and flips the hash). */
   def bloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    // cached before the train/eval split: both sides read it, and the
+    // tokenize+window+md5 pipeline is the query's heaviest stage
     val chunks = docs(spark, sfDir)
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .withColumn("n", size(col("w"))).where(col("n") > 0)
@@ -125,6 +127,7 @@ object Round11Queries {
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(32))))
           .as("chunk_hash"))
+      .cache()
     val train = chunks.where(col("doc_id") % 10 =!= 0)
       .select("chunk_hash").distinct().cache()
     val eval_ = chunks.where(col("doc_id") % 10 === 0)
@@ -148,6 +151,7 @@ object Round11Queries {
       .count()
     val fpBound = nExact + math.ceil(0.01 * 10 * nEval).toLong
     bfB.destroy()
+    chunks.unpersist(blocking = false)
     train.unpersist(blocking = false)
     eval_.unpersist(blocking = false)
     probed.unpersist(blocking = false)
@@ -298,22 +302,15 @@ object Round11Queries {
    * declared schema (never inference — the round trip must not
    * depend on sampling), and aggregate. The XML writer escapes
    * markup characters, so values round-trip byte-exact and the
-   * aggregate equals the oracle's direct parquet aggregation. */
+   * aggregate equals the oracle's direct parquet aggregation.
+   * Staging rides [[GraphQueries.stagingDir]] — the one memoized
+   * temp-dir + JVM-exit cleanup implementation the other roundtrips
+   * use. */
   def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = memoize(spark, s"xmlstage:$sfDir") {
-      val p = java.nio.file.Files.createTempDirectory("graft-xml")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-            catch { case _: Throwable => () })
-      }
-      spark.read.parquet(s"$sfDir/nation.parquet")
-        .write.mode("overwrite").option("rowTag", "nation")
-        .format("xml").save(p.toString)
-      p.toString
-    }
+    val dir = GraphQueries.stagingDir(spark, s"xml:$sfDir")
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.mode("overwrite").option("rowTag", "nation")
+      .format("xml").save(dir)
     spark.read.format("xml")
       .option("rowTag", "nation")
       .schema("n_nationkey INT, n_name STRING, n_regionkey INT")

@@ -135,10 +135,13 @@ class Round11Spec extends SparkSpec {
   test("bloom decontamination exact values equal the set replay") {
     val row = Round11Queries.bloomDecontaminate(spark, sf).head()
 
+    // mirror bloomDecontaminate EXACTLY: TextOps.words keeps the
+    // single empty token a whitespace-only text splits to (so such a
+    // doc contributes md5("") — the oracle agrees), and the n > 0
+    // gate admits it; the replay must not silently filter it
     def chunks(text: String): Seq[String] = {
-      val w = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-      if (w.isEmpty) Seq.empty
-      else (0 until w.size by 16).map(i => md5hex(w.slice(i, i + 32).mkString(" ")))
+      val w = text.trim.split("\\s+").toSeq
+      (0 until w.size by 16).map(i => md5hex(w.slice(i, i + 32).mkString(" ")))
     }
     val ds = docTexts()
     val train = ds.filter(_._1 % 10 != 0).flatMap(d => chunks(d._2)).toSet
