@@ -57,7 +57,8 @@ object SparkEntry {
       "s_state_reader" -> (graft.streaming.StreamOps.stateStoreReader _),
       "s_state_reader_rocksdb" -> (graft.streaming.StreamOps.stateStoreReaderRocksDB _),
       "s_stream_observe" -> (graft.streaming.StreamOps.streamObserve _),
-      "s_stream_session_window" -> (graft.streaming.StreamOps.sessionWindowStream _))
+      "s_stream_session_window" -> (graft.streaming.StreamOps.sessionWindowStream _),
+      "s_wcc_incremental" -> (graft.streaming.StreamOps.incrementalWccStream _))
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
@@ -76,6 +77,11 @@ object SparkEntry {
       // contract tweak can never leave the twins checking
       // different SQL
       "s_stream_file_sink" -> ClosedWindowOracle,
+      // the Structured Streaming IDWCC twin drains the stream-region
+      // edges as one AvailableNow micro-batch folded through
+      // IncrementalWCC.run — the same single-batch replay the batch
+      // twin runs, so ONE shared oracle CTE predicts both
+      "s_wcc_incremental" -> GraphQueries.oracles("g_wcc_incremental"),
       // within-watermark dedup over a drained bounded stream = batch
       // distinct per (user, type), counted per user
       "s_stream_dedup_ww" ->

@@ -395,8 +395,45 @@ object GraphQueries {
    * callers whose adjacency is much larger than the conversion. */
   def wccIncremental(spark: SparkSession, sfDir: String): DataFrame =
     memoize(spark, s"idwcc:$sfDir") {
-      val df = IncrementalWCC.testStream(spark, canonEdges(spark, sfDir)).cache()
-      df.count(); df
+      val (state, streamEdges) = idwccShared(spark, sfDir)
+      val batch = streamEdges.rdd.map(r =>
+        org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), 1))
+      val fin = IncrementalWCC.run(state, batch, releaseInput = false)
+      val rows = fin.graph.vertices.map { case (id, vd) => (id, vd.cId) }
+      val df = spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid").cache()
+      df.count()
+      fin.graph.unpersistVertices(blocking = false)
+      fin.graph.edges.unpersist(blocking = false)
+      df
+    }
+
+  /** Shared IDWCC inputs: the bulk-region DWCC state (the expensive
+   * ~half of the replay — a full DistributedWCC over the sub-split
+   * graph) plus the stream-region canonical edges, memoized so the
+   * batch replay (`g_wcc_incremental`) and its Structured Streaming
+   * twin (`s_wcc_incremental`, [[graft.streaming.StreamOps
+   * .incrementalWccStream]]) fold from ONE bulk prepare per
+   * (session, sfDir). The split rule is the driver loop's own
+   * (`IncrementalWCC.testStream`): bulk = both endpoints below
+   * floor(maxId * 0.8), stream = the rest. Users of the state must
+   * pass `releaseInput = false` to `IncrementalWCC.run` — the memo
+   * owns the cached state graph. */
+  private[graft] def idwccShared(spark: SparkSession, sfDir: String)
+      : (IncrementalWCC.State, DataFrame) =
+    memoize(spark, s"idwccBulk:$sfDir") {
+      import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+      val canon = canonEdges(spark, sfDir)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      val maxVertex = canon.agg(max(greatest(col("src"), col("dst")))).head().getLong(0)
+      val split = math.floor(maxVertex * 0.8)
+      val bulk = canon.where(col("src") < split && col("dst") < split).rdd
+        .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      val state = IncrementalWCC.prepare(
+        Graph.fromEdges(bulk, 0).partitionBy(PartitionStrategy.EdgePartition2D))
+      val streamEdges = canon
+        .where(col("src") >= split || col("dst") >= split).cache()
+      streamEdges.count()
+      (state, streamEdges)
     }
 
   /** IDWCC invariant certificate: each replayed vertex is labeled

@@ -380,11 +380,16 @@ object IncrementalWCC {
   }
 
   /** One micro-batch (reference `IncrementalWCC.scala:27-71`).
-   * CONSUMES `state`: the superseded state graph and every
+   * CONSUMES `state` by default: the superseded state graph and every
    * intermediate graph generation are uncached once the new state is
    * materialized, so resident memory stays one-generation-sized no
-   * matter how many micro-batches replay. */
-  def run(state: State, newEdges: RDD[Edge[Int]]): State = {
+   * matter how many micro-batches replay. `releaseInput = false`
+   * keeps the input state's graph cached — for callers that hold a
+   * SHARED bulk state (e.g. the session-memoized prepare that both
+   * the batch replay and its Structured Streaming twin fold from)
+   * and remain its owner. */
+  def run(state: State, newEdges: RDD[Edge[Int]],
+      releaseInput: Boolean = true): State = {
     val m = timed("merge")(merge(state, newEdges))
     val init = timed("initial-partition")(performInitialPartition(m.fullGraph))
     val (finalGraph, _) = timed("refine")(refinePartition(init, m.globalCC, m.vertexCount))
@@ -401,7 +406,7 @@ object IncrementalWCC {
     release(m.fullGraph)
     release(init)
     if (finalGraph ne init) release(finalGraph)
-    release(state.graph)
+    if (releaseInput) release(state.graph)
     // unpersist (not destroy): evicted lineage re-fetches from the
     // driver if a cached partition is ever recomputed
     m.newIds.unpersist(blocking = false)

@@ -96,6 +96,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("s_wcc_incremental file-source twin equals the batch replay") {
+    val sfDir = "/root/testdata/sf0.001"
+    // both fold the SAME session-memoized bulk state (not consumed:
+    // releaseInput=false), so this also exercises state sharing
+    val streamed = StreamOps.incrementalWccStream(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = graft.queries.GraphQueries.wccIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("update-mode mapGroupsWithState running state equals the batch aggregate") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
