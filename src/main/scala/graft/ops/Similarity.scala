@@ -121,14 +121,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
-  /** IVF-style probe: search only the query's coarse cell. */
+  /** IVF-style probe: search only the query's coarse cell.
+   *
+   * `cellCap` (0 = off) applies the same bounded-work hot-cell trade
+   * as [[ivfKmeansTopK]] — each cell's candidate set truncated to
+   * `cellCap` members before scoring — but in a FULLY SQL-replayable
+   * deterministic order (`md5(cast(vec_id as string))`, tie-broken
+   * by vec_id; both engines hash and collate the lowercase hex
+   * identically), so a DuckDB oracle can predict the exact survivor
+   * set and ranking of the capped path, not just its shape. The
+   * k-means variant keeps Spark's internal `hash()` order (cheaper,
+   * not replayable) under its structural gate. */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10,
-      maxQueryId: Long = Long.MaxValue): DataFrame = {
+      maxQueryId: Long = Long.MaxValue, cellCap: Int = 0): DataFrame = {
     val e = emb(embeddings)
+    val candidates =
+      if (cellCap <= 0) e
+      else {
+        val cw = Window.partitionBy(col("label"))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        e.withColumn("cpos", row_number().over(cw))
+          .where(col("cpos") <= cellCap).drop("cpos")
+      }
     val q = e.where(col("vec_id") % queryMod === 0 && col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("label"))
-    val scored = q.join(e, Seq("label"))
+    val scored = q.join(candidates, Seq("label"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         TextOps.rnd(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("score"))

@@ -464,6 +464,15 @@ object PipelineQueries {
     "p_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")),
+    // the hot-cell cap proven VALUE-level (VERDICT r10 item 4): every
+    // label cell of the sf corpus exceeds cap=32, so the truncation
+    // BINDS on every cell and the oracle predicts the exact
+    // md5-ordered survivor set and its ranking — a wrong cap order,
+    // off-by-one cap, or cap applied after scoring all hash-mismatch
+    "p_ann_ivf_capped_exact" -> ((s, d) =>
+      Similarity.ivfTopK(embs(s, d), cellCap = 32)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")),
     // k-means IVF: the learned cell centers cannot be replayed in
     // SQL, so the gate checks the structural contract instead —
     // exactly k distinct non-self neighbors per probe query, scores
@@ -1083,6 +1092,25 @@ object PipelineQueries {
          |scored AS (SELECT query_id, vec_id AS neighbor_id,
          |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
          |  FROM q JOIN e USING (label) WHERE vec_id <> query_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // the capped IVF path replayed value-level: candidates per label
+    // cell truncated to the first 32 in (md5(vec_id), vec_id) order
+    // — the identical deterministic order the Spark window pass uses
+    // — then the exact top-k ranking over the survivors
+    "p_ann_ivf_capped_exact" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cand AS (SELECT vec_id, label, v FROM (
+         |  SELECT vec_id, label, v, row_number() OVER (
+         |    PARTITION BY label
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cpos
+         |  FROM e) WHERE cpos <= 32),
+         |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id % 10 = 0),
+         |scored AS (SELECT query_id, cand.vec_id AS neighbor_id,
+         |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
+         |  FROM q JOIN cand USING (label) WHERE cand.vec_id <> query_id)
          |SELECT query_id, rank, neighbor_id, score FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank

@@ -154,6 +154,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("capped ivf topk ranks only the md5-prefix survivors, and the cap binds") {
+    val cap = 8
+    // deterministic survivor set: first `cap` per label cell in
+    // (md5(vec_id), vec_id) order — the contract the DuckDB oracle
+    // replays for p_ann_ivf_capped_exact
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md5hex.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val survivors = e.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._2).values.flatMap { cell =>
+        cell.map(_._1).sortBy(id => (h(id), id)).take(cap)
+      }.toSet
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.size < all.size) // the cap actually truncates
+    val capped = Similarity.ivfTopK(e, k = 5, queryMod = 100, cellCap = cap).collect()
+    assert(capped.nonEmpty)
+    capped.foreach(r => assert(survivors.contains(r.getLong(2))))
+    // binding cap changes the ranking vs the uncapped path
+    val uncapped = Similarity.ivfTopK(e, k = 5, queryMod = 100).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val cappedSet = capped.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(cappedSet !== uncapped)
+  }
+
   test("SignSignature matches a driver-side replay of the plane folds bit-for-bit") {
     // the native expression must produce exactly the signature the
     // oracle derives from lshPlaneSqlLiterals: parse the emitted
