@@ -270,11 +270,27 @@ object ScaleProbe {
         val sg = phase("skew graph build") {
           val sg = EdgeOps.toGraph(skewEdges); sg.cache(); sg.numVertices; sg
         }
+        // intrinsic triangle workload of THIS corpus: the classic
+        // oriented-enumeration bound Σ min(deg_u, deg_v) plus the
+        // output term 3T — on a Zipf graph BOTH grow super-linearly
+        // in |E| as the hub deepens, so the phase verdict compares
+        // time growth against work growth, not against |E| growth
+        val workBound = {
+          val degs = skewEdges
+            .select(explode(array(col("src"), col("dst"))).as("v"))
+            .groupBy("v").agg(count(lit(1)).as("deg"))
+          skewEdges
+            .join(degs.select(col("v").as("src"), col("deg").as("ds")), "src")
+            .join(degs.select(col("v").as("dst"), col("deg").as("dd")), "dst")
+            .agg(sum(least(col("ds"), col("dd")))).head().getLong(0)
+        }
         val tri = phase("skew triangle stats + prune") {
           val t = TriangleStats.run(sg)
           println(s"[scale-probe] skew pruned |V|=${t.pruned.numVertices} |E|=${t.pruned.numEdges}")
           t
         }
+        val triIncidences = tri.fullStats.map(_._2._1.toLong).sum()
+        println(f"[scale-probe] skew tri work: sum-min-deg=$workBound%d 3T=${triIncidences.toLong}%d")
         phase("skew initial partition Pregel") {
           val i = InitialPartition.run(tri.pruned)
           i.cache(); i.vertices.count()

@@ -180,12 +180,22 @@ object GraphQueries {
       df.count(); df
     }
 
+  /** The checks' other shared label-independent stage: the exploded
+   * triangle incidences ([[WccCheck.triangleTriples]]) each check's
+   * intra-community triangle counts join against. */
+  private def wccCheckTriples(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"wccCheckTriples:$sfDir") {
+      val df = WccCheck.triangleTriples(canonEdges(spark, sfDir)).cache()
+      df.count(); df
+    }
+
   def wccPartitionWccCheck(spark: SparkSession, sfDir: String): DataFrame = {
     val out = wccOut(spark, sfDir)
     val labels = spark.createDataFrame(
       out.graph.vertices.map { case (id, vd) => (id, vd.cId) }).toDF("vid", "cid")
     val recomputed = WccCheck.globalWccOfPartitionDet(canonEdges(spark, sfDir), labels,
-      precomputedCnt = Some(wccCheckCnt(spark, sfDir)))
+      precomputedCnt = Some(wccCheckCnt(spark, sfDir)),
+      precomputedTriples = Some(wccCheckTriples(spark, sfDir)))
     val nVertices = graph(spark, sfDir).numVertices
     // wcc_round: the recomputed WCC VALUE (1e-9-rounded, scaled to a
     // BIGINT) — the oracle recomputes it from its own seeding-replay
@@ -218,7 +228,8 @@ object GraphQueries {
         ig.vertices.map { case (id, vd) => (id, vd.cId) })
         .map { case (id, (_, c)) => (id, c.getOrElse(id)) }).toDF("vid", "cid")
     val recomputed = WccCheck.globalWccOfPartitionDet(canonEdges(spark, sfDir), labels,
-      precomputedCnt = Some(wccCheckCnt(spark, sfDir)))
+      precomputedCnt = Some(wccCheckCnt(spark, sfDir)),
+      precomputedTriples = Some(wccCheckTriples(spark, sfDir)))
     spark.createDataFrame(Seq((
       nVertices,
       math.floor(recomputed * 1e9 + 0.5).toLong,

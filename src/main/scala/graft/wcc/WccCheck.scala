@@ -49,14 +49,37 @@ object WccCheck {
       .select(col("src"), col("dst"), intersectCount(col("na"), col("nb")).as("cnt"))
   }
 
+  /** Exploded triangle incidences of the canonical edge set: one row
+   * (src, dst, w) per edge and common full-graph neighbor w — i.e.
+   * three rows per triangle, one per incident edge. Like
+   * [[edgeCommonCounts]] this is label-INDEPENDENT, so a session
+   * checking SEVERAL partitions of the same graph (the flagship and
+   * seeding `_wcc_check` rows) enumerates triangles once; each
+   * partition's intra-community triangle counts then cost three hash
+   * joins against its labels instead of a fresh same-community
+   * adjacency build + intersection pass per partition. */
+  def triangleTriples(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = sym.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
+    edges
+      .join(adj.select(col("src").as("ea"), col("nbrs").as("na")), col("src") === col("ea"))
+      .join(adj.select(col("src").as("eb"), col("nbrs").as("nb")), col("dst") === col("eb"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("na"), col("nb"))).as("w"))
+  }
+
   /** Global WCC of the partition `labels` (vid, cid) over the graph
    * given by canonical undirected `edges` (src < dst, distinct, no
    * self-loops). Every vertex of the graph must be labeled.
    * `precomputedCnt` takes an [[edgeCommonCounts]] result computed
-   * earlier in the session (it must be for the SAME edge set). */
+   * earlier in the session (it must be for the SAME edge set);
+   * `precomputedTriples` likewise a [[triangleTriples]] result. */
   def globalWccOfPartition(edges: DataFrame, labels: DataFrame,
-      precomputedCnt: Option[DataFrame] = None): Double =
-    globalWccOfPartitionImpl(edges, labels, precomputedCnt, det = false)
+      precomputedCnt: Option[DataFrame] = None,
+      precomputedTriples: Option[DataFrame] = None): Double =
+    globalWccOfPartitionImpl(edges, labels, precomputedCnt,
+      precomputedTriples, det = false)
 
   /** [[globalWccOfPartition]] with a DETERMINISTIC summation: the
    * per-vertex wcc terms fold in ascending-vid order within
@@ -71,12 +94,14 @@ object WccCheck {
    * boolean. Block sums collect to the driver: O(maxId / 2^16)
    * doubles. */
   def globalWccOfPartitionDet(edges: DataFrame, labels: DataFrame,
-      precomputedCnt: Option[DataFrame] = None): Double =
-    globalWccOfPartitionImpl(edges, labels, precomputedCnt, det = true)
+      precomputedCnt: Option[DataFrame] = None,
+      precomputedTriples: Option[DataFrame] = None): Double =
+    globalWccOfPartitionImpl(edges, labels, precomputedCnt,
+      precomputedTriples, det = true)
 
   private def globalWccOfPartitionImpl(edges: DataFrame, labels: DataFrame,
-      precomputedCnt: Option[DataFrame], det: Boolean): Double = {
-    import org.apache.spark.sql.graft.GraftExpressions.intersectCount
+      precomputedCnt: Option[DataFrame],
+      precomputedTriples: Option[DataFrame], det: Boolean): Double = {
 
     val cntShared = precomputedCnt.isDefined
     val cnt = precomputedCnt.getOrElse(edgeCommonCounts(edges).cache())
@@ -101,17 +126,24 @@ object WccCheck {
       .union(prunedSame.select(col("dst").as("vid")))
       .groupBy("vid").agg(count(lit(1)).as("vtc"))
 
-    // tC: intra-community triangles via same-community adjacency
-    val symSame = prunedSame
-      .union(prunedSame.select(col("dst").as("src"), col("src").as("dst")))
-    val adjSame = symSame.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
-    val cntSame = prunedSame
-      .join(adjSame.select(col("src").as("ea"), col("nbrs").as("na")), col("src") === col("ea"))
-      .join(adjSame.select(col("src").as("eb"), col("nbrs").as("nb")), col("dst") === col("eb"))
-      .select(col("src"), col("dst"), intersectCount(col("na"), col("nb")).as("ccnt"))
-    val tc = cntSame.select(col("src").as("vid"), col("ccnt"))
-      .union(cntSame.select(col("dst").as("vid"), col("ccnt")))
-      .groupBy("vid").agg((sum("ccnt") / 2).cast("long").as("tc"))
+    // tC: intra-community triangles = full-graph triangle incidences
+    // whose three vertices share a label. Equivalent to counting in
+    // the same-community pruned subgraph: a triangle's edges each
+    // close >= 1 triangle (so all survive the prune), and pairwise
+    // label equality across its three edges is exactly
+    // cs = cd = cw. Each triangle at v appears in 2 of its 3
+    // incidence rows with v as an endpoint, hence the /2.
+    val triplesShared = precomputedTriples.isDefined
+    val triples = precomputedTriples.getOrElse(triangleTriples(edges).cache())
+    val sameTriples = triples
+      .join(labels.select(col("vid").as("src"), col("cid").as("cs")), "src")
+      .join(labels.select(col("vid").as("dst"), col("cid").as("cd")), "dst")
+      .join(labels.select(col("vid").as("w"), col("cid").as("cw")), "w")
+      .where(col("cs") === col("cd") && col("cd") === col("cw"))
+      .select(col("src"), col("dst"))
+    val tc = sameTriples.select(col("src").as("vid"))
+      .union(sameTriples.select(col("dst").as("vid")))
+      .groupBy("vid").agg((count(lit(1)) / 2).cast("long").as("tc"))
 
     val r = labels.groupBy("cid").agg(count(lit(1)).as("r"))
     val n = labels.count()
@@ -144,6 +176,7 @@ object WccCheck {
         s
       }
     if (!cntShared) cnt.unpersist(blocking = false)
+    if (!triplesShared) triples.unpersist(blocking = false)
     total / n
   }
 }

@@ -50,4 +50,22 @@ class WccCheckSpec extends SparkSpec {
     cnt.unpersist(blocking = false)
     assert(shared === self)
   }
+
+  test("precomputed triangle triples give the identical score") {
+    // the session-shared triangleTriples path (the second
+    // label-independent stage both _wcc_check rows reuse) must be
+    // value-identical to the self-contained recompute
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (2L, 4L))
+    val df = edges.toDF("src", "dst")
+    val out = DistributedWCC.run(graphOf(spark, edges))
+    val self = WccCheck.globalWccOfPartition(df, labelsOf(out))
+    val triples = WccCheck.triangleTriples(df).cache()
+    // 3 incidence rows per triangle
+    assert(triples.count() % 3 === 0 && triples.count() > 0)
+    val shared = WccCheck.globalWccOfPartition(df, labelsOf(out),
+      precomputedTriples = Some(triples))
+    triples.unpersist(blocking = false)
+    assert(shared === self)
+  }
 }
