@@ -24,6 +24,10 @@ class CertificateInventorySpec extends AnyFunSuite {
     "g_wcc_partition_certified" -> 1,
     "g_wcc_incremental" -> 2, // bulk + merged seeding flag inits
     "g_wcc_incremental_certified" -> 2,
+    // the Structured Streaming G9 twin shares g_wcc_incremental's
+    // replay oracle verbatim (SparkEntry.oracleSql aliases it), so it
+    // carries the same two flag-CTE initializations
+    "s_wcc_incremental" -> 2,
     // (a) + (b): flag CTE plus the claimed-vs-recomputed agreement
     // (the recomputed value itself is hashed via wcc_round)
     "g_wcc_initial_partition_wcc_check" -> 2,
