@@ -109,13 +109,41 @@ object GraphQueries {
     spark.createDataFrame(deg).toDF("vid", "cid", "deg").orderBy("vid", "cid")
   }
 
+  /** The seed partition's pipeline evaluation (surfaces, stats,
+   * global WCC) — iteration 0 of the refinement loop AND the
+   * `claimed` side of the seeding value check, memoized so a session
+   * running both pays the pass once. Hub graphs (never the sf
+   * corpus) fall back to the Map-based evaluation with no shareable
+   * surface, mirroring `refinePartition`'s strategy choice. */
+  private def seedEval(spark: SparkSession, sfDir: String):
+      (Option[org.apache.spark.graphx.VertexRDD[CommunityOps.NbrSurface]],
+        Map[Long, CommunityData], Double) =
+    memoize(spark, s"seedEval:$sfDir") {
+      val ig = init(spark, sfDir)
+      val nVertices = graph(spark, sfDir).numVertices
+      val hubFree = ig.degrees.map(_._2).fold(0)(math.max) <=
+        TriangleStats.HubDegreeThreshold
+      if (hubFree) {
+        val surf = CommunityOps.nbrSurfaces(ig)
+        surf.cache()
+        val cs = CommunityOps.statsFromSurfaces(ig, surf)
+        val wcc = CommunityOps.computeGlobalWccFromSurfaces(ig, surf, cs, nVertices)
+        (Some(surf), cs, wcc)
+      } else {
+        val cs = CommunityOps.computeCommunityStats(ig)
+        (None, cs, CommunityOps.computeGlobalWCC(ig, cs, nVertices))
+      }
+    }
+
   /** Full batch DWCC, memoized so the flagship rows and the
    * invariant certificate share one run per (session, sfDir). */
   private def wccOut(spark: SparkSession, sfDir: String) =
     memoize(spark, s"wccOut:$sfDir") {
+      val (surfOpt, cs, wcc) = seedEval(spark, sfDir)
       DistributedWCC.run(graph(spark, sfDir),
         precomputedStats = Some(tri(spark, sfDir)),
-        precomputedInit = Some(init(spark, sfDir)))
+        precomputedInit = Some(init(spark, sfDir)),
+        precomputedSeedEval = surfOpt.map(s => (s, cs, wcc)))
     }
 
   /** G4+G5 flagship (not SQL-expressible — rows-only check): full
@@ -221,8 +249,11 @@ object GraphQueries {
   def wccInitialPartitionWccCheck(spark: SparkSession, sfDir: String): DataFrame = {
     val ig = init(spark, sfDir)
     val nVertices = graph(spark, sfDir).numVertices
-    val claimed = CommunityOps.computeGlobalWCC(ig,
-      CommunityOps.computeCommunityStats(ig), nVertices)
+    // the pipeline's own score of the seed partition — the memoized
+    // iteration-0 evaluation the refinement run also starts from
+    // (value-identical to an ad-hoc computeGlobalWCC re-evaluation,
+    // PropertySpec's surfaces-vs-maps scalar agreement)
+    val claimed = seedEval(spark, sfDir)._3
     val labels = spark.createDataFrame(
       graph(spark, sfDir).vertices.leftOuterJoin(
         ig.vertices.map { case (id, vd) => (id, vd.cId) })

@@ -57,7 +57,9 @@ object DistributedWCC {
   def run(graph: Graph[Int, Int], maxRetries: Int = DefaultMaxRetries,
       maxPregelIterations: Int = 50,
       precomputedStats: Option[TriangleStats.Result] = None,
-      precomputedInit: Option[Graph[VertexData, Int]] = None): Output = {
+      precomputedInit: Option[Graph[VertexData, Int]] = None,
+      precomputedSeedEval: Option[(VertexRDD[CommunityOps.NbrSurface],
+        Map[Long, CommunityData], Double)] = None): Output = {
     val vertexCount = graph.numVertices
 
     // Phase: preprocessing (`DistributedWCC.scala:88-130`)
@@ -76,7 +78,7 @@ object DistributedWCC {
 
     // Phase: WCC iteration (`:260-329`)
     val (best, bestCs, bestWcc, globalCC) = timed("refinement") {
-      refinePartition(initGraph, vertexCount, maxRetries)
+      refinePartition(initGraph, vertexCount, maxRetries, precomputedSeedEval)
     }
 
     // Graft results onto the original graph: every input vertex is in
@@ -99,7 +101,9 @@ object DistributedWCC {
    * the two-scan form, trajectory unchanged), so an iteration costs
    * one degree pass plus the two-pass WCC evaluation. */
   private def refinePartition(initGraph: Graph[VertexData, Int], vertexCount: Long,
-      maxRetries: Int): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
+      maxRetries: Int,
+      seedEval: Option[(VertexRDD[CommunityOps.NbrSurface],
+        Map[Long, CommunityData], Double)] = None): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
     // globalCC = (sum of cc over PRUNED vertices) / ORIGINAL count
     // (reference `:261-262` — the sum runs on the optimized graph).
     val globalCC = initGraph.vertices.map(_._2.cc).sum() / vertexCount
@@ -113,18 +117,30 @@ object DistributedWCC {
     // so the choice cannot move the trajectory.
     val hubFree = initGraph.degrees.map(_._2).fold(0)(math.max) <=
       TriangleStats.HubDegreeThreshold
-    if (hubFree) refineCompact(initGraph, vertexCount, maxRetries, globalCC)
+    if (hubFree) refineCompact(initGraph, vertexCount, maxRetries, globalCC, seedEval)
     else refineWithMaps(initGraph, vertexCount, maxRetries, globalCC)
   }
 
   private def refineCompact(initGraph: Graph[VertexData, Int], vertexCount: Long,
-      maxRetries: Int, globalCC: Double): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
+      maxRetries: Int, globalCC: Double,
+      seedEval: Option[(VertexRDD[CommunityOps.NbrSurface],
+        Map[Long, CommunityData], Double)] = None): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
     var bestPartition = initGraph
-    var bestSurf = CommunityOps.nbrSurfaces(bestPartition)
-    bestSurf.cache()
-    var bestCs = CommunityOps.statsFromSurfaces(bestPartition, bestSurf)
-    var bestWcc = CommunityOps.computeGlobalWccFromSurfaces(bestPartition, bestSurf,
-      bestCs, vertexCount)
+    // The iteration-0 evaluation of the seed partition may arrive
+    // precomputed (GraphQueries memoizes it so the seeding value
+    // check shares it). It MUST be the result of this exact
+    // surfaces-path computation on the same seed graph — identical
+    // code on identical input — so the refinement trajectory is
+    // bit-unchanged; the surf may be unpersisted below like any
+    // superseded generation (callers keep only the scalar score).
+    var bestSurf = seedEval.map(_._1).getOrElse {
+      val s = CommunityOps.nbrSurfaces(bestPartition); s.cache(); s
+    }
+    var bestCs = seedEval.map(_._2).getOrElse(
+      CommunityOps.statsFromSurfaces(bestPartition, bestSurf))
+    var bestWcc = seedEval.map(_._3).getOrElse(
+      CommunityOps.computeGlobalWccFromSurfaces(bestPartition, bestSurf,
+        bestCs, vertexCount))
 
     var foundNewBestPartition = true
     var retriesLeft = maxRetries
