@@ -157,6 +157,44 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
+  /** Persisted IVF index + dynamic-partition-pruned search — the
+   * build-once / query-many deployment shape of ANN at 100 TB. The
+   * BUILD is a one-time batch job writing the embedding table
+   * CELL-partitioned to disk (`partitionBy` on the coarse cell id —
+   * here the label cell, exactly [[ivfTopK]]'s quantizer), so each
+   * cell is its own directory of parquet files. The SEARCH reads the
+   * index back and probes each query's cell through a broadcast
+   * equi-join on the partition column: Spark plans a dynamic
+   * partition pruning filter on the index scan (PartitionFilters
+   * carries a dynamicpruning subquery reusing the broadcast —
+   * asserted in OpsSpec), so unprobed cell directories are never
+   * listed, let alone read. Queries an index 1000x the probe set
+   * touches only the probed cells' bytes — the property that makes
+   * the persisted layout a real index rather than a copy of the
+   * table. Doubles round-trip bit-exactly through parquet, so result
+   * rows are identical to [[ivfTopK]]'s in-memory path and the same
+   * SQL oracle covers both. */
+  def ivfPersistTopK(embeddings: DataFrame, indexDir: String, k: Int = 5,
+      queryMod: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = emb(embeddings)
+    e.select(col("vec_id"), col("v"), col("nrm"), col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(indexDir)
+    val idx = spark.read.parquet(indexDir)
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label"))
+    val scored = broadcast(q).join(idx, Seq("label"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        TextOps.rnd(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   /** Real IVF: coarse cells from MLlib k-means (fixed seed), probe
    * the query's nearest cell. The index build is a one-time batch
    * job; search cost divides by ~k vs brute force. At 100 TB the

@@ -464,6 +464,18 @@ object PipelineQueries {
     "p_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(embs(s, d)).withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")),
+    // the persisted cell-partitioned index variant: build the index
+    // on disk, search it through the dynamic-partition-pruned
+    // broadcast probe join. Bit-identical rows to p_ann_ivf (doubles
+    // round-trip parquet exactly), so it shares that oracle — a
+    // broken index layout, lossy round trip, or wrong probe join
+    // hash-mismatches against the in-memory path's prediction
+    "p_ann_ivf_persist" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+      Similarity.ivfPersistTopK(embs(s, d), dir)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     // the hot-cell cap proven VALUE-level (VERDICT r10 item 4): every
     // label cell of the sf corpus exceeds cap=32, so the truncation
     // BINDS on every cell and the oracle predicts the exact
@@ -1087,6 +1099,19 @@ object PipelineQueries {
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
     "p_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id % 10 = 0),
+         |scored AS (SELECT query_id, vec_id AS neighbor_id,
+         |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
+         |  FROM q JOIN e USING (label) WHERE vec_id <> query_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // the persisted-index search path returns bit-identical rows to
+    // the in-memory IVF probe (see the queries-map comment), so its
+    // oracle is the same cell-probe prediction
+    "p_ann_ivf_persist" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id % 10 = 0),
          |scored AS (SELECT query_id, vec_id AS neighbor_id,

@@ -145,6 +145,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted ivf index: rows identical to the in-memory probe, scan is dynamic-partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx-spec").toString
+    val persisted = Similarity.ivfPersistTopK(e, dir, k = 5, queryMod = 100)
+    val mem = Similarity.ivfTopK(e, k = 5, queryMod = 100)
+    assert(persisted.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq ===
+      mem.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+    // the index scan must carry a dynamicpruning PartitionFilter (the
+    // probe side's cells, reused from the broadcast) — the property
+    // that keeps a 1000x index read proportional to the probed cells
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the index scan:\n$plan")
+  }
+
   test("ivf topk only returns same-cell neighbors") {
     val labels = e.select("vec_id", "label").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
