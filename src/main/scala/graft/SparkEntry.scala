@@ -58,7 +58,8 @@ object SparkEntry {
       "s_state_reader_rocksdb" -> (graft.streaming.StreamOps.stateStoreReaderRocksDB _),
       "s_stream_observe" -> (graft.streaming.StreamOps.streamObserve _),
       "s_stream_session_window" -> (graft.streaming.StreamOps.sessionWindowStream _),
-      "s_wcc_incremental" -> (graft.streaming.StreamOps.incrementalWccStream _))
+      "s_wcc_incremental" -> (graft.streaming.StreamOps.incrementalWccStream _),
+      "s_stream_ann" -> (graft.streaming.StreamOps.annRetrieveStream _))
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
@@ -82,6 +83,10 @@ object SparkEntry {
       // IncrementalWCC.run — the same single-batch replay the batch
       // twin runs, so ONE shared oracle CTE predicts both
       "s_wcc_incremental" -> GraphQueries.oracles("g_wcc_incremental"),
+      // each query vector arrives in exactly one micro-batch and is
+      // scored against the STATIC persisted index, so the drained
+      // union equals the batch cell-probe — one shared oracle
+      "s_stream_ann" -> PipelineQueries.oracles("p_ann_ivf"),
       // within-watermark dedup over a drained bounded stream = batch
       // distinct per (user, type), counted per user
       "s_stream_dedup_ww" ->

@@ -176,15 +176,33 @@ object Similarity {
    * SQL oracle covers both. */
   def ivfPersistTopK(embeddings: DataFrame, indexDir: String, k: Int = 5,
       queryMod: Int = 10): DataFrame = {
-    val spark = embeddings.sparkSession
-    val e = emb(embeddings)
-    e.select(col("vec_id"), col("v"), col("nrm"), col("label"))
+    ivfIndexBuild(embeddings, indexDir)
+    ivfIndexSearch(embeddings.sparkSession, indexDir,
+      ivfQuerySide(embeddings, queryMod), k)
+  }
+
+  /** BUILD half of [[ivfPersistTopK]]: the one-time batch job writing
+   * the cell-partitioned index layout (norms precomputed alongside
+   * the vectors so searches never rescan for them). */
+  def ivfIndexBuild(embeddings: DataFrame, indexDir: String): Unit =
+    emb(embeddings).select(col("vec_id"), col("v"), col("nrm"), col("label"))
       .write.mode("overwrite").partitionBy("label").parquet(indexDir)
-    val idx = spark.read.parquet(indexDir)
-    val q = e.where(col("vec_id") % queryMod === 0)
+
+  /** Query-side projection for [[ivfIndexSearch]] from raw embedding
+   * rows: every `queryMod`-th vector, with its norm and probe cell. */
+  def ivfQuerySide(embeddings: DataFrame, queryMod: Int = 10): DataFrame =
+    emb(embeddings).where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("label"))
-    val scored = broadcast(q).join(idx, Seq("label"))
+
+  /** SEARCH half of [[ivfPersistTopK]]: probe a built index with a
+   * (query_id, qv, qn, label) query set — broadcast probe join on
+   * the partition column (dynamic partition pruning skips unprobed
+   * cell directories), exact re-rank inside the probed cells. */
+  def ivfIndexSearch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    val scored = broadcast(queries).join(idx, Seq("label"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         TextOps.rnd(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 9).as("score"))

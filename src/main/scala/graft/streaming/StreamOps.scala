@@ -143,6 +143,54 @@ object StreamOps {
     } finally cleanupTree(dir)
   }
 
+  /** `s_stream_ann`: per-micro-batch ANN retrieval against a
+   * persisted static index — the on-arrival enrichment / near-dup
+   * lookup shape of a streaming ingestion pipeline. The
+   * cell-partitioned IVF index is built once
+   * ([[graft.ops.Similarity.ivfIndexBuild]], the batch side); the
+   * query vectors are staged as four parquet files drained with
+   * `maxFilesPerTrigger=1`, so the query genuinely runs multi-batch,
+   * and each `foreachBatch` probes the static index through the
+   * broadcast cell join + window top-k (window functions are legal
+   * inside foreachBatch's batch context, unlike on a streaming
+   * frame). Each query id arrives in exactly one micro-batch and
+   * scoring touches only the static index, so the drained union is
+   * row-identical to the batch probe — `p_ann_ivf`'s oracle predicts
+   * it. Per-batch results collect to the driver (k rows per arriving
+   * query — bounded by the batch size, never the corpus). */
+  def annRetrieveStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-sann")
+    try {
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val idxDir = dir.resolve("index").toString
+      Similarity.ivfIndexBuild(embs, idxDir)
+      val qDir = dir.resolve("queries").toString
+      embs.where(col("vec_id") % 10 === 0)
+        .repartition(4).write.mode("overwrite").parquet(qDir)
+      val schema = spark.read.parquet(qDir).schema
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(qDir)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = Similarity.ivfIndexSearch(spark, idxDir,
+            Similarity.ivfQuerySide(batch, queryMod = 1)).collect()
+          out.synchronized {
+            out ++= rows.map(r =>
+              (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      spark.createDataFrame(out.toSeq)
+        .toDF("query_id", "rank", "neighbor_id", "score")
+        .orderBy("query_id", "rank")
+    } finally cleanupTree(dir)
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, us: Long, value: Double)
 
   /** Minimal (user, type) projection for the MapState counter query. */

@@ -108,6 +108,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("s_stream_ann per-batch retrieval equals the batch cell probe") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.annRetrieveStream(spark, sfDir).collect()
+      .map(_.toSeq)
+    val batch = graft.ops.Similarity
+      .ivfTopK(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("update-mode mapGroupsWithState running state equals the batch aggregate") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
