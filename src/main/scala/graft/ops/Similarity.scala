@@ -183,10 +183,25 @@ object Similarity {
 
   /** BUILD half of [[ivfPersistTopK]]: the one-time batch job writing
    * the cell-partitioned index layout (norms precomputed alongside
-   * the vectors so searches never rescan for them). */
-  def ivfIndexBuild(embeddings: DataFrame, indexDir: String): Unit =
-    emb(embeddings).select(col("vec_id"), col("v"), col("nrm"), col("label"))
-      .write.mode("overwrite").partitionBy("label").parquet(indexDir)
+   * the vectors so searches never rescan for them). `cellCap`
+   * (0 = off) applies [[ivfTopK]]'s deterministic md5-order hot-cell
+   * truncation AT BUILD TIME — the persisted index itself is bounded
+   * per cell, so every later search is bounded-work no matter how
+   * skewed the corpus (the probe-verified quadratic-hot-cell hazard
+   * cannot exist in an index that never stores the oversized cell). */
+  def ivfIndexBuild(embeddings: DataFrame, indexDir: String,
+      cellCap: Int = 0): Unit = {
+    val e = emb(embeddings).select(col("vec_id"), col("v"), col("nrm"), col("label"))
+    val capped =
+      if (cellCap <= 0) e
+      else {
+        val cw = Window.partitionBy(col("label"))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        e.withColumn("cpos", row_number().over(cw))
+          .where(col("cpos") <= cellCap).drop("cpos")
+      }
+    capped.write.mode("overwrite").partitionBy("label").parquet(indexDir)
+  }
 
   /** Query-side projection for [[ivfIndexSearch]] from raw embedding
    * rows: every `queryMod`-th vector, with its norm and probe cell. */

@@ -159,6 +159,21 @@ class SimilaritySpec extends SparkSpec {
       s"expected dynamic partition pruning on the index scan:\n$plan")
   }
 
+  test("capped index build: bounded cells on disk, search equals the capped in-memory path") {
+    val cap = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx-cap").toString
+    Similarity.ivfIndexBuild(e, dir, cellCap = cap)
+    val idx = spark.read.parquet(dir)
+    val cellSizes = idx.groupBy("label").count().collect().map(_.getLong(1))
+    assert(cellSizes.nonEmpty && cellSizes.forall(_ <= cap))
+    val viaIndex = Similarity
+      .ivfIndexSearch(spark, dir, Similarity.ivfQuerySide(e, queryMod = 100))
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val inMem = Similarity.ivfTopK(e, k = 5, queryMod = 100, cellCap = cap)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(viaIndex.toSeq === inMem.toSeq)
+  }
+
   test("ivf topk only returns same-cell neighbors") {
     val labels = e.select("vec_id", "label").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
