@@ -132,17 +132,24 @@ object Similarity {
    * set and ranking of the capped path, not just its shape. The
    * k-means variant keeps Spark's internal `hash()` order (cheaper,
    * not replayable) under its structural gate. */
+  /** The deterministic md5-order hot-cell truncation shared by the
+   * in-memory capped probe and the build-time-capped persisted index
+   * — ONE definition, because the capped-index-equals-capped-probe
+   * contract (OpsSpec) and the `p_ann_ivf_capped_exact` oracle both
+   * encode this exact order. */
+  private def cappedCells(e: DataFrame, cellCap: Int): DataFrame =
+    if (cellCap <= 0) e
+    else {
+      val cw = Window.partitionBy(col("label"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      e.withColumn("cpos", row_number().over(cw))
+        .where(col("cpos") <= cellCap).drop("cpos")
+    }
+
   def ivfTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10,
       maxQueryId: Long = Long.MaxValue, cellCap: Int = 0): DataFrame = {
     val e = emb(embeddings)
-    val candidates =
-      if (cellCap <= 0) e
-      else {
-        val cw = Window.partitionBy(col("label"))
-          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        e.withColumn("cpos", row_number().over(cw))
-          .where(col("cpos") <= cellCap).drop("cpos")
-      }
+    val candidates = cappedCells(e, cellCap)
     val q = e.where(col("vec_id") % queryMod === 0 && col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("label"))
@@ -190,18 +197,11 @@ object Similarity {
    * skewed the corpus (the probe-verified quadratic-hot-cell hazard
    * cannot exist in an index that never stores the oversized cell). */
   def ivfIndexBuild(embeddings: DataFrame, indexDir: String,
-      cellCap: Int = 0): Unit = {
-    val e = emb(embeddings).select(col("vec_id"), col("v"), col("nrm"), col("label"))
-    val capped =
-      if (cellCap <= 0) e
-      else {
-        val cw = Window.partitionBy(col("label"))
-          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        e.withColumn("cpos", row_number().over(cw))
-          .where(col("cpos") <= cellCap).drop("cpos")
-      }
-    capped.write.mode("overwrite").partitionBy("label").parquet(indexDir)
-  }
+      cellCap: Int = 0): Unit =
+    cappedCells(
+      emb(embeddings).select(col("vec_id"), col("v"), col("nrm"), col("label")),
+      cellCap)
+      .write.mode("overwrite").partitionBy("label").parquet(indexDir)
 
   /** Query-side projection for [[ivfIndexSearch]] from raw embedding
    * rows: every `queryMod`-th vector, with its norm and probe cell. */

@@ -119,31 +119,18 @@ object GraphQueries {
       (Option[org.apache.spark.graphx.VertexRDD[CommunityOps.NbrSurface]],
         Map[Long, CommunityData], Double) =
     memoize(spark, s"seedEval:$sfDir") {
-      val ig = init(spark, sfDir)
-      val nVertices = graph(spark, sfDir).numVertices
-      val hubFree = ig.degrees.map(_._2).fold(0)(math.max) <=
-        TriangleStats.HubDegreeThreshold
-      if (hubFree) {
-        val surf = CommunityOps.nbrSurfaces(ig)
-        surf.cache()
-        val cs = CommunityOps.statsFromSurfaces(ig, surf)
-        val wcc = CommunityOps.computeGlobalWccFromSurfaces(ig, surf, cs, nVertices)
-        (Some(surf), cs, wcc)
-      } else {
-        val cs = CommunityOps.computeCommunityStats(ig)
-        (None, cs, CommunityOps.computeGlobalWCC(ig, cs, nVertices))
-      }
+      DistributedWCC.seedEvaluation(init(spark, sfDir),
+        graph(spark, sfDir).numVertices)
     }
 
   /** Full batch DWCC, memoized so the flagship rows and the
    * invariant certificate share one run per (session, sfDir). */
   private def wccOut(spark: SparkSession, sfDir: String) =
     memoize(spark, s"wccOut:$sfDir") {
-      val (surfOpt, cs, wcc) = seedEval(spark, sfDir)
       DistributedWCC.run(graph(spark, sfDir),
         precomputedStats = Some(tri(spark, sfDir)),
         precomputedInit = Some(init(spark, sfDir)),
-        precomputedSeedEval = surfOpt.map(s => (s, cs, wcc)))
+        precomputedSeedEval = Some(seedEval(spark, sfDir)))
     }
 
   /** G4+G5 flagship (not SQL-expressible — rows-only check): full

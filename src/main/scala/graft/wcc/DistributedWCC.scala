@@ -58,7 +58,7 @@ object DistributedWCC {
       maxPregelIterations: Int = 50,
       precomputedStats: Option[TriangleStats.Result] = None,
       precomputedInit: Option[Graph[VertexData, Int]] = None,
-      precomputedSeedEval: Option[(VertexRDD[CommunityOps.NbrSurface],
+      precomputedSeedEval: Option[(Option[VertexRDD[CommunityOps.NbrSurface]],
         Map[Long, CommunityData], Double)] = None): Output = {
     val vertexCount = graph.numVertices
 
@@ -102,7 +102,7 @@ object DistributedWCC {
    * one degree pass plus the two-pass WCC evaluation. */
   private def refinePartition(initGraph: Graph[VertexData, Int], vertexCount: Long,
       maxRetries: Int,
-      seedEval: Option[(VertexRDD[CommunityOps.NbrSurface],
+      seedEval: Option[(Option[VertexRDD[CommunityOps.NbrSurface]],
         Map[Long, CommunityData], Double)] = None): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
     // globalCC = (sum of cc over PRUNED vertices) / ORIGINAL count
     // (reference `:261-262` — the sum runs on the optimized graph).
@@ -115,11 +115,41 @@ object DistributedWCC {
     // evaluation. Hub graphs keep the Map-based path with its
     // per-iteration oriented escape. Both paths are value-identical,
     // so the choice cannot move the trajectory.
-    val hubFree = initGraph.degrees.map(_._2).fold(0)(math.max) <=
-      TriangleStats.HubDegreeThreshold
-    if (hubFree) refineCompact(initGraph, vertexCount, maxRetries, globalCC, seedEval)
-    else refineWithMaps(initGraph, vertexCount, maxRetries, globalCC)
+    if (hubFreeStrategy(initGraph))
+      refineCompact(initGraph, vertexCount, maxRetries, globalCC,
+        seedEval.collect { case (Some(s), cs, w) => (s, cs, w) })
+    else refineWithMaps(initGraph, vertexCount, maxRetries, globalCC,
+      seedEval.map { case (_, cs, w) => (cs, w) })
   }
+
+  /** The compact-vs-maps strategy predicate — ONE definition shared
+   * by the refinement loop and [[seedEvaluation]], so the two can
+   * never choose different evaluation machinery for the same graph. */
+  private def hubFreeStrategy(g: Graph[VertexData, Int]): Boolean =
+    g.degrees.map(_._2).fold(0)(math.max) <= TriangleStats.HubDegreeThreshold
+
+  /** Iteration-0 evaluation of a seed partition — THE evaluation the
+   * refinement loop starts from, routed through the same strategy
+   * predicate. Exposed so a caller verifying the seed partition (the
+   * seeding value check) can share it with [[run]] via
+   * `precomputedSeedEval` instead of evaluating twice. The surface
+   * RDD is present exactly on the hub-free compact path. */
+  private[graft] def seedEvaluation(initGraph: Graph[VertexData, Int],
+      vertexCount: Long): (Option[VertexRDD[CommunityOps.NbrSurface]],
+        Map[Long, CommunityData], Double) =
+    if (hubFreeStrategy(initGraph)) {
+      val surf = CommunityOps.nbrSurfaces(initGraph)
+      surf.cache()
+      val cs = CommunityOps.statsFromSurfaces(initGraph, surf)
+      (Some(surf), cs,
+        CommunityOps.computeGlobalWccFromSurfaces(initGraph, surf, cs, vertexCount))
+    } else {
+      // statsFromDegrees / computeCommunityStats are integer-exact
+      // equals (PropertySpec), so handing these to refineWithMaps
+      // cannot move the trajectory either
+      val cs = CommunityOps.computeCommunityStats(initGraph)
+      (None, cs, CommunityOps.computeGlobalWCC(initGraph, cs, vertexCount))
+    }
 
   private def refineCompact(initGraph: Graph[VertexData, Int], vertexCount: Long,
       maxRetries: Int, globalCC: Double,
@@ -196,12 +226,15 @@ object DistributedWCC {
   }
 
   private def refineWithMaps(initGraph: Graph[VertexData, Int], vertexCount: Long,
-      maxRetries: Int, globalCC: Double): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
+      maxRetries: Int, globalCC: Double,
+      seedEval: Option[(Map[Long, CommunityData], Double)] = None): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
     var bestPartition = initGraph
     var bestDeg = CommunityOps.vertexCommunityDegrees(bestPartition)
     bestDeg.cache()
-    var bestCs = CommunityOps.statsFromDegrees(bestPartition, bestDeg)
-    var bestWcc = CommunityOps.computeGlobalWCC(bestPartition, bestCs, vertexCount)
+    var bestCs = seedEval.map(_._1).getOrElse(
+      CommunityOps.statsFromDegrees(bestPartition, bestDeg))
+    var bestWcc = seedEval.map(_._2).getOrElse(
+      CommunityOps.computeGlobalWCC(bestPartition, bestCs, vertexCount))
 
     var foundNewBestPartition = true
     var retriesLeft = maxRetries

@@ -68,7 +68,7 @@ object TriangleStats {
    * co-purchase graphs here: maxDeg ~200). Above it, a hub's edges
    * concentrate O(maxDeg^2) merge-scan work in a few tasks — the
    * straggler/OOM cliff — and the ORIENTED path takes over. */
-  private[graft] val HubDegreeThreshold = 10000
+  private[wcc] val HubDegreeThreshold = 10000
 
   private def maxDegree(graph: Graph[_, _]): Int =
     graph.degrees.map(_._2).fold(0)(math.max)

@@ -37,17 +37,31 @@ object WccCheck {
    * a session running BOTH the flagship and the seeding check pays
    * it once (still computed by this independent DataFrame path only,
    * never taken from the GraphX pipeline under test). */
-  def edgeCommonCounts(edges: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.GraftExpressions.intersectCount
-    // adjacency arrays (sorted for the merge-scan intersection)
+  /** Shared scaffold of the two label-independent stages: per
+   * canonical edge, both endpoints' sorted full-graph neighbor
+   * arrays (adjacency sorted for the merge-scan intersection). */
+  private def edgeNbrJoin(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val adj = sym.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
     edges
       .join(adj.select(col("src").as("ea"), col("nbrs").as("na")), col("src") === col("ea"))
       .join(adj.select(col("src").as("eb"), col("nbrs").as("nb")), col("dst") === col("eb"))
-      .select(col("src"), col("dst"), intersectCount(col("na"), col("nb")).as("cnt"))
+      .select(col("src"), col("dst"), col("na"), col("nb"))
   }
+
+  private def cntProjection(joined: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.intersectCount
+    joined.select(col("src"), col("dst"),
+      intersectCount(col("na"), col("nb")).as("cnt"))
+  }
+
+  private def triplesProjection(joined: DataFrame): DataFrame =
+    joined.select(col("src"), col("dst"),
+      explode(array_intersect(col("na"), col("nb"))).as("w"))
+
+  def edgeCommonCounts(edges: DataFrame): DataFrame =
+    cntProjection(edgeNbrJoin(edges))
 
   /** Exploded triangle incidences of the canonical edge set: one row
    * (src, dst, w) per edge and common full-graph neighbor w — i.e.
@@ -58,16 +72,8 @@ object WccCheck {
    * partition's intra-community triangle counts then cost three hash
    * joins against its labels instead of a fresh same-community
    * adjacency build + intersection pass per partition. */
-  def triangleTriples(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val adj = sym.groupBy("src").agg(sort_array(collect_list("dst")).as("nbrs"))
-    edges
-      .join(adj.select(col("src").as("ea"), col("nbrs").as("na")), col("src") === col("ea"))
-      .join(adj.select(col("src").as("eb"), col("nbrs").as("nb")), col("dst") === col("eb"))
-      .select(col("src"), col("dst"),
-        explode(array_intersect(col("na"), col("nb"))).as("w"))
-  }
+  def triangleTriples(edges: DataFrame): DataFrame =
+    triplesProjection(edgeNbrJoin(edges))
 
   /** Global WCC of the partition `labels` (vid, cid) over the graph
    * given by canonical undirected `edges` (src < dst, distinct, no
@@ -103,8 +109,16 @@ object WccCheck {
       precomputedCnt: Option[DataFrame],
       precomputedTriples: Option[DataFrame], det: Boolean): Double = {
 
+    // self-contained path (no precomputed inputs): both stages derive
+    // from ONE cached edge/neighbor join, so the full-graph adjacency
+    // is built once per call rather than once per stage
+    val sharedJoin =
+      if (precomputedCnt.isEmpty && precomputedTriples.isEmpty)
+        Some(edgeNbrJoin(edges).cache())
+      else None
     val cntShared = precomputedCnt.isDefined
-    val cnt = precomputedCnt.getOrElse(edgeCommonCounts(edges).cache())
+    val cnt = precomputedCnt.getOrElse(
+      sharedJoin.map(cntProjection).getOrElse(edgeCommonCounts(edges)).cache())
 
     // full-graph t (each triangle at v is seen by its two incident
     // edges, hence /2) and vt per vertex
@@ -134,7 +148,8 @@ object WccCheck {
     // cs = cd = cw. Each triangle at v appears in 2 of its 3
     // incidence rows with v as an endpoint, hence the /2.
     val triplesShared = precomputedTriples.isDefined
-    val triples = precomputedTriples.getOrElse(triangleTriples(edges).cache())
+    val triples = precomputedTriples.getOrElse(
+      sharedJoin.map(triplesProjection).getOrElse(triangleTriples(edges)).cache())
     val sameTriples = triples
       .join(labels.select(col("vid").as("src"), col("cid").as("cs")), "src")
       .join(labels.select(col("vid").as("dst"), col("cid").as("cd")), "dst")
@@ -177,6 +192,7 @@ object WccCheck {
       }
     if (!cntShared) cnt.unpersist(blocking = false)
     if (!triplesShared) triples.unpersist(blocking = false)
+    sharedJoin.foreach(_.unpersist(blocking = false))
     total / n
   }
 }
