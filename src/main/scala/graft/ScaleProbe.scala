@@ -421,6 +421,23 @@ object ScaleProbe {
         val out = Similarity.ivfKmeansTopK(embs, k = 5, queryMod = 10, cells = 8)
         println(s"[scale-probe] ivf-hot uncapped result rows=${out.count()}")
       }
+      // the persisted-index twin of the same hazard: 20% of vectors
+      // forced into ONE label cell (the index's partition key), so an
+      // uncapped build would persist a quadratic hot cell. The
+      // build-time cap truncates it on write; search fanout is then
+      // O(queries x cellCap) by construction — the 2x/10x diff shows
+      // the growth exponent of build + search together.
+      phase("ivf-hot persisted capped index") {
+        val skewLab = embs.withColumn("label",
+          when(col("vec_id") % 5 === 0, lit(0))
+            .otherwise((col("vec_id") % 7).cast("int")))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ivfidx-probe").toString
+        Similarity.ivfIndexBuild(skewLab, dir, cellCap = 1024)
+        val out = Similarity.ivfIndexSearch(spark, dir,
+          Similarity.ivfQuerySide(skewLab, queryMod = 10))
+        println(s"[scale-probe] ivf-hot persisted rows=${out.count()}")
+      }
       embs.unpersist(blocking = false)
     }
 
