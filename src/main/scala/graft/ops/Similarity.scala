@@ -424,6 +424,122 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Product quantization (PQ) — the codes-not-vectors storage path
+   * of billion-scale ANN (IVF-PQ's fine quantizer): split the D-dim
+   * vector into `m` subspaces, learn a small per-subspace codebook,
+   * and store each vector as `m` code ids (here 8 codes of 16 = 8
+   * half-bytes vs 64 floats — a 32-64x compression), searching with
+   * asymmetric distance computation (ADC): the query precomputes its
+   * distance to every codebook centroid once (an m x k table) and
+   * each database vector's approximate distance is m table lookups.
+   *
+   * The codebook is the deterministic hash-partition Lloyd-0 step:
+   * centroid (s, j) = element-wise mean of the subvectors of all
+   * vectors with vec_id % k == j — data-dependent (real means, not
+   * content-independent hyperplanes) yet exactly SQL-replayable: each
+   * component is ONE left-to-right fold over the members in vec_id
+   * order divided by the exact member count. At the gate sf the fold
+   * rides a per-(j,dim) sorted collect_list; at 100 TB the same
+   * component sums run through the blocked deterministic fold
+   * machinery the WCC family uses (the codebook is k x D doubles
+   * regardless of corpus size, so the collect is always bounded).
+   *
+   * All subspace distances use the expansion |x|^2 - 2 x.c + |c|^2
+   * with the codegen'd [[dot]] fold for each term — bit-identical to
+   * the oracle's list_dot_product replay of the same expression. */
+  def pqTrainCodebook(embeddings: DataFrame, m: Int = 8, codes: Int = 16)
+      : Seq[Seq[Seq[Double]]] = {
+    val comp = embeddings
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select((col("vec_id") % codes).cast("int").as("j"),
+        col("pos").cast("int").as("dim"), col("vec_id"), col("col").as("x"))
+    val rows = comp.groupBy("j", "dim")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"),
+        count(lit(1)).as("n"))
+      .select(col("j"), col("dim"),
+        (aggregate(col("xs"), lit(0.0), (a, e) => a + e.getField("x"))
+          / col("n")).as("c"))
+      .collect()
+    val byKey = rows.map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val dims = byKey.keys.map(_._2).max + 1
+    require(dims % m == 0, s"PQ: $dims dims not divisible into $m subspaces")
+    require(byKey.size == codes * dims,
+      s"PQ codebook incomplete: ${byKey.size} of ${codes * dims} components " +
+        "(a vec_id residue class is empty — lower `codes`)")
+    val subDim = dims / m
+    (0 until m).map(s => (0 until codes).map(j =>
+      (0 until subDim).map(d => byKey((j, s * subDim + d)))))
+  }
+
+  /** Per-subspace distance arrays: element s is the k-element array
+   * of squared L2 distances from the vector's s-th subvector to every
+   * codebook centroid of subspace s — the encoder's argmin input AND
+   * the query's ADC table, one definition for both. */
+  private def pqDistCols(v: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
+    val subDim = cb.head.head.size
+    array(cb.indices.map { s =>
+      val xs = slice(v, s * subDim + 1, subDim)
+      transform(typedLit(cb(s)), c =>
+        dot(xs, xs) - lit(2.0) * dot(xs, c) + dot(c, c))
+    }: _*)
+  }
+
+  /** Encode every vector to its PQ codes (first-min argmin per
+   * subspace — ties resolve to the smallest code id on both engines)
+   * plus the reconstruction MSE the chosen codes imply. Purely
+   * map-side against the broadcast-literal codebook: one row in, one
+   * row out, no shuffle — the shape that encodes 100 TB in a single
+   * pass. */
+  def pqEncode(embeddings: DataFrame, cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dims = cb.size * cb.head.head.size
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("ds", pqDistCols(col("v"), cb))
+      .select(col("vec_id"),
+        array_join(transform(col("ds"),
+          d => (array_position(d, array_min(d)) - 1).cast("string")), "-").as("codes"),
+        TextOps.rnd(aggregate(
+          transform(col("ds"), d => array_min(d)),
+          lit(0.0), (a, x) => a + x) / lit(dims.toDouble), 9).as("mse"))
+  }
+
+  /** ADC top-k search over the PQ-encoded corpus: the database side
+   * is the (vec_id, subspace, code) table — the compressed index,
+   * m small ints per vector — and the query side is the broadcast
+   * per-query distance table (m x k doubles per query). Approximate
+   * distance = the s-ascending fold of the query's table entries at
+   * the vector's codes; exact parity with the SQL replay because
+   * every term traces back to the same [[pqDistCols]] doubles. */
+  def pqAdcTopK(embeddings: DataFrame, cb: Seq[Seq[Seq[Double]]], k: Int = 5,
+      queryMod: Int = 10, maxQueryId: Long = Long.MaxValue): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("ds", pqDistCols(col("v"), cb))
+    val dbCodes = base
+      .select(col("vec_id"), posexplode(transform(col("ds"),
+        d => (array_position(d, array_min(d)) - 1).cast("int"))))
+      .select(col("vec_id"), col("pos").cast("int").as("s"), col("col").as("j"))
+    val qTable = base
+      .where(col("vec_id") % queryMod === 0 && col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), posexplode(col("ds")))
+      .select(col("query_id"), col("pos").cast("int").as("s"),
+        posexplode(col("col")))
+      .select(col("query_id"), col("s"), col("pos").cast("int").as("j"),
+        col("col").as("qd"))
+    val adc = dbCodes.join(broadcast(qTable), Seq("s", "j"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("qd")))).as("sd"))
+      .withColumn("adc",
+        aggregate(col("sd"), lit(0.0), (a, e) => a + e.getField("qd")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), TextOps.rnd(col("adc"), 9).as("adc"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/bandwidth
    * workhorse of embedding pipelines (4x smaller than float32, 8x
    * smaller than float64): q_i = round(v_i * 127/max|v|), plus the

@@ -36,6 +36,14 @@ object PipelineQueries {
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  /** The trained PQ codebook (k x D doubles) shared by the encode and
+   * ADC rows of one Verify/Bench session — one training job, two
+   * consumers. */
+  private def pqCb(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Double]]] =
+    memoize(spark, s"pqcb:$sfDir") {
+      Similarity.pqTrainCodebook(embs(spark, sfDir))
+    }
+
   /** Shared structural-contract reduction for the k-means IVF rows
    * (learned cell centers cannot be replayed in SQL): exactly k
    * distinct non-self neighbors per probe query, scores
@@ -536,6 +544,16 @@ object PipelineQueries {
     }),
     "p_ann_recall" -> ((s, d) =>
       Similarity.annRecall(embs(s, d), maxQueryId = 640L).orderBy("query_id")),
+    // product quantization: the one deterministic codebook training
+    // run (hash-partition Lloyd-0 means, exact ordered folds) feeds
+    // both the encoder row and the ADC search row
+    "p_pq_encode" -> ((s, d) =>
+      Similarity.pqEncode(embs(s, d), pqCb(s, d)).orderBy("vec_id")),
+    // ADC top-k with the same 640 query cap as the brute-force row
+    // (bounds the broadcast table at O(64 x m x k) at any corpus)
+    "p_ann_pq_adc" -> ((s, d) =>
+      Similarity.pqAdcTopK(embs(s, d), pqCb(s, d), maxQueryId = 640L)
+        .orderBy("query_id", "rank")),
     // per-label centroid components (the IVF cell-center / k-means
     // support aggregation): posexplode to (label, dim) then a plain
     // partial-aggregated mean — element-wise array aggregation
@@ -607,6 +625,33 @@ object PipelineQueries {
 
   private val Cos =
     "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+
+  /** The PQ replay shared by `p_pq_encode` and `p_ann_pq_adc`: the
+   * identical hash-partition Lloyd-0 codebook (per-component fold in
+   * vec_id order / exact count), the identical
+   * |x|^2 - 2 x.c + |c|^2 subspace distances (list_dot_product is
+   * the same left-to-right fold as the codegen'd DotProduct), and
+   * the identical (d asc, j asc) argmin. One definition — a tweak to
+   * the quantizer contract can never drift the two rows apart. */
+  private val PqCtes =
+    """ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dimx AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
+      |  FROM ev, unnest(generate_series(1, 64)) t(i)),
+      |cb AS (SELECT CAST(vec_id % 16 AS INT) AS j, dim,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY vec_id)),
+      |      (a, b) -> a + b) / count(*) AS c
+      |  FROM dimx GROUP BY 1, 2),
+      |cl AS (SELECT j, dim // 8 AS s, list(c ORDER BY dim) AS cl
+      |  FROM cb GROUP BY 1, 2),
+      |vsub AS (SELECT vec_id, s, list(x ORDER BY dim) AS vs FROM (
+      |    SELECT vec_id, dim // 8 AS s, dim, x FROM dimx) GROUP BY 1, 2),
+      |dist AS (SELECT vsub.vec_id, vsub.s, cl.j,
+      |    list_dot_product(vs, vs) - 2 * list_dot_product(vs, cl)
+      |      + list_dot_product(cl, cl) AS d
+      |  FROM vsub JOIN cl ON cl.s = vsub.s),
+      |code AS (SELECT vec_id, s, j, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+      |    FROM dist) WHERE rn = 1)""".stripMargin
 
   /** Shared simhash signature CTE (`sh` = doc_id, simhash). */
   private val SimhashCte =
@@ -1126,6 +1171,33 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // PQ encode: codes and reconstruction MSE replayed exactly off
+    // the shared quantizer CTEs (see PqCtes)
+    "p_pq_encode" ->
+      s"""WITH $PqCtes
+         |SELECT vec_id,
+         |  string_agg(CAST(j AS VARCHAR), '-' ORDER BY s) AS codes,
+         |  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY s)),
+         |    (a, b) -> a + b) / 64 * 1e9 + 0.5) / 1e9 AS mse
+         |FROM code GROUP BY vec_id""".stripMargin,
+    // ADC search: the query's distance table is dist itself; the
+    // database vector contributes its CHOSEN code's entry per
+    // subspace; approximate distance folds s-ascending — identical
+    // doubles, so ranking and rounded values match bit-for-bit
+    "p_ann_pq_adc" ->
+      s"""WITH $PqCtes,
+         |q AS (SELECT vec_id AS query_id, s, j, d FROM dist
+         |  WHERE vec_id % 10 = 0 AND vec_id < 640),
+         |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.s, q.d
+         |  FROM code c JOIN q ON q.s = c.s AND q.j = c.j AND c.vec_id <> q.query_id),
+         |adc AS (SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY s)),
+         |      (a, b) -> a + b) AS adc
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |  floor(adc * 1e9 + 0.5) / 1e9 AS adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id)
+         |    AS rank FROM adc) WHERE rank <= 5""".stripMargin,
     // the capped IVF path replayed value-level: candidates per label
     // cell truncated to the first 32 in (md5(vec_id), vec_id) order
     // — the identical deterministic order the Spark window pass uses

@@ -295,6 +295,32 @@ object Round11Queries {
       .orderBy("rank")
   }
 
+  /** Corpus-wide application of the learned tokenizer — the encode
+   * pass a tokenizer exists for: per document, how many words/tokens
+   * the 5-merge BPE produces and how many words the merges already
+   * collapse to a single token. Distributed shape: token-per-word is
+   * a VOCABULARY-sized projection of the trainer's segmented state
+   * (millions of rows at 100 TB, not the corpus), so the encode is
+   * one corpus-side explode joined against that small table — at
+   * scale a broadcast join, never a per-document re-segmentation.
+   * Every word of the filtered corpus is in the vocabulary by
+   * construction (same corpus, same filter), so the inner join is
+   * lossless. Purely integer outputs — exact parity by counting. */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, vocab) = bpeState(spark, sfDir)
+    val tokPerWord = vocab.select(col("w"),
+      size(split(expr("btrim(seg, '|')"), "\\|\\|")).cast("long").as("toks"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.words(lower(col("text")))).as("w"))
+      .where(col("w") =!= "" && !col("w").contains("|"))
+      .join(tokPerWord, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("toks") === 1, 1L).otherwise(0L)).as("n_single_token_words"))
+      .orderBy("doc_id")
+  }
+
   /** XML sink + source round trip through Spark 4's BUILT-IN XML
    * data source (merged into spark-sql in 4.0 — no external
    * spark-xml dependency): write the nation table as one
@@ -329,6 +355,7 @@ object Round11Queries {
     "p_bloom_decontaminate" -> (bloomDecontaminate _),
     "p_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "p_bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
+    "p_bpe_encode" -> (bpeEncode _),
     "r_approx_topk" -> (approxTopK _))
 
   /** The 5 unrolled BPE training rounds as shared CTEs (v0..v5 +
@@ -447,6 +474,20 @@ object Round11Queries {
          |SELECT token, n, CAST(rank AS BIGINT) AS rank FROM (
          |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
          |  FROM tokc) WHERE rank <= 20""".stripMargin,
+    // the encode pass off the same replay: token-per-word is a
+    // projection of v5's segmentations, the corpus explode repeats
+    // v0's tokenization+filter, and every output is an exact integer
+    "p_bpe_encode" ->
+      s"""WITH $bpeReplayCtes,
+         |tw AS (SELECT w, CAST(len(string_split(trim(seg, '|'), '||')) AS BIGINT)
+         |    AS toks FROM v5),
+         |dt AS (SELECT doc_id, t AS w FROM (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+         |  FROM documents) WHERE t <> '' AND t NOT LIKE '%|%')
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN toks = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_single_token_words
+         |FROM dt JOIN tw USING (w) GROUP BY doc_id""".stripMargin,
     // exact strictly-above-the-10th-count set: the sketch is under
     // capacity so counts are exact, and excluding the boundary count
     // removes the sketch's hash-arbitrary tie choice (see approxTopK)

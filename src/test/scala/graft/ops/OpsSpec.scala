@@ -209,6 +209,62 @@ class SimilaritySpec extends SparkSpec {
     assert(cappedSet !== uncapped)
   }
 
+  test("pq: codebook, encode, and ADC search all equal the exact driver-side replay") {
+    val cb = Similarity.pqTrainCodebook(e)
+    assert(cb.size === 8 && cb.forall(_.size === 16) &&
+      cb.forall(_.forall(_.size === 8)))
+
+    val vecs = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+
+    // codebook: exact ordered-fold means, bit-for-bit
+    for (s <- 0 until 8; j <- 0 until 16; d <- 0 until 8) {
+      val members = vecs.filter(_._1 % 16 == j)
+      val sum = members.foldLeft(0.0)((a, v) => a + v._2(s * 8 + d))
+      assert(cb(s)(j)(d) === sum / members.length, s"centroid ($s,$j,$d)")
+    }
+
+    def dotL2R(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def subDists(v: Array[Double], s: Int): Array[Double] = {
+      val xs = v.slice(s * 8, s * 8 + 8)
+      (0 until 16).map { j =>
+        val c = cb(s)(j).toArray
+        dotL2R(xs, xs) - 2.0 * dotL2R(xs, c) + dotL2R(c, c)
+      }.toArray
+    }
+    def rnd9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+
+    // encode: first-min argmin codes + reconstruction MSE, bit-for-bit
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until 8).map { s =>
+        val dd = subDists(v, s); dd.indexOf(dd.min)
+      }
+    }.toMap
+    val expEnc = vecs.map { case (id, v) =>
+      val mins = (0 until 8).map(s => subDists(v, s).min)
+      (id, codes(id).mkString("-"), rnd9(mins.foldLeft(0.0)(_ + _) / 64.0))
+    }.toSet
+    val gotEnc = Similarity.pqEncode(e, cb).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(gotEnc === expEnc)
+
+    // ADC top-k: same distance tables, s-ascending fold, (adc, id) ties
+    val expAdc = vecs.filter(_._1 % 10 == 0).flatMap { case (qid, qv) =>
+      val qd = (0 until 8).map(s => subDists(qv, s))
+      vecs.filter(_._1 != qid).map { case (nid, _) =>
+        (nid, (0 until 8).foldLeft(0.0)((a, s) => a + qd(s)(codes(nid)(s))))
+      }.sortBy { case (nid, adc) => (adc, nid) }.take(3).zipWithIndex
+        .map { case ((nid, adc), i) => (qid, (i + 1).toLong, nid, rnd9(adc)) }
+    }.toSet
+    val gotAdc = Similarity.pqAdcTopK(e, cb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(gotAdc === expAdc)
+  }
+
   test("SignSignature matches a driver-side replay of the plane folds bit-for-bit") {
     // the native expression must produce exactly the signature the
     // oracle derives from lshPlaneSqlLiterals: parse the emitted

@@ -84,11 +84,11 @@ class Round11Spec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("bpe merges equal the sequential trainer replay") {
-    val got = Round11Queries.bpeMerges(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
-        r.getLong(4))).toSeq
-
+  /** The sequential 5-round trainer replay shared by the merges and
+   * encode tests: the learned merge ledger plus the final segmented
+   * vocabulary (word -> (count, sentinel segmentation)). */
+  private def sequentialBpe()
+      : (Seq[(Long, String, String, Long, Long)], Map[String, (Long, String)]) = {
     val vocab = scala.collection.mutable.Map[String, Long]()
     docTexts().foreach { case (_, t) =>
       tokens(t).filter(!_.contains("|"))
@@ -97,7 +97,7 @@ class Round11Spec extends SparkSpec {
     var segs: Map[String, (Long, String)] = vocab.toMap.map { case (w, c) =>
       w -> (c, w.map(ch => s"|$ch|").mkString)
     }
-    val expected = (1 to 5).map { round =>
+    val merges = (1 to 5).map { round =>
       val pc = scala.collection.mutable.Map[(String, String), Long]()
       segs.values.foreach { case (c, seg) =>
         val a = seg.stripPrefix("|").stripSuffix("|").split("\\|\\|")
@@ -114,6 +114,15 @@ class Round11Spec extends SparkSpec {
       }.sum
       (round.toLong, l, r, c, symbolsAfter)
     }
+    (merges, segs)
+  }
+
+  test("bpe merges equal the sequential trainer replay") {
+    val got = Round11Queries.bpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+
+    val (expected, segs) = sequentialBpe()
 
     assert(got.sortBy(_._1) == expected)
     // compression must be monotone
@@ -130,6 +139,28 @@ class Round11Spec extends SparkSpec {
     val expVocab = tokc.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
       .zipWithIndex.map { case ((t, n), i) => (t, n, (i + 1).toLong) }
     assert(gotVocab.sortBy(_._3) == expVocab)
+  }
+
+  test("bpe encode equals the per-document application of the learned tokenizer") {
+    val got = Round11Queries.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val (_, segs) = sequentialBpe()
+    val tokPerWord = segs.map { case (w, (_, seg)) =>
+      w -> seg.stripPrefix("|").stripSuffix("|").split("\\|\\|").length.toLong
+    }
+    val expected = docTexts().flatMap { case (id, t) =>
+      val ws = tokens(t).filter(!_.contains("|"))
+      if (ws.isEmpty) None
+      else Some((id, ws.size.toLong, ws.map(tokPerWord).sum,
+        ws.count(w => tokPerWord(w) == 1L).toLong))
+    }.sortBy(_._1)
+
+    assert(got.sortBy(_._1) == expected)
+    // the merges must actually compress: strictly fewer tokens than
+    // characters corpus-wide, and at least one multi-token word left
+    assert(got.map(_._3).sum < docTexts().map(_._2.count(!_.isWhitespace)).sum)
+    assert(got.exists(r => r._3 > r._2))
   }
 
   test("bloom decontamination exact values equal the set replay") {
