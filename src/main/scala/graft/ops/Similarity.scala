@@ -437,12 +437,13 @@ object Similarity {
    * centroid (s, j) = element-wise mean of the subvectors of all
    * vectors with vec_id % k == j — data-dependent (real means, not
    * content-independent hyperplanes) yet exactly SQL-replayable: each
-   * component is ONE left-to-right fold over the members in vec_id
-   * order divided by the exact member count. At the gate sf the fold
-   * rides a per-(j,dim) sorted collect_list; at 100 TB the same
-   * component sums run through the blocked deterministic fold
-   * machinery the WCC family uses (the codebook is k x D doubles
-   * regardless of corpus size, so the collect is always bounded).
+   * component is the BLOCKED ascending-vec_id left fold the WCC value
+   * checks use (`WccCheck.globalWccOfPartitionDet`) divided by the
+   * exact member count — fold each 65536-id block in vec_id order,
+   * then fold the block sums in block order. Per-group state is
+   * bounded at 65536 elements at ANY corpus size (never a
+   * group-sized collect), and below 65536 ids the blocked fold
+   * coincides with the flat ordered fold.
    *
    * All subspace distances use the expansion |x|^2 - 2 x.c + |c|^2
    * with the codegen'd [[dot]] fold for each term — bit-identical to
@@ -453,11 +454,18 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
       .select((col("vec_id") % codes).cast("int").as("j"),
         col("pos").cast("int").as("dim"), col("vec_id"), col("col").as("x"))
-    val rows = comp.groupBy("j", "dim")
+    val rows = comp
+      .groupBy(col("j"), col("dim"), expr("vec_id div 65536").as("blk"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("bn"))
+      .select(col("j"), col("dim"), col("blk"),
+        aggregate(col("xs"), lit(0.0), (a, e) => a + e.getField("x")).as("bsum"),
+        col("bn"))
+      .groupBy("j", "dim")
+      .agg(sort_array(collect_list(struct(col("blk"), col("bsum")))).as("bs"),
+        sum(col("bn")).as("n"))
       .select(col("j"), col("dim"),
-        (aggregate(col("xs"), lit(0.0), (a, e) => a + e.getField("x"))
+        (aggregate(col("bs"), lit(0.0), (a, e) => a + e.getField("bsum"))
           / col("n")).as("c"))
       .collect()
     val byKey = rows.map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
@@ -511,22 +519,43 @@ object Similarity {
    * the vector's codes; exact parity with the SQL replay because
    * every term traces back to the same [[pqDistCols]] doubles. */
   def pqAdcTopK(embeddings: DataFrame, cb: Seq[Seq[Seq[Double]]], k: Int = 5,
-      queryMod: Int = 10, maxQueryId: Long = Long.MaxValue): DataFrame = {
+      queryMod: Int = 10, maxQueryId: Long = Long.MaxValue): DataFrame =
+    adcTopKImpl(embeddings, cb, k, queryMod, maxQueryId, cellProbe = false)
+
+  /** IVF-PQ — the full IVFADC architecture: the coarse quantizer
+   * (the label cell, exactly [[ivfTopK]]'s) bounds WHICH vectors are
+   * scored (the query's cell only) and PQ bounds the COST of scoring
+   * each one (m table lookups instead of a D-dim dot product). The
+   * same composition FAISS deploys at billion scale; candidates and
+   * per-candidate work are both bounded, so total search cost is
+   * O(|queries| x cell x m) with no full-precision vector ever read
+   * at search time. */
+  def ivfPqTopK(embeddings: DataFrame, cb: Seq[Seq[Seq[Double]]], k: Int = 5,
+      queryMod: Int = 10, maxQueryId: Long = Long.MaxValue): DataFrame =
+    adcTopKImpl(embeddings, cb, k, queryMod, maxQueryId, cellProbe = true)
+
+  private def adcTopKImpl(embeddings: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      k: Int, queryMod: Int, maxQueryId: Long, cellProbe: Boolean): DataFrame = {
     val base = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("ds", pqDistCols(col("v"), cb))
     val dbCodes = base
-      .select(col("vec_id"), posexplode(transform(col("ds"),
+      .select(col("vec_id"), col("label"), posexplode(transform(col("ds"),
         d => (array_position(d, array_min(d)) - 1).cast("int"))))
-      .select(col("vec_id"), col("pos").cast("int").as("s"), col("col").as("j"))
+      .select(col("vec_id"), col("label"),
+        col("pos").cast("int").as("s"), col("col").as("j"))
     val qTable = base
       .where(col("vec_id") % queryMod === 0 && col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("query_id"), posexplode(col("ds")))
-      .select(col("query_id"), col("pos").cast("int").as("s"),
+      .select(col("vec_id").as("query_id"), col("label"), posexplode(col("ds")))
+      .select(col("query_id"), col("label"), col("pos").cast("int").as("s"),
         posexplode(col("col")))
-      .select(col("query_id"), col("s"), col("pos").cast("int").as("j"),
-        col("col").as("qd"))
-    val adc = dbCodes.join(broadcast(qTable), Seq("s", "j"))
+      .select(col("query_id"), col("label"), col("s"),
+        col("pos").cast("int").as("j"), col("col").as("qd"))
+    val keys = if (cellProbe) Seq("label", "s", "j") else Seq("s", "j")
+    val db = if (cellProbe) dbCodes else dbCodes.drop("label")
+    val q = if (cellProbe) qTable else qTable.drop("label")
+    val adc = db.join(broadcast(q), keys)
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("qd")))).as("sd"))

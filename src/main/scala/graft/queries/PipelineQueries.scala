@@ -554,6 +554,11 @@ object PipelineQueries {
     "p_ann_pq_adc" -> ((s, d) =>
       Similarity.pqAdcTopK(embs(s, d), pqCb(s, d), maxQueryId = 640L)
         .orderBy("query_id", "rank")),
+    // the composed IVFADC shape: cell probe bounds the candidates,
+    // PQ bounds the per-candidate cost
+    "p_ann_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(embs(s, d), pqCb(s, d), maxQueryId = 640L)
+        .orderBy("query_id", "rank")),
     // per-label centroid components (the IVF cell-center / k-means
     // support aggregation): posexplode to (label, dim) then a plain
     // partial-aggregated mean — element-wise array aggregation
@@ -637,10 +642,14 @@ object PipelineQueries {
     """ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |dimx AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
       |  FROM ev, unnest(generate_series(1, 64)) t(i)),
-      |cb AS (SELECT CAST(vec_id % 16 AS INT) AS j, dim,
-      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY vec_id)),
-      |      (a, b) -> a + b) / count(*) AS c
-      |  FROM dimx GROUP BY 1, 2),
+      |cb AS (SELECT j, dim,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(bsum ORDER BY blk)),
+      |      (a, b) -> a + b) / sum(bn) AS c
+      |  FROM (SELECT CAST(vec_id % 16 AS INT) AS j, dim, vec_id // 65536 AS blk,
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY vec_id)),
+      |        (a, b) -> a + b) AS bsum, count(*) AS bn
+      |    FROM dimx GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2),
       |cl AS (SELECT j, dim // 8 AS s, list(c ORDER BY dim) AS cl
       |  FROM cb GROUP BY 1, 2),
       |vsub AS (SELECT vec_id, s, list(x ORDER BY dim) AS vs FROM (
@@ -1190,6 +1199,25 @@ object PipelineQueries {
          |  WHERE vec_id % 10 = 0 AND vec_id < 640),
          |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.s, q.d
          |  FROM code c JOIN q ON q.s = c.s AND q.j = c.j AND c.vec_id <> q.query_id),
+         |adc AS (SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY s)),
+         |      (a, b) -> a + b) AS adc
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |  floor(adc * 1e9 + 0.5) / 1e9 AS adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id)
+         |    AS rank FROM adc) WHERE rank <= 5""".stripMargin,
+    // IVF-PQ: same ADC replay restricted to same-cell candidates —
+    // the two bounds (cell probe + code lookup) verified composed
+    "p_ann_ivfpq" ->
+      s"""WITH $PqCtes,
+         |q AS (SELECT vec_id AS query_id, s, j, d FROM dist
+         |  WHERE vec_id % 10 = 0 AND vec_id < 640),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.s, q.d
+         |  FROM code c JOIN q ON q.s = c.s AND q.j = c.j AND c.vec_id <> q.query_id
+         |  JOIN lab la ON la.vec_id = c.vec_id
+         |  JOIN lab lq ON lq.vec_id = q.query_id AND lq.label = la.label),
          |adc AS (SELECT query_id, neighbor_id,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY s)),
          |      (a, b) -> a + b) AS adc

@@ -263,6 +263,21 @@ class SimilaritySpec extends SparkSpec {
     val gotAdc = Similarity.pqAdcTopK(e, cb, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(gotAdc === expAdc)
+
+    // IVF-PQ: the same ADC ranking restricted to the query's cell
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expIvf = vecs.filter(_._1 % 10 == 0).flatMap { case (qid, qv) =>
+      val qd = (0 until 8).map(s => subDists(qv, s))
+      vecs.filter(x => x._1 != qid && labels(x._1) == labels(qid))
+        .map { case (nid, _) =>
+          (nid, (0 until 8).foldLeft(0.0)((a, s) => a + qd(s)(codes(nid)(s))))
+        }.sortBy { case (nid, adc) => (adc, nid) }.take(3).zipWithIndex
+        .map { case ((nid, adc), i) => (qid, (i + 1).toLong, nid, rnd9(adc)) }
+    }.toSet
+    val gotIvf = Similarity.ivfPqTopK(e, cb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(gotIvf === expIvf)
   }
 
   test("SignSignature matches a driver-side replay of the plane folds bit-for-bit") {
