@@ -34,7 +34,7 @@ object ScaleProbe {
       "eigen", "label", "floatdet",
       "skew", "skew-pagerank", "skew-cc", "skew-coreness", "skew-wcc",
       "skew-ktruss", "skew-idwcc", "skew-betweenness",
-      "dedup-hot", "ivf-hot", "stream-dedup")
+      "dedup-hot", "ivf-hot", "pq", "stream-dedup")
     phaseFilter.foreach(_.foreach { tok =>
       require(KnownTokens.contains(tok),
         s"unknown probe token '$tok' — known: ${KnownTokens.toSeq.sorted.mkString(", ")}")
@@ -388,7 +388,7 @@ object ScaleProbe {
     // term a skewed corpus exposes that uniform sf embeddings never
     // do. 2x/10x diff shows the growth exponent of the scored-row
     // count and wall.
-    if (phaseFilter.exists(_.exists(_ == "ivf-hot"))) {
+    if (phaseFilter.exists(_.exists(t => t == "ivf-hot" || t == "pq"))) {
       import graft.ops.Similarity
       val nVec = (nBase * replicas / 16L).max(20000L)
       val dims = 16
@@ -408,35 +408,61 @@ object ScaleProbe {
             .as("embedding")).cache()
         e.count(); e
       }
-      // capped first (the scale path — bounded fanout, runs at any
-      // replica factor), then uncapped (the exponent measurement —
-      // only run it at <= 2x: 10x uncapped is the demonstrated
-      // multi-hour quadratic blowup)
-      phase("ivf-hot kmeans top-k capped") {
-        val out = Similarity.ivfKmeansTopK(embs, k = 5, queryMod = 10,
-          cells = 8, cellCap = 1024)
-        println(s"[scale-probe] ivf-hot capped result rows=${out.count()}")
+      // the hot-label twin corpus: 20% of vectors forced into ONE
+      // label cell — the hazard fixture for both the persisted index
+      // build and the IVF-PQ cell probe
+      def hotLabelled = embs.withColumn("label",
+        when(col("vec_id") % 5 === 0, lit(0))
+          .otherwise((col("vec_id") % 7).cast("int")))
+      if (phaseFilter.exists(_.exists(_ == "ivf-hot"))) {
+        // capped first (the scale path — bounded fanout, runs at any
+        // replica factor), then uncapped (the exponent measurement —
+        // only run it at <= 2x: 10x uncapped is the demonstrated
+        // multi-hour quadratic blowup)
+        phase("ivf-hot kmeans top-k capped") {
+          val out = Similarity.ivfKmeansTopK(embs, k = 5, queryMod = 10,
+            cells = 8, cellCap = 1024)
+          println(s"[scale-probe] ivf-hot capped result rows=${out.count()}")
+        }
+        if (replicas <= 2) phase("ivf-hot kmeans top-k uncapped") {
+          val out = Similarity.ivfKmeansTopK(embs, k = 5, queryMod = 10, cells = 8)
+          println(s"[scale-probe] ivf-hot uncapped result rows=${out.count()}")
+        }
+        // the persisted-index twin of the same hazard: an uncapped
+        // build would persist a quadratic hot cell. The build-time
+        // cap truncates it on write; search fanout is then
+        // O(queries x cellCap) by construction — the 2x/10x diff
+        // shows the growth exponent of build + search together.
+        phase("ivf-hot persisted capped index") {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-ivfidx-probe").toString
+          Similarity.ivfIndexBuild(hotLabelled, dir, cellCap = 1024)
+          val out = Similarity.ivfIndexSearch(spark, dir,
+            Similarity.ivfQuerySide(hotLabelled, queryMod = 10))
+          println(s"[scale-probe] ivf-hot persisted rows=${out.count()}")
+        }
       }
-      if (replicas <= 2) phase("ivf-hot kmeans top-k uncapped") {
-        val out = Similarity.ivfKmeansTopK(embs, k = 5, queryMod = 10, cells = 8)
-        println(s"[scale-probe] ivf-hot uncapped result rows=${out.count()}")
-      }
-      // the persisted-index twin of the same hazard: 20% of vectors
-      // forced into ONE label cell (the index's partition key), so an
-      // uncapped build would persist a quadratic hot cell. The
-      // build-time cap truncates it on write; search fanout is then
-      // O(queries x cellCap) by construction — the 2x/10x diff shows
-      // the growth exponent of build + search together.
-      phase("ivf-hot persisted capped index") {
-        val skewLab = embs.withColumn("label",
-          when(col("vec_id") % 5 === 0, lit(0))
-            .otherwise((col("vec_id") % 7).cast("int")))
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-ivfidx-probe").toString
-        Similarity.ivfIndexBuild(skewLab, dir, cellCap = 1024)
-        val out = Similarity.ivfIndexSearch(spark, dir,
-          Similarity.ivfQuerySide(skewLab, queryMod = 10))
-        println(s"[scale-probe] ivf-hot persisted rows=${out.count()}")
+      // PQ probed on arrival: blocked-fold codebook training (ids
+      // exceed 65536 at every replica factor, so the multi-block
+      // path is exercised), map-side encode over the whole corpus,
+      // then ADC and composed IVF-PQ with the contract-capped query
+      // side (the uncapped modulo sample is brute-force-shaped by
+      // design — the registered rows cap at 640 and so does the
+      // probe). The hot label cell bounds ivfpq's fanout at
+      // O(|queries| x cell x m); adc scores all n at m lookups each.
+      if (phaseFilter.exists(_.exists(_ == "pq"))) {
+        val cb = phase("pq codebook train (blocked fold)") {
+          Similarity.pqTrainCodebook(embs)
+        }
+        phase("pq encode (map-side)") {
+          val n = Similarity.pqEncode(embs, cb).count()
+          println(s"[scale-probe] pq encoded rows=$n")
+        }
+        phase("pq adc + ivfpq search (query cap 640)") {
+          val a = Similarity.pqAdcTopK(embs, cb, maxQueryId = 640L).count()
+          val b = Similarity.ivfPqTopK(hotLabelled, cb, maxQueryId = 640L).count()
+          println(s"[scale-probe] pq adc rows=$a ivfpq rows=$b")
+        }
       }
       embs.unpersist(blocking = false)
     }

@@ -2209,4 +2209,89 @@ object GraphAlgs {
       chosen.foreach(_.unpersist(blocking = false))
     })
   }
+
+  /** Deterministic Luby-style MAXIMAL INDEPENDENT SET over the
+   * symmetrized edge set: per round, an undecided vertex joins the
+   * MIS iff its (md5(vid), vid) priority precedes every undecided
+   * neighbor's; joiners knock their neighbors out, and the loop
+   * repeats on the shrunken graph until no vertex is undecided. The
+   * md5 priorities are the repo's standard content-independent
+   * pseudo-random order (the same derivation the BFS-root picks
+   * use), so the expected round count is O(log n) exactly as with
+   * Luby's random draws — but every round is bit-reproducible and
+   * the whole trajectory replays in SQL as unrolled rounds (ties in
+   * the hex priority, were md5 ever to collide, break on vid on
+   * both engines).
+   *
+   * Execution shape: adjacency and the undecided set live as
+   * co-partitioned pair RDDs (the k-core loop's layout); each round
+   * is two bounded shuffles — an undecided-edge min-priority
+   * exchange, then the knockout subtract — over the SHRINKING
+   * undecided set, so message volume is O(Σ deg(undecided)) per
+   * round, hub-safe by the same argument as the k-core exchange,
+   * and total work is a few multiples of |E| across all rounds. No
+   * driver-side state beyond the round counter and per-round counts.
+   *
+   * Returns (vid, mis_round): MIS members only, tagged with the
+   * round that selected them (round tags certify the trajectory,
+   * not just the final set). */
+  def misDetDF(edges: DataFrame, maxIter: Int = 60): DataFrame = {
+    val spark = edges.sparkSession
+    val nSym = edges.count() * 2
+    val sym = edges
+      .select(col("src").cast("long"), col("dst").cast("long")).rdd
+      .flatMap(r => Iterator((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0))))
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(sym.getNumPartitions, (2 * nSym / 500000L).toInt)))
+    val eBySrc = sym.partitionBy(p).persist()
+    val adj = eBySrc.groupByKey(p).mapValues(_.toArray).persist()
+    def prOf(v: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    var undecided = adj.mapPartitions(
+      _.map { case (v, _) => (v, prOf(v)) },
+      preservesPartitioning = true).persist()
+    var nUndecided = undecided.count()
+    var round = 0L
+    val misParts =
+      scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[(Long, Long)]]
+    val retired =
+      scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    while (nUndecided > 0) {
+      round += 1
+      require(round <= maxIter,
+        s"misDet: $nUndecided vertices undecided after $maxIter rounds — raise maxIter")
+      val r = round
+      // min undecided-neighbor priority, delivered only to vertices
+      // with at least one undecided neighbor
+      val minNbr = eBySrc.join(undecided, p)
+        .map { case (src, (dst, prSrc)) => (dst, (prSrc, src)) }
+        .reduceByKey(p, (a, b) =>
+          if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+      val newMis = undecided.leftOuterJoin(minNbr, p)
+        .filter { case (v, (prV, m)) =>
+          m.forall(mm => prV < mm._1 || (prV == mm._1 && v < mm._2)) }
+        .mapValues(_ => r).persist()
+      val knocked = newMis.join(adj, p)
+        .flatMap { case (_, (_, nbrs)) => nbrs.iterator.map((_, ())) }
+        .union(newMis.mapValues(_ => ()))
+        .reduceByKey(p, (a, _) => a)
+      val next = undecided.subtractByKey(knocked, p).persist()
+      nUndecided = next.count()
+      retired += undecided
+      undecided = next
+      misParts += newMis
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.union(misParts.toSeq))
+      .toDF("vid", "mis_round").cache()
+    df.count()
+    (retired.toSeq :+ undecided).foreach(_.unpersist(blocking = false))
+    misParts.foreach(_.unpersist(blocking = false))
+    eBySrc.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
+    df
+  }
 }

@@ -938,6 +938,16 @@ object GraphQueries {
   def kcore(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.GraphAlgs.corenessDF(graph(spark, sfDir)).orderBy("vid")
 
+  /** Deterministic Luby maximal independent set over the canonical
+   * co-purchase edges ([[graft.graph.GraphAlgs.misDetDF]]): (vid,
+   * mis_round) for every MIS member, the round tagging WHICH sweep
+   * selected it. Oracle = the identical unrolled rounds (md5
+   * priorities, knockout, shrink) with the loud unroll-margin guard:
+   * zero rows if any vertex is still undecided after the unrolled
+   * depth. */
+  def mis(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.misDetDF(canonEdges(spark, sfDir)).orderBy("vid")
+
   /** Per-edge neighborhood Jaccard (link-prediction feature) over
    * the canonical co-purchase edges. */
   def neighborJaccard(spark: SparkSession, sfDir: String): DataFrame =
@@ -1176,6 +1186,10 @@ object GraphQueries {
    * the iterative float-fixpoint oracles reference `edges` in every
    * unrolled round, and DuckDB 1.0 inlines plain CTEs (the lineitem
    * self-join would otherwise run once per round). */
+  /** Unrolled depth of the g_mis oracle — ~2x the measured sf0.01
+   * fixpoint (see the g_mis oracle comment). */
+  private val MisUnrollRounds = 16
+
   private val MatEdgeCte: String =
     """raw AS MATERIALIZED (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -1812,6 +1826,41 @@ object GraphQueries {
          |SELECT vid, CAST(h AS BIGINT) AS core FROM kh40
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM kh40 a JOIN kh39 b ON a.vid = b.vid AND a.h <> b.h)""".stripMargin
+    },
+    // Deterministic Luby MIS: the identical unrolled rounds — an
+    // undecided vertex enters m_i iff no undecided neighbor precedes
+    // it in (md5, vid) order; a_i removes the round's members and
+    // their neighbors. The final projection carries the loud
+    // unroll-margin guard (zero rows while anything is undecided).
+    // The distributed loop quiesces in ~7 rounds at sf0.01 (the
+    // misDetDF round counter); MisUnrollRounds unrolled gives >2x
+    // margin, and rounds past the fixpoint are empty no-ops.
+    "g_mis" -> {
+      val rounds = (1 to MisUnrollRounds).map { i =>
+        s"""m$i AS MATERIALIZED (
+           |  SELECT a.vid, a.pr FROM a${i - 1} a
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM edges e JOIN a${i - 1} b ON b.vid = e.dst
+           |    WHERE e.src = a.vid
+           |      AND (b.pr < a.pr OR (b.pr = a.pr AND b.vid < a.vid)))),
+           |a$i AS MATERIALIZED (
+           |  SELECT a.vid, a.pr FROM a${i - 1} a
+           |  WHERE NOT EXISTS (SELECT 1 FROM m$i m WHERE m.vid = a.vid)
+           |    AND NOT EXISTS (
+           |      SELECT 1 FROM edges e JOIN m$i m ON m.vid = e.src
+           |      WHERE e.dst = a.vid))""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to MisUnrollRounds)
+        .map(i => s"SELECT vid, CAST($i AS BIGINT) AS mis_round FROM m$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $MatEdgeCte,
+         |a0 AS MATERIALIZED (
+         |  SELECT vid, md5(CAST(vid AS VARCHAR)) AS pr FROM (
+         |    SELECT DISTINCT src AS vid FROM edges)),
+         |$rounds,
+         |mis AS ($union)
+         |SELECT vid, mis_round FROM mis
+         |WHERE NOT EXISTS (SELECT 1 FROM a$MisUnrollRounds)""".stripMargin
     },
     // two independent implementations, one hash-to-min fixed point
     "g_cc_twophase" ->
@@ -2490,6 +2539,7 @@ object GraphQueries {
     "g_bfs_hops" -> bfsHops _,
     "g_neighbor_jaccard" -> neighborJaccard _,
     "g_kcore" -> kcore _,
+    "g_mis" -> mis _,
     "g_connected_components" -> connectedComponents _,
     "g_cc_twophase" -> connectedComponentsTwoPhase _,
     "g_msf" -> msf _,
