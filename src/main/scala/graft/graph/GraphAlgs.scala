@@ -2294,4 +2294,107 @@ object GraphAlgs {
     adj.unpersist(blocking = false)
     df
   }
+
+  /** Deterministic Jones–Plassmann GRAPH COLORING over the
+   * symmetrized edge set, sharing [[misDetDF]]'s priority order: per
+   * round, an uncolored vertex whose (md5(vid), vid) priority
+   * precedes every uncolored neighbor's picks the MINIMUM EXCLUDED
+   * color of its already-colored neighbors. The per-round eligible
+   * set is an independent set (two adjacent uncolored vertices are
+   * ordered, so only one can precede the other), which makes the
+   * greedy mex safe — same-round vertices are never adjacent — and
+   * gives a proper coloring with at most Δ+1 colors. Unlike
+   * [[misDetDF]], colored vertices' neighbors STAY in the loop, so
+   * the round count is the longest priority-decreasing path
+   * (O(log n / log log n) expected under the pseudo-random md5
+   * order), and the whole trajectory — who colors when, and with
+   * what — replays in SQL as unrolled rounds.
+   *
+   * Execution shape: the same co-partitioned pair-RDD layout as
+   * [[misDetDF]]. Per round: one O(Σ deg(uncolored)) min-priority
+   * exchange; then each newly colored vertex notifies its still
+   * uncolored neighbors of its color — each edge delivers at most
+   * ONE such notification across the entire run, so the
+   * accumulated used-color state totals O(|E|) ints and a
+   * degree-D hub holds at most D ints (~8 bytes each), never a
+   * materialized neighbor list per round. Driver state is the
+   * round counter only.
+   *
+   * Returns (vid, color, jp_round) for EVERY vertex: 1-based
+   * colors, the round tag certifying when each vertex committed. */
+  def colorDetDF(edges: DataFrame, maxIter: Int = 80): DataFrame = {
+    val spark = edges.sparkSession
+    val nSym = edges.count() * 2
+    val sym = edges
+      .select(col("src").cast("long"), col("dst").cast("long")).rdd
+      .flatMap(r => Iterator((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0))))
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(sym.getNumPartitions, (2 * nSym / 500000L).toInt)))
+    val eBySrc = sym.partitionBy(p).persist()
+    def prOf(v: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // smallest positive int absent from a sorted-ascending array
+    def mex(sorted: Array[Long]): Long = {
+      var want = 1L
+      var i = 0
+      while (i < sorted.length && sorted(i) <= want) {
+        if (sorted(i) == want) want += 1
+        i += 1
+      }
+      want
+    }
+    // uncolored state: vid -> (priority, used neighbor colors so far)
+    var uncolored = eBySrc.mapValues(_ => ())
+      .reduceByKey(p, (a, _) => a)
+      .mapPartitions(_.map { case (v, _) => (v, (prOf(v), Array.empty[Long])) },
+        preservesPartitioning = true).persist()
+    var nUncolored = uncolored.count()
+    var round = 0L
+    val colorParts = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[(Long, (Long, Long))]]
+    val retired =
+      scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    while (nUncolored > 0) {
+      round += 1
+      require(round <= maxIter,
+        s"colorDet: $nUncolored vertices uncolored after $maxIter rounds — raise maxIter")
+      val r = round
+      val minNbr = eBySrc.join(uncolored, p)
+        .map { case (src, (dst, (prSrc, _))) => (dst, (prSrc, src)) }
+        .reduceByKey(p, (a, b) =>
+          if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+      // eligible vertices commit to mex(used): (vid, (color, round))
+      val newColored = uncolored.leftOuterJoin(minNbr, p)
+        .filter { case (v, ((prV, _), m)) =>
+          m.forall(mm => prV < mm._1 || (prV == mm._1 && v < mm._2)) }
+        .map { case (v, ((_, used), _)) => (v, (mex(used), r)) }
+        .persist()
+      // each colored vertex notifies neighbors once, ever; merge the
+      // arriving colors into the surviving uncolored states
+      val notify = eBySrc.join(newColored, p)
+        .map { case (_, (dst, (c, _))) => (dst, c) }
+      val arrived = notify.groupByKey(p).mapValues(_.toArray.sorted)
+      val next = uncolored.subtractByKey(newColored, p)
+        .leftOuterJoin(arrived, p)
+        .mapValues { case ((pr, used), add) =>
+          (pr, add.fold(used)(a => (used ++ a).sorted))
+        }.persist()
+      nUncolored = next.count()
+      retired += uncolored
+      uncolored = next
+      colorParts += newColored
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.union(colorParts.toSeq)
+        .map { case (v, (c, r)) => (v, c, r) })
+      .toDF("vid", "color", "jp_round").cache()
+    df.count()
+    (retired.toSeq :+ uncolored).foreach(_.unpersist(blocking = false))
+    colorParts.foreach(_.unpersist(blocking = false))
+    eBySrc.unpersist(blocking = false)
+    df
+  }
 }

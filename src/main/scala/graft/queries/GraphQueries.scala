@@ -948,6 +948,23 @@ object GraphQueries {
   def mis(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.GraphAlgs.misDetDF(canonEdges(spark, sfDir)).orderBy("vid")
 
+  /** Deterministic Jones–Plassmann coloring over the canonical
+   * co-purchase edges ([[graft.graph.GraphAlgs.colorDetDF]]): (vid,
+   * color, jp_round) for EVERY vertex — 1-based greedy-mex colors,
+   * the round tagging when each vertex committed. Runs on the
+   * BACKBONE edge set (co-purchase weight >= 2): on the full
+   * co-purchase clique union the greedy schedule's depth is
+   * ~n/|MIS| rounds (the graph is dense at every sf — JP equals
+   * sequential greedy, and its parallel depth is a property of the
+   * data), which no bounded SQL unroll can replay; the backbone is
+   * the repo's standard sparse subgraph for depth-bounded fixpoint
+   * oracles (g_cc_twophase, g_sssp_weighted). Oracle = the identical
+   * unrolled rounds (md5 priorities, per-round independent eligible
+   * set, mex over previously-colored neighbors) with the loud
+   * unroll-margin guard. */
+  def coloring(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.colorDetDF(backboneEdges(spark, sfDir)).orderBy("vid")
+
   /** Per-edge neighborhood Jaccard (link-prediction feature) over
    * the canonical co-purchase edges. */
   def neighborJaccard(spark: SparkSession, sfDir: String): DataFrame =
@@ -1189,6 +1206,10 @@ object GraphQueries {
   /** Unrolled depth of the g_mis oracle — ~2x the measured sf0.01
    * fixpoint (see the g_mis oracle comment). */
   private val MisUnrollRounds = 16
+
+  /** Unrolled depth of the g_coloring oracle — 2x the measured
+   * sf0.01 backbone JP depth of 14 rounds. */
+  private val ColorUnrollRounds = 28
 
   private val MatEdgeCte: String =
     """raw AS MATERIALIZED (
@@ -1861,6 +1882,63 @@ object GraphQueries {
          |mis AS ($union)
          |SELECT vid, mis_round FROM mis
          |WHERE NOT EXISTS (SELECT 1 FROM a$MisUnrollRounds)""".stripMargin
+    },
+    // Deterministic Jones–Plassmann coloring on the backbone: per
+    // round, m_i = uncolored vertices preceding every uncolored
+    // neighbor in (md5, vid) order (an independent set), u_i = their
+    // neighbors' already-committed colors, col_i = the mex — the
+    // smallest candidate in {1} ∪ {used+1} not itself used — and the
+    // colored/uncolored sets roll forward. The final projection
+    // carries the loud unroll-margin guard (zero rows while anything
+    // is uncolored). Measured depth 14 at sf0.01; 28 unrolled gives
+    // 2x margin, rounds past the fixpoint are empty no-ops.
+    "g_coloring" -> {
+      val rounds = (1 to ColorUnrollRounds).map { i =>
+        s"""m$i AS MATERIALIZED (
+           |  SELECT a.vid, a.pr FROM a${i - 1} a
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM e2 e JOIN a${i - 1} b ON b.vid = e.dst
+           |    WHERE e.src = a.vid
+           |      AND (b.pr < a.pr OR (b.pr = a.pr AND b.vid < a.vid)))),
+           |u$i AS MATERIALIZED (
+           |  SELECT m.vid, c.color FROM m$i m
+           |  JOIN e2 e ON e.src = m.vid
+           |  JOIN c${i - 1} c ON c.vid = e.dst),
+           |col$i AS MATERIALIZED (
+           |  SELECT x.vid, min(x.cand) AS color,
+           |         CAST($i AS BIGINT) AS jp_round FROM (
+           |    SELECT m.vid, CAST(1 AS BIGINT) AS cand FROM m$i m
+           |    UNION ALL
+           |    SELECT u.vid, u.color + 1 FROM u$i u) x
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM u$i u2 WHERE u2.vid = x.vid AND u2.color = x.cand)
+           |  GROUP BY x.vid),
+           |c$i AS MATERIALIZED (
+           |  SELECT vid, color FROM c${i - 1}
+           |  UNION ALL SELECT vid, color FROM col$i),
+           |a$i AS MATERIALIZED (
+           |  SELECT a.vid, a.pr FROM a${i - 1} a
+           |  WHERE NOT EXISTS (SELECT 1 FROM m$i m WHERE m.vid = a.vid))""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to ColorUnrollRounds)
+        .map(i => s"SELECT vid, color, jp_round FROM col$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH cp AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e2 AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+         |a0 AS MATERIALIZED (
+         |  SELECT vid, md5(CAST(vid AS VARCHAR)) AS pr FROM (
+         |    SELECT DISTINCT src AS vid FROM e2)),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(NULL AS BIGINT) AS vid, CAST(NULL AS BIGINT) AS color
+         |  WHERE 1 = 0),
+         |$rounds,
+         |cols AS ($union)
+         |SELECT vid, color, jp_round FROM cols
+         |WHERE NOT EXISTS (SELECT 1 FROM a$ColorUnrollRounds)""".stripMargin
     },
     // two independent implementations, one hash-to-min fixed point
     "g_cc_twophase" ->
@@ -2540,6 +2618,7 @@ object GraphQueries {
     "g_neighbor_jaccard" -> neighborJaccard _,
     "g_kcore" -> kcore _,
     "g_mis" -> mis _,
+    "g_coloring" -> coloring _,
     "g_connected_components" -> connectedComponents _,
     "g_cc_twophase" -> connectedComponentsTwoPhase _,
     "g_msf" -> msf _,

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.graph.GraphAlgs
+
+/** Deterministic Jones–Plassmann coloring: properness on real data,
+ * exact (vid, color, round) agreement with a sequential replay of
+ * the same md5-priority rounds, and the JP ≡ sequential-greedy
+ * identity (the parallel schedule commits exactly the colors the
+ * one-vertex-at-a-time greedy pass in (md5, vid) order would). */
+class ColoringSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def adjOf(edges: Seq[(Long, Long)]): Map[Long, Set[Long]] = {
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    edges.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    adj.toMap
+  }
+
+  private def mex(used: Set[Long]): Long =
+    Iterator.from(1).map(_.toLong).find(c => !used(c)).get
+
+  /** Round-synchronous replay: per round, every uncolored vertex
+   * preceding all uncolored neighbors commits mex(colored-neighbor
+   * colors). Returns vid -> (color, round). */
+  private def sequentialJp(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val adj = adjOf(edges)
+    val pr = adj.keys.map(v => v -> md5hex(v.toString)).toMap
+    val color = scala.collection.mutable.Map[Long, (Long, Long)]()
+    var uncolored = adj.keySet
+    var round = 0L
+    while (uncolored.nonEmpty) {
+      round += 1
+      val eligible = uncolored.filter(v => adj(v).forall(u =>
+        !uncolored.contains(u) ||
+          pr(v) < pr(u) || (pr(v) == pr(u) && v < u)))
+      eligible.foreach { v =>
+        val used = adj(v).flatMap(color.get).map(_._1)
+        color(v) = (mex(used), round)
+      }
+      uncolored = uncolored -- eligible
+      assert(round <= 200, "sequential replay not converging")
+    }
+    color.toMap
+  }
+
+  /** One-vertex-at-a-time greedy in global (md5, vid) order. */
+  private def sequentialGreedy(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = adjOf(edges)
+    val order = adj.keys.toSeq.sortBy(v => (md5hex(v.toString), v))
+    val color = scala.collection.mutable.Map[Long, Long]()
+    order.foreach { v =>
+      color(v) = mex(adj(v).flatMap(color.get))
+    }
+    color.toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val df = edges.toDF("src", "dst")
+    val got = GraphAlgs.colorDetDF(df).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+
+    // exact trajectory agreement with the round-synchronous replay
+    assert(got === sequentialJp(edges))
+
+    // JP equals one-vertex-at-a-time greedy in priority order
+    assert(got.view.mapValues(_._1).toMap === sequentialGreedy(edges))
+
+    // properness: no edge is monochromatic
+    assert(!edges.exists { case (a, b) => got(a)._1 == got(b)._1 })
+
+    // every vertex colored, colors within Delta+1
+    val adj = adjOf(edges)
+    assert(got.keySet === adj.keySet)
+    got.foreach { case (v, (c, _)) => assert(c >= 1 && c <= adj(v).size + 1) }
+  }
+
+  test("coloring on a path, a clique, and a star") {
+    check(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    check(for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b))
+    check((2L to 30L).map(v => (1L, v)))
+  }
+
+  test("coloring on the sf0.001 backbone: replay, greedy identity, properness") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .selectExpr("l_orderkey AS o", "l_partkey AS p")
+    val edges = e.as("a").join(e.as("b"), "o")
+      .where($"a.p" < $"b.p")
+      .groupBy($"a.p".cast("long").as("src"), $"b.p".cast("long").as("dst"))
+      .count().where($"count" >= 2)
+      .select($"src", $"dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges.nonEmpty)
+    check(edges)
+  }
+}
