@@ -33,7 +33,7 @@ object ScaleProbe {
       "wcc", "coreness", "k-truss", "msf", "hits", "det", "pagerank",
       "eigen", "label", "floatdet",
       "skew", "skew-pagerank", "skew-cc", "skew-coreness", "skew-wcc",
-      "skew-ktruss", "skew-idwcc", "skew-betweenness",
+      "skew-ktruss", "skew-idwcc", "skew-betweenness", "skew-mis",
       "dedup-hot", "ivf-hot", "pq", "stream-dedup")
     phaseFilter.foreach(_.foreach { tok =>
       require(KnownTokens.contains(tok),
@@ -339,6 +339,47 @@ object ScaleProbe {
           println(s"[scale-probe] skew ktruss survivors=$n converged=${kt.converged}")
           kt.release()
         }
+      if (skewSubOptIn("skew-mis")) {
+        // the two priority-schedule loops on a hub graph. The hub is
+        // almost never locally minimal, so it is knocked out (MIS) or
+        // waits (coloring) — the probed hazard is the hub RECEIVER of
+        // the per-round min-priority reduceByKey (deg(hub) messages,
+        // but map-side combined) and, for coloring, the hub's
+        // accumulated used-color array (bounded by deg(hub) longs).
+        phase("skew luby mis") {
+          val df = GraphAlgs.misDetDF(skewEdges, maxIter = 120)
+          val rounds = df.agg(max(col("mis_round"))).head().getLong(0)
+          println(s"[scale-probe] skew mis members=${df.count()} rounds=$rounds")
+          df.unpersist(blocking = false)
+        }
+        phase("skew jp coloring (core-free hub graph)") {
+          // the raw Zipf graph's top vertices form a near-clique
+          // core, and JP's parallel depth on a clique is its SIZE —
+          // a data property, which is exactly why g_coloring
+          // registers on the sparse backbone. The coloring hazard
+          // worth probing at scale is the HUB itself (per-round
+          // min-priority reduce at deg(hub); the hub's accumulated
+          // used-color array), so the fixture keeps every hub-leaf
+          // edge (max degree unchanged) and drops core-core edges.
+          val coreFree = skewEdges
+            .where(!(col("src") <= 1000 && col("dst") <= 1000)).cache()
+          val hub = EdgeOps.degrees(EdgeOps.symmetrize(coreFree))
+            .agg(max(col("degree"))).head().getLong(0)
+          val df = GraphAlgs.colorDetDF(coreFree, maxIter = 400)
+          val a = df.agg(max(col("jp_round")), max(col("color"))).head()
+          println(s"[scale-probe] skew coloring edges=${coreFree.count()} maxDeg=$hub rounds=${a.getLong(0)} colors=${a.getLong(1)}")
+          df.unpersist(blocking = false)
+          coreFree.unpersist(blocking = false)
+        }
+        phase("skew greedy matching") {
+          // edge-Luby handles the dense core fine (geometric decay),
+          // so the matching runs on the RAW Zipf graph, hub included
+          val df = GraphAlgs.matchingDetDF(skewEdges)
+          val rounds = df.agg(max(col("match_round"))).head().getLong(0)
+          println(s"[scale-probe] skew matching matched=${df.count()} rounds=$rounds")
+          df.unpersist(blocking = false)
+        }
+      }
       if (skewSub("skew-coreness"))
         phase("skew coreness (k-core peel)") {
           val sg = EdgeOps.toGraph(skewEdges); sg.cache(); sg.numVertices

@@ -2397,4 +2397,91 @@ object GraphAlgs {
     eBySrc.unpersist(blocking = false)
     df
   }
+
+  /** Deterministic greedy MAXIMAL MATCHING (Israeli–Itai shape)
+   * over the canonical undirected edge set: per round, an undecided
+   * edge is matched iff its key — md5("src-dst") followed by the
+   * zero-padded endpoints, so keys are globally distinct — is the
+   * minimum among undecided edges at BOTH endpoints; matched
+   * endpoints knock out every incident edge, and the loop repeats
+   * until no edge is undecided. Equivalent to Luby MIS on the line
+   * graph without materializing it (the per-vertex min plays the
+   * neighborhood-argmin role), so the expected round count is
+   * O(log |E|) on ANY graph — dense inputs included, unlike the
+   * coloring schedule — and the trajectory replays in SQL as
+   * unrolled rounds.
+   *
+   * Execution shape: undecided edges live keyed by src on a vertex
+   * partitioner; each round is a bounded per-vertex min reduce
+   * (map-side combined — a degree-D hub contributes D messages but
+   * they combine to one per partition), two equality probes against
+   * it, and two hash semi-joins for the incident knockout — all
+   * O(undecided) work over a geometrically shrinking set. Driver
+   * state is the round counter only.
+   *
+   * Returns (src, dst, match_round): matched edges only, round tags
+   * certifying the trajectory. */
+  def matchingDetDF(edges: DataFrame, maxIter: Int = 60): DataFrame = {
+    val spark = edges.sparkSession
+    val canon = edges
+      .select(least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val nE = canon.count()
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(canon.rdd.getNumPartitions, (nE / 250000L).toInt)))
+    def keyOf(u: Long, v: Long): String = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u-$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      f"$md5$u%012d$v%012d"
+    }
+    // undecided edges keyed by src: (u, (v, key))
+    var undecided = canon.rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (u, v) => (u, (v, keyOf(u, v))) }
+      .partitionBy(p).persist()
+    var nUndecided = nE
+    var round = 0L
+    val matchedParts = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[(Long, Long, Long)]]
+    val retired =
+      scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    while (nUndecided > 0) {
+      round += 1
+      require(round <= maxIter,
+        s"matchingDet: $nUndecided edges undecided after $maxIter rounds — raise maxIter")
+      val r = round
+      val minAtV = undecided
+        .flatMap { case (u, (v, k)) => Iterator((u, k), (v, k)) }
+        .reduceByKey(p, (a, b) => if (a < b) a else b)
+      // survives the src-side min, then the dst-side min
+      val matched = undecided.join(minAtV, p)
+        .filter { case (_, ((_, k), mk)) => k == mk }
+        .map { case (u, ((v, k), _)) => (v, (u, k)) }
+        .join(minAtV, p)
+        .filter { case (_, ((_, k), mk)) => k == mk }
+        .map { case (v, ((u, _), _)) => (u, v, r) }
+        .persist()
+      val knocked = matched
+        .flatMap { case (u, v, _) => Iterator((u, ()), (v, ())) }
+        .reduceByKey(p, (a, _) => a)
+      // drop every edge incident to a matched vertex (either side)
+      val next = undecided.subtractByKey(knocked, p)
+        .map { case (u, (v, k)) => (v, (u, k)) }
+        .subtractByKey(knocked, p)
+        .map { case (v, (u, k)) => (u, (v, k)) }
+        .partitionBy(p).persist()
+      nUndecided = next.count()
+      retired += undecided
+      undecided = next
+      matchedParts += matched
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.union(matchedParts.toSeq))
+      .toDF("src", "dst", "match_round").cache()
+    df.count()
+    (retired.toSeq :+ undecided).foreach(_.unpersist(blocking = false))
+    matchedParts.foreach(_.unpersist(blocking = false))
+    df
+  }
 }

@@ -965,6 +965,17 @@ object GraphQueries {
   def coloring(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.GraphAlgs.colorDetDF(backboneEdges(spark, sfDir)).orderBy("vid")
 
+  /** Deterministic greedy maximal matching over the canonical
+   * co-purchase edges ([[graft.graph.GraphAlgs.matchingDetDF]]):
+   * (src, dst, match_round) for every matched edge. Runs on the FULL
+   * graph — the edge-Luby schedule shrinks geometrically on dense
+   * inputs too. Oracle = identical unrolled rounds (per-vertex
+   * min-key, match iff min at both endpoints, incident knockout)
+   * with the loud unroll-margin guard. */
+  def matching(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.matchingDetDF(canonEdges(spark, sfDir))
+      .orderBy("src", "dst")
+
   /** Per-edge neighborhood Jaccard (link-prediction feature) over
    * the canonical co-purchase edges. */
   def neighborJaccard(spark: SparkSession, sfDir: String): DataFrame =
@@ -1210,6 +1221,10 @@ object GraphQueries {
   /** Unrolled depth of the g_coloring oracle — 2x the measured
    * sf0.01 backbone JP depth of 14 rounds. */
   private val ColorUnrollRounds = 28
+
+  /** Unrolled depth of the g_matching oracle — 2x the measured
+   * sf0.01 edge-Luby depth of 9 rounds. */
+  private val MatchUnrollRounds = 18
 
   private val MatEdgeCte: String =
     """raw AS MATERIALIZED (
@@ -1940,6 +1955,47 @@ object GraphQueries {
          |SELECT vid, color, jp_round FROM cols
          |WHERE NOT EXISTS (SELECT 1 FROM a$ColorUnrollRounds)""".stripMargin
     },
+    // Deterministic greedy maximal matching: the identical unrolled
+    // rounds — per round, minv_i is each vertex's minimum undecided
+    // edge key (md5("src-dst") + zero-padded endpoints, globally
+    // distinct), m_i the edges achieving it at BOTH endpoints, and
+    // a_i drops everything incident to a matched vertex. The final
+    // projection carries the loud unroll-margin guard. Measured
+    // depth 9 at sf0.01; 18 unrolled gives 2x margin.
+    "g_matching" -> {
+      val rounds = (1 to MatchUnrollRounds).map { i =>
+        s"""minv$i AS MATERIALIZED (
+           |  SELECT v, min(k) AS mk FROM (
+           |    SELECT src AS v, k FROM a${i - 1}
+           |    UNION ALL SELECT dst AS v, k FROM a${i - 1}) GROUP BY v),
+           |m$i AS MATERIALIZED (
+           |  SELECT a.src, a.dst FROM a${i - 1} a
+           |  JOIN minv$i x ON x.v = a.src AND x.mk = a.k
+           |  JOIN minv$i y ON y.v = a.dst AND y.mk = a.k),
+           |a$i AS MATERIALIZED (
+           |  SELECT a.src, a.dst, a.k FROM a${i - 1} a
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM m$i m
+           |    WHERE m.src IN (a.src, a.dst) OR m.dst IN (a.src, a.dst)))""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to MatchUnrollRounds)
+        .map(i => s"SELECT src, dst, CAST($i AS BIGINT) AS match_round FROM m$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH raw AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |a0 AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    md5(CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR))
+         |      || lpad(CAST(src AS VARCHAR), 12, '0')
+         |      || lpad(CAST(dst AS VARCHAR), 12, '0') AS k
+         |  FROM raw),
+         |$rounds,
+         |matched AS ($union)
+         |SELECT src, dst, match_round FROM matched
+         |WHERE NOT EXISTS (SELECT 1 FROM a$MatchUnrollRounds)""".stripMargin
+    },
     // two independent implementations, one hash-to-min fixed point
     "g_cc_twophase" ->
       s"""WITH ${backboneCompCte()}
@@ -2619,6 +2675,7 @@ object GraphQueries {
     "g_kcore" -> kcore _,
     "g_mis" -> mis _,
     "g_coloring" -> coloring _,
+    "g_matching" -> matching _,
     "g_connected_components" -> connectedComponents _,
     "g_cc_twophase" -> connectedComponentsTwoPhase _,
     "g_msf" -> msf _,

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.graph.GraphAlgs
+
+/** Deterministic greedy maximal matching: vertex-disjointness +
+ * maximality on real data, and exact (src, dst, round) agreement
+ * with a sequential replay of the same min-key knockout rounds. */
+class MatchingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def keyOf(u: Long, v: Long): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$u-$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    f"$md5$u%012d$v%012d"
+  }
+
+  /** Per round, an undecided edge whose key is minimal at both
+   * endpoints is matched; matched vertices drop all incident
+   * edges. */
+  private def sequentialMatch(edges: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+    var undecided = edges
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    val out = scala.collection.mutable.Map[(Long, Long), Long]()
+    var round = 0L
+    while (undecided.nonEmpty) {
+      round += 1
+      val minAt = scala.collection.mutable.Map[Long, String]()
+      undecided.foreach { case (u, v) =>
+        val k = keyOf(u, v)
+        Seq(u, v).foreach { x =>
+          if (!minAt.contains(x) || k < minAt(x)) minAt(x) = k
+        }
+      }
+      val matched = undecided.filter { case (u, v) =>
+        val k = keyOf(u, v); minAt(u) == k && minAt(v) == k
+      }
+      matched.foreach(e => out(e) = round)
+      val hit = matched.flatMap { case (u, v) => Seq(u, v) }
+      undecided = undecided.filterNot { case (u, v) => hit(u) || hit(v) }
+      assert(round <= 100, "sequential replay not converging")
+    }
+    out.toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val df = edges.toDF("src", "dst")
+    val got = GraphAlgs.matchingDetDF(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+
+    // exact trajectory agreement with the sequential replay
+    assert(got === sequentialMatch(edges))
+
+    // a valid matching: every vertex in at most one matched edge
+    val touched = got.keys.toSeq.flatMap { case (u, v) => Seq(u, v) }
+    assert(touched.distinct.size === touched.size)
+
+    // maximality: every edge has a matched endpoint
+    val hit = touched.toSet
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+    assert(canon.forall { case (u, v) => hit(u) || hit(v) })
+  }
+
+  test("matching on a path, a clique, and a star") {
+    check(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    check(for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b))
+    check((2L to 30L).map(v => (1L, v)))
+  }
+
+  test("matching on the sf0.001 co-purchase graph: replay, disjointness, maximality") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .selectExpr("l_orderkey AS o", "l_partkey AS p")
+    val edges = e.as("a").join(e.as("b"), "o")
+      .where($"a.p" < $"b.p")
+      .select($"a.p".cast("long").as("src"), $"b.p".cast("long").as("dst"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    check(edges)
+  }
+}
