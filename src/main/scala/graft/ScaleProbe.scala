@@ -352,17 +352,23 @@ object ScaleProbe {
           println(s"[scale-probe] skew mis members=${df.count()} rounds=$rounds")
           df.unpersist(blocking = false)
         }
-        phase("skew jp coloring (core-free hub graph)") {
+        phase("skew jp coloring (hub-star + sparse tail)") {
           // the raw Zipf graph's top vertices form a near-clique
           // core, and JP's parallel depth on a clique is its SIZE —
           // a data property, which is exactly why g_coloring
           // registers on the sparse backbone. The coloring hazard
           // worth probing at scale is the HUB itself (per-round
           // min-priority reduce at deg(hub); the hub's accumulated
-          // used-color array), so the fixture keeps every hub-leaf
-          // edge (max degree unchanged) and drops core-core edges.
+          // used-color array), so the fixture is hub-star + sparse
+          // tail: top-100 hubs keep all their LEAF edges (hub
+          // degree still ~10k and |E|-linear), the sparse
+          // leaf-leaf tail survives, and the mid-core — whose
+          // log-uniform density would push the greedy schedule's
+          // depth into the hundreds — is dropped.
           val coreFree = skewEdges
-            .where(!(col("src") <= 1000 && col("dst") <= 1000)).cache()
+            .where((least(col("src"), col("dst")) <= 100 &&
+                greatest(col("src"), col("dst")) > 20000) ||
+              least(col("src"), col("dst")) > 20000).cache()
           val hub = EdgeOps.degrees(EdgeOps.symmetrize(coreFree))
             .agg(max(col("degree"))).head().getLong(0)
           val df = GraphAlgs.colorDetDF(coreFree, maxIter = 400)

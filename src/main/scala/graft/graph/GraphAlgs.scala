@@ -2279,6 +2279,12 @@ object GraphAlgs {
         .union(newMis.mapValues(_ => ()))
         .reduceByKey(p, (a, _) => a)
       val next = undecided.subtractByKey(knocked, p).persist()
+      // reliable checkpoint every 16 rounds (when a dir is set, as
+      // in every entry point): an uncut state lineage grows by ~4
+      // stages per round, and a deep run overflows the task
+      // serializer's stack long before maxIter
+      if (round % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)
+        next.checkpoint()
       nUndecided = next.count()
       retired += undecided
       undecided = next
@@ -2382,6 +2388,13 @@ object GraphAlgs {
         .mapValues { case ((pr, used), add) =>
           (pr, add.fold(used)(a => (used ++ a).sorted))
         }.persist()
+      // cut the state lineage every 16 rounds (see misDetDF): JP on
+      // denser-than-backbone inputs legitimately runs hundreds of
+      // rounds, which an uncut lineage cannot survive
+      if (round % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined) {
+        next.checkpoint()
+        newColored.checkpoint()
+      }
       nUncolored = next.count()
       retired += uncolored
       uncolored = next
@@ -2471,6 +2484,9 @@ object GraphAlgs {
         .subtractByKey(knocked, p)
         .map { case (v, (u, k)) => (u, (v, k)) }
         .partitionBy(p).persist()
+      // cut the state lineage every 16 rounds (see misDetDF)
+      if (round % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)
+        next.checkpoint()
       nUndecided = next.count()
       retired += undecided
       undecided = next

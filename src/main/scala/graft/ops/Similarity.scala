@@ -587,6 +587,74 @@ object Similarity {
    * expressible identically in the DuckDB oracle, so the quality
    * numbers are verified bit-for-bit. Zero vectors are filtered (no
    * finite scale exists for them). */
+  /** Deterministic integer Lloyd k-means over int8-quantized
+   * embeddings — the semantic-clustering primitive (SemDeDup-style
+   * corpus bucketing, IVF coarse quantizer training) with a
+   * bit-exact replay: vectors are quantized with [[quantizeInt8]]'s
+   * formula then SHIFTED to [0, 254] so every later sum is
+   * non-negative (integer floor division then agrees between
+   * engines), seeds are the k first vectors in (md5(vec_id),
+   * vec_id) order — the repo's standard content-independent pick —
+   * and each Lloyd iteration assigns by minimum integer squared
+   * distance (ties to the smallest cluster id) and rebuilds
+   * centroids as per-dimension floor(sum/count); an emptied cluster
+   * keeps its previous centroid. All arithmetic is integer, so the
+   * trajectory replays exactly in SQL.
+   *
+   * Execution shape: centroids are k×D longs — broadcast as a tiny
+   * literal frame each iteration (the idiomatic distributed Lloyd
+   * layout: no shuffle on the corpus side for assignment; one
+   * k×D-row aggregate per update). `iters` assignment passes,
+   * `iters−1` updates.
+   *
+   * Returns (vec_id, cluster, dist2): the final assignment with its
+   * integer squared distance. */
+  def kmeansDet(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val v = col("embedding").cast("array<double>")
+    val q = embeddings
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("max_abs",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .where(col("max_abs") > 0.0)
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * col("scale") + 0.5).cast("long") + lit(127L)))
+      .select(col("vec_id"), col("q")).cache()
+    var centroids: Array[Array[Long]] = q
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      val cdf = spark.createDataFrame(
+        centroids.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) })
+        .toDF("cluster", "c")
+      assigned = q.crossJoin(broadcast(cdf))
+        .withColumn("dist2", aggregate(
+          zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist2"), col("cluster"))))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("q"), col("cluster"), col("dist2"))
+      if (it < iters) {
+        val upd = centroids.map(_.clone())
+        assigned
+          .select(col("cluster"), posexplode(col("q")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .collect().foreach { r =>
+            upd(r.getLong(0).toInt)(r.getInt(1)) =
+              Math.floorDiv(r.getLong(2), r.getLong(3))
+          }
+        centroids = upd
+      }
+    }
+    q.unpersist(blocking = false)
+    assigned.select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     embeddings

@@ -572,6 +572,12 @@ object PipelineQueries {
         .orderBy("label", "dim")),
     "p_embed_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(embs(s, d)).orderBy("vec_id")),
+    // deterministic integer Lloyd k-means (semantic corpus
+    // bucketing): 3 iterations, 8 clusters, md5-picked seeds —
+    // every arithmetic step integer, so the oracle replays the
+    // whole trajectory, not a structural contract
+    "p_kmeans" -> ((s, d) =>
+      Similarity.kmeansDet(embs(s, d)).orderBy("vec_id")),
     "p_media_chunks" -> ((s, d) =>
       Multimodal.chunks(Multimodal.asMedia(docs(s, d))).orderBy("media_id", "chunk_idx")),
     // all three modalities are REAL containers decoded by real
@@ -1359,6 +1365,60 @@ object PipelineQueries {
         |         * (x - floor(x * scale + 0.5) / scale)),
         |    (a, b) -> a + b) / len(v)) * 1e9 + 0.5) / 1e9 AS mse
         |FROM s""".stripMargin,
+    // Deterministic integer k-means: quantize exactly as
+    // p_embed_quantize then SHIFT to [0, 254] (sums stay
+    // non-negative, so // floor-division agrees with Spark's
+    // floorDiv), seed with the k=8 first vectors in (md5, vec_id)
+    // order, and unroll 3 Lloyd iterations — integer squared
+    // distances (exact in the double dot products: values < 2^53),
+    // ties to the smallest cluster id, per-dim floor(sum/count)
+    // centroid updates, emptied clusters keeping their previous
+    // centroid via the LEFT JOIN coalesce.
+    "p_kmeans" -> {
+      def assign(i: Int): String =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT vec_id, q, cluster, d2 FROM (
+           |    SELECT q.vec_id, q.q AS q, c.cluster,
+           |      CAST(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[])
+           |        - 2 * list_dot_product(q.q::DOUBLE[], c.c::DOUBLE[])
+           |        + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]) AS BIGINT) AS d2,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        CAST(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[])
+           |          - 2 * list_dot_product(q.q::DOUBLE[], c.c::DOUBLE[])
+           |          + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]) AS BIGINT),
+           |        c.cluster) AS rk
+           |    FROM q CROSS JOIN c${i - 1} c)
+           |  WHERE rk = 1)""".stripMargin
+      def update(i: Int): String =
+        s"""n$i AS MATERIALIZED (
+           |  SELECT cluster, list(v ORDER BY dim) AS c FROM (
+           |    SELECT a.cluster, t.i AS dim,
+           |      CAST(sum(a.q[t.i]) // count(*) AS BIGINT) AS v
+           |    FROM d$i a, unnest(generate_series(1, len(a.q))) t(i)
+           |    GROUP BY a.cluster, t.i)
+           |  GROUP BY cluster),
+           |c$i AS MATERIALIZED (
+           |  SELECT p.cluster, COALESCE(n.c, p.c) AS c
+           |  FROM c${i - 1} p LEFT JOIN n$i n ON n.cluster = p.cluster)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+         |  FROM e),
+         |s AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale
+         |  FROM m WHERE max_abs > 0.0),
+         |q AS MATERIALIZED (SELECT vec_id, list_transform(v,
+         |  x -> CAST(floor(x * scale + 0.5) AS BIGINT) + 127) AS q FROM s),
+         |c0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+         |    - 1 AS cluster, q AS c
+         |  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |${assign(1)},
+         |${update(1)},
+         |${assign(2)},
+         |${update(2)},
+         |${assign(3)}
+         |SELECT vec_id, cluster, d2 AS dist2 FROM d3""".stripMargin
+    },
     "p_media_chunks" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n_bytes FROM documents),
