@@ -655,6 +655,67 @@ object Similarity {
     assigned.select(col("vec_id"), col("cluster"), col("dist2"))
   }
 
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+   * the deterministic integer k-means ([[kmeansDet]]), then inside
+   * each cluster drop every vector that is near-cosine-identical to
+   * a LOWER-id vector of the same cluster. The near-dup test is
+   * exact integer arithmetic on the signed int8 quantization:
+   * cos(a,b) >= tau becomes
+   *   dot > 0  AND  tauDen * dot^2 >= tauNum * |a|^2 * |b|^2
+   * with dot = sum(qa_i*qb_i) (|dot| <= 64*127^2 ~ 1.03e6, so every
+   * product fits a Long with 10^4 headroom) — no sqrt, no float
+   * tolerance, the whole decision replays bit-exact in SQL.
+   *
+   * Duplicate rule (documented deviation from sequential greedy): a
+   * vector is a duplicate iff ANY lower-id cluster-mate is within
+   * tau — one parallel pass, no iteration, still deterministic; the
+   * sequential rule would only differ on chains of duplicates.
+   *
+   * Execution shape at 100 TB: the only corpus-sized shuffles are
+   * the k-means assignment aggregate and ONE repartition by cluster
+   * for the within-cluster self-join; the quadratic stays inside a
+   * cluster, whose size is bounded by scaling k with the corpus
+   * (SemDeDup's own design — clusters ~N/k vectors; a hot cluster
+   * can additionally be truncated exactly like the IVF cellCap).
+   *
+   * Returns every clustered vector as (vec_id, cluster, dup_of,
+   * kept): dup_of = smallest matching lower id (null for
+   * survivors), kept = dup_of IS NULL. */
+  def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+      tauNum: Long = 9216L, tauDen: Long = 10000L): DataFrame = {
+    val assigned = kmeansDet(embeddings, k, iters)
+      .select(col("vec_id"), col("cluster"))
+    val v = col("embedding").cast("array<double>")
+    val qs = embeddings
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("max_abs",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .where(col("max_abs") > 0.0)
+      .withColumn("qs", transform(col("v"),
+        x => floor(x * (lit(127.0) / col("max_abs")) + 0.5).cast("long")))
+      .select(col("vec_id"), col("qs"),
+        aggregate(col("qs"), lit(0L), (s, x) => s + x * x).as("n2"))
+    val side = assigned.join(qs, "vec_id")
+    val a = side.select(col("cluster"), col("vec_id").as("a_id"),
+      col("qs").as("a_qs"), col("n2").as("a_n2"))
+    val b = side.select(col("cluster"), col("vec_id").as("b_id"),
+      col("qs").as("b_qs"), col("n2").as("b_n2"))
+    val dupOf = a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dot", aggregate(
+        zip_with(col("a_qs"), col("b_qs"), (x, y) => x * y),
+        lit(0L), (s, x) => s + x))
+      .where(col("dot") > 0L &&
+        lit(tauDen) * col("dot") * col("dot") >=
+          lit(tauNum) * col("a_n2") * col("b_n2"))
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("dup_of"))
+    assigned.join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     embeddings

@@ -578,6 +578,25 @@ object PipelineQueries {
     // whole trajectory, not a structural contract
     "p_kmeans" -> ((s, d) =>
       Similarity.kmeansDet(embs(s, d)).orderBy("vec_id")),
+    // SemDeDup: the k-means buckets + within-cluster exact-integer
+    // cosine near-dup pruning, keep-lowest-id — see
+    // [[Similarity.semDedup]] for the 100 TB shape (quadratic only
+    // inside a cluster; k scales with the corpus). Runs on the
+    // duplicate-AUGMENTED corpus (the synthetic embeddings are
+    // near-orthogonal, max natural cos ~ 0.51, so without planted
+    // near-copies the 0.96 threshold would never bind and the
+    // oracle would certify a trivial all-kept answer): every 7th
+    // vector gains a near-copy at id + 100000 with dim 0 shifted
+    // +0.1 in double space — IEEE-identical on both engines.
+    "p_semdedup" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val aug = e.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.1)),
+            slice(col("embedding"), 2, Int.MaxValue)).as("embedding"))
+      Similarity.semDedup(e.unionAll(aug))
+    }),
     "p_media_chunks" -> ((s, d) =>
       Multimodal.chunks(Multimodal.asMedia(docs(s, d))).orderBy("media_id", "chunk_idx")),
     // all three modalities are REAL containers decoded by real
@@ -681,6 +700,60 @@ object PipelineQueries {
        |sh AS (SELECT doc_id, concat(${(0 until 16).map(j =>
            s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
        |FROM v)""".stripMargin
+
+  /** The deterministic integer k-means trajectory as shared CTEs
+   * (quantize `q`, seeds `c0`, unrolled assign/update through the
+   * final assignment `d3`; `s` keeps each vector's scale for the
+   * signed-quantization twin) — one definition for the p_kmeans and
+   * p_semdedup oracles. Body only: callers prepend WITH and append
+   * their SELECT; `eBody` overrides the corpus CTE (p_semdedup feeds
+   * the duplicate-augmented fixture through the same trajectory). */
+  private def kmeansReplayCtes(
+      eBody: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+    : String = {
+    def assign(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT vec_id, q, cluster, d2 FROM (
+         |    SELECT q.vec_id, q.q AS q, c.cluster,
+         |      CAST(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[])
+         |        - 2 * list_dot_product(q.q::DOUBLE[], c.c::DOUBLE[])
+         |        + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]) AS BIGINT) AS d2,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CAST(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[])
+         |          - 2 * list_dot_product(q.q::DOUBLE[], c.c::DOUBLE[])
+         |          + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]) AS BIGINT),
+         |        c.cluster) AS rk
+         |    FROM q CROSS JOIN c${i - 1} c)
+         |  WHERE rk = 1)""".stripMargin
+    def update(i: Int): String =
+      s"""n$i AS MATERIALIZED (
+         |  SELECT cluster, list(v ORDER BY dim) AS c FROM (
+         |    SELECT a.cluster, t.i AS dim,
+         |      CAST(sum(a.q[t.i]) // count(*) AS BIGINT) AS v
+         |    FROM d$i a, unnest(generate_series(1, len(a.q))) t(i)
+         |    GROUP BY a.cluster, t.i)
+         |  GROUP BY cluster),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.cluster, COALESCE(n.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN n$i n ON n.cluster = p.cluster)""".stripMargin
+    s"""e AS ($eBody),
+       |m AS (SELECT vec_id, v,
+       |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+       |  FROM e),
+       |s AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale
+       |  FROM m WHERE max_abs > 0.0),
+       |q AS MATERIALIZED (SELECT vec_id, list_transform(v,
+       |  x -> CAST(floor(x * scale + 0.5) AS BIGINT) + 127) AS q FROM s),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |    - 1 AS cluster, q AS c
+       |  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |${assign(1)},
+       |${update(1)},
+       |${assign(2)},
+       |${update(2)},
+       |${assign(3)}""".stripMargin
+  }
 
   /** Shared LSH-pair transitive-closure CTE chain ending in
    * `cl(doc_id, cluster_id)` — used by the cluster-label and
@@ -1374,51 +1447,45 @@ object PipelineQueries {
     // ties to the smallest cluster id, per-dim floor(sum/count)
     // centroid updates, emptied clusters keeping their previous
     // centroid via the LEFT JOIN coalesce.
-    "p_kmeans" -> {
-      def assign(i: Int): String =
-        s"""d$i AS MATERIALIZED (
-           |  SELECT vec_id, q, cluster, d2 FROM (
-           |    SELECT q.vec_id, q.q AS q, c.cluster,
-           |      CAST(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[])
-           |        - 2 * list_dot_product(q.q::DOUBLE[], c.c::DOUBLE[])
-           |        + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]) AS BIGINT) AS d2,
-           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-           |        CAST(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[])
-           |          - 2 * list_dot_product(q.q::DOUBLE[], c.c::DOUBLE[])
-           |          + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]) AS BIGINT),
-           |        c.cluster) AS rk
-           |    FROM q CROSS JOIN c${i - 1} c)
-           |  WHERE rk = 1)""".stripMargin
-      def update(i: Int): String =
-        s"""n$i AS MATERIALIZED (
-           |  SELECT cluster, list(v ORDER BY dim) AS c FROM (
-           |    SELECT a.cluster, t.i AS dim,
-           |      CAST(sum(a.q[t.i]) // count(*) AS BIGINT) AS v
-           |    FROM d$i a, unnest(generate_series(1, len(a.q))) t(i)
-           |    GROUP BY a.cluster, t.i)
-           |  GROUP BY cluster),
-           |c$i AS MATERIALIZED (
-           |  SELECT p.cluster, COALESCE(n.c, p.c) AS c
-           |  FROM c${i - 1} p LEFT JOIN n$i n ON n.cluster = p.cluster)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |m AS (SELECT vec_id, v,
-         |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
-         |  FROM e),
-         |s AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale
-         |  FROM m WHERE max_abs > 0.0),
-         |q AS MATERIALIZED (SELECT vec_id, list_transform(v,
-         |  x -> CAST(floor(x * scale + 0.5) AS BIGINT) + 127) AS q FROM s),
-         |c0 AS MATERIALIZED (
-         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-         |    - 1 AS cluster, q AS c
-         |  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-         |${assign(1)},
-         |${update(1)},
-         |${assign(2)},
-         |${update(2)},
-         |${assign(3)}
-         |SELECT vec_id, cluster, d2 AS dist2 FROM d3""".stripMargin
-    },
+    "p_kmeans" ->
+      s"""WITH ${kmeansReplayCtes()}
+         |SELECT vec_id, cluster, d2 AS dist2 FROM d3""".stripMargin,
+    // SemDeDup off the same k-means replay over the
+    // duplicate-AUGMENTED corpus (every 7th vector gains a
+    // deterministic near-copy at id + 100000 with dim 0 shifted by
+    // +0.1 in double space — cos ~ 0.995, while the synthetic
+    // corpus's natural max is ~0.51, so the 0.96 threshold binds on
+    // exactly the planted pairs): signed int8 quantization (the
+    // shift-free twin of the q CTE), exact integer cosine test
+    // 10^4*dot^2 >= 9216*|a|^2*|b|^2, duplicate iff ANY lower-id
+    // cluster-mate matches — identical rule, identical integers on
+    // both engines
+    "p_semdedup" ->
+      s"""WITH ${kmeansReplayCtes(
+        """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000,
+          |    [(embedding::DOUBLE[])[1] + 0.1] || (embedding::DOUBLE[])[2:]
+          |  FROM embeddings WHERE vec_id % 7 = 0""".stripMargin)},
+         |qs AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qs
+         |  FROM s),
+         |sd AS (SELECT d3.vec_id, d3.cluster, qs.qs,
+         |  CAST(list_dot_product(qs.qs::DOUBLE[], qs.qs::DOUBLE[]) AS BIGINT) AS n2
+         |  FROM d3 JOIN qs USING (vec_id)),
+         |dup AS (
+         |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+         |  FROM sd a JOIN sd b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE CAST(list_dot_product(a.qs::DOUBLE[], b.qs::DOUBLE[]) AS BIGINT) > 0
+         |    AND 10000 * CAST(list_dot_product(a.qs::DOUBLE[], b.qs::DOUBLE[]) AS BIGINT)
+         |          * CAST(list_dot_product(a.qs::DOUBLE[], b.qs::DOUBLE[]) AS BIGINT)
+         |        >= 9216 * a.n2 * b.n2
+         |  GROUP BY b.vec_id)
+         |SELECT sd.vec_id, sd.cluster, dup.dup_of,
+         |  dup.dup_of IS NULL AS kept
+         |FROM sd LEFT JOIN dup ON dup.vec_id = sd.vec_id""".stripMargin,
     "p_media_chunks" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n_bytes FROM documents),

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** SemDeDup: exact agreement with a driver-side replay of the
+ * within-cluster integer-cosine duplicate rule on real data, plus
+ * the survivor-set invariant (no two kept cluster-mates are within
+ * the threshold). */
+class SemDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("semDedup equals the driver replay on sf0.001 embeddings") {
+    import org.apache.spark.sql.functions._
+    // the p_semdedup fixture: the raw corpus plus a deterministic
+    // near-copy (dim 0 + 0.1) of every 7th vector at id + 100000
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val embs = base.unionAll(base.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.1)),
+          slice(col("embedding"), 2, Int.MaxValue)).as("embedding")))
+
+    val got = Similarity.semDedup(embs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3)))
+      .toMap
+
+    // cluster assignment from the (separately specced) k-means
+    val cluster = Similarity.kmeansDet(embs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // driver-side signed quantization
+    val qs = embs.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .flatMap { case (id, v) =>
+        val maxAbs = v.foldLeft(0.0)((a, x) => math.max(a, math.abs(x)))
+        if (maxAbs > 0.0) {
+          val scale = 127.0 / maxAbs
+          Some(id -> v.map(x => math.floor(x * scale + 0.5).toLong))
+        } else None
+      }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def nearDup(a: Long, b: Long): Boolean = {
+      val d = dot(qs(a), qs(b))
+      d > 0L && 10000L * d * d >= 9216L * dot(qs(a), qs(a)) * dot(qs(b), qs(b))
+    }
+
+    val ids = cluster.keys.toSeq.sorted
+    val expected = ids.map { b =>
+      val smaller = ids.filter(a =>
+        a < b && cluster(a) == cluster(b) && nearDup(a, b))
+      b -> (cluster(b), smaller.headOption, smaller.isEmpty)
+    }.toMap
+    assert(got === expected)
+
+    // the survivor set is pairwise below the threshold within a cluster
+    val kept = ids.filter(id => got(id)._3)
+    for (a <- kept; b <- kept if a < b && cluster(a) == cluster(b))
+      assert(!nearDup(a, b), s"kept pair ($a, $b) is a near-duplicate")
+
+    assert(kept.nonEmpty && kept.size < ids.size,
+      "fixture should both keep and drop vectors")
+  }
+}
