@@ -34,7 +34,7 @@ object ScaleProbe {
       "eigen", "label", "floatdet",
       "skew", "skew-pagerank", "skew-cc", "skew-coreness", "skew-wcc",
       "skew-ktruss", "skew-idwcc", "skew-betweenness", "skew-mis",
-      "dedup-hot", "ivf-hot", "pq", "stream-dedup")
+      "skew-scc", "dedup-hot", "ivf-hot", "pq", "stream-dedup")
     phaseFilter.foreach(_.foreach { tok =>
       require(KnownTokens.contains(tok),
         s"unknown probe token '$tok' — known: ${KnownTokens.toSeq.sorted.mkString(", ")}")
@@ -386,6 +386,29 @@ object ScaleProbe {
           df.unpersist(blocking = false)
         }
       }
+      if (skewSubOptIn("skew-scc"))
+        phase("skew scc (md5-oriented digraph)") {
+          // the g_scc fixture rule at Zipf scale WITHOUT the 1/16
+          // sparsifier (that exists only for the oracle's closure):
+          // orient every edge by hash parity, 1/16 reciprocal. The
+          // probed hazards are the hub as min-reduce receiver in
+          // both directions and the per-outer-round edge restriction.
+          import org.apache.spark.sql.functions.{concat, lit, md5, substring, when}
+          val h = skewEdges.withColumn("h", md5(concat(
+            col("src").cast("string"), lit("-"), col("dst").cast("string"))))
+          val cond = substring(col("h"), 2, 1) < "8"
+          val dedges = h.select(
+            when(cond, col("src")).otherwise(col("dst")).as("src"),
+            when(cond, col("dst")).otherwise(col("src")).as("dst"))
+            .unionAll(h.where(substring(col("h"), 3, 1) === "0").select(
+              when(cond, col("dst")).otherwise(col("src")).as("src"),
+              when(cond, col("src")).otherwise(col("dst")).as("dst")))
+            .distinct()
+          val df = GraphAlgs.sccDetDF(dedges)
+          val a = df.agg(count(lit(1)), max(col("scc_size"))).head()
+          println(s"[scale-probe] skew scc verts=${a.getLong(0)} maxScc=${a.getLong(1)}")
+          df.unpersist(blocking = false)
+        }
       if (skewSub("skew-coreness"))
         phase("skew coreness (k-core peel)") {
           val sg = EdgeOps.toGraph(skewEdges); sg.cache(); sg.numVertices

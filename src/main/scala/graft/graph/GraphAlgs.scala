@@ -185,13 +185,13 @@ object GraphAlgs {
         // removes during the first phase are safe.
         state = prevState.zipPartitions(msgs, preservesPartitioning = true) {
           (sIt, mIt) =>
-            val mm = new java.util.HashMap[Long, Long]()
+            val mm = new java.util.HashMap[Long, java.lang.Long]()
             mIt.foreach(kv => mm.put(kv._1, kv._2))
             val updated = sIt.map { case (v, (a, _)) =>
               val boxed = mm.remove(v)
               if (boxed == null) (v, (a, 0L))
               else {
-                val mask: Long = boxed
+                val mask: Long = boxed.longValue
                 var arr = a; var set = 0L; var copied = false
                 var i = 0
                 while (i < k) {
@@ -2498,6 +2498,124 @@ object GraphAlgs {
     df.count()
     (retired.toSeq :+ undecided).foreach(_.unpersist(blocking = false))
     matchedParts.foreach(_.unpersist(blocking = false))
+    df
+  }
+
+  /** Deterministic STRONGLY CONNECTED COMPONENTS over a DIRECTED
+   * edge set, by min-label forward/backward peeling (the FW-BW /
+   * ISPAN family without randomness): each outer round runs one
+   * min-propagation fixpoint per direction over the active
+   * subgraph — fmin(v) = min vertex reaching v, bmin(v) = min
+   * vertex v reaches (both including v) — and finalizes every
+   * vertex with fmin(v) = bmin(v) = m, which is provably exactly
+   * SCC(m) (m reaches v and v reaches m; conversely reaching-set
+   * containment forces every SCC(m) member to the same pair). The
+   * globally smallest active vertex of every weak component always
+   * qualifies, so each round peels >= 1 SCC per weak component and
+   * the loop terminates. Labels are min member vids — canonical and
+   * order-free, so the result replays in SQL as mutual reachability
+   * over the transitive closure (affordable on the registered
+   * fixture; the algorithm itself never materializes a closure).
+   *
+   * Execution shape: edges live keyed by src (and a swapped copy by
+   * dst) on a vertex partitioner; every inner round is two
+   * co-partitioned joins + map-side-combined min reduces — message
+   * volume O(E_active) per round, hub-safe like the k-core
+   * exchange. Inner depth is the directed diameter of the largest
+   * active SCC (min-label propagation cannot pointer-double across
+   * asymmetric reachability); outer depth is the peel recursion,
+   * >= 1 weak-component peel per round. Driver state: counters
+   * only.
+   *
+   * Returns (vid, scc, scc_size) for every vertex of the edge set. */
+  def sccDetDF(dedges: DataFrame, maxOuter: Int = 40,
+      maxInner: Int = 200): DataFrame = {
+    val spark = dedges.sparkSession
+    val nE = dedges.count()
+    val e0 = dedges
+      .select(col("src").cast("long"), col("dst").cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(e0.getNumPartitions, (nE / 250000L).toInt)))
+    var eF = e0.partitionBy(p).persist()            // keyed by src
+    var eR = e0.map(_.swap).partitionBy(p).persist() // keyed by dst
+    var active = eF.mapValues(_ => ()).union(eR.mapValues(_ => ()))
+      .reduceByKey(p, (a, _) => a).persist()
+    var nActive = active.count()
+    var outer = 0
+    val done = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[(Long, Long)]]
+    val retired =
+      scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    while (nActive > 0) {
+      outer += 1
+      require(outer <= maxOuter,
+        s"sccDet: $nActive vertices active after $maxOuter peel rounds — raise maxOuter")
+      // inner fixpoint: (fmin, bmin) over the active subgraph
+      var st = active.mapPartitions(
+        _.map { case (v, _) => (v, (v, v)) },
+        preservesPartitioning = true).persist()
+      var changed = 1L
+      var inner = 0
+      while (changed > 0) {
+        inner += 1
+        require(inner <= maxInner,
+          s"sccDet: min-propagation not converged after $maxInner rounds — raise maxInner")
+        val fMsg = eF.join(st, p)
+          .map { case (_, (dst, (f, _))) => (dst, f) }
+          .reduceByKey(p, math.min(_: Long, _: Long))
+        val bMsg = eR.join(st, p)
+          .map { case (_, (src, (_, b))) => (src, b) }
+          .reduceByKey(p, math.min(_: Long, _: Long))
+        val next = st.leftOuterJoin(fMsg, p)
+          .mapValues { case ((f, b), m) => (math.min(f, m.getOrElse(f)), b) }
+          .leftOuterJoin(bMsg, p)
+          .mapValues { case ((f, b), m) => (f, math.min(b, m.getOrElse(b))) }
+          .persist()
+        // cut the state lineage every 16 rounds (see misDetDF)
+        if (inner % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)
+          next.checkpoint()
+        changed = next.join(st, p)
+          .filter { case (_, (a, b)) => a != b }.count()
+        retired += st
+        st = next
+      }
+      val peel = st
+        .filter { case (_, (f, b)) => f == b }
+        .map { case (v, (f, _)) => (v, f) }.persist()
+      peel.count()
+      done += peel
+      retired += st
+      val nextActive = active.subtractByKey(peel, p).persist()
+      nActive = nextActive.count()
+      retired += active
+      active = nextActive
+      if (nActive > 0) {
+        // restrict edges to the surviving vertex set (both endpoints)
+        val eF2 = eF.join(nextActive, p)
+          .map { case (u, (v, _)) => (v, u) }.partitionBy(p)
+          .join(nextActive, p)
+          .map { case (v, (u, _)) => (u, v) }.partitionBy(p).persist()
+        eF2.count()
+        retired += eF
+        retired += eR
+        eF = eF2
+        eR = eF.map(_.swap).partitionBy(p).persist()
+      }
+    }
+    val lab = spark.sparkContext.union(done.toSeq)
+    val sizes = lab.map { case (_, s) => (s, 1L) }
+      .reduceByKey(p, _ + _)
+    val rows = lab.map(_.swap).partitionBy(p)
+      .join(sizes, p)
+      .map { case (s, (v, n)) => (v, s, n) }
+    val df = spark.createDataFrame(rows)
+      .toDF("vid", "scc", "scc_size").cache()
+    df.count()
+    (retired.toSeq :+ active).foreach(_.unpersist(blocking = false))
+    done.foreach(_.unpersist(blocking = false))
+    eF.unpersist(blocking = false)
+    eR.unpersist(blocking = false)
     df
   }
 }

@@ -976,6 +976,34 @@ object GraphQueries {
     graft.graph.GraphAlgs.matchingDetDF(canonEdges(spark, sfDir))
       .orderBy("src", "dst")
 
+  /** Strongly connected components over the md5-ORIENTED co-purchase
+   * digraph (the co-purchase relation is symmetric, so direction is
+   * planted deterministically: keep the 1/16 of canonical pairs
+   * whose md5 starts with '0', orient by the hash's 2nd hex char,
+   * and make the 1/16 of kept pairs with 3rd char '0' reciprocal —
+   * ~7.6k directed edges over ~2k parts at sf0.01, one giant SCC
+   * plus a tail of small ones). Sparsified so the ORACLE's
+   * transitive-closure replay stays affordable; the algorithm
+   * ([[graft.graph.GraphAlgs.sccDetDF]]) never materializes a
+   * closure and is probed separately at Zipf scale. */
+  def scc(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = canonEdges(spark, sfDir)
+      .withColumn("h", md5(concat(
+        col("src").cast("string"), lit("-"), col("dst").cast("string"))))
+      .where(substring(col("h"), 1, 1) === "0")
+    def orient(fwd: Boolean) = {
+      val cond = substring(col("h"), 2, 1) < "8"
+      if (fwd) h.select(
+        when(cond, col("src")).otherwise(col("dst")).as("src"),
+        when(cond, col("dst")).otherwise(col("src")).as("dst"))
+      else h.where(substring(col("h"), 3, 1) === "0").select(
+        when(cond, col("dst")).otherwise(col("src")).as("src"),
+        when(cond, col("src")).otherwise(col("dst")).as("dst"))
+    }
+    graft.graph.GraphAlgs.sccDetDF(orient(fwd = true).unionAll(orient(fwd = false)).distinct())
+      .orderBy("vid")
+  }
+
   /** Per-edge neighborhood Jaccard (link-prediction feature) over
    * the canonical co-purchase edges. */
   def neighborJaccard(spark: SparkSession, sfDir: String): DataFrame =
@@ -1996,6 +2024,45 @@ object GraphQueries {
          |SELECT src, dst, match_round FROM matched
          |WHERE NOT EXISTS (SELECT 1 FROM a$MatchUnrollRounds)""".stripMargin
     },
+    // Strongly connected components: the oracle takes the SEMANTIC
+    // route the algorithm never does — a true recursive-CTE
+    // transitive closure over the md5-oriented fixture (sparsified
+    // to 1/16 of pairs exactly so this closure stays affordable,
+    // ~3.8M reach rows at sf0.01), mutual reachability, label = min
+    // mutual-reachable vid. Independent of the Spark side's peel
+    // schedule, so a wrong peel merges/splits a component and flips
+    // the hash.
+    "g_scc" ->
+      """WITH RECURSIVE raw AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |hh AS MATERIALIZED (
+        |  SELECT src, dst, md5(src || '-' || dst) AS h FROM raw
+        |  WHERE substr(md5(src || '-' || dst), 1, 1) = '0'),
+        |dedges AS MATERIALIZED (
+        |  SELECT CASE WHEN substr(h, 2, 1) < '8' THEN src ELSE dst END AS src,
+        |         CASE WHEN substr(h, 2, 1) < '8' THEN dst ELSE src END AS dst
+        |  FROM hh
+        |  UNION
+        |  SELECT CASE WHEN substr(h, 2, 1) < '8' THEN dst ELSE src END,
+        |         CASE WHEN substr(h, 2, 1) < '8' THEN src ELSE dst END
+        |  FROM hh WHERE substr(h, 3, 1) = '0'),
+        |reach AS (
+        |  SELECT src, dst FROM dedges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON e.src = r.dst),
+        |verts AS (SELECT src AS vid FROM dedges UNION SELECT dst FROM dedges),
+        |mutual AS (
+        |  SELECT a.src AS u, a.dst AS v FROM reach a
+        |  JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+        |lab AS (
+        |  SELECT v.vid, least(v.vid, coalesce(min(m.v), v.vid)) AS scc
+        |  FROM verts v LEFT JOIN mutual m ON m.u = v.vid
+        |  GROUP BY v.vid),
+        |sz AS (SELECT scc, count(*) AS n FROM lab GROUP BY scc)
+        |SELECT lab.vid, lab.scc, CAST(sz.n AS BIGINT) AS scc_size
+        |FROM lab JOIN sz USING (scc)""".stripMargin,
     // two independent implementations, one hash-to-min fixed point
     "g_cc_twophase" ->
       s"""WITH ${backboneCompCte()}
@@ -2676,6 +2743,7 @@ object GraphQueries {
     "g_mis" -> mis _,
     "g_coloring" -> coloring _,
     "g_matching" -> matching _,
+    "g_scc" -> scc _,
     "g_connected_components" -> connectedComponents _,
     "g_cc_twophase" -> connectedComponentsTwoPhase _,
     "g_msf" -> msf _,
