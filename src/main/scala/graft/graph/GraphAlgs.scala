@@ -2501,6 +2501,54 @@ object GraphAlgs {
     df
   }
 
+  /** Longest-path-from-source LEVELS of a DAG (topological
+   * layering): level(v) = 1 + the longest path length ending at v —
+   * the standard dependency-layering output over a condensation
+   * DAG. Iterative max-propagation on co-partitioned pair RDDs
+   * (level(dst) >= level(src) + 1 until fixpoint); round count is
+   * the DAG depth, message volume O(E) per round. Cycles never
+   * converge, so the maxIter guard doubles as a loud input
+   * validator. Returns (vid, level) for every vertex. */
+  def dagLevelsDF(dedges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val spark = dedges.sparkSession
+    val nE = dedges.count()
+    val e0 = dedges
+      .select(col("src").cast("long"), col("dst").cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(e0.getNumPartitions, (nE / 250000L).toInt)))
+    val eF = e0.partitionBy(p).persist()
+    var st = eF.mapValues(_ => ()).union(e0.map(e => (e._2, ())))
+      .reduceByKey(p, (a, _) => a)
+      .mapPartitions(_.map { case (v, _) => (v, 1L) },
+        preservesPartitioning = true).persist()
+    var changed = 1L
+    var round = 0
+    val retired =
+      scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    while (changed > 0) {
+      round += 1
+      require(round <= maxIter,
+        s"dagLevels: not converged after $maxIter rounds — cycle in input, or raise maxIter")
+      val msg = eF.join(st, p)
+        .map { case (_, (dst, l)) => (dst, l + 1L) }
+        .reduceByKey(p, math.max(_: Long, _: Long))
+      val next = st.leftOuterJoin(msg, p)
+        .mapValues { case (l, m) => math.max(l, m.getOrElse(l)) }
+        .persist()
+      if (round % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)
+        next.checkpoint()
+      changed = next.join(st, p).filter { case (_, (a, b)) => a != b }.count()
+      retired += st
+      st = next
+    }
+    val df = spark.createDataFrame(st).toDF("vid", "level").cache()
+    df.count()
+    (retired.toSeq :+ st).foreach(_.unpersist(blocking = false))
+    eF.unpersist(blocking = false)
+    df
+  }
+
   /** Deterministic STRONGLY CONNECTED COMPONENTS over a DIRECTED
    * edge set, by min-label forward/backward peeling (the FW-BW /
    * ISPAN family without randomness): each outer round runs one

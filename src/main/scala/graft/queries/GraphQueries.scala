@@ -986,22 +986,60 @@ object GraphQueries {
    * transitive-closure replay stays affordable; the algorithm
    * ([[graft.graph.GraphAlgs.sccDetDF]]) never materializes a
    * closure and is probed separately at Zipf scale. */
-  def scc(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = canonEdges(spark, sfDir)
-      .withColumn("h", md5(concat(
-        col("src").cast("string"), lit("-"), col("dst").cast("string"))))
-      .where(substring(col("h"), 1, 1) === "0")
-    def orient(fwd: Boolean) = {
-      val cond = substring(col("h"), 2, 1) < "8"
-      if (fwd) h.select(
-        when(cond, col("src")).otherwise(col("dst")).as("src"),
-        when(cond, col("dst")).otherwise(col("src")).as("dst"))
-      else h.where(substring(col("h"), 3, 1) === "0").select(
-        when(cond, col("dst")).otherwise(col("src")).as("src"),
-        when(cond, col("src")).otherwise(col("dst")).as("dst"))
+  private def sccFixtureEdges(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"sccEdges:$sfDir") {
+      val h = canonEdges(spark, sfDir)
+        .withColumn("h", md5(concat(
+          col("src").cast("string"), lit("-"), col("dst").cast("string"))))
+        .where(substring(col("h"), 1, 1) === "0")
+      def orient(fwd: Boolean) = {
+        val cond = substring(col("h"), 2, 1) < "8"
+        if (fwd) h.select(
+          when(cond, col("src")).otherwise(col("dst")).as("src"),
+          when(cond, col("dst")).otherwise(col("src")).as("dst"))
+        else h.where(substring(col("h"), 3, 1) === "0").select(
+          when(cond, col("dst")).otherwise(col("src")).as("src"),
+          when(cond, col("src")).otherwise(col("dst")).as("dst"))
+      }
+      val df = orient(fwd = true).unionAll(orient(fwd = false))
+        .distinct().cache()
+      df.count(); df
     }
-    graft.graph.GraphAlgs.sccDetDF(orient(fwd = true).unionAll(orient(fwd = false)).distinct())
-      .orderBy("vid")
+
+  private def sccLabels(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"scc:$sfDir") {
+      graft.graph.GraphAlgs.sccDetDF(sccFixtureEdges(spark, sfDir))
+      // sccDetDF caches and counts its result
+    }
+
+  def scc(spark: SparkSession, sfDir: String): DataFrame =
+    sccLabels(spark, sfDir).orderBy("vid")
+
+  /** Condensation of the g_scc digraph + longest-path topological
+   * levels — the dependency-layering report over the component DAG
+   * (which components feed which, and at what depth). Shares the
+   * memoized SCC labels; the condensation edge set is one
+   * labels-join projection, and the layering is
+   * [[graft.graph.GraphAlgs.dagLevelsDF]]'s max-propagation (round
+   * count = DAG depth, acyclic by construction of a condensation). */
+  def sccCondensation(spark: SparkSession, sfDir: String): DataFrame = {
+    val lab = sccLabels(spark, sfDir).select(col("vid"), col("scc"))
+    val cedges = sccFixtureEdges(spark, sfDir)
+      .join(lab.withColumnRenamed("vid", "src")
+        .withColumnRenamed("scc", "scc_src"), "src")
+      .join(lab.withColumnRenamed("vid", "dst")
+        .withColumnRenamed("scc", "scc_dst"), "dst")
+      .where(col("scc_src") =!= col("scc_dst"))
+      .select(col("scc_src").as("src"), col("scc_dst").as("dst"))
+      .distinct()
+    val lvl = graft.graph.GraphAlgs.dagLevelsDF(cedges)
+      .withColumnRenamed("vid", "scc")
+    val sizes = lab.groupBy("scc").agg(count(lit(1)).as("n_members"))
+    // components with no condensation edge (isolated SCCs) sit at level 1
+    sizes.join(lvl, Seq("scc"), "left")
+      .select(col("scc"), coalesce(col("level"), lit(1L)).as("level"),
+        col("n_members"))
+      .orderBy("scc")
   }
 
   /** Per-edge neighborhood Jaccard (link-prediction feature) over
@@ -1242,6 +1280,41 @@ object GraphQueries {
    * the iterative float-fixpoint oracles reference `edges` in every
    * unrolled round, and DuckDB 1.0 inlines plain CTEs (the lineitem
    * self-join would otherwise run once per round). */
+  /** Shared CTE body of the g_scc / g_scc_condensation oracles (the
+   * md5-oriented fixture, a TRUE recursive transitive closure,
+   * mutual reachability, min-member labels, sizes). Callers prepend
+   * `WITH RECURSIVE`. Sparsified to 1/16 of pairs exactly so the
+   * closure stays affordable (~3.8M reach rows at sf0.01). */
+  private val SccReplayCtes: String =
+    """raw AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |hh AS MATERIALIZED (
+      |  SELECT src, dst, md5(src || '-' || dst) AS h FROM raw
+      |  WHERE substr(md5(src || '-' || dst), 1, 1) = '0'),
+      |dedges AS MATERIALIZED (
+      |  SELECT CASE WHEN substr(h, 2, 1) < '8' THEN src ELSE dst END AS src,
+      |         CASE WHEN substr(h, 2, 1) < '8' THEN dst ELSE src END AS dst
+      |  FROM hh
+      |  UNION
+      |  SELECT CASE WHEN substr(h, 2, 1) < '8' THEN dst ELSE src END,
+      |         CASE WHEN substr(h, 2, 1) < '8' THEN src ELSE dst END
+      |  FROM hh WHERE substr(h, 3, 1) = '0'),
+      |reach AS (
+      |  SELECT src, dst FROM dedges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON e.src = r.dst),
+      |verts AS (SELECT src AS vid FROM dedges UNION SELECT dst FROM dedges),
+      |mutual AS (
+      |  SELECT a.src AS u, a.dst AS v FROM reach a
+      |  JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+      |lab AS MATERIALIZED (
+      |  SELECT v.vid, least(v.vid, coalesce(min(m.v), v.vid)) AS scc
+      |  FROM verts v LEFT JOIN mutual m ON m.u = v.vid
+      |  GROUP BY v.vid),
+      |sz AS MATERIALIZED (SELECT scc, count(*) AS n FROM lab GROUP BY scc)""".stripMargin
+
   /** Unrolled depth of the g_mis oracle — ~2x the measured sf0.01
    * fixpoint (see the g_mis oracle comment). */
   private val MisUnrollRounds = 16
@@ -2033,36 +2106,32 @@ object GraphQueries {
     // schedule, so a wrong peel merges/splits a component and flips
     // the hash.
     "g_scc" ->
-      """WITH RECURSIVE raw AS MATERIALIZED (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |hh AS MATERIALIZED (
-        |  SELECT src, dst, md5(src || '-' || dst) AS h FROM raw
-        |  WHERE substr(md5(src || '-' || dst), 1, 1) = '0'),
-        |dedges AS MATERIALIZED (
-        |  SELECT CASE WHEN substr(h, 2, 1) < '8' THEN src ELSE dst END AS src,
-        |         CASE WHEN substr(h, 2, 1) < '8' THEN dst ELSE src END AS dst
-        |  FROM hh
-        |  UNION
-        |  SELECT CASE WHEN substr(h, 2, 1) < '8' THEN dst ELSE src END,
-        |         CASE WHEN substr(h, 2, 1) < '8' THEN src ELSE dst END
-        |  FROM hh WHERE substr(h, 3, 1) = '0'),
-        |reach AS (
-        |  SELECT src, dst FROM dedges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN dedges e ON e.src = r.dst),
-        |verts AS (SELECT src AS vid FROM dedges UNION SELECT dst FROM dedges),
-        |mutual AS (
-        |  SELECT a.src AS u, a.dst AS v FROM reach a
-        |  JOIN reach b ON b.src = a.dst AND b.dst = a.src),
-        |lab AS (
-        |  SELECT v.vid, least(v.vid, coalesce(min(m.v), v.vid)) AS scc
-        |  FROM verts v LEFT JOIN mutual m ON m.u = v.vid
-        |  GROUP BY v.vid),
-        |sz AS (SELECT scc, count(*) AS n FROM lab GROUP BY scc)
-        |SELECT lab.vid, lab.scc, CAST(sz.n AS BIGINT) AS scc_size
-        |FROM lab JOIN sz USING (scc)""".stripMargin,
+      s"""WITH RECURSIVE $SccReplayCtes
+         |SELECT lab.vid, lab.scc, CAST(sz.n AS BIGINT) AS scc_size
+         |FROM lab JOIN sz USING (scc)""".stripMargin,
+    // condensation + longest-path levels off the same closure
+    // replay: component edges are a labels-join projection, levels a
+    // recursive walk from the DAG's sources (max path length + 1 —
+    // finite because a condensation is acyclic; the walk's UNION
+    // dedups (node, depth) pairs). Isolated components sit at 1.
+    "g_scc_condensation" ->
+      s"""WITH RECURSIVE $SccReplayCtes,
+         |cedges AS MATERIALIZED (
+         |  SELECT DISTINCT la.scc AS src, lb.scc AS dst FROM dedges e
+         |  JOIN lab la ON la.vid = e.src
+         |  JOIN lab lb ON lb.vid = e.dst
+         |  WHERE la.scc <> lb.scc),
+         |roots AS (SELECT scc AS c FROM sz
+         |  WHERE scc IN (SELECT src FROM cedges UNION SELECT dst FROM cedges)
+         |    AND scc NOT IN (SELECT dst FROM cedges)),
+         |walk AS (
+         |  SELECT c, 1 AS l FROM roots
+         |  UNION
+         |  SELECT e.dst, w.l + 1 FROM walk w JOIN cedges e ON e.src = w.c),
+         |lvl AS (SELECT c, CAST(max(l) AS BIGINT) AS level FROM walk GROUP BY c)
+         |SELECT sz.scc, coalesce(lvl.level, 1) AS level,
+         |  CAST(sz.n AS BIGINT) AS n_members
+         |FROM sz LEFT JOIN lvl ON lvl.c = sz.scc""".stripMargin,
     // two independent implementations, one hash-to-min fixed point
     "g_cc_twophase" ->
       s"""WITH ${backboneCompCte()}
@@ -2744,6 +2813,7 @@ object GraphQueries {
     "g_coloring" -> coloring _,
     "g_matching" -> matching _,
     "g_scc" -> scc _,
+    "g_scc_condensation" -> sccCondensation _,
     "g_connected_components" -> connectedComponents _,
     "g_cc_twophase" -> connectedComponentsTwoPhase _,
     "g_msf" -> msf _,

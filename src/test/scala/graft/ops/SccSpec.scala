@@ -78,6 +78,22 @@ class SccSpec extends SparkSpec {
     check(Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 4L)))
   }
 
+  test("dagLevelsDF computes longest-path layering; loud on a cycle") {
+    import spark.implicits._
+    // diamond + a long tail: levels are longest paths, not BFS hops
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (1L, 5L), (10L, 11L))
+    val lv = GraphAlgs.dagLevelsDF(dag.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L,
+      5L -> 4L, 10L -> 1L, 11L -> 2L))
+    val ex = intercept[IllegalArgumentException] {
+      GraphAlgs.dagLevelsDF(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+        maxIter = 10)
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
   test("sccDetDF on the g_scc fixture at sf0.001 matches Kosaraju") {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
