@@ -2565,11 +2565,13 @@ object GraphAlgs {
    * over the transitive closure (affordable on the registered
    * fixture; the algorithm itself never materializes a closure).
    *
-   * Execution shape: edges live keyed by src (and a swapped copy by
-   * dst) on a vertex partitioner; every inner round is two
-   * co-partitioned joins + map-side-combined min reduces — message
-   * volume O(E_active) per round, hub-safe like the k-core
-   * exchange. Inner depth is the directed diameter of the largest
+   * Execution shape: ONE exchange RDD keyed by the sending vertex
+   * carries both directions (payload (receiver, isForward)), so
+   * every inner round is a single co-partitioned join + one
+   * map-side-combined pairwise-min reduce + one state merge whose
+   * third slot carries the changed flag (convergence costs no extra
+   * join) — message volume O(E_active) per round, hub-safe like the
+   * k-core exchange. Inner depth is the directed diameter of the largest
    * active SCC (min-label propagation cannot pointer-double across
    * asymmetric reachability); outer depth is the peel recursion,
    * >= 1 weak-component peel per round. Driver state: counters
@@ -2585,9 +2587,13 @@ object GraphAlgs {
       .map(r => (r.getLong(0), r.getLong(1)))
     val p = new org.apache.spark.HashPartitioner(
       math.max(8, math.min(e0.getNumPartitions, (nE / 250000L).toInt)))
-    var eF = e0.partitionBy(p).persist()            // keyed by src
-    var eR = e0.map(_.swap).partitionBy(p).persist() // keyed by dst
-    var active = eF.mapValues(_ => ()).union(eR.mapValues(_ => ()))
+    // one exchange RDD for BOTH directions: keyed by the SENDING
+    // vertex, payload (receiver, isForward) — halves the per-round
+    // job count vs separate forward/backward joins
+    var eAll = e0.map { case (u, v) => (u, (v, true)) }
+      .union(e0.map { case (u, v) => (v, (u, false)) })
+      .partitionBy(p).persist()
+    var active = eAll.mapValues(_ => ())
       .reduceByKey(p, (a, _) => a).persist()
     var nActive = active.count()
     var outer = 0
@@ -2595,13 +2601,16 @@ object GraphAlgs {
       .empty[org.apache.spark.rdd.RDD[(Long, Long)]]
     val retired =
       scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    val INF = Long.MaxValue
     while (nActive > 0) {
       outer += 1
       require(outer <= maxOuter,
         s"sccDet: $nActive vertices active after $maxOuter peel rounds — raise maxOuter")
-      // inner fixpoint: (fmin, bmin) over the active subgraph
+      // inner fixpoint: (fmin, bmin) over the active subgraph; the
+      // third state slot carries this round's changed flag so
+      // convergence needs no extra join against the previous state
       var st = active.mapPartitions(
-        _.map { case (v, _) => (v, (v, v)) },
+        _.map { case (v, _) => (v, (v, v, true)) },
         preservesPartitioning = true).persist()
       var changed = 1L
       var inner = 0
@@ -2609,28 +2618,28 @@ object GraphAlgs {
         inner += 1
         require(inner <= maxInner,
           s"sccDet: min-propagation not converged after $maxInner rounds — raise maxInner")
-        val fMsg = eF.join(st, p)
-          .map { case (_, (dst, (f, _))) => (dst, f) }
-          .reduceByKey(p, math.min(_: Long, _: Long))
-        val bMsg = eR.join(st, p)
-          .map { case (_, (src, (_, b))) => (src, b) }
-          .reduceByKey(p, math.min(_: Long, _: Long))
-        val next = st.leftOuterJoin(fMsg, p)
-          .mapValues { case ((f, b), m) => (math.min(f, m.getOrElse(f)), b) }
-          .leftOuterJoin(bMsg, p)
-          .mapValues { case ((f, b), m) => (f, math.min(b, m.getOrElse(b))) }
-          .persist()
+        val msg = eAll.join(st, p)
+          .map { case (_, ((nbr, isFwd), (f, b, _))) =>
+            (nbr, if (isFwd) (f, INF) else (INF, b)) }
+          .reduceByKey(p, (x, y) =>
+            (math.min(x._1, y._1), math.min(x._2, y._2)))
+        val next = st.leftOuterJoin(msg, p)
+          .mapValues { case ((f, b, _), m) =>
+            val f2 = math.min(f, m.fold(INF)(_._1))
+            val b2 = math.min(b, m.fold(INF)(_._2))
+            (f2, b2, f2 != f || b2 != b)
+          }.persist()
         // cut the state lineage every 16 rounds (see misDetDF)
         if (inner % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)
           next.checkpoint()
-        changed = next.join(st, p)
-          .filter { case (_, (a, b)) => a != b }.count()
+        changed = next.filter(_._2._3).count()
         retired += st
         st = next
       }
+      println(s"[graft-scc] peel round $outer: fixpoint in $inner rounds over $nActive active")
       val peel = st
-        .filter { case (_, (f, b)) => f == b }
-        .map { case (v, (f, _)) => (v, f) }.persist()
+        .filter { case (_, (f, b, _)) => f == b }
+        .map { case (v, (f, _, _)) => (v, f) }.persist()
       peel.count()
       done += peel
       retired += st
@@ -2640,15 +2649,14 @@ object GraphAlgs {
       active = nextActive
       if (nActive > 0) {
         // restrict edges to the surviving vertex set (both endpoints)
-        val eF2 = eF.join(nextActive, p)
-          .map { case (u, (v, _)) => (v, u) }.partitionBy(p)
+        val eAll2 = eAll.join(nextActive, p)
+          .map { case (u, ((v, dir), _)) => (v, (u, dir)) }.partitionBy(p)
           .join(nextActive, p)
-          .map { case (v, (u, _)) => (u, v) }.partitionBy(p).persist()
-        eF2.count()
-        retired += eF
-        retired += eR
-        eF = eF2
-        eR = eF.map(_.swap).partitionBy(p).persist()
+          .map { case (v, ((u, dir), _)) => (u, (v, dir)) }
+          .partitionBy(p).persist()
+        eAll2.count()
+        retired += eAll
+        eAll = eAll2
       }
     }
     val lab = spark.sparkContext.union(done.toSeq)
@@ -2662,8 +2670,7 @@ object GraphAlgs {
     df.count()
     (retired.toSeq :+ active).foreach(_.unpersist(blocking = false))
     done.foreach(_.unpersist(blocking = false))
-    eF.unpersist(blocking = false)
-    eR.unpersist(blocking = false)
+    eAll.unpersist(blocking = false)
     df
   }
 }
