@@ -609,35 +609,21 @@ object Similarity {
    *
    * Returns (vec_id, cluster, dist2): the final assignment with its
    * integer squared distance. */
-  def kmeansDet(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val spark = embeddings.sparkSession
-    val v = col("embedding").cast("array<double>")
-    val q = embeddings
-      .select(col("vec_id"), v.as("v"))
-      .withColumn("max_abs",
-        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
-      .where(col("max_abs") > 0.0)
-      .withColumn("scale", lit(127.0) / col("max_abs"))
-      .withColumn("q", transform(col("v"),
-        x => floor(x * col("scale") + 0.5).cast("long") + lit(127L)))
-      .select(col("vec_id"), col("q")).cache()
+  def kmeansDet(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansDetWithCentroids(embeddings, k, iters)._1
+
+  /** [[kmeansDet]] plus the final centroids (the ones the returned
+   * assignment used) — the static coarse quantizer a streaming
+   * ingest assigns arrivals against. */
+  def kmeansDetWithCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 3)
+    : (DataFrame, Array[Array[Long]]) = {
+    val q = shiftedQ(embeddings).cache()
     var centroids: Array[Array[Long]] = q
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     var assigned: DataFrame = null
     for (it <- 1 to iters) {
-      val cdf = spark.createDataFrame(
-        centroids.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) })
-        .toDF("cluster", "c")
-      assigned = q.crossJoin(broadcast(cdf))
-        .withColumn("dist2", aggregate(
-          zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (s, x) => s + x))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("dist2"), col("cluster"))))
-        .where(col("rk") === 1)
-        .select(col("vec_id"), col("q"), col("cluster"), col("dist2"))
+      assigned = assignToCentroids(q, centroids)
       if (it < iters) {
         val upd = centroids.map(_.clone())
         assigned
@@ -652,7 +638,58 @@ object Similarity {
       }
     }
     q.unpersist(blocking = false)
-    assigned.select(col("vec_id"), col("cluster"), col("dist2"))
+    (assigned.select(col("vec_id"), col("cluster"), col("dist2")), centroids)
+  }
+
+  /** The k-means quantization: int8-quantize per vector and shift to
+   * [0, 254] (sums stay non-negative for the floor-division centroid
+   * update). Returns (vec_id, q). */
+  def shiftedQ(embeddings: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    embeddings
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("max_abs",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .where(col("max_abs") > 0.0)
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * col("scale") + 0.5).cast("long") + lit(127L)))
+      .select(col("vec_id"), col("q"))
+  }
+
+  /** Nearest-centroid assignment of (vec_id, q) rows against a
+   * broadcast centroid literal — the shuffle-free side of Lloyd and
+   * the on-arrival cell assignment of a streaming ingest. Ties break
+   * on the smaller cluster id. */
+  def assignToCentroids(q: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
+    val spark = q.sparkSession
+    val cdf = spark.createDataFrame(
+      centroids.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) })
+      .toDF("cluster", "c")
+    q.crossJoin(broadcast(cdf))
+      .withColumn("dist2", aggregate(
+        zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (s, x) => s + x))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist2"), col("cluster"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("q"), col("cluster"), col("dist2"))
+  }
+
+  /** Signed int8 quantization + squared norm — the exact-integer
+   * cosine side of [[semDedup]]. Returns (vec_id, qs, n2). */
+  def signedQs(embeddings: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    embeddings
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("max_abs",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .where(col("max_abs") > 0.0)
+      .withColumn("qs", transform(col("v"),
+        x => floor(x * (lit(127.0) / col("max_abs")) + 0.5).cast("long")))
+      .select(col("vec_id"), col("qs"),
+        aggregate(col("qs"), lit(0L), (s, x) => s + x * x).as("n2"))
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with
@@ -685,17 +722,7 @@ object Similarity {
       tauNum: Long = 9216L, tauDen: Long = 10000L): DataFrame = {
     val assigned = kmeansDet(embeddings, k, iters)
       .select(col("vec_id"), col("cluster"))
-    val v = col("embedding").cast("array<double>")
-    val qs = embeddings
-      .select(col("vec_id"), v.as("v"))
-      .withColumn("max_abs",
-        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
-      .where(col("max_abs") > 0.0)
-      .withColumn("qs", transform(col("v"),
-        x => floor(x * (lit(127.0) / col("max_abs")) + 0.5).cast("long")))
-      .select(col("vec_id"), col("qs"),
-        aggregate(col("qs"), lit(0L), (s, x) => s + x * x).as("n2"))
-    val side = assigned.join(qs, "vec_id")
+    val side = assigned.join(signedQs(embeddings), "vec_id")
     val a = side.select(col("cluster"), col("vec_id").as("a_id"),
       col("qs").as("a_qs"), col("n2").as("a_n2"))
     val b = side.select(col("cluster"), col("vec_id").as("b_id"),

@@ -191,6 +191,135 @@ object StreamOps {
     } finally cleanupTree(dir)
   }
 
+  /** `s_stream_semdedup`: online SEMANTIC dedup-on-ingest — the
+   * shape a crawl pipeline runs as data arrives: assign each arriving
+   * embedding to the STATIC k-means cells (no retraining), check it
+   * against the static corpus AND every previously SEEN arrival of
+   * the same cell with the exact-integer cosine rule of
+   * [[graft.ops.Similarity.semDedup]], and keep it iff nothing
+   * lower-id matched. The state carries every seen arrival (kept or
+   * not) — exactly the batch rule "duplicate iff ANY lower-id
+   * cluster-mate matches", so the drained output is the batch answer
+   * by construction, not by fixture coincidence.
+   *
+   * The arrival fixture is three staged files drained oldest-first
+   * (`maxFilesPerTrigger=1`, mtimes forced apart) so the query
+   * genuinely runs multi-batch AND the decisions exercise all three
+   * comparison legs: group A (near-copies of corpus vectors) dies
+   * against the STATIC pool, group B (reversed vectors — novel
+   * directions) is KEPT, and group C (near-copies of group B) dies
+   * against the ACCUMULATED STATE from an earlier micro-batch.
+   * Arrivals are staged in ascending vec_id order, so "lower id" is
+   * always already seen and the drained output equals one batch pass
+   * over corpus + arrivals — which is what the DuckDB oracle
+   * computes.
+   *
+   * At 100 TB the survivor state is a cell-partitioned table (the
+   * persisted-IVF layout) and each micro-batch's check is a
+   * broadcast-batch join against the arrivals' cells only; here the
+   * state is driver-held (arrivals are fixture-bounded) but the
+   * per-batch check runs as the same cluster-keyed join. */
+  def semDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdd")
+    try {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val (assignedBase, centroids) = Similarity.kmeansDetWithCentroids(base)
+      val pool0 = assignedBase.select(col("vec_id"), col("cluster"))
+        .join(Similarity.signedQs(base), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("qs"), col("n2")).cache()
+      pool0.count()
+
+      // stage the three arrival groups as one file each, mtimes
+      // forced apart so FileStreamSource drains them in id order
+      def shifted(c: org.apache.spark.sql.Column) =
+        concat(array(element_at(c, 1) + lit(0.1)),
+          slice(c, 2, Int.MaxValue))
+      val src7 = base.where(col("vec_id") % 7 === 0)
+      val groups = Seq(
+        src7.select((col("vec_id") + 100000L).as("vec_id"),
+          shifted(col("embedding")).as("embedding")),
+        src7.select((col("vec_id") + 200000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")),
+        src7.select((col("vec_id") + 300000L).as("vec_id"),
+          shifted(reverse(col("embedding"))).as("embedding")))
+      val arrDir = dir.resolve("arrivals")
+      java.nio.file.Files.createDirectories(arrDir)
+      groups.zipWithIndex.foreach { case (g, i) =>
+        val tmp = dir.resolve(s"stage$i").toString
+        g.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val target = arrDir.resolve(f"arrivals_$i%03d.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+
+      val schema = spark.read.parquet(arrDir.toString).schema
+      val seen = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Seq[Long], Long)]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Option[Long], Boolean)]
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(arrDir.toString)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val arrived = Similarity
+            .assignToCentroids(Similarity.shiftedQ(batch), centroids)
+            .select(col("vec_id"), col("cluster"))
+            .join(Similarity.signedQs(batch), "vec_id")
+            .select(col("vec_id"), col("cluster"), col("qs"), col("n2"))
+            .cache()
+          val stateDf =
+            if (seen.isEmpty) pool0
+            else pool0.unionAll(spark.createDataFrame(seen.toSeq)
+              .toDF("vec_id", "cluster", "qs", "n2"))
+          // comparison side: static pool + every seen arrival + the
+          // batch's own lower ids (the a_id < b_id predicate handles
+          // the within-batch leg on the unioned frame)
+          val cmp = stateDf.unionAll(arrived)
+          val a = cmp.select(col("cluster"), col("vec_id").as("a_id"),
+            col("qs").as("a_qs"), col("n2").as("a_n2"))
+          val b = arrived.select(col("cluster"), col("vec_id").as("b_id"),
+            col("qs").as("b_qs"), col("n2").as("b_n2"))
+          val dup = a.join(b, Seq("cluster"))
+            .where(col("a_id") < col("b_id"))
+            .withColumn("dot", aggregate(
+              zip_with(col("a_qs"), col("b_qs"), (x, y) => x * y),
+              lit(0L), (s, x) => s + x))
+            .where(col("dot") > 0L &&
+              lit(10000L) * col("dot") * col("dot") >=
+                lit(9216L) * col("a_n2") * col("b_n2"))
+            .groupBy(col("b_id").as("vec_id"))
+            .agg(min(col("a_id")).as("dup_of"))
+          val rows = arrived.join(dup, Seq("vec_id"), "left")
+            .select(col("vec_id"), col("cluster"), col("dup_of"), col("qs"), col("n2"))
+            .collect()
+          out.synchronized {
+            rows.foreach { r =>
+              val dupOf = if (r.isNullAt(2)) None else Some(r.getLong(2))
+              out += ((r.getLong(0), r.getLong(1), dupOf, dupOf.isEmpty))
+              seen += ((r.getLong(0), r.getLong(1),
+                r.getSeq[Long](3), r.getLong(4)))
+            }
+          }
+          arrived.unpersist(blocking = false)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      pool0.unpersist(blocking = false)
+      spark.createDataFrame(out.toSeq)
+        .toDF("vec_id", "cluster", "dup_of", "kept")
+        .orderBy("vec_id")
+    } finally cleanupTree(dir)
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, us: Long, value: Double)
 
   /** Minimal (user, type) projection for the MapState counter query. */
