@@ -204,13 +204,41 @@ object GraphQueries {
       df.count(); df
     }
 
+  /** One deterministic global-WCC fold per distinct LABEL SET per
+   * session (VERDICT r11 order #2, closing r10 order #5): the
+   * flagship and seeding value checks verify partitions that
+   * COINCIDE at the gate scale (the refinement loop rejects every
+   * movement, so the flagship IS the seeding graft) — the second
+   * caller proves set-equality with one cheap count + anti-join and
+   * reuses the fold instead of re-enumerating triangles. Distinct
+   * label sets (any scale where refinement accepts) still fold
+   * independently, so the certificate's meaning is unchanged. */
+  private def wccCheckValue(spark: SparkSession, sfDir: String,
+      labels: DataFrame): Double = {
+    val ref = memoize(spark, s"wccCheckVal:$sfDir") {
+      new java.util.concurrent.atomic.AtomicReference[List[(DataFrame, Long, Double)]](Nil)
+    }
+    val labelsC = labels.cache()
+    val n = labelsC.count()
+    val hit = ref.get().collectFirst { case (prev, pn, v)
+      if pn == n && prev.join(labelsC, Seq("vid", "cid"), "left_anti").isEmpty => v }
+    hit match {
+      case Some(v) =>
+        labelsC.unpersist(blocking = false); v
+      case None =>
+        val v = WccCheck.globalWccOfPartitionDet(canonEdges(spark, sfDir), labelsC,
+          precomputedCnt = Some(wccCheckCnt(spark, sfDir)),
+          precomputedTriples = Some(wccCheckTriples(spark, sfDir)))
+        ref.updateAndGet((labelsC, n, v) :: _)
+        v
+    }
+  }
+
   def wccPartitionWccCheck(spark: SparkSession, sfDir: String): DataFrame = {
     val out = wccOut(spark, sfDir)
     val labels = spark.createDataFrame(
       out.graph.vertices.map { case (id, vd) => (id, vd.cId) }).toDF("vid", "cid")
-    val recomputed = WccCheck.globalWccOfPartitionDet(canonEdges(spark, sfDir), labels,
-      precomputedCnt = Some(wccCheckCnt(spark, sfDir)),
-      precomputedTriples = Some(wccCheckTriples(spark, sfDir)))
+    val recomputed = wccCheckValue(spark, sfDir, labels)
     val nVertices = graph(spark, sfDir).numVertices
     // wcc_round: the recomputed WCC VALUE (1e-9-rounded, scaled to a
     // BIGINT) — the oracle recomputes it from its own seeding-replay
@@ -245,9 +273,7 @@ object GraphQueries {
       graph(spark, sfDir).vertices.leftOuterJoin(
         ig.vertices.map { case (id, vd) => (id, vd.cId) })
         .map { case (id, (_, c)) => (id, c.getOrElse(id)) }).toDF("vid", "cid")
-    val recomputed = WccCheck.globalWccOfPartitionDet(canonEdges(spark, sfDir), labels,
-      precomputedCnt = Some(wccCheckCnt(spark, sfDir)),
-      precomputedTriples = Some(wccCheckTriples(spark, sfDir)))
+    val recomputed = wccCheckValue(spark, sfDir, labels)
     spark.createDataFrame(Seq((
       nVertices,
       math.floor(recomputed * 1e9 + 0.5).toLong,
@@ -433,6 +459,45 @@ object GraphQueries {
       df.count()
       fin.graph.unpersistVertices(blocking = false)
       fin.graph.edges.unpersist(blocking = false)
+      df
+    }
+
+  /** G8+G9 with microBatchCount = 2 (VERDICT r11 order #1): the SAME
+   * driver loop folded over TWO id-range micro-batches — the path
+   * where the reference's cross-batch quirks become observable: batch
+   * 2's delta update reads the zero-reset (t, vt) baselines batch 1's
+   * graft-back wrote, merges onto the BULK edge set (batch 1's edges
+   * never persist — each run grafts onto the previous graph's
+   * vertex/EDGE set), and classifies border/new against the unchanged
+   * bulk universe. Shares the memoized bulk prepare with the
+   * single-batch row; the oracle unrolls the replay CTE twice. */
+  def wccIncrementalMultibatch(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"idwccMulti:$sfDir") {
+      import org.apache.spark.graphx.Edge
+      val (state, streamEdges) = idwccShared(spark, sfDir)
+      // the driver loop's id-range split (IncrementalWCC.testStream):
+      // maxVertex over the canonical graph = max stream endpoint
+      // (every edge touching the max-id vertex is a stream edge)
+      val maxVertex = streamEdges
+        .agg(max(greatest(col("src"), col("dst")))).head().getLong(0)
+      val split = math.floor(maxVertex * 0.8)
+      val batchSize = math.floor((maxVertex - split) / 2)
+      var st = state
+      (1 to 2).foreach { b =>
+        val lower = split + (b - 1) * batchSize
+        val higher = if (b == 2) maxVertex + 1.0 else split + b * batchSize
+        val batch = streamEdges
+          .where((col("src") >= lower || col("dst") >= lower) &&
+            col("src") < higher && col("dst") < higher)
+          .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+        // the memo owns the shared bulk state; intermediates are ours
+        st = IncrementalWCC.run(st, batch, releaseInput = st ne state)
+      }
+      val rows = st.graph.vertices.map { case (id, vd) => (id, vd.cId) }
+      val df = spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid").cache()
+      df.count()
+      st.graph.unpersistVertices(blocking = false)
+      st.graph.edges.unpersist(blocking = false)
       df
     }
 
@@ -1538,9 +1603,10 @@ object GraphQueries {
    * `din`, `dout` are BIGINT expressions, `a` a DOUBLE expression;
    * gcc/nverts are single-row CTEs of the incremental replay. */
   private def wcciSql(r: String, a: String, b: String,
-      din: String, dout: String): String = {
-    val G = "(SELECT g FROM gcc)"
-    val N = "(SELECT CAST(n AS DOUBLE) FROM nverts)"
+      din: String, dout: String,
+      gccCte: String = "gcc", nvCte: String = "nverts"): String = {
+    val G = s"(SELECT g FROM $gccCte)"
+    val N = s"(SELECT CAST(n AS DOUBLE) FROM $nvCte)"
     val dens = s"((2 * ($a)) / pow(($r), 2))"
     val q = s"((($b) - ($din)) / CAST(($r) AS DOUBLE))"
     val pairs = s"((($r) - 1) * (($r) - 2))"
@@ -1580,45 +1646,52 @@ object GraphQueries {
    * (NaN > x is false) are preserved explicitly: DuckDB sorts NaN
    * greatest and a zero denominator yields NULL, so candidates
    * filter `NOT isnan` and the REMOVE guard coalesces to FALSE. */
-  private def moveIterCte(k: Int, prev: String): String = {
+  private def moveIterCte(k: Int, prev: String, sfx: String = ""): String = {
     val wccrBody = wcciSql("w.r - 1", "w.a - w.din",
-      "(w.b + w.din) - w.dout", "w.din", "w.dout")
-    val candBody = wcciSql("s.r", "s.a", "s.b", "d.n", "w.total - d.n")
-    s"""deg$k AS MATERIALIZED (
+      "(w.b + w.din) - w.dout", "w.din", "w.dout",
+      gccCte = s"gcc$sfx", nvCte = s"nverts$sfx")
+    val candBody = wcciSql("s.r", "s.a", "s.b", "d.n", "w.total - d.n",
+      gccCte = s"gcc$sfx", nvCte = s"nverts$sfx")
+    // per-batch names carry the batch suffix AFTER the iteration
+    // index (deg3_2 = iteration 3 of batch 2); sfx = "" keeps the
+    // historical single-batch names
+    val (deg, pv, cstat, wr, best, lab, kedged) =
+      (s"deg", s"pv", s"cstat", s"wr", s"best", s"lab", s"kedged$sfx")
+    s"""$deg$k$sfx AS MATERIALIZED (
        |  SELECT e.src AS vid, l.cid AS c, count(*) AS n
-       |  FROM kedged e JOIN $prev l ON l.vid = e.dst GROUP BY e.src, l.cid),
-       |pv$k AS MATERIALIZED (
+       |  FROM $kedged e JOIN $prev l ON l.vid = e.dst GROUP BY e.src, l.cid),
+       |$pv$k$sfx AS MATERIALIZED (
        |  SELECT l.vid, l.cid,
        |    coalesce(t.total, 0) AS total, coalesce(o.n, 0) AS own
        |  FROM $prev l
        |  LEFT JOIN (SELECT vid, CAST(sum(n) AS BIGINT) AS total
-       |             FROM deg$k GROUP BY vid) t ON t.vid = l.vid
-       |  LEFT JOIN deg$k o ON o.vid = l.vid AND o.c = l.cid),
-       |cstat$k AS MATERIALIZED (
+       |             FROM $deg$k$sfx GROUP BY vid) t ON t.vid = l.vid
+       |  LEFT JOIN $deg$k$sfx o ON o.vid = l.vid AND o.c = l.cid),
+       |$cstat$k$sfx AS MATERIALIZED (
        |  SELECT cid, count(*) AS r,
        |    CAST(sum(own) // 2 AS DOUBLE) AS a,
        |    CAST(sum(total - own) AS BIGINT) AS b
-       |  FROM pv$k GROUP BY cid),
-       |wr$k AS MATERIALIZED (
+       |  FROM $pv$k$sfx GROUP BY cid),
+       |$wr$k$sfx AS MATERIALIZED (
        |  SELECT w.vid, w.cid, w.total, w.din, w.dout,
        |    CASE WHEN w.r = 1 THEN CAST(0 AS DOUBLE)
        |         ELSE -($wccrBody) END AS wccr
        |  FROM (SELECT pv.vid, pv.cid, pv.total, pv.own AS din,
        |          pv.total - pv.own AS dout, s.r, s.a, s.b
-       |        FROM pv$k pv JOIN cstat$k s ON s.cid = pv.cid
+       |        FROM $pv$k$sfx pv JOIN $cstat$k$sfx s ON s.cid = pv.cid
        |        WHERE pv.total > 0) w),
-       |best$k AS MATERIALIZED (
+       |$best$k$sfx AS MATERIALIZED (
        |  SELECT vid, cand_cid, cand FROM (
        |    SELECT vid, cand_cid, cand, row_number() OVER (
        |      PARTITION BY vid ORDER BY cand DESC, cand_cid ASC) AS rn
        |    FROM (
        |      SELECT w.vid, d.c AS cand_cid,
        |        w.wccr + $candBody AS cand
-       |      FROM wr$k w
-       |      JOIN deg$k d ON d.vid = w.vid AND d.c <> w.cid
-       |      JOIN cstat$k s ON s.cid = d.c AND s.r > 1)
+       |      FROM $wr$k$sfx w
+       |      JOIN $deg$k$sfx d ON d.vid = w.vid AND d.c <> w.cid
+       |      JOIN $cstat$k$sfx s ON s.cid = d.c AND s.r > 1)
        |    WHERE cand > 0 AND NOT isnan(cand)) WHERE rn = 1),
-       |lab$k AS MATERIALIZED (
+       |$lab$k$sfx AS MATERIALIZED (
        |  SELECT l.vid,
        |    CASE WHEN w.vid IS NULL THEN l.cid
        |         WHEN coalesce(NOT isnan(w.wccr - coalesce(b.cand, 0))
@@ -1627,16 +1700,17 @@ object GraphQueries {
        |         WHEN b.vid IS NOT NULL THEN b.cand_cid
        |         ELSE l.cid END AS cid
        |  FROM $prev l
-       |  LEFT JOIN wr$k w ON w.vid = l.vid
-       |  LEFT JOIN best$k b ON b.vid = l.vid)""".stripMargin
+       |  LEFT JOIN $wr$k$sfx w ON w.vid = l.vid
+       |  LEFT JOIN $best$k$sfx b ON b.vid = l.vid)""".stripMargin
   }
 
   /** Exact replay of the whole IDWCC micro-batch driver
-   * (`IncrementalWCC.testStream`, single batch — reference
-   * `CSVGraph.scala:47-103` + `IncrementalWCC.scala:27-393`) as one
-   * DuckDB CTE chain, validated stage-by-stage against parquet dumps
-   * of the distributed pipeline's intermediates (IncrDump, test
-   * scope):
+   * (`IncrementalWCC.testStream` with `microBatchCount = batches` —
+   * reference `CSVGraph.scala:47-103` + `IncrementalWCC.scala:27-393`)
+   * as one DuckDB CTE chain, validated stage-by-stage against parquet
+   * dumps of the distributed pipeline's intermediates (IncrDump, test
+   * scope) and, for multi-batch threading, against the sequential
+   * 3-batch simulation (ReferenceSimSpec):
    *
    *  1. bulk = edges with both endpoints below floor(maxId * 0.8);
    *     bulk DWCC = true triangle stats + the seeding fixpoint (same
@@ -1660,27 +1734,29 @@ object GraphQueries {
    *     edge-isolated core vertices keep their incoming label (they
    *     never receive a Pregel message);
    *  4. five unrolled movement iterations ([[moveIterCte]]);
-   *  5. graft onto the PREVIOUS (bulk) vertex universe — the
-   *     reference quirk `IncrementalWCC.scala:56-58`.
+   *  5. graft onto the PREVIOUS (bulk) vertex universe with the
+   *     reference's conditional reset (`IncrementalWCC.scala:56-67`):
+   *     self-labeled / pruned result vertices carry (t=0, vt=0) —
+   *     the baselines the NEXT batch's delta update reads (same
+   *     quirk applied to the bulk prepare, `DistributedWCC.scala:
+   *     68-77` — see `bulkstate`).
    */
-  private def incrReplayCte: String = {
+  private def incrReplayCte(batches: Int = 1): String = {
     val bulkSeedRounds = (1 to 16).map { i =>
       s"""bh$i AS (SELECT pe.src AS vid, bool_or(f.flag) AS anyc
          |  FROM bpe pe JOIN bf${i - 1} f ON f.vid = pe.dst GROUP BY pe.src),
          |bf$i AS MATERIALIZED (SELECT c.vid, NOT coalesce(h.anyc, FALSE) AS flag
          |  FROM bcore c LEFT JOIN bh$i h ON h.vid = c.vid)""".stripMargin
     }.mkString(",\n")
-    val mergedSeedRounds = (1 to 20).map { i =>
-      s"""mh$i AS (SELECT pe.src AS vid, bool_or(f.flag) AS anyc
-         |  FROM mpe pe JOIN mf${i - 1} f ON f.vid = pe.dst GROUP BY pe.src),
-         |mf$i AS MATERIALIZED (SELECT c.vid, NOT coalesce(h.anyc, FALSE) AS flag
-         |  FROM mcore c LEFT JOIN mh$i h ON h.vid = c.vid)""".stripMargin
-    }.mkString(",\n")
-    val iters = (1 to 5).map(k =>
-      moveIterCte(k, if (k == 1) "seed" else s"lab${k - 1}")).mkString(",\n")
+    val batchParts = (1 to batches).map(b =>
+      idwccBatchCte(b, if (b == 1) "bulkstate" else s"st_${b - 1}", batches))
+      .mkString(",\n")
     s"""$MatEdgeCte,
+       |mxv AS MATERIALIZED (SELECT max(greatest(src, dst)) AS m FROM raw),
        |spl AS MATERIALIZED (
-       |  SELECT floor(max(greatest(src, dst)) * CAST(0.8 AS DOUBLE)) AS s FROM raw),
+       |  SELECT floor(m * CAST(0.8 AS DOUBLE)) AS s FROM mxv),
+       |bsz AS MATERIALIZED (
+       |  SELECT floor((mxv.m - spl.s) / $batches) AS z FROM mxv, spl),
        |braw AS MATERIALIZED (
        |  SELECT r.src, r.dst FROM raw r, spl WHERE r.src < spl.s AND r.dst < spl.s),
        |bedges AS MATERIALIZED (SELECT src, dst FROM braw UNION SELECT dst, src FROM braw),
@@ -1714,27 +1790,67 @@ object GraphQueries {
        |  FROM bpe pe JOIN bf16 f ON f.vid = pe.dst WHERE f.flag) WHERE rn = 1),
        |bulkstate AS MATERIALIZED (
        |  SELECT v.vid,
-       |    coalesce(s.t, 0) AS t, coalesce(s.vt, 0) AS vt,
+       |    CASE WHEN b.cid IS NOT NULL THEN coalesce(s.t, 0) ELSE 0 END AS t,
+       |    CASE WHEN b.cid IS NOT NULL THEN coalesce(s.vt, 0) ELSE 0 END AS vt,
        |    coalesce(b.cid, v.vid) AS cid
        |  FROM bverts v
        |  LEFT JOIN bstat s ON s.vid = v.vid
        |  LEFT JOIN bbest b ON b.vid = v.vid),
        |sraw AS MATERIALIZED (
        |  SELECT r.src, r.dst FROM raw r, spl WHERE r.src >= spl.s OR r.dst >= spl.s),
-       |batchv AS MATERIALIZED (
+       |$batchParts,
+       |result AS (
+       |  SELECT vid, cid FROM st_$batches)""".stripMargin
+  }
+
+  /** One micro-batch stage of [[incrReplayCte]] (reference
+   * `IncrementalWCC.scala:27-71` folded by `CSVGraph.scala:84-98`'s
+   * driver loop): `prev` is the carried state (vid, t, vt, cid) over
+   * the BULK vertex universe (`bulkstate` for batch 1, `st_{b-1}`
+   * after), and the emitted `st_b` is the post-batch state. Batch b's
+   * edge window is the reference's id-range rule: stream edges with
+   * (src >= lower OR dst >= lower) AND both < higher, where lower =
+   * split + (b-1)*batchSize and the last batch's higher is maxId + 1.
+   * The merged graph is braw + THIS batch only — the reference grafts
+   * each result onto the previous graph's vertex/EDGE set, so earlier
+   * batches' edges never persist into the state. The carried (t, vt)
+   * honor the reference's conditional-reset graft-back
+   * (`IncrementalWCC.scala:58-67` over a zero-reset dataGraph):
+   * self-labeled or pruned result vertices carry (0, 0, vid). */
+  private def idwccBatchCte(b: Int, prev: String, batches: Int): String = {
+    val x = s"_$b"
+    val lo = s"((SELECT s FROM spl) + ${b - 1} * (SELECT z FROM bsz))"
+    val hi = if (b == batches) "((SELECT m FROM mxv) + 1)"
+      else s"((SELECT s FROM spl) + $b * (SELECT z FROM bsz))"
+    val seedRounds = (1 to 20).map { i =>
+      s"""mh$i$x AS (SELECT pe.src AS vid, bool_or(f.flag) AS anyc
+         |  FROM mpe$x pe JOIN mf${i - 1}$x f ON f.vid = pe.dst GROUP BY pe.src),
+         |mf$i$x AS MATERIALIZED (SELECT c.vid, NOT coalesce(h.anyc, FALSE) AS flag
+         |  FROM mcore$x c LEFT JOIN mh$i$x h ON h.vid = c.vid)""".stripMargin
+    }.mkString(",\n")
+    val iters = (1 to 5).map(k =>
+      moveIterCte(k, if (k == 1) s"seed$x" else s"lab${k - 1}$x", x)).mkString(",\n")
+    s"""sraw$x AS MATERIALIZED (
+       |  SELECT r.src, r.dst FROM sraw r
+       |  WHERE (r.src >= $lo OR r.dst >= $lo) AND r.src < $hi AND r.dst < $hi),
+       |rawm$x AS MATERIALIZED (
+       |  SELECT src, dst FROM braw UNION ALL SELECT src, dst FROM sraw$x),
+       |edgesm$x AS MATERIALIZED (
+       |  SELECT src, dst FROM rawm$x UNION SELECT dst, src FROM rawm$x),
+       |batchv$x AS MATERIALIZED (
        |  SELECT DISTINCT v AS vid FROM (
-       |    SELECT src AS v FROM sraw UNION ALL SELECT dst FROM sraw)),
-       |borderv AS MATERIALIZED (SELECT b.vid FROM batchv b JOIN bverts v ON v.vid = b.vid),
-       |newv AS MATERIALIZED (SELECT b.vid FROM batchv b ANTI JOIN bverts v ON v.vid = b.vid),
-       |allverts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM edges),
-       |fsup AS MATERIALIZED (
+       |    SELECT src AS v FROM sraw$x UNION ALL SELECT dst FROM sraw$x)),
+       |borderv$x AS MATERIALIZED (SELECT b.vid FROM batchv$x b JOIN bverts v ON v.vid = b.vid),
+       |newv$x AS MATERIALIZED (SELECT b.vid FROM batchv$x b ANTI JOIN bverts v ON v.vid = b.vid),
+       |allverts$x AS MATERIALIZED (SELECT DISTINCT src AS vid FROM edgesm$x),
+       |fsup$x AS MATERIALIZED (
        |  SELECT r.src, r.dst, count(*) AS c,
        |    CAST(count(*) FILTER (WHERE n.vid IS NOT NULL) AS BIGINT) AS cnew
-       |  FROM raw r JOIN edges a ON a.src = r.src
-       |             JOIN edges b ON b.src = r.dst AND b.dst = a.dst
-       |             LEFT JOIN newv n ON n.vid = a.dst
+       |  FROM rawm$x r JOIN edgesm$x a ON a.src = r.src
+       |             JOIN edgesm$x b ON b.src = r.dst AND b.dst = a.dst
+       |             LEFT JOIN newv$x n ON n.vid = a.dst
        |  GROUP BY r.src, r.dst),
-       |qedge AS MATERIALIZED (
+       |qedge$x AS MATERIALIZED (
        |  SELECT r.src, r.dst,
        |    CASE WHEN ne THEN coalesce(f.c, 0) ELSE coalesce(f.cnew, 0) END AS c,
        |    CASE WHEN ne THEN (CASE WHEN coalesce(f.c, 0) > 0 THEN 1 ELSE 0 END)
@@ -1745,19 +1861,19 @@ object GraphQueries {
        |    SELECT r.src, r.dst,
        |      (ns.vid IS NOT NULL OR nd.vid IS NOT NULL) AS ne,
        |      (bs.vid IS NOT NULL AND bd.vid IS NOT NULL) AS be
-       |    FROM raw r
-       |    LEFT JOIN newv ns ON ns.vid = r.src
-       |    LEFT JOIN newv nd ON nd.vid = r.dst
-       |    LEFT JOIN borderv bs ON bs.vid = r.src
-       |    LEFT JOIN borderv bd ON bd.vid = r.dst) r
-       |  LEFT JOIN fsup f ON f.src = r.src AND f.dst = r.dst
+       |    FROM rawm$x r
+       |    LEFT JOIN newv$x ns ON ns.vid = r.src
+       |    LEFT JOIN newv$x nd ON nd.vid = r.dst
+       |    LEFT JOIN borderv$x bs ON bs.vid = r.src
+       |    LEFT JOIN borderv$x bd ON bd.vid = r.dst) r
+       |  LEFT JOIN fsup$x f ON f.src = r.src AND f.dst = r.dst
        |  WHERE r.ne OR r.be),
-       |delta AS MATERIALIZED (
+       |delta$x AS MATERIALIZED (
        |  SELECT vid, CAST(sum(c) AS BIGINT) AS sc, CAST(sum(ind) AS BIGINT) AS si FROM (
-       |    SELECT src AS vid, c, ind FROM qedge
-       |    UNION ALL SELECT dst AS vid, c, ind FROM qedge)
+       |    SELECT src AS vid, c, ind FROM qedge$x
+       |    UNION ALL SELECT dst AS vid, c, ind FROM qedge$x)
        |  GROUP BY vid),
-       |mstat AS MATERIALIZED (
+       |mstat$x AS MATERIALIZED (
        |  SELECT av.vid,
        |    CASE WHEN d.vid IS NOT NULL AND (d.sc <> 0 OR d.si <> 0) THEN
        |           CASE WHEN bv.vid IS NOT NULL THEN coalesce(bs.t, 0) + d.sc // 2
@@ -1769,57 +1885,64 @@ object GraphQueries {
        |         ELSE coalesce(bs.vt, 0) END AS vt,
        |    CASE WHEN d.vid IS NOT NULL AND (d.sc <> 0 OR d.si <> 0) THEN av.vid
        |         ELSE coalesce(bs.cid, av.vid) END AS cid
-       |  FROM allverts av
-       |  LEFT JOIN bulkstate bs ON bs.vid = av.vid
+       |  FROM allverts$x av
+       |  LEFT JOIN $prev bs ON bs.vid = av.vid
        |  LEFT JOIN bverts bv ON bv.vid = av.vid
-       |  LEFT JOIN delta d ON d.vid = av.vid),
-       |mcc AS MATERIALIZED (
+       |  LEFT JOIN delta$x d ON d.vid = av.vid),
+       |mcc$x AS MATERIALIZED (
        |  SELECT vid, t, vt, cid,
        |    CASE WHEN vt < 2 THEN CAST(0 AS DOUBLE)
        |         ELSE CAST(2 AS DOUBLE) * t / (vt * (vt - 1)) END AS cc
-       |  FROM mstat),
-       |nverts AS (SELECT count(*) AS n FROM mcc),
-       |gcc AS MATERIALIZED (
+       |  FROM mstat$x),
+       |nverts$x AS (SELECT count(*) AS n FROM mcc$x),
+       |gcc$x AS MATERIALIZED (
        |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(bsum ORDER BY blk)),
-       |           (a, x) -> a + x) / (SELECT n FROM nverts) AS g
+       |           (a, x) -> a + x) / (SELECT n FROM nverts$x) AS g
        |  FROM (SELECT vid // 65536 AS blk,
        |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cc ORDER BY vid)),
        |            (a, x) -> a + x) AS bsum
-       |        FROM mcc GROUP BY vid // 65536)),
-       |mcore AS MATERIALIZED (SELECT vid FROM mcc WHERE t > 0),
-       |kedge AS MATERIALIZED (
-       |  SELECT f.src, f.dst FROM fsup f
-       |  JOIN mcore cs ON cs.vid = f.src
-       |  JOIN mcore cd ON cd.vid = f.dst
+       |        FROM mcc$x GROUP BY vid // 65536)),
+       |mcore$x AS MATERIALIZED (SELECT vid FROM mcc$x WHERE t > 0),
+       |kedge$x AS MATERIALIZED (
+       |  SELECT f.src, f.dst FROM fsup$x f
+       |  JOIN mcore$x cs ON cs.vid = f.src
+       |  JOIN mcore$x cd ON cd.vid = f.dst
        |  WHERE f.c > 0),
-       |kedged AS MATERIALIZED (
-       |  SELECT src, dst FROM kedge UNION ALL SELECT dst, src FROM kedge),
-       |mpe AS MATERIALIZED (
+       |kedged$x AS MATERIALIZED (
+       |  SELECT src, dst FROM kedge$x UNION ALL SELECT dst, src FROM kedge$x),
+       |mpe$x AS MATERIALIZED (
        |  SELECT e.src, e.dst, d.cc, d.vt, d.vid AS dvid
-       |  FROM kedged e JOIN mcc s ON s.vid = e.src
-       |                JOIN mcc d ON d.vid = e.dst
+       |  FROM kedged$x e JOIN mcc$x s ON s.vid = e.src
+       |                JOIN mcc$x d ON d.vid = e.dst
        |  WHERE d.cc > s.cc OR (d.cc = s.cc AND
        |        (d.vt > s.vt OR (d.vt = s.vt AND d.vid > s.vid)))),
-       |mf0 AS (SELECT vid, TRUE AS flag FROM mcore),
-       |$mergedSeedRounds,
-       |mbest AS MATERIALIZED (SELECT src AS vid, dst AS cid FROM (
+       |mf0$x AS (SELECT vid, TRUE AS flag FROM mcore$x),
+       |$seedRounds,
+       |mbest$x AS MATERIALIZED (SELECT src AS vid, dst AS cid FROM (
        |  SELECT pe.src, pe.dst, row_number() OVER (
        |    PARTITION BY pe.src ORDER BY pe.cc DESC, pe.vt DESC, pe.dvid DESC) AS rn
-       |  FROM mpe pe JOIN mf20 f ON f.vid = pe.dst WHERE f.flag) WHERE rn = 1),
-       |mdeg AS MATERIALIZED (SELECT DISTINCT src AS vid FROM kedged),
-       |seed AS MATERIALIZED (
+       |  FROM mpe$x pe JOIN mf20$x f ON f.vid = pe.dst WHERE f.flag) WHERE rn = 1),
+       |mdeg$x AS MATERIALIZED (SELECT DISTINCT src AS vid FROM kedged$x),
+       |seed$x AS MATERIALIZED (
        |  SELECT c.vid,
        |    CASE WHEN b.cid IS NOT NULL THEN b.cid
        |         WHEN d.vid IS NOT NULL THEN c.vid
        |         ELSE m.cid END AS cid
-       |  FROM mcore c
-       |  LEFT JOIN mbest b ON b.vid = c.vid
-       |  LEFT JOIN mdeg d ON d.vid = c.vid
-       |  JOIN mcc m ON m.vid = c.vid),
+       |  FROM mcore$x c
+       |  LEFT JOIN mbest$x b ON b.vid = c.vid
+       |  LEFT JOIN mdeg$x d ON d.vid = c.vid
+       |  JOIN mcc$x m ON m.vid = c.vid),
        |$iters,
-       |result AS (
-       |  SELECT bs.vid, coalesce(l.cid, bs.vid) AS cid
-       |  FROM bulkstate bs LEFT JOIN lab5 l ON l.vid = bs.vid)""".stripMargin
+       |st$x AS MATERIALIZED (
+       |  SELECT s.vid,
+       |    CASE WHEN l.cid IS NOT NULL AND l.cid <> s.vid
+       |         THEN coalesce(m.t, 0) ELSE 0 END AS t,
+       |    CASE WHEN l.cid IS NOT NULL AND l.cid <> s.vid
+       |         THEN coalesce(m.vt, 0) ELSE 0 END AS vt,
+       |    coalesce(l.cid, s.vid) AS cid
+       |  FROM $prev s
+       |  LEFT JOIN lab5$x l ON l.vid = s.vid
+       |  LEFT JOIN mstat$x m ON m.vid = s.vid)""".stripMargin
   }
 
   /** 8-round Bellman-Ford replay over the weighted (len = 1/w)
@@ -1919,12 +2042,21 @@ object GraphQueries {
          |SELECT v.vid, coalesce(b.cid, v.vid) AS cid
          |FROM verts v LEFT JOIN best b ON b.vid = v.vid""".stripMargin,
     // G8+G9: the whole incremental micro-batch driver replayed
-    // exactly (see incrReplayCte) — bulk seeding fixpoint, quirky
-    // delta-stat merge, re-seed with quirky ranks, five unrolled
-    // movement iterations with the JVM's exact float arithmetic,
-    // graft onto the bulk universe
+    // exactly (see incrReplayCte) — bulk seeding fixpoint with the
+    // conditional-reset graft, quirky delta-stat merge, re-seed with
+    // quirky ranks, five unrolled movement iterations with the JVM's
+    // exact float arithmetic, graft onto the bulk universe
     "g_wcc_incremental" ->
-      s"""WITH $incrReplayCte
+      s"""WITH ${incrReplayCte()}
+         |SELECT vid, cid FROM result""".stripMargin,
+    // G9 with microBatchCount = 2: the SAME driver loop unrolled
+    // twice — batch 2's delta update reads the zero-reset (t, vt)
+    // baselines batch 1's graft-back wrote, merges onto the BULK
+    // edge set (batch 1's edges never persist), and re-classifies
+    // border/new against the unchanged bulk universe. The one
+    // reference semantic a single batch cannot observe.
+    "g_wcc_incremental_multibatch" ->
+      s"""WITH ${incrReplayCte(batches = 2)}
          |SELECT vid, cid FROM result""".stripMargin,
     // min-label fixed point over the weighted backbone (w >= 2):
     // UNION-dedup recursion bounds the working set at (vertex,
@@ -2525,8 +2657,8 @@ object GraphQueries {
     // labeled universe), and a real >= 2-member community. The bulk
     // set (bverts) is pure data arithmetic inside the replay.
     "g_wcc_incremental_certified" ->
-      s"""WITH $incrReplayCte
-         |SELECT (SELECT count(*) FROM allverts) AS n_vertices,
+      s"""WITH ${incrReplayCte()}
+         |SELECT (SELECT count(*) FROM allverts_1) AS n_vertices,
          |  (SELECT count(*) FROM bverts) AS n_bulk_vertices,
          |  ((SELECT count(*) FROM result)
          |    = (SELECT count(DISTINCT vid) FROM result)) AS labels_unique_ok,
@@ -2798,6 +2930,7 @@ object GraphQueries {
     "g_wcc_partition" -> wccPartition _,
     "g_wcc_initial_partition" -> wccInitialPartition _,
     "g_wcc_incremental" -> wccIncremental _,
+    "g_wcc_incremental_multibatch" -> wccIncrementalMultibatch _,
     "g_pagerank" -> pagerank _,
     "g_pagerank_det" -> pagerankDeterministic _,
     "g_ppr_det" -> pprDeterministic _,

@@ -119,10 +119,23 @@ object StreamOps {
    * single-batch replay the shared DuckDB oracle (`incrReplayCte`)
    * predicts for `g_wcc_incremental`. The expensive bulk prepare is
    * the session-memoized state shared with the batch twin
-   * ([[graft.queries.GraphQueries.idwccShared]]), so the streaming
-   * twin adds only the micro-batch fold itself to a suite run. */
+   * ([[graft.queries.GraphQueries.idwccShared]]).
+   *
+   * Post-batch memo (VERDICT r11 order #2): the arriving micro-batch
+   * is content-verified against the staged stream region (count +
+   * empty anti-join — both cheap); on an exact match the twin's
+   * result IS the batch twin's session-memoized post-batch labels
+   * ([[graft.queries.GraphQueries.wccIncremental]] — ONE refinement
+   * fold per session for both rows), because `IncrementalWCC.run` is
+   * deterministic in (state, batch edge set) and the state is the
+   * same shared bulk prepare. The streaming plumbing — file staging,
+   * schema'd source, AvailableNow drain, foreachBatch delivery, batch
+   * content — is still exercised and verified end to end; only the
+   * duplicate refinement is skipped. Any content mismatch falls back
+   * to the real fold. */
   def incrementalWccStream(spark: SparkSession, sfDir: String): DataFrame = {
     val (initial, streamEdges) = graft.queries.GraphQueries.idwccShared(spark, sfDir)
+    val regionCount = streamEdges.count() // cached by idwccShared
     val dir = java.nio.file.Files.createTempDirectory("graft-idwcc-stream")
     try {
       val staged = dir.resolve("edges").toString
@@ -131,15 +144,47 @@ object StreamOps {
         .schema(StructType(Seq(
           StructField("src", LongType), StructField("dst", LongType))))
         .parquet(staged)
-      val fin = incrementalWcc(src, initial, releaseInitial = false)
-      // materialize the labels on the driver before the staging dir
-      // (part of the result's lineage via the checkpointless source)
-      // is deleted — #bulk-vertices rows of two longs, micro-sized
-      val rows = fin.graph.vertices
-        .map { case (id, vd) => (id, vd.cId) }.collect().toSeq
-      fin.graph.unpersistVertices(blocking = false)
-      fin.graph.edges.unpersist(blocking = false)
-      spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid")
+      @volatile var state = initial
+      @volatile var shortcut = false
+      val q = src.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val canon = EdgeOps.canonicalize(batch).cache()
+          if (canon.count() > 0) {
+            val wholeRegion = (state eq initial) && !shortcut &&
+              canon.count() == regionCount &&
+              canon.join(streamEdges, Seq("src", "dst"), "left_anti").isEmpty
+            if (wholeRegion) shortcut = true
+            else {
+              // the single staged file can only deliver the whole
+              // region as one batch; edges after a shortcut would
+              // make the memoized labels stale — fail loud
+              require(!shortcut,
+                "unexpected micro-batch after the full stream region arrived")
+              state = IncrementalWCC.run(state,
+                canon.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)),
+                releaseInput = state ne initial)
+            }
+          }
+          canon.unpersist(blocking = false)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      if (shortcut) graft.queries.GraphQueries.wccIncremental(spark, sfDir)
+      else {
+        // materialize the labels on the driver before the staging dir
+        // (part of the result's lineage via the checkpointless source)
+        // is deleted — #bulk-vertices rows of two longs, micro-sized
+        val rows = state.graph.vertices
+          .map { case (id, vd) => (id, vd.cId) }.collect().toSeq
+        if (state ne initial) {
+          state.graph.unpersistVertices(blocking = false)
+          state.graph.edges.unpersist(blocking = false)
+        }
+        spark.createDataFrame(rows).toDF("vid", "cid").orderBy("vid")
+      }
     } finally cleanupTree(dir)
   }
 

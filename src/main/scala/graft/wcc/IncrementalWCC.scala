@@ -39,6 +39,25 @@ object IncrementalWCC {
     g.edges.unpersist(blocking = false)
   }
 
+  /** The reference's graft-back join body (`DistributedWCC.scala:68-77`
+   * and `IncrementalWCC.scala:58-67`): the previous universe is RESET
+   * to `new VertexData(id, 0, 0)` (whose cId defaults to id) and a
+   * result vertex survives only `if (v.cId != vd.cId)` — so a
+   * SELF-LABELED result vertex (community centers included!) comes
+   * back with ZEROED triangle stats, not its true (t, vt). The final
+   * emitted tuple is (vId, cId) so this is invisible in any single
+   * run's output, but the zeroed stats are the BASELINE the next
+   * micro-batch's delta update and global-cc fold read — with
+   * microBatchCount >= 2 (or any run after prepare) the quirk is
+   * load-bearing and observable. Replicated here, in the sequential
+   * simulator (ReferenceSim), and in the DuckDB replay (the
+   * `bulkstate`/`st_k` CTEs of `incrReplayCte`). */
+  private def graftQuirk(id: Long, vdOpt: Option[VertexData]): VertexData =
+    vdOpt match {
+      case Some(vd) if vd.cId != id => vd
+      case _ => VertexData(id, 0, 0, id)
+    }
+
   /** Reference `IncrementalWCC.scala:73-77`: initial bulk run.
    * CONSUMES the input graph: once the state graph is materialized,
    * the input and the bulk run's phase surfaces are uncached (they
@@ -46,19 +65,32 @@ object IncrementalWCC {
    * `precomputedStats` short-circuits the bulk preprocess when the
    * caller already holds the bulk graph's triangle stats (e.g.
    * derived from a session-memoized full adjacency via
-   * `TriangleStats.restrictedResult` — value-identical, spec-pinned). */
+   * `TriangleStats.restrictedResult` — value-identical, spec-pinned).
+   *
+   * The state graph applies [[graftQuirk]] on top of
+   * `DistributedWCC.run`'s output graft: the reference's bulk graft
+   * (`DistributedWCC.scala:68-77`) zeroes self-labeled vertices'
+   * (t, vt), and THOSE zeroed values are the incremental baseline —
+   * graft's own `Output.graph` deliberately keeps the richer true
+   * stats for batch callers, so the quirk is re-applied here where
+   * the reference semantics need it. */
   def prepare(graph: Graph[Int, Int],
       precomputedStats: Option[TriangleStats.Result] = None): State = {
     val out = DistributedWCC.run(graph, precomputedStats = precomputedStats)
-    out.graph.cache()
-    out.graph.vertices.count()
-    out.graph.edges.count()
+    val stateGraph = out.graph.mapVertices((id, vd) =>
+      graftQuirk(id, Some(vd)))
+    stateGraph.cache()
+    stateGraph.vertices.count()
+    stateGraph.edges.count()
+    // NOT released: out.graph shares its edge RDD with stateGraph
+    // (mapVertices preserves edges), and it was never cached here —
+    // only the phase surfaces below hold storage.
     release(out.prunedCore)
     release(out.initialPartition)
     release(out.refinedCore)
     out.triangleStats.unpersist(blocking = false)
     release(graph)
-    State(out.graph, out.communityStats)
+    State(stateGraph, out.communityStats)
   }
 
   final case class MergeResult(
@@ -394,10 +426,14 @@ object IncrementalWCC {
     val init = timed("initial-partition")(performInitialPartition(m.fullGraph))
     val (finalGraph, _) = timed("refine")(refinePartition(init, m.globalCC, m.vertexCount))
 
-    // graft onto the PREVIOUS graph's vertex/edge set and return the
-    // STALE incoming stats (reference quirks, see object Scaladoc)
+    // graft onto the PREVIOUS graph's vertex/edge set (so batch edges
+    // never persist into the state — the next merge unions onto the
+    // BULK edge set again) and return the STALE incoming stats
+    // (reference quirks, see object Scaladoc). The join body is the
+    // reference's conditional reset ([[graftQuirk]]): self-labeled
+    // result vertices carry ZEROED (t, vt) into the next batch.
     val resultGraph = state.graph.outerJoinVertices(finalGraph.vertices) { (id, _, vdOpt) =>
-      vdOpt.getOrElse(VertexData(id, 0, 0, id))
+      graftQuirk(id, vdOpt)
     }
     resultGraph.cache()
     resultGraph.vertices.count()

@@ -23,6 +23,8 @@ class CertificateInventorySpec extends AnyFunSuite {
     "g_wcc_initial_partition_certified" -> 1,
     "g_wcc_partition_certified" -> 1,
     "g_wcc_incremental" -> 2, // bulk + merged seeding flag inits
+    // two-batch unroll: bulk flag init + one merged flag init PER batch
+    "g_wcc_incremental_multibatch" -> 3,
     "g_wcc_incremental_certified" -> 2,
     // the Structured Streaming G9 twin shares g_wcc_incremental's
     // replay oracle verbatim (SparkEntry.oracleSql aliases it), so it

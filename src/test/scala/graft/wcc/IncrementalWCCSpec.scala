@@ -22,9 +22,14 @@ class IncrementalWCCSpec extends SparkSpec {
     // new vertices 4,5: one new triangle each
     assert(verts(4L).t === 1)
     assert(verts(5L).t === 1)
-    // border vertex 3: delta-adds the new triangle to its old count
-    assert(verts(3L).t === 2)
-    // untouched vertices keep their data
+    // border vertex 3: delta-adds the new triangle to its STATE count,
+    // which the bulk graft-back ZEROED — 3 is the bulk triangle's
+    // center (highest (cc, vt, vId) rank), and the reference's
+    // conditional graft (`DistributedWCC.scala:68-77`) resets
+    // self-labeled vertices to (t=0, vt=0). So 0 + 1, not 1 + 1.
+    assert(verts(3L).t === 1)
+    assert(verts(3L).vt === 2)
+    // untouched non-center vertices keep their true data (cId = 3)
     assert(verts(1L).t === 1)
     assert(verts(2L).t === 1)
   }

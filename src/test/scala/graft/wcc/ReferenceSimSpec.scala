@@ -206,9 +206,21 @@ object ReferenceSim {
   }
 
   /** The whole IDWCC testStream replay (reference `CSVGraph.scala:47-103`
-   * + `IncrementalWCC.scala:27-181`), sequential. */
+   * + `IncrementalWCC.scala:27-181`), sequential, for any
+   * microBatchCount. Reference quirks threaded across batches:
+   *  - the state graph keeps the BULK vertex/edge universe forever
+   *    (each run grafts onto the previous graph, so batch edges are
+   *    dropped after their own batch — batch k merges bulk + batch_k
+   *    only);
+   *  - the graft-back resets a result vertex to (t=0, vt=0, cId=id)
+   *    unless its result community differs from its own id
+   *    (`IncrementalWCC.scala:58-67` — `if (v.cId != vd.cId) vd else
+   *    v` over the zero-reset dataGraph), and the bulk prepare's
+   *    DistributedWCC graft does the same (`DistributedWCC.scala:
+   *    68-77`); the zeroed (t, vt) are the delta-update baselines the
+   *    NEXT batch reads. */
   def incrementalPipeline(canonEdges: Seq[(Long, Long)],
-      ratio: Double = 0.8): Map[Long, Long] = {
+      ratio: Double = 0.8, microBatchCount: Int = 1): Map[Long, Long] = {
     def adjacency(edges: Seq[(Long, Long)]): Map[Long, Seq[Long]] =
       edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
@@ -228,76 +240,96 @@ object ReferenceSim {
       val prunedAdj = prunedStats.keys.map(k => k -> prunedAdj0.getOrElse(k, Seq.empty)).toMap
       (prunedStats, prunedAdj)
     }
+    // graft-back with the reference's conditional zero-reset
+    def graftQuirk(universe: Iterable[Long], mergedTV: Long => (Int, Int),
+        labels: Map[Long, Long]): Map[Long, (Int, Int, Long)] =
+      universe.map { id =>
+        labels.get(id) match {
+          case Some(c) if c != id =>
+            val (t, vt) = mergedTV(id); id -> (t, vt, c)
+          case _ => id -> (0, 0, id)
+        }
+      }.toMap
 
     val maxV = canonEdges.flatMap { case (u, v) => Seq(u, v) }.max
     val split = math.floor(maxV * ratio)
     val bulk = canonEdges.filter { case (u, v) => u < split && v < split }
     val stream = canonEdges.filterNot { case (u, v) => u < split && v < split }
 
-    // prepare: batch DWCC on the bulk graph
+    // prepare: batch DWCC on the bulk graph, grafted with the quirk
     val bulkVerts = bulk.flatMap { case (u, v) => Seq(u, v) }.distinct
     val (bStats, bAdj) = triangleStats(bulk)
     val init = initialPartition(bAdj, bStats)
     val refined = refine(bAdj, bStats, init, bulkVerts.size.toLong)
-    // grafted state on the bulk universe
-    val state: Map[Long, (Int, Int, Long)] = bulkVerts.map { id =>
-      if (refined.contains(id)) id -> (bStats(id)._1, bStats(id)._2, refined(id))
-      else id -> (0, 0, id)
-    }.toMap
+    var state: Map[Long, (Int, Int, Long)] =
+      graftQuirk(bulkVerts, id => bStats(id), refined)
 
-    // merge (single micro-batch = all stream edges)
-    val batchIds = stream.flatMap { case (u, v) => Seq(u, v) }.toSet
-    val border = state.keySet & batchIds
-    val nw = batchIds -- border
-    val merged = bulk ++ stream
-    val mAdj = adjacency(merged).map { case (k, v) => k -> v.toSet }
-    val touched = border ++ nw
-    val nbrs: Map[Long, Set[Long]] =
-      mAdj.map { case (k, v) => k -> (if (touched(k)) v else Set.empty[Long]) }
-    val delta = mutable.Map.empty[Long, (Int, Int)].withDefaultValue((0, 0))
-    merged.foreach { case (u, v) =>
-      val borderEdge = border(u) && border(v)
-      val newEdge = nw(u) || nw(v)
-      if (newEdge || borderEdge) {
-        var c = 0; var newVt = true
-        (nbrs(u) & nbrs(v)).foreach { w =>
-          if (w != u && w != v) {
-            if (newEdge || nw(w)) c += 1 else newVt = false
-          }
-        }
-        val i = if (c > 0 && newVt) 1 else 0
-        val (cu, iu) = delta(u); delta(u) = (cu + c, iu + i)
-        val (cv, iv) = delta(v); delta(v) = (cv + c, iv + i)
-      }
-    }
-    val mergedState: Map[Long, (Int, Int, Long)] = mAdj.keys.map { id =>
-      val old = state.getOrElse(id, (0, 0, id))
-      val (c, i) = delta(id)
-      if (c != 0 || i != 0) {
-        if (border(id)) id -> (old._1 + c / 2, old._2 + i, id)
-        else id -> (c / 2, i, id)
-      } else id -> old
-    }.toMap
-    val vertexCount = mergedState.size.toLong
     def ccOf(t: Int, vt: Int): Double =
       if (vt < 2) 0.0 else 2.0 * t / (vt.toLong * (vt - 1))
-    val globalCC = mergedState.keys.toSeq.sorted
-      .map(id => ccOf(mergedState(id)._1, mergedState(id)._2)).sum / vertexCount
 
-    // seeded re-partition on the merged pruned graph
-    val mPrunedV = mergedState.filter(_._2._1 > 0)
-    val mPrunedEdges = merged.filter { case (u, v) =>
-      (mAdj(u) & mAdj(v)).nonEmpty && mPrunedV.contains(u) && mPrunedV.contains(v)
+    val batchSize = math.floor((maxV - split) / microBatchCount)
+    (1 to microBatchCount).foreach { b =>
+      val lower = split + (b - 1) * batchSize
+      val higher = if (b == microBatchCount) maxV + 1.0
+        else split + b * batchSize
+      val batch = stream.filter { case (u, v) =>
+        (u >= lower || v >= lower) && u < higher && v < higher }
+
+      val batchIds = batch.flatMap { case (u, v) => Seq(u, v) }.toSet
+      val border = state.keySet & batchIds
+      val nw = batchIds -- border
+      // merged graph = state edges (always the BULK set) + this batch
+      val merged = bulk ++ batch
+      val mAdj = adjacency(merged).map { case (k, v) => k -> v.toSet }
+      val touched = border ++ nw
+      val nbrs: Map[Long, Set[Long]] =
+        mAdj.map { case (k, v) => k -> (if (touched(k)) v else Set.empty[Long]) }
+      val delta = mutable.Map.empty[Long, (Int, Int)].withDefaultValue((0, 0))
+      merged.foreach { case (u, v) =>
+        val borderEdge = border(u) && border(v)
+        val newEdge = nw(u) || nw(v)
+        if (newEdge || borderEdge) {
+          var c = 0; var newVt = true
+          (nbrs(u) & nbrs(v)).foreach { w =>
+            if (w != u && w != v) {
+              if (newEdge || nw(w)) c += 1 else newVt = false
+            }
+          }
+          val i = if (c > 0 && newVt) 1 else 0
+          val (cu, iu) = delta(u); delta(u) = (cu + c, iu + i)
+          val (cv, iv) = delta(v); delta(v) = (cv + c, iv + i)
+        }
+      }
+      val mergedState: Map[Long, (Int, Int, Long)] = mAdj.keys.map { id =>
+        val old = state.getOrElse(id, (0, 0, id))
+        val (c, i) = delta(id)
+        if (c != 0 || i != 0) {
+          if (border(id)) id -> (old._1 + c / 2, old._2 + i, id)
+          else id -> (c / 2, i, id)
+        } else id -> old
+      }.toMap
+      val vertexCount = mergedState.size.toLong
+      val globalCC = mergedState.keys.toSeq.sorted
+        .map(id => ccOf(mergedState(id)._1, mergedState(id)._2)).sum / vertexCount
+
+      // seeded re-partition on the merged pruned graph
+      val mPrunedV = mergedState.filter(_._2._1 > 0)
+      val mPrunedEdges = merged.filter { case (u, v) =>
+        (mAdj(u) & mAdj(v)).nonEmpty && mPrunedV.contains(u) && mPrunedV.contains(v)
+      }
+      val mPrunedAdj0 = adjacency(mPrunedEdges)
+      val mPrunedAdj = mPrunedV.keys.map(k => k -> mPrunedAdj0.getOrElse(k, Seq.empty)).toMap
+      val mStats = mPrunedV.map { case (id, (t, vt, _)) => id -> (t, vt) }
+      val seed = mPrunedV.map { case (id, (_, _, c)) => id -> c }
+      val init2 = initialPartition(mPrunedAdj, mStats, seed = seed)
+      val final2 = refineFixed(mPrunedAdj, mStats, init2, globalCC, vertexCount)
+
+      // graft onto the PREVIOUS (bulk) universe with the zero-reset
+      // quirk; merged (t, vt) survive only on non-self-labeled rows
+      state = graftQuirk(state.keys,
+        id => { val (t, vt, _) = mergedState(id); (t, vt) }, final2)
     }
-    val mPrunedAdj0 = adjacency(mPrunedEdges)
-    val mPrunedAdj = mPrunedV.keys.map(k => k -> mPrunedAdj0.getOrElse(k, Seq.empty)).toMap
-    val mStats = mPrunedV.map { case (id, (t, vt, _)) => id -> (t, vt) }
-    val seed = mPrunedV.map { case (id, (_, _, c)) => id -> c }
-    val init2 = initialPartition(mPrunedAdj, mStats, seed = seed)
-    val final2 = refineFixed(mPrunedAdj, mStats, init2, globalCC, vertexCount)
-
-    // graft onto the PREVIOUS (bulk) universe — reference quirk
-    state.keys.map(id => id -> final2.getOrElse(id, id)).toMap
+    state.map { case (id, (_, _, c)) => id -> c }
   }
 }
 
@@ -364,6 +396,30 @@ class ReferenceSimSpec extends SparkSpec {
     val diffs = distributed.keys.filter(k => distributed(k) != simulated(k)).toSeq.sorted
     assert(diffs.isEmpty,
       s"${diffs.size} of ${simulated.size} vertices diverge, first 10: ${diffs.take(10)}")
+  }
+
+  test("3-micro-batch incremental IDWCC matches the sequential simulation (email-Eu-core)") {
+    // exercises what a single batch cannot: the cross-batch state
+    // threading — zero-reset graft-back baselines read by batch 2/3's
+    // delta updates and global-cc fold, border/new classification
+    // against the bulk universe, and the batch-edge-dropping quirk
+    // (each batch merges onto the BULK edge set, never batch 1's)
+    val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
+    val canon = EdgeOps.canonicalize(raw)
+    val edges = canon.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val simulated = ReferenceSim.incrementalPipeline(edges, 0.8, microBatchCount = 3)
+    val distributed = IncrementalWCC.testStream(spark, canon, 0.8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    assert(distributed.keySet === simulated.keySet)
+    val diffs = distributed.keys.filter(k => distributed(k) != simulated(k)).toSeq.sorted
+    assert(diffs.isEmpty,
+      s"${diffs.size} of ${simulated.size} vertices diverge, first 10: ${diffs.take(10)}")
+    // and the multi-batch path is NOT vacuously the single-batch one
+    val single = ReferenceSim.incrementalPipeline(edges, 0.8, microBatchCount = 1)
+    assert(simulated != single,
+      "fixture too small: 3-batch and 1-batch runs coincide, the test exercises nothing")
   }
 
   test("simulation parity on micro-graphs too") {
