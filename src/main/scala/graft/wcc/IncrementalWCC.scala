@@ -32,7 +32,20 @@ import org.apache.spark.storage.StorageLevel
  */
 object IncrementalWCC {
 
-  final case class State(graph: Graph[VertexData, Int], stats: Map[Long, CommunityData])
+  /** `bulkFlagged`, when present, is the canonical (min, max) key set
+   * of STATE-graph edges with >= 1 common neighbor IN THE STATE GRAPH
+   * ALONE — the batch-invariant half of each micro-batch's
+   * triangle-edge flagging. The graft-back contract keeps the state's
+   * edge set fixed at the bulk edge set across batches
+   * (reference `IncrementalWCC.scala:56-58` — batch edges never
+   * persist), so the set stays valid for every subsequent [[run]] and
+   * each batch only enumerates the NEW triangles its own edges close
+   * ([[deltaFlags]]) instead of re-running the full-merged-graph
+   * support exchange. Callers constructing a State by hand may leave
+   * it None — [[performInitialPartition]] then takes the
+   * from-scratch path. */
+  final case class State(graph: Graph[VertexData, Int], stats: Map[Long, CommunityData],
+      bulkFlagged: Option[RDD[(Long, Long)]] = None)
 
   private def release(g: Graph[_, _]): Unit = {
     g.unpersistVertices(blocking = false)
@@ -82,6 +95,16 @@ object IncrementalWCC {
     stateGraph.cache()
     stateGraph.vertices.count()
     stateGraph.edges.count()
+    // harvest the batch-invariant flag set BEFORE releasing the
+    // pruned core it derives from: the core's edges are exactly the
+    // bulk edges with positive triangle support (epred attr > 0
+    // decides membership alone — attr > 0 implies both endpoint
+    // t > 0), i.e. the bulk half of every future batch's
+    // triangle-edge flagging (see [[State.bulkFlagged]]).
+    val bulkFlagged = out.prunedCore.edges
+      .map(e => (math.min(e.srcId, e.dstId), math.max(e.srcId, e.dstId)))
+      .cache()
+    bulkFlagged.count()
     // NOT released: out.graph shares its edge RDD with stateGraph
     // (mapVertices preserves edges), and it was never cached here —
     // only the phase surfaces below hold storage.
@@ -90,7 +113,7 @@ object IncrementalWCC {
     release(out.refinedCore)
     out.triangleStats.unpersist(blocking = false)
     release(graph)
-    State(stateGraph, out.communityStats)
+    State(stateGraph, out.communityStats, Some(bulkFlagged))
   }
 
   final case class MergeResult(
@@ -101,7 +124,13 @@ object IncrementalWCC {
       newIds: Broadcast[Set[Long]],
       borderIds: Broadcast[Set[Long]],
       vertexCount: Long,
-      globalCC: Double)
+      globalCC: Double,
+      /** sorted MERGED-graph neighborhoods of the touched
+       * (border/new) vertices — built once here, consumed by BOTH
+       * the delta stat update and the delta triangle flagging
+       * ([[deltaFlags]]); cached, released by `run` after the
+       * initial partition. */
+      touchedNbrs: RDD[(Long, Array[Long])])
 
   /** Merge phase (reference `IncrementalWCC.scala:79-112`). */
   private[wcc] def merge(state: State, newEdges: RDD[Edge[Int]]): MergeResult = {
@@ -128,12 +157,14 @@ object IncrementalWCC {
       .partitionBy(PartitionStrategy.EdgePartition2D)
     fg.cache()
 
-    val fullGraph = updateVertexData(fg, bBorder, bNew)
+    val nbrs = touchedNeighborhoods(fg, bBorder, bNew)
+    nbrs.cache()
+    val fullGraph = updateVertexData(fg, bBorder, bNew, nbrs)
     fullGraph.cache()
     val vertexCount = fullGraph.numVertices
     val globalCC = detGlobalCC(fullGraph.vertices, vertexCount)
     bBatch.unpersist(blocking = false)
-    MergeResult(fullGraph, fg, bNew, bBorder, vertexCount, globalCC)
+    MergeResult(fullGraph, fg, bNew, bBorder, vertexCount, globalCC, nbrs)
   }
 
   /** Deterministic global clustering coefficient: ascending-vid left
@@ -169,33 +200,37 @@ object IncrementalWCC {
     s / vertexCount
   }
 
+  /** Post-merge neighborhoods for border/new vertices only
+   * (reference `:120-130`), built with a groupByKey shuffle rather
+   * than an aggregateMessages array-concat combiner: the concat
+   * combiner left-folds `_ ++ _`, reallocating the growing array once
+   * per message — O(D²/P) allocation churn for a degree-D vertex,
+   * which the hub-arrival skew probe measured as tens of GiB of
+   * garbage on a 202k-degree hub. groupByKey buffers the group
+   * once and converts to an array once: O(D) state and
+   * allocations, any skew. */
+  private[wcc] def touchedNeighborhoods(graph: Graph[VertexData, Int],
+      bBorder: Broadcast[Set[Long]], bNew: Broadcast[Set[Long]])
+      : RDD[(Long, Array[Long])] = graph.edges
+    .flatMap { e =>
+      // capture eagerly: GraphX edge iterators reuse the Edge object
+      val u = e.srcId; val v = e.dstId
+      val border = bBorder.value; val nw = bNew.value
+      val touched = (id: Long) => border.contains(id) || nw.contains(id)
+      (if (touched(u)) (u, v) :: Nil else Nil) :::
+        (if (touched(v)) (v, u) :: Nil else Nil)
+    }
+    .groupByKey()
+    .mapValues { it => val a = it.toArray; java.util.Arrays.sort(a); a }
+
   /** Delta triangle-stat update (reference `IncrementalWCC.scala:114-181`):
    * only border/new vertices get (possibly partial) recounts, via
    * intersections of their post-merge neighborhoods restricted by the
-   * reference's newEdge/borderEdge/newVt flag logic. */
+   * reference's newEdge/borderEdge/newVt flag logic. `touchedNbrs`
+   * must be [[touchedNeighborhoods]] of this same graph. */
   private[wcc] def updateVertexData(graph: Graph[VertexData, Int],
-      bBorder: Broadcast[Set[Long]], bNew: Broadcast[Set[Long]]): Graph[VertexData, Int] = {
-    // post-merge neighborhoods for border/new vertices only
-    // (`:120-130`), built with a groupByKey shuffle rather than an
-    // aggregateMessages array-concat combiner: the concat combiner
-    // left-folds `_ ++ _`, reallocating the growing array once per
-    // message — O(D²/P) allocation churn for a degree-D vertex,
-    // which the hub-arrival skew probe measured as tens of GiB of
-    // garbage on a 202k-degree hub. groupByKey buffers the group
-    // once and converts to an array once: O(D) state and
-    // allocations, any skew.
-    val touchedNbrs: org.apache.spark.rdd.RDD[(Long, Array[Long])] = graph.edges
-      .flatMap { e =>
-        // capture eagerly: GraphX edge iterators reuse the Edge object
-        val u = e.srcId; val v = e.dstId
-        val border = bBorder.value; val nw = bNew.value
-        val touched = (id: Long) => border.contains(id) || nw.contains(id)
-        (if (touched(u)) (u, v) :: Nil else Nil) :::
-          (if (touched(v)) (v, u) :: Nil else Nil)
-      }
-      .groupByKey()
-      .mapValues { it => val a = it.toArray; java.util.Arrays.sort(a); a }
-
+      bBorder: Broadcast[Set[Long]], bNew: Broadcast[Set[Long]],
+      touchedNbrs: RDD[(Long, Array[Long])]): Graph[VertexData, Int] = {
     val ng: Graph[(VertexData, Array[Long]), Int] =
       graph.outerJoinVertices(touchedNbrs)((_, vd, a) =>
         (vd, a.getOrElse(Array.empty[Long])))
@@ -247,21 +282,75 @@ object IncrementalWCC {
     }
   }
 
+  /** Canonical (min, max) keys of every merged-graph edge belonging
+   * to a triangle that a BATCH edge closes: for each batch edge
+   * (u, v) — whose endpoints are touched by construction — every
+   * common merged-graph neighbor w of u and v witnesses the new
+   * triangle {u, v, w}, and all three of its edges are flagged.
+   * Together with the batch-invariant bulk flag set this is EXACTLY
+   * the merged graph's positive-support edge set: adjacency only
+   * grows across a merge (batch edges are new, nothing is deleted),
+   * so a bulk-flagged edge stays flagged, and any triangle absent
+   * from the bulk graph contains >= 1 batch edge and is enumerated
+   * here (pinned flag-set-equal to the from-scratch
+   * `TriangleStats.edgeSupport` path by IncrementalWCCSpec).
+   * Output size is O(new triangles); duplicates are collapsed by the
+   * caller's distinct(). */
+  private[wcc] def deltaFlags(newEdges: RDD[Edge[Int]],
+      touchedNbrs: RDD[(Long, Array[Long])]): RDD[(Long, Long)] = {
+    newEdges.map(e => (e.srcId, e.dstId))
+      .join(touchedNbrs)
+      .map { case (u, (v, nu)) => (v, (u, nu)) }
+      .join(touchedNbrs)
+      .flatMap { case (v, ((u, nu), nv)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        @inline def canon(a: Long, b: Long): (Long, Long) =
+          (math.min(a, b), math.max(a, b))
+        visitCommons(nu, nv) { w =>
+          // w == u / w == v impossible: no self-loops in either region
+          out += canon(u, v); out += canon(u, w); out += canon(v, w)
+        }
+        out
+      }
+  }
+
   /** Incremental initial partition (reference
    * `IncrementalWCC.scala:185-227`): rebuild adjacency on the merged
    * graph, keep only triangle-closing edges and t>0 vertices, then
-   * run the SAME Pregel — seeded by the surviving cIds. */
+   * run the SAME Pregel — seeded by the surviving cIds.
+   * `precomputedKeep`, when present, is the merged graph's full
+   * positive-support canonical key set assembled incrementally
+   * (bulk-invariant flags + [[deltaFlags]]) — the from-scratch
+   * support exchange over the near-bulk-sized merged graph is then
+   * skipped entirely. */
   private[wcc] def performInitialPartition(graph: Graph[VertexData, Int],
-      maxIterations: Int = 50): Graph[VertexData, Int] = {
+      maxIterations: Int = 50,
+      precomputedKeep: Option[RDD[(Long, Long)]] = None): Graph[VertexData, Int] = {
     val pruned = timed("initial-partition/triangle-flagging") {
       // hub-safe oriented support (TriangleStats.edgeSupport) instead
       // of shipping full post-merge neighborhoods per edge — same
-      // flag (>=1 common neighbor), bounded message volume
-      val keep = TriangleStats.edgeSupport(graph).filter(_._2 > 0)
-      val flaggedEdges = graph.edges
-        .map(e => ((math.min(e.srcId, e.dstId), math.max(e.srcId, e.dstId)), ()))
-        .leftOuterJoin(keep)
-        .map { case ((s, d), (_, c)) => Edge(s, d, c.isDefined) }
+      // flag (>=1 common neighbor), bounded message volume. The
+      // precomputed path joins with a COGROUP, which tolerates
+      // duplicate keys in the keep set (a delta-flagged edge may also
+      // be bulk-flagged), so the caller never pays a keep-set-wide
+      // distinct: the one flagging shuffle here is the same one the
+      // from-scratch path pays for its leftOuterJoin.
+      val flaggedEdges = precomputedKeep match {
+        case Some(k) =>
+          graph.edges
+            .map(e => ((math.min(e.srcId, e.dstId), math.max(e.srcId, e.dstId)), ()))
+            .cogroup(k.map((_, ())))
+            .flatMap { case ((s, d), (es, keeps)) =>
+              val flag = keeps.nonEmpty
+              es.iterator.map(_ => Edge(s, d, flag))
+            }
+        case None =>
+          val keep = TriangleStats.edgeSupport(graph).filter(_._2 > 0)
+          graph.edges
+            .map(e => ((math.min(e.srcId, e.dstId), math.max(e.srcId, e.dstId)), ()))
+            .leftOuterJoin(keep)
+            .map { case ((s, d), (_, c)) => Edge(s, d, c.isDefined) }
+      }
       val flagged: Graph[VertexData, Boolean] = Graph(graph.vertices, flaggedEdges)
       val prunedB = flagged.subgraph(
         epred = e => e.attr,
@@ -420,10 +509,37 @@ object IncrementalWCC {
    * SHARED bulk state (e.g. the session-memoized prepare that both
    * the batch replay and its Structured Streaming twin fold from)
    * and remain its owner. */
+  /** Touched-vertex fraction above which [[run]] falls back to the
+   * from-scratch support exchange: the delta flagging enumerates
+   * every NEW triangle by intersecting batch-edge endpoint
+   * neighborhoods, which wins when the batch is genuinely micro
+   * (O(batch triangles) work against a fixed bulk flag set) but
+   * LOSES once the batch covers a large share of the graph — the
+   * sf0.1 replay's 0.8-id-split "batch" touches ~37% of all edges,
+   * and the measured A/B there is 3.7-5.0 s delta vs 2.2-2.4 s
+   * from-scratch (PERF.md round-18). 10% keeps the crossover
+   * comfortably on the winning side of both regimes. */
+  val DeltaFlagMaxTouchedFraction = 0.1
+
   def run(state: State, newEdges: RDD[Edge[Int]],
-      releaseInput: Boolean = true): State = {
+      releaseInput: Boolean = true,
+      deltaFlagMaxTouchedFraction: Double = DeltaFlagMaxTouchedFraction): State = {
     val m = timed("merge")(merge(state, newEdges))
-    val init = timed("initial-partition")(performInitialPartition(m.fullGraph))
+    // incremental triangle flagging for genuinely micro batches: the
+    // state's batch-invariant bulk flag set + the new triangles this
+    // batch's edges close (the merged neighborhoods are already in
+    // hand from the delta stat update) — instead of a full support
+    // exchange over the near-bulk-sized merged graph. Adaptive: the
+    // touched-vertex counts are driver-known (the reference itself
+    // collects batch ids), so a batch past the crossover takes the
+    // from-scratch exchange instead.
+    val touched = m.newIds.value.size.toLong + m.borderIds.value.size.toLong
+    val keep = state.bulkFlagged
+      .filter(_ => touched <= m.vertexCount * deltaFlagMaxTouchedFraction)
+      .map(_.union(deltaFlags(newEdges, m.touchedNbrs).distinct()))
+    val init = timed("initial-partition")(
+      performInitialPartition(m.fullGraph, precomputedKeep = keep))
+    m.touchedNbrs.unpersist(blocking = false)
     val (finalGraph, _) = timed("refine")(refinePartition(init, m.globalCC, m.vertexCount))
 
     // graft onto the PREVIOUS graph's vertex/edge set (so batch edges
@@ -447,7 +563,9 @@ object IncrementalWCC {
     // driver if a cached partition is ever recomputed
     m.newIds.unpersist(blocking = false)
     m.borderIds.unpersist(blocking = false)
-    State(resultGraph, state.stats)
+    // bulkFlagged carries over unchanged: the graft-back keeps the
+    // result's edge set identical to the state's (bulk) edge set.
+    State(resultGraph, state.stats, state.bulkFlagged)
   }
 
   /**

@@ -79,6 +79,52 @@ class IncrementalWCCSpec extends SparkSpec {
     assert(derived === plain)
   }
 
+  test("delta triangle flags equal the from-scratch merged-graph support flags") {
+    // email-Eu-core, reference split: bulk = both endpoints < 0.8*maxId
+    val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
+    val canon = EdgeOps.canonicalize(raw)
+    val maxVertex = canon.selectExpr("max(greatest(src, dst))").head().getLong(0)
+    val split = math.floor(maxVertex * 0.8)
+    val bulkEdges = canon.where(s"src < $split and dst < $split").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val batchRdd = canon.where(s"src >= $split or dst >= $split").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val state = IncrementalWCC.prepare(
+      Graph.fromEdges(bulkEdges, 0)
+        .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D))
+    assert(state.bulkFlagged.isDefined)
+    val m = IncrementalWCC.merge(state, batchRdd)
+    val fromScratch = TriangleStats.edgeSupport(m.fullGraph)
+      .filter(_._2 > 0).map(_._1).collect().toSet
+    val incremental = state.bulkFlagged.get
+      .union(IncrementalWCC.deltaFlags(batchRdd, m.touchedNbrs))
+      .distinct().collect().toSet
+    assert(incremental === fromScratch)
+  }
+
+  test("run with bulkFlagged emits the same labels as the from-scratch path") {
+    val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
+    val canon = EdgeOps.canonicalize(raw)
+    val maxVertex = canon.selectExpr("max(greatest(src, dst))").head().getLong(0)
+    val split = math.floor(maxVertex * 0.8)
+    val bulkEdges = canon.where(s"src < $split and dst < $split").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val batchRdd = canon.where(s"src >= $split or dst >= $split").rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val state = IncrementalWCC.prepare(
+      Graph.fromEdges(bulkEdges, 0)
+        .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D))
+    // force the delta path regardless of the adaptive touched-fraction
+    // crossover (this fixture's 0.8-split batch is far from micro)
+    val fast = IncrementalWCC.run(state, batchRdd, releaseInput = false,
+      deltaFlagMaxTouchedFraction = 1.0)
+      .graph.vertices.map { case (id, vd) => (id, vd.cId) }.collect().sorted.toSeq
+    val slow = IncrementalWCC.run(state.copy(bulkFlagged = None), batchRdd,
+      releaseInput = false)
+      .graph.vertices.map { case (id, vd) => (id, vd.cId) }.collect().sorted.toSeq
+    assert(fast === slow)
+  }
+
   test("testStream with multiple micro-batches runs the full replay loop") {
     val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
     val canon = EdgeOps.canonicalize(raw)
