@@ -56,36 +56,55 @@ object WccCheck {
       intersectCount(col("na"), col("nb")).as("cnt"))
   }
 
-  private def triplesProjection(joined: DataFrame): DataFrame =
+  private def trianglesProjection(joined: DataFrame): DataFrame =
     joined.select(col("src"), col("dst"),
       explode(array_intersect(col("na"), col("nb"))).as("w"))
+      .where(col("w") > col("dst"))
 
   def edgeCommonCounts(edges: DataFrame): DataFrame =
     cntProjection(edgeNbrJoin(edges))
 
-  /** Exploded triangle incidences of the canonical edge set: one row
-   * (src, dst, w) per edge and common full-graph neighbor w — i.e.
-   * three rows per triangle, one per incident edge. Like
-   * [[edgeCommonCounts]] this is label-INDEPENDENT, so a session
-   * checking SEVERAL partitions of the same graph (the flagship and
-   * seeding `_wcc_check` rows) enumerates triangles once; each
-   * partition's intra-community triangle counts then cost three hash
-   * joins against its labels instead of a fresh same-community
-   * adjacency build + intersection pass per partition. */
-  def triangleTriples(edges: DataFrame): DataFrame =
-    triplesProjection(edgeNbrJoin(edges))
+  /** DISTINCT triangles of the canonical edge set, one row
+   * (src, dst, w) with src < dst < w per triangle: the canonical
+   * edges have src < dst, so of a triangle {a < b < c}'s three
+   * incidence rows — (a,b,c), (a,c,b), (b,c,a) — exactly the first
+   * satisfies w > dst. Like [[edgeCommonCounts]] this is
+   * label-INDEPENDENT, so a session checking SEVERAL partitions of
+   * the same graph (the flagship and seeding `_wcc_check` rows)
+   * enumerates triangles once; each partition's intra-community
+   * triangle counts then cost three hash joins of its labels against
+   * ONE row per triangle (a third of the incidence-row join volume)
+   * instead of a fresh same-community adjacency build + intersection
+   * pass per partition. */
+  def triangleRows(edges: DataFrame): DataFrame =
+    trianglesProjection(edgeNbrJoin(edges))
+
+  /** Per-vertex full-graph (t, vt) from an [[edgeCommonCounts]]
+   * result — the remaining label-INDEPENDENT stage of the check
+   * (each triangle at v is seen by its two incident edges, hence the
+   * /2), exposed so sessions checking several partitions aggregate
+   * it once. */
+  def vertexTvt(cnt: DataFrame): DataFrame =
+    cnt.select(col("src").as("vid"), col("cnt"))
+      .union(cnt.select(col("dst").as("vid"), col("cnt")))
+      .groupBy("vid")
+      .agg((sum("cnt") / 2).cast("long").as("t"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("vt"))
 
   /** Global WCC of the partition `labels` (vid, cid) over the graph
    * given by canonical undirected `edges` (src < dst, distinct, no
-   * self-loops). Every vertex of the graph must be labeled.
-   * `precomputedCnt` takes an [[edgeCommonCounts]] result computed
-   * earlier in the session (it must be for the SAME edge set);
-   * `precomputedTriples` likewise a [[triangleTriples]] result. */
+   * self-loops). Every vertex of the graph must be labeled, once
+   * (vid-unique — the per-vertex joins and community sizes assume
+   * it). `precomputedCnt` takes an [[edgeCommonCounts]] result
+   * computed earlier in the session (it must be for the SAME edge
+   * set); `precomputedTriangles` likewise a [[triangleRows]] result;
+   * `precomputedTvt` a [[vertexTvt]] of the same counts. */
   def globalWccOfPartition(edges: DataFrame, labels: DataFrame,
       precomputedCnt: Option[DataFrame] = None,
-      precomputedTriples: Option[DataFrame] = None): Double =
+      precomputedTriangles: Option[DataFrame] = None,
+      precomputedTvt: Option[DataFrame] = None): Double =
     globalWccOfPartitionImpl(edges, labels, precomputedCnt,
-      precomputedTriples, det = false)
+      precomputedTriangles, precomputedTvt, det = false)
 
   /** [[globalWccOfPartition]] with a DETERMINISTIC summation: the
    * per-vertex wcc terms fold in ascending-vid order within
@@ -101,32 +120,30 @@ object WccCheck {
    * doubles. */
   def globalWccOfPartitionDet(edges: DataFrame, labels: DataFrame,
       precomputedCnt: Option[DataFrame] = None,
-      precomputedTriples: Option[DataFrame] = None): Double =
+      precomputedTriangles: Option[DataFrame] = None,
+      precomputedTvt: Option[DataFrame] = None): Double =
     globalWccOfPartitionImpl(edges, labels, precomputedCnt,
-      precomputedTriples, det = true)
+      precomputedTriangles, precomputedTvt, det = true)
 
   private def globalWccOfPartitionImpl(edges: DataFrame, labels: DataFrame,
       precomputedCnt: Option[DataFrame],
-      precomputedTriples: Option[DataFrame], det: Boolean): Double = {
+      precomputedTriangles: Option[DataFrame],
+      precomputedTvt: Option[DataFrame], det: Boolean): Double = {
 
     // self-contained path (no precomputed inputs): both stages derive
     // from ONE cached edge/neighbor join, so the full-graph adjacency
     // is built once per call rather than once per stage
     val sharedJoin =
-      if (precomputedCnt.isEmpty && precomputedTriples.isEmpty)
+      if (precomputedCnt.isEmpty && precomputedTriangles.isEmpty)
         Some(edgeNbrJoin(edges).cache())
       else None
     val cntShared = precomputedCnt.isDefined
     val cnt = precomputedCnt.getOrElse(
       sharedJoin.map(cntProjection).getOrElse(edgeCommonCounts(edges)).cache())
 
-    // full-graph t (each triangle at v is seen by its two incident
-    // edges, hence /2) and vt per vertex
-    val tvt = cnt.select(col("src").as("vid"), col("cnt"))
-      .union(cnt.select(col("dst").as("vid"), col("cnt")))
-      .groupBy("vid")
-      .agg((sum("cnt") / 2).cast("long").as("t"),
-        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("vt"))
+    // full-graph (t, vt) per vertex — label-independent, so sessions
+    // checking several partitions pass it precomputed
+    val tvt = precomputedTvt.getOrElse(vertexTvt(cnt))
 
     // triangle prune + community decoration of the surviving edges
     val prunedSame = cnt.where(col("cnt") > 0)
@@ -140,25 +157,26 @@ object WccCheck {
       .union(prunedSame.select(col("dst").as("vid")))
       .groupBy("vid").agg(count(lit(1)).as("vtc"))
 
-    // tC: intra-community triangles = full-graph triangle incidences
+    // tC: intra-community triangles = distinct full-graph triangles
     // whose three vertices share a label. Equivalent to counting in
     // the same-community pruned subgraph: a triangle's edges each
-    // close >= 1 triangle (so all survive the prune), and pairwise
-    // label equality across its three edges is exactly
-    // cs = cd = cw. Each triangle at v appears in 2 of its 3
-    // incidence rows with v as an endpoint, hence the /2.
-    val triplesShared = precomputedTriples.isDefined
-    val triples = precomputedTriples.getOrElse(
-      sharedJoin.map(triplesProjection).getOrElse(triangleTriples(edges)).cache())
-    val sameTriples = triples
+    // close >= 1 triangle (so all survive the prune), and label
+    // equality across its three vertices is exactly cs = cd = cw.
+    // Each surviving triangle credits each of its three vertices
+    // once — the same integer the incidence-row formulation's
+    // endpoint-count/2 produced.
+    val trianglesShared = precomputedTriangles.isDefined
+    val triangles = precomputedTriangles.getOrElse(
+      sharedJoin.map(trianglesProjection).getOrElse(triangleRows(edges)).cache())
+    val sameTriangles = triangles
       .join(labels.select(col("vid").as("src"), col("cid").as("cs")), "src")
       .join(labels.select(col("vid").as("dst"), col("cid").as("cd")), "dst")
       .join(labels.select(col("vid").as("w"), col("cid").as("cw")), "w")
       .where(col("cs") === col("cd") && col("cd") === col("cw"))
-      .select(col("src"), col("dst"))
-    val tc = sameTriples.select(col("src").as("vid"))
-      .union(sameTriples.select(col("dst").as("vid")))
-      .groupBy("vid").agg((count(lit(1)) / 2).cast("long").as("tc"))
+      .select(col("src"), col("dst"), col("w"))
+    val tc = sameTriangles
+      .select(explode(array(col("src"), col("dst"), col("w"))).as("vid"))
+      .groupBy("vid").agg(count(lit(1)).as("tc"))
 
     val r = labels.groupBy("cid").agg(count(lit(1)).as("r"))
     val n = labels.count()
@@ -191,7 +209,7 @@ object WccCheck {
         s
       }
     if (!cntShared) cnt.unpersist(blocking = false)
-    if (!triplesShared) triples.unpersist(blocking = false)
+    if (!trianglesShared) triangles.unpersist(blocking = false)
     sharedJoin.foreach(_.unpersist(blocking = false))
     total / n
   }

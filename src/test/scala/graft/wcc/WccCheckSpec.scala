@@ -51,8 +51,8 @@ class WccCheckSpec extends SparkSpec {
     assert(shared === self)
   }
 
-  test("precomputed triangle triples give the identical score") {
-    // the session-shared triangleTriples path (the second
+  test("precomputed triangle rows give the identical score") {
+    // the session-shared triangleRows path (the second
     // label-independent stage both _wcc_check rows reuse) must be
     // value-identical to the self-contained recompute
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
@@ -60,12 +60,48 @@ class WccCheckSpec extends SparkSpec {
     val df = edges.toDF("src", "dst")
     val out = DistributedWCC.run(graphOf(spark, edges))
     val self = WccCheck.globalWccOfPartition(df, labelsOf(out))
-    val triples = WccCheck.triangleTriples(df).cache()
-    // 3 incidence rows per triangle
-    assert(triples.count() % 3 === 0 && triples.count() > 0)
+    val triangles = WccCheck.triangleRows(df).cache()
+    // one row per distinct triangle, canonically ordered
+    assert(triangles.count() > 0)
+    assert(triangles.where("src >= dst or dst >= w").count() === 0)
+    assert(triangles.distinct().count() === triangles.count())
     val shared = WccCheck.globalWccOfPartition(df, labelsOf(out),
-      precomputedTriples = Some(triples))
-    triples.unpersist(blocking = false)
+      precomputedTriangles = Some(triangles))
+    triangles.unpersist(blocking = false)
     assert(shared === self)
+  }
+
+  test("precomputed tvt gives the identical score") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (2L, 4L))
+    val df = edges.toDF("src", "dst")
+    val out = DistributedWCC.run(graphOf(spark, edges))
+    val self = WccCheck.globalWccOfPartition(df, labelsOf(out))
+    val cnt = WccCheck.edgeCommonCounts(df).cache()
+    val tvt = WccCheck.vertexTvt(cnt).cache()
+    tvt.count()
+    val shared = WccCheck.globalWccOfPartition(df, labelsOf(out),
+      precomputedCnt = Some(cnt), precomputedTvt = Some(tvt))
+    cnt.unpersist(blocking = false)
+    tvt.unpersist(blocking = false)
+    assert(shared === self)
+  }
+
+  test("email-Eu-core: det recompute is identical with and without precomputed stages") {
+    val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
+    val canon = EdgeOps.canonicalize(raw)
+    val out = DistributedWCC.run(EdgeOps.toGraph(canon))
+    val self = WccCheck.globalWccOfPartitionDet(canon, labelsOf(out))
+    val cnt = WccCheck.edgeCommonCounts(canon).cache()
+    val triangles = WccCheck.triangleRows(canon).cache()
+    val tvt = WccCheck.vertexTvt(cnt).cache()
+    val shared = WccCheck.globalWccOfPartitionDet(canon, labelsOf(out),
+      precomputedCnt = Some(cnt), precomputedTriangles = Some(triangles),
+      precomputedTvt = Some(tvt))
+    Seq(cnt, triangles, tvt).foreach(_.unpersist(blocking = false))
+    // bit-identical: the det fold and every intermediate integer are
+    // unchanged by stage sharing
+    assert(java.lang.Double.doubleToLongBits(shared) ===
+      java.lang.Double.doubleToLongBits(self))
   }
 }
