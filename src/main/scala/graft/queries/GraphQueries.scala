@@ -195,12 +195,21 @@ object GraphQueries {
       df.count(); df
     }
 
-  /** The checks' other shared label-independent stage: the exploded
-   * triangle incidences ([[WccCheck.triangleTriples]]) each check's
-   * intra-community triangle counts join against. */
-  private def wccCheckTriples(spark: SparkSession, sfDir: String): DataFrame =
-    memoize(spark, s"wccCheckTriples:$sfDir") {
-      val df = WccCheck.triangleTriples(canonEdges(spark, sfDir)).cache()
+  /** The checks' second shared label-independent stage: the distinct
+   * triangles ([[WccCheck.triangleRows]], one row per triangle) each
+   * check's intra-community triangle counts join against. */
+  private def wccCheckTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"wccCheckTriangles:$sfDir") {
+      val df = WccCheck.triangleRows(canonEdges(spark, sfDir)).cache()
+      df.count(); df
+    }
+
+  /** The checks' third shared label-independent stage: per-vertex
+   * full-graph (t, vt) aggregated from the shared common-neighbor
+   * counts ([[WccCheck.vertexTvt]]). */
+  private def wccCheckTvt(spark: SparkSession, sfDir: String): DataFrame =
+    memoize(spark, s"wccCheckTvt:$sfDir") {
+      val df = WccCheck.vertexTvt(wccCheckCnt(spark, sfDir)).cache()
       df.count(); df
     }
 
@@ -220,6 +229,12 @@ object GraphQueries {
     }
     val labelsC = labels.cache()
     val n = labelsC.count()
+    // the set-equality proof below (equal counts + empty prev\labels
+    // anti-join) implies frame equality only for vid-UNIQUE frames —
+    // enforce the invariant rather than assume it (a duplicate-vid
+    // caller would otherwise get a silently wrong certificate value)
+    require(labelsC.select("vid").distinct().count() == n,
+      "wccCheckValue: labels must be vid-unique")
     val hit = ref.get().collectFirst { case (prev, pn, v)
       if pn == n && prev.join(labelsC, Seq("vid", "cid"), "left_anti").isEmpty => v }
     hit match {
@@ -228,8 +243,17 @@ object GraphQueries {
       case None =>
         val v = WccCheck.globalWccOfPartitionDet(canonEdges(spark, sfDir), labelsC,
           precomputedCnt = Some(wccCheckCnt(spark, sfDir)),
-          precomputedTriples = Some(wccCheckTriples(spark, sfDir)))
-        ref.updateAndGet((labelsC, n, v) :: _)
+          precomputedTriangles = Some(wccCheckTriangles(spark, sfDir)),
+          precomputedTvt = Some(wccCheckTvt(spark, sfDir)))
+        // keep the 2 most recent label sets (the flagship + seeding
+        // checks are the expected distinct partitions per sfDir);
+        // unpersist evicted frames so the list cannot grow unbounded
+        // over a long session
+        ref.updateAndGet { prev =>
+          val (keep, evict) = ((labelsC, n, v) :: prev).splitAt(2)
+          evict.foreach(_._1.unpersist(blocking = false))
+          keep
+        }
         v
     }
   }
@@ -477,9 +501,17 @@ object GraphQueries {
       val (state, streamEdges) = idwccShared(spark, sfDir)
       // the driver loop's id-range split (IncrementalWCC.testStream):
       // maxVertex over the canonical graph = max stream endpoint
-      // (every edge touching the max-id vertex is a stream edge)
-      val maxVertex = streamEdges
-        .agg(max(greatest(col("src"), col("dst")))).head().getLong(0)
+      // (every edge touching the max-id vertex is a stream edge).
+      // A degenerate graph with an EMPTY stream region would make the
+      // max aggregate null — guard loudly instead of NPE-ing (the
+      // bulk-only result is what a caller should take from
+      // g_wcc_partition, not from a zero-batch "incremental" replay).
+      val maxRow = streamEdges
+        .agg(max(greatest(col("src"), col("dst")))).head()
+      require(!maxRow.isNullAt(0),
+        "wccIncrementalMultibatch: empty stream region — the id-range " +
+          "split left no stream edges; run the batch DWCC instead")
+      val maxVertex = maxRow.getLong(0)
       val split = math.floor(maxVertex * 0.8)
       val batchSize = math.floor((maxVertex - split) / 2)
       var st = state
@@ -1030,6 +1062,24 @@ object GraphQueries {
   def coloring(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.GraphAlgs.colorDetDF(backboneEdges(spark, sfDir)).orderBy("vid")
 
+  /** MIS-driven coloring schedule on the same backbone
+   * ([[graft.graph.GraphAlgs.coloringMisDF]]): greedy mex under
+   * per-round REFRESHED md5 priorities — the O(log n)-depth
+   * schedule for inputs where JP's fixed order builds long
+   * decreasing chains (the skew probe's 217 rounds). Oracle =
+   * identical unrolled rounds with the round salt inlined. */
+  def coloringMis(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.coloringMisDF(backboneEdges(spark, sfDir)).orderBy("vid")
+
+  /** Trial-color (Δ+1)-coloring on the same backbone
+   * ([[graft.graph.GraphAlgs.coloringTrialDF]]): palette proposals
+   * with md5 tie-break — constant per-round commit probability at
+   * ANY degree, the genuinely O(log n)-depth schedule of the
+   * coloring family. Oracle = identical unrolled rounds (windowed
+   * palette pick, same mix arithmetic, same tie-break). */
+  def coloringTrial(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphAlgs.coloringTrialDF(backboneEdges(spark, sfDir)).orderBy("vid")
+
   /** Deterministic greedy maximal matching over the canonical
    * co-purchase edges ([[graft.graph.GraphAlgs.matchingDetDF]]):
    * (src, dst, match_round) for every matched edge. Runs on the FULL
@@ -1387,6 +1437,14 @@ object GraphQueries {
   /** Unrolled depth of the g_coloring oracle — 2x the measured
    * sf0.01 backbone JP depth of 14 rounds. */
   private val ColorUnrollRounds = 28
+
+  /** Unrolled depth of the g_coloring_mis oracle — 2x the measured
+   * sf0.01 backbone fresh-priority depth of 10 rounds. */
+  private val ColorMisUnrollRounds = 20
+
+  /** Unrolled depth of the g_coloring_trial oracle — 2x the measured
+   * sf0.01 backbone trial-color depth of 4 rounds. */
+  private val ColorTrialUnrollRounds = 8
 
   /** Unrolled depth of the g_matching oracle — 2x the measured
    * sf0.01 edge-Luby depth of 9 rounds. */
@@ -2188,6 +2246,119 @@ object GraphQueries {
          |SELECT vid, color, jp_round FROM cols
          |WHERE NOT EXISTS (SELECT 1 FROM a$ColorUnrollRounds)""".stripMargin
     },
+    // MIS-driven coloring: the identical unrolled greedy-mex rounds,
+    // but the priority is REFRESHED per round with the round salt
+    // inlined — md5(vid || '-i') — exactly the Spark loop's
+    // per-round re-draw. Measured depth 10 at sf0.01; 20 unrolled
+    // gives 2x margin, rounds past the fixpoint are empty no-ops.
+    "g_coloring_mis" -> {
+      def pr(tbl: String, i: Int): String =
+        s"md5(CAST($tbl.vid AS VARCHAR) || '-$i')"
+      val rounds = (1 to ColorMisUnrollRounds).map { i =>
+        s"""m$i AS MATERIALIZED (
+           |  SELECT a.vid, ${pr("a", i)} AS pr FROM a${i - 1} a
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM e2 e JOIN a${i - 1} b ON b.vid = e.dst
+           |    WHERE e.src = a.vid
+           |      AND (${pr("b", i)} < ${pr("a", i)}
+           |        OR (${pr("b", i)} = ${pr("a", i)} AND b.vid < a.vid)))),
+           |u$i AS MATERIALIZED (
+           |  SELECT m.vid, c.color FROM m$i m
+           |  JOIN e2 e ON e.src = m.vid
+           |  JOIN c${i - 1} c ON c.vid = e.dst),
+           |col$i AS MATERIALIZED (
+           |  SELECT x.vid, min(x.cand) AS color,
+           |         CAST($i AS BIGINT) AS mis_round FROM (
+           |    SELECT m.vid, CAST(1 AS BIGINT) AS cand FROM m$i m
+           |    UNION ALL
+           |    SELECT u.vid, u.color + 1 FROM u$i u) x
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM u$i u2 WHERE u2.vid = x.vid AND u2.color = x.cand)
+           |  GROUP BY x.vid),
+           |c$i AS MATERIALIZED (
+           |  SELECT vid, color FROM c${i - 1}
+           |  UNION ALL SELECT vid, color FROM col$i),
+           |a$i AS MATERIALIZED (
+           |  SELECT a.vid FROM a${i - 1} a
+           |  WHERE NOT EXISTS (SELECT 1 FROM m$i m WHERE m.vid = a.vid))""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to ColorMisUnrollRounds)
+        .map(i => s"SELECT vid, color, mis_round FROM col$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH cp AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e2 AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+         |a0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS vid FROM e2),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(NULL AS BIGINT) AS vid, CAST(NULL AS BIGINT) AS color
+         |  WHERE 1 = 0),
+         |$rounds,
+         |cols AS ($union)
+         |SELECT vid, color, mis_round FROM cols
+         |WHERE NOT EXISTS (SELECT 1 FROM a$ColorMisUnrollRounds)""".stripMargin
+    },
+    // Trial-color coloring: unrolled rounds where each uncolored
+    // vertex proposes the k-th smallest color of
+    // [1..deg+1] \ {committed neighbor colors} with
+    // k = (vid*1000003 + i*10007) % |palette| (windowed
+    // generate_series pick), and commits unless an uncolored
+    // neighbor proposed the SAME color with a smaller
+    // (md5(vid || '-i'), vid) tie-break — identical arithmetic to
+    // the Spark loop. Measured depth 4 at sf0.01; 8 unrolled = 2x.
+    "g_coloring_trial" -> {
+      val rounds = (1 to ColorTrialUnrollRounds).map { i =>
+        s"""pal$i AS MATERIALIZED (
+           |  SELECT vid, deg, c,
+           |    row_number() OVER (PARTITION BY vid ORDER BY c) - 1 AS k,
+           |    count(*) OVER (PARTITION BY vid) AS m
+           |  FROM (
+           |    SELECT a.vid, a.deg, g.c
+           |    FROM a${i - 1} a, unnest(generate_series(1, a.deg + 1)) g(c)
+           |    WHERE NOT EXISTS (
+           |      SELECT 1 FROM e2 e JOIN c${i - 1} cc
+           |        ON cc.vid = e.dst AND cc.color = g.c
+           |      WHERE e.src = a.vid))),
+           |cand$i AS MATERIALIZED (
+           |  SELECT vid, deg, c AS cand,
+           |    md5(CAST(vid AS VARCHAR) || '-$i') AS pr
+           |  FROM pal$i WHERE k = (vid * 1000003 + $i * 10007) % m),
+           |col$i AS MATERIALIZED (
+           |  SELECT x.vid, x.cand AS color, CAST($i AS BIGINT) AS trial_round
+           |  FROM cand$i x
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM e2 e JOIN cand$i b ON b.vid = e.dst
+           |    WHERE e.src = x.vid AND b.cand = x.cand
+           |      AND (b.pr < x.pr OR (b.pr = x.pr AND b.vid < x.vid)))),
+           |c$i AS MATERIALIZED (
+           |  SELECT vid, color FROM c${i - 1}
+           |  UNION ALL SELECT vid, color FROM col$i),
+           |a$i AS MATERIALIZED (
+           |  SELECT a.vid, a.deg FROM a${i - 1} a
+           |  WHERE NOT EXISTS (SELECT 1 FROM col$i m WHERE m.vid = a.vid))""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to ColorTrialUnrollRounds)
+        .map(i => s"SELECT vid, color, trial_round FROM col$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH cp AS MATERIALIZED (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e2 AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp),
+         |a0 AS MATERIALIZED (
+         |  SELECT src AS vid, count(*) AS deg FROM e2 GROUP BY src),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(NULL AS BIGINT) AS vid, CAST(NULL AS BIGINT) AS color
+         |  WHERE 1 = 0),
+         |$rounds,
+         |cols AS ($union)
+         |SELECT vid, color, trial_round FROM cols
+         |WHERE NOT EXISTS (SELECT 1 FROM a$ColorTrialUnrollRounds)""".stripMargin
+    },
     // Deterministic greedy maximal matching: the identical unrolled
     // rounds — per round, minv_i is each vertex's minimum undecided
     // edge key (md5("src-dst") + zero-padded endpoints, globally
@@ -2944,6 +3115,8 @@ object GraphQueries {
     "g_kcore" -> kcore _,
     "g_mis" -> mis _,
     "g_coloring" -> coloring _,
+    "g_coloring_mis" -> coloringMis _,
+    "g_coloring_trial" -> coloringTrial _,
     "g_matching" -> matching _,
     "g_scc" -> scc _,
     "g_scc_condensation" -> sccCondensation _,
