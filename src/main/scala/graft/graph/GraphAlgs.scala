@@ -2235,6 +2235,13 @@ object GraphAlgs {
    * Returns (vid, mis_round): MIS members only, tagged with the
    * round that selected them (round tags certify the trajectory,
    * not just the final set). */
+  /** Lower-hex md5 of a string through a caller-owned digest
+   * instance (MessageDigest.digest resets itself after every call):
+   * the det-fixpoint hot paths hoist ONE instance per partition
+   * instead of paying a getInstance allocation per record. */
+  private def md5HexWith(md: java.security.MessageDigest, s: String): String =
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   def misDetDF(edges: DataFrame, maxIter: Int = 60): DataFrame = {
     val spark = edges.sparkSession
     val nSym = edges.count() * 2
@@ -2246,13 +2253,10 @@ object GraphAlgs {
       math.max(8, math.min(sym.getNumPartitions, (2 * nSym / 500000L).toInt)))
     val eBySrc = sym.partitionBy(p).persist()
     val adj = eBySrc.groupByKey(p).mapValues(_.toArray).persist()
-    def prOf(v: Long): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(v.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    var undecided = adj.mapPartitions(
-      _.map { case (v, _) => (v, prOf(v)) },
-      preservesPartitioning = true).persist()
+    var undecided = adj.mapPartitions({ it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (v, _) => (v, md5HexWith(md, v.toString)) }
+    }, preservesPartitioning = true).persist()
     var nUndecided = undecided.count()
     var round = 0L
     val misParts =
@@ -2338,10 +2342,6 @@ object GraphAlgs {
     val p = new org.apache.spark.HashPartitioner(
       math.max(8, math.min(sym.getNumPartitions, (2 * nSym / 500000L).toInt)))
     val eBySrc = sym.partitionBy(p).persist()
-    def prOf(v: Long): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(v.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     // smallest positive int absent from a sorted-ascending array
     def mex(sorted: Array[Long]): Long = {
       var want = 1L
@@ -2355,8 +2355,11 @@ object GraphAlgs {
     // uncolored state: vid -> (priority, used neighbor colors so far)
     var uncolored = eBySrc.mapValues(_ => ())
       .reduceByKey(p, (a, _) => a)
-      .mapPartitions(_.map { case (v, _) => (v, (prOf(v), Array.empty[Long])) },
-        preservesPartitioning = true).persist()
+      .mapPartitions({ it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (v, _) =>
+          (v, (md5HexWith(md, v.toString), Array.empty[Long])) }
+      }, preservesPartitioning = true).persist()
     var nUncolored = uncolored.count()
     var round = 0L
     val colorParts = scala.collection.mutable.ListBuffer
@@ -2411,6 +2414,240 @@ object GraphAlgs {
     df
   }
 
+  /** MIS-DRIVEN coloring schedule (the O(log n)-depth fix for
+   * [[colorDetDF]]'s data-dependent schedule, VERDICT r11 order #3):
+   * the SAME greedy-mex commit rule, but the per-round eligible set
+   * is one Luby-style MIS selection under priorities REFRESHED every
+   * round — pr_r(v) = md5("v-r") — instead of Jones–Plassmann's one
+   * fixed order. JP's round count is the longest priority-DECREASING
+   * path of the fixed order (a data property: 217 rounds on the 10x
+   * hub-star + tail probe, PERF.md), because a vertex stuck behind a
+   * chain re-loses with the same priorities every round. Fresh
+   * salts re-draw the race each round, so an uncolored vertex with
+   * d uncolored neighbors commits with probability ~1/(d+1) per
+   * round independently of past rounds — geometric decay, expected
+   * O(log n) rounds on bounded-degree regions and probe-measured
+   * sub-JP depth on the skew fixture. Same properness argument
+   * (same-round vertices are never adjacent: one of two adjacent
+   * uncolored vertices precedes the other under ANY total order),
+   * same <= Δ+1 color bound, and the whole trajectory — who colors
+   * when, with what — still replays in SQL as unrolled rounds with
+   * the salt inlined per round.
+   *
+   * Execution shape: identical per-round cost to [[colorDetDF]]
+   * (the refreshed priority is a map over the uncolored state, no
+   * extra shuffle); the used-color accumulation argument is
+   * unchanged — each edge delivers at most one color notification
+   * across the run.
+   *
+   * Returns (vid, color, mis_round) for EVERY vertex. */
+  def coloringMisDF(edges: DataFrame, maxIter: Int = 80): DataFrame = {
+    val spark = edges.sparkSession
+    val nSym = edges.count() * 2
+    val sym = edges
+      .select(col("src").cast("long"), col("dst").cast("long")).rdd
+      .flatMap(r => Iterator((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0))))
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(sym.getNumPartitions, (2 * nSym / 500000L).toInt)))
+    val eBySrc = sym.partitionBy(p).persist()
+    // smallest positive int absent from a sorted-ascending array
+    def mex(sorted: Array[Long]): Long = {
+      var want = 1L
+      var i = 0
+      while (i < sorted.length && sorted(i) <= want) {
+        if (sorted(i) == want) want += 1
+        i += 1
+      }
+      want
+    }
+    // uncolored state: vid -> used neighbor colors so far (sorted);
+    // priorities are NOT state — they are re-derived per round
+    var uncolored = eBySrc.mapValues(_ => ())
+      .reduceByKey(p, (a, _) => a)
+      .mapValues(_ => Array.empty[Long]).persist()
+    var nUncolored = uncolored.count()
+    var round = 0L
+    val colorParts = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[(Long, (Long, Long))]]
+    val retired =
+      scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    while (nUncolored > 0) {
+      round += 1
+      require(round <= maxIter,
+        s"coloringMis: $nUncolored vertices uncolored after $maxIter rounds — raise maxIter")
+      val r = round
+      // this round's salted priorities over the uncolored set
+      val pri = uncolored.mapPartitions({ it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (v, used) => (v, (md5HexWith(md, s"$v-$r"), used)) }
+      }, preservesPartitioning = true).persist()
+      val minNbr = eBySrc.join(pri, p)
+        .map { case (src, (dst, (prSrc, _))) => (dst, (prSrc, src)) }
+        .reduceByKey(p, (a, b) =>
+          if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+      // eligible vertices commit to mex(used): (vid, (color, round))
+      val newColored = pri.leftOuterJoin(minNbr, p)
+        .filter { case (v, ((prV, _), m)) =>
+          m.forall(mm => prV < mm._1 || (prV == mm._1 && v < mm._2)) }
+        .map { case (v, ((_, used), _)) => (v, (mex(used), r)) }
+        .persist()
+      val notify = eBySrc.join(newColored, p)
+        .map { case (_, (dst, (c, _))) => (dst, c) }
+      val arrived = notify.groupByKey(p).mapValues(_.toArray.sorted)
+      val next = uncolored.subtractByKey(newColored, p)
+        .leftOuterJoin(arrived, p)
+        .mapValues { case (used, add) =>
+          add.fold(used)(a => (used ++ a).sorted)
+        }.persist()
+      if (round % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined) {
+        next.checkpoint()
+        newColored.checkpoint()
+      }
+      nUncolored = next.count()
+      retired += uncolored
+      retired += pri
+      uncolored = next
+      colorParts += newColored
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.union(colorParts.toSeq)
+        .map { case (v, (c, r)) => (v, c, r) })
+      .toDF("vid", "color", "mis_round").cache()
+    df.count()
+    (retired.toSeq :+ uncolored).foreach(_.unpersist(blocking = false))
+    colorParts.foreach(_.unpersist(blocking = false))
+    eBySrc.unpersist(blocking = false)
+    df
+  }
+
+  /** TRIAL-COLOR (Δ+1)-coloring — the genuinely O(log n)-depth
+   * schedule (Johansson's algorithm, determinized): every round,
+   * each uncolored vertex PROPOSES one color from its remaining
+   * palette [1..deg+1] \ {colors of colored neighbors}, picked by
+   * the integer mix floorMod(v*1000003 + r*10007, |palette|) (the
+   * node2vec-family convention — order-free, engine-identical), and
+   * COMMITS unless an uncolored neighbor proposed the same color
+   * with a smaller (md5("u-r"), u) tie-break. Unlike the
+   * local-minimum schedules ([[colorDetDF]], [[coloringMisDF]]),
+   * whose commit probability is ~1/(d+1) — so moderate-degree
+   * pockets pay O(d log n) rounds — a trial-color vertex commits
+   * whenever its PROPOSAL is locally unique, which happens with
+   * constant probability at ANY degree (the palette is always
+   * larger than the number of uncolored neighbors still competing):
+   * expected O(log n) rounds on any graph. The md5 tie-break (not
+   * mutual deferral) also makes progress unconditional — the
+   * globally minimum (md5, vid) uncolored vertex wins all its ties
+   * every round, so the loop can never livelock on correlated
+   * proposals. Proper by construction: palettes exclude committed
+   * neighbor colors, and of two adjacent same-proposal vertices at
+   * most one commits; colors stay within deg(v)+1 <= Δ+1.
+   *
+   * Execution shape: per round one proposal exchange over edges
+   * with BOTH endpoints uncolored (O(Σ deg(uncolored)), shrinking
+   * geometrically) + the one-shot color notification of
+   * [[colorDetDF]]. The whole trajectory replays in SQL as unrolled
+   * rounds (palette k-th-smallest via a windowed generate_series,
+   * the same mix arithmetic, the same md5 tie-break).
+   *
+   * Returns (vid, color, trial_round) for EVERY vertex. */
+  def coloringTrialDF(edges: DataFrame, maxIter: Int = 80): DataFrame = {
+    val spark = edges.sparkSession
+    val nSym = edges.count() * 2
+    val sym = edges
+      .select(col("src").cast("long"), col("dst").cast("long")).rdd
+      .flatMap(r => Iterator((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0))))
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(8, math.min(sym.getNumPartitions, (2 * nSym / 500000L).toInt)))
+    val eBySrc = sym.partitionBy(p).persist()
+    // k-th smallest of [1..deg+1] \ used (used sorted ascending and
+    // DISTINCT — the merge below dedupes, and the scan below skips
+    // runs anyway; entries past deg+1 can appear — a neighbor's own
+    // palette bound differs — and never shrink this palette)
+    def pick(deg: Int, used: Array[Long], k: Long): Long = {
+      var want = 1L; var i = 0; var skip = k
+      while (true) {
+        while (i < used.length && used(i) < want) i += 1
+        if (i < used.length && used(i) == want) {
+          while (i < used.length && used(i) == want) i += 1
+        }
+        else if (skip == 0L) return want
+        else skip -= 1
+        want += 1
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    // uncolored state: vid -> (original degree, used colors sorted)
+    var uncolored = eBySrc.mapValues(_ => 1)
+      .reduceByKey(p, _ + _)
+      .mapValues(d => (d, Array.empty[Long])).persist()
+    var nUncolored = uncolored.count()
+    var round = 0L
+    val colorParts = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[(Long, (Long, Long))]]
+    val retired =
+      scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    while (nUncolored > 0) {
+      round += 1
+      require(round <= maxIter,
+        s"coloringTrial: $nUncolored vertices uncolored after $maxIter rounds — raise maxIter")
+      val r = round
+      // this round's proposal + tie-break priority per uncolored vertex
+      val prop = uncolored.mapPartitions({ it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (v, (deg, used)) =>
+          var inPal = 0
+          var i = 0
+          while (i < used.length) {
+            if (used(i) <= deg + 1 && (i == 0 || used(i) != used(i - 1))) inPal += 1
+            i += 1
+          }
+          val m = deg + 1 - inPal
+          val k = Math.floorMod(v * 1000003L + r * 10007L, m.toLong)
+          (v, (pick(deg, used, k), md5HexWith(md, s"$v-$r")))
+        }
+      }, preservesPartitioning = true).persist()
+      // conflict: an uncolored neighbor proposed the SAME color and
+      // precedes me in (md5, vid) — one exchange over live edges
+      val beaten = eBySrc.join(prop, p)
+        .map { case (src, (dst, (cand, pr))) => (dst, (cand, pr, src)) }
+        .join(prop, p)
+        .filter { case (v, ((cand, pr, src), (own, ownPr))) =>
+          cand == own && (pr < ownPr || (pr == ownPr && src < v)) }
+        .mapValues(_ => ())
+        .reduceByKey(p, (a, _) => a)
+      val newColored = prop.subtractByKey(beaten, p)
+        .map { case (v, (cand, _)) => (v, (cand, r)) }.persist()
+      val notify = eBySrc.join(newColored, p)
+        .map { case (_, (dst, (c, _))) => (dst, c) }
+      val arrived = notify.groupByKey(p).mapValues(_.toArray.sorted)
+      val next = uncolored.subtractByKey(newColored, p)
+        .leftOuterJoin(arrived, p)
+        .mapValues { case ((deg, used), add) =>
+          (deg, add.fold(used)(a => (used ++ a).distinct.sorted))
+        }.persist()
+      if (round % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined) {
+        next.checkpoint()
+        newColored.checkpoint()
+      }
+      nUncolored = next.count()
+      retired += uncolored
+      retired += prop
+      uncolored = next
+      colorParts += newColored
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.union(colorParts.toSeq)
+        .map { case (v, (c, r)) => (v, c, r) })
+      .toDF("vid", "color", "trial_round").cache()
+    df.count()
+    (retired.toSeq :+ uncolored).foreach(_.unpersist(blocking = false))
+    colorParts.foreach(_.unpersist(blocking = false))
+    eBySrc.unpersist(blocking = false)
+    df
+  }
+
   /** Deterministic greedy MAXIMAL MATCHING (Israeli–Itai shape)
    * over the canonical undirected edge set: per round, an undecided
    * edge is matched iff its key — md5("src-dst") followed by the
@@ -2443,15 +2680,24 @@ object GraphAlgs {
     val nE = canon.count()
     val p = new org.apache.spark.HashPartitioner(
       math.max(8, math.min(canon.rdd.getNumPartitions, (nE / 250000L).toInt)))
-    def keyOf(u: Long, v: Long): String = {
-      val md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$u-$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      f"$md5$u%012d$v%012d"
-    }
-    // undecided edges keyed by src: (u, (v, key))
+    // undecided edges keyed by src: (u, (v, key)). The tie-break
+    // suffix is FIXED-WIDTH 12-digit zero-padded endpoints — and the
+    // DuckDB oracle's lpad(...,12,'0') TRUNCATES rather than widens,
+    // so an id >= 10^12 would silently diverge across engines and
+    // break the lexicographic total order. Fail loudly instead; to
+    // go wider, widen the padding on BOTH engines in lockstep.
     var undecided = canon.rdd
       .map(r => (r.getLong(0), r.getLong(1)))
-      .map { case (u, v) => (u, (v, keyOf(u, v))) }
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (u, v) =>
+          require(u < 1000000000000L && v < 1000000000000L,
+            s"matchingDet: vertex id >= 1e12 overflows the fixed-width " +
+              s"12-digit tie-break key (edge $u-$v) — widen the padding " +
+              "in matchingDetDF AND its oracle lpad together")
+          (u, (v, f"${md5HexWith(md, s"$u-$v")}$u%012d$v%012d"))
+        }
+      }
       .partitionBy(p).persist()
     var nUndecided = nE
     var round = 0L
@@ -2606,12 +2852,33 @@ object GraphAlgs {
       outer += 1
       require(outer <= maxOuter,
         s"sccDet: $nActive vertices active after $maxOuter peel rounds — raise maxOuter")
-      // inner fixpoint: (fmin, bmin) over the active subgraph; the
-      // third state slot carries this round's changed flag so
-      // convergence needs no extra join against the previous state
-      var st = active.mapPartitions(
-        _.map { case (v, _) => (v, (v, v, true)) },
-        preservesPartitioning = true).persist()
+      // inner fixpoint: (fmin, bmin, fp, bp, changed) over the
+      // active subgraph. fp/bp are POINTER-DOUBLING chase pointers
+      // (VERDICT r11 order #6 / r12 order #6, the depth escape):
+      // fp(v) starts at v's min IN-neighbor (an id one step up any
+      // path reaching v) and squares its distance every jump via
+      // fp <- fp(fp); bp symmetrically chases the min OUT-neighbor.
+      // A jump pulls f(fp(v)) into f(v) — sound because fp(v)
+      // reaches v, so any id reaching fp(v) reaches v — and b(bp(v))
+      // into b(v). Plain min-LABEL jumping (f <- f(f)) is NOT a
+      // depth escape: on an id-ascending cycle b(v) stays v (a
+      // self-pointer carrying no progress) until 0's label walks
+      // over linearly, which is exactly how the old code tripped the
+      // 200-round guard on a 3000-cycle. Explicit pointers make the
+      // inner fixpoint O(log diameter). The FIXPOINT is unchanged
+      // (jumps only inject ids provably in the reaching/reachable
+      // sets), so the emitted labels — and the g_scc oracle hashes —
+      // are bit-identical; convergence is still detected on a plain
+      // edge round with zero label changes, BEFORE any jump runs.
+      val fwdE = eAll.filter(_._2._2)
+      val fpInit = fwdE.map { case (u, (v, _)) => (v, u) }
+        .reduceByKey(p, (a: Long, b: Long) => math.min(a, b))
+      val bpInit = fwdE.map { case (u, (v, _)) => (u, v) }
+        .reduceByKey(p, (a: Long, b: Long) => math.min(a, b))
+      var st = active.leftOuterJoin(fpInit, p).leftOuterJoin(bpInit, p)
+        .map { case (v, ((_, fp), bp)) =>
+          (v, (v, v, fp.getOrElse(v), bp.getOrElse(v), true)) }
+        .partitionBy(p).persist()
       var changed = 1L
       var inner = 0
       while (changed > 0) {
@@ -2619,27 +2886,48 @@ object GraphAlgs {
         require(inner <= maxInner,
           s"sccDet: min-propagation not converged after $maxInner rounds — raise maxInner")
         val msg = eAll.join(st, p)
-          .map { case (_, ((nbr, isFwd), (f, b, _))) =>
+          .map { case (_, ((nbr, isFwd), (f, b, _, _, _))) =>
             (nbr, if (isFwd) (f, INF) else (INF, b)) }
           .reduceByKey(p, (x, y) =>
             (math.min(x._1, y._1), math.min(x._2, y._2)))
         val next = st.leftOuterJoin(msg, p)
-          .mapValues { case ((f, b, _), m) =>
+          .mapValues { case ((f, b, fp, bp, _), m) =>
             val f2 = math.min(f, m.fold(INF)(_._1))
             val b2 = math.min(b, m.fold(INF)(_._2))
-            (f2, b2, f2 != f || b2 != b)
+            (f2, b2, fp, bp, f2 != f || b2 != b)
           }.persist()
         // cut the state lineage every 16 rounds (see misDetDF)
         if (inner % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)
           next.checkpoint()
-        changed = next.filter(_._2._3).count()
+        changed = next.filter(_._2._5).count()
         retired += st
         st = next
+        if (changed > 0 && inner % 2 == 0) {
+          val req = st.flatMap { case (v, (_, _, fp, bp, _)) =>
+            Iterator((fp, (v, true)), (bp, (v, false))) }
+          val resolved = req.join(st, p)
+            .map { case (_, ((v, isFwd), (fw, bw, fpw, bpw, _))) =>
+              (v, if (isFwd) (fw, fpw, INF, INF) else (INF, INF, bw, bpw)) }
+            .reduceByKey(p, (x, y) =>
+              (math.min(x._1, y._1), math.min(x._2, y._2),
+                math.min(x._3, y._3), math.min(x._4, y._4)))
+          val jumped = st.join(resolved, p)
+            .mapValues { case ((f, b, _, _, ch), (fj, fp2, bj, bp2)) =>
+              val f2 = math.min(f, fj)
+              val b2 = math.min(b, bj)
+              (f2, b2, fp2, bp2, ch || f2 != f || b2 != b)
+            }.persist()
+          if (inner % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)
+            jumped.checkpoint()
+          jumped.count()
+          retired += st
+          st = jumped
+        }
       }
       println(s"[graft-scc] peel round $outer: fixpoint in $inner rounds over $nActive active")
       val peel = st
-        .filter { case (_, (f, b, _)) => f == b }
-        .map { case (v, (f, _, _)) => (v, f) }.persist()
+        .filter { case (_, (f, b, _, _, _)) => f == b }
+        .map { case (v, (f, _, _, _, _)) => (v, f) }.persist()
       peel.count()
       done += peel
       retired += st

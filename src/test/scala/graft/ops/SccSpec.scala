@@ -78,6 +78,21 @@ class SccSpec extends SparkSpec {
     check(Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 4L)))
   }
 
+  test("sccDetDF converges on a high-diameter SCC far below the old depth guard") {
+    import spark.implicits._
+    // a directed 3000-cycle: one SCC of diameter 2999 — plain
+    // min-propagation needs ~3000 inner rounds and tripped the
+    // maxInner=200 guard; interleaved label pointer jumping
+    // (every 2nd round) converges in O(log n). maxInner stays 200:
+    // passing AT ALL proves the escape.
+    val n = 3000
+    val cycle = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+    val got = GraphAlgs.sccDetDF(cycle.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === n)
+    assert(got.forall { case (_, s, sz) => s == 0L && sz == n.toLong })
+  }
+
   test("dagLevelsDF computes longest-path layering; loud on a cycle") {
     import spark.implicits._
     // diamond + a long tail: levels are longest paths, not BFS hops

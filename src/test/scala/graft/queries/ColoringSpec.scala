@@ -89,6 +89,131 @@ class ColoringSpec extends SparkSpec {
     check((2L to 30L).map(v => (1L, v)))
   }
 
+  /** Round-synchronous replay of the MIS-driven schedule: per round,
+   * priorities are REFRESHED as md5("v-round") and every uncolored
+   * vertex preceding all uncolored neighbors under THIS round's
+   * draw commits mex(colored-neighbor colors). */
+  private def sequentialMis(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val adj = adjOf(edges)
+    val color = scala.collection.mutable.Map[Long, (Long, Long)]()
+    var uncolored = adj.keySet
+    var round = 0L
+    while (uncolored.nonEmpty) {
+      round += 1
+      val pr = uncolored.map(v => v -> md5hex(s"$v-$round")).toMap
+      val eligible = uncolored.filter(v => adj(v).forall(u =>
+        !uncolored.contains(u) ||
+          pr(v) < pr(u) || (pr(v) == pr(u) && v < u)))
+      eligible.foreach { v =>
+        val used = adj(v).flatMap(color.get).map(_._1)
+        color(v) = (mex(used), round)
+      }
+      uncolored = uncolored -- eligible
+      assert(round <= 200, "sequential replay not converging")
+    }
+    color.toMap
+  }
+
+  private def checkMis(edges: Seq[(Long, Long)]): Unit = {
+    val df = edges.toDF("src", "dst")
+    val got = GraphAlgs.coloringMisDF(df).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // exact trajectory agreement with the round-synchronous replay
+    assert(got === sequentialMis(edges))
+    // properness: no edge is monochromatic
+    assert(!edges.exists { case (a, b) => got(a)._1 == got(b)._1 })
+    // every vertex colored, colors within Delta+1
+    val adj = adjOf(edges)
+    assert(got.keySet === adj.keySet)
+    got.foreach { case (v, (c, _)) => assert(c >= 1 && c <= adj(v).size + 1) }
+  }
+
+  test("MIS-driven coloring on a path, a clique, and a star") {
+    checkMis(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    checkMis(for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b))
+    checkMis((2L to 30L).map(v => (1L, v)))
+  }
+
+  /** Round-synchronous replay of the trial-color schedule: per
+   * round, each uncolored vertex proposes the k-th smallest color of
+   * [1..deg+1] \ used with k = floorMod(v*1000003 + r*10007, m), and
+   * commits unless an uncolored neighbor proposed the same color
+   * with a smaller (md5("u-r"), u). */
+  private def sequentialTrial(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val adj = adjOf(edges)
+    val color = scala.collection.mutable.Map[Long, (Long, Long)]()
+    var uncolored = adj.keySet
+    var round = 0L
+    while (uncolored.nonEmpty) {
+      round += 1
+      val cand = uncolored.map { v =>
+        val deg = adj(v).size
+        val used = adj(v).flatMap(color.get).map(_._1)
+        val palette = (1L to (deg + 1L)).filterNot(used)
+        v -> palette(Math.floorMod(v * 1000003L + round * 10007L,
+          palette.size.toLong).toInt)
+      }.toMap
+      val pr = uncolored.map(v => v -> md5hex(s"$v-$round")).toMap
+      val commit = uncolored.filter(v => adj(v).forall(u =>
+        !uncolored.contains(u) || cand(u) != cand(v) ||
+          pr(v) < pr(u) || (pr(v) == pr(u) && v < u)))
+      commit.foreach(v => color(v) = (cand(v), round))
+      uncolored = uncolored -- commit
+      assert(round <= 200, "sequential replay not converging")
+    }
+    color.toMap
+  }
+
+  private def checkTrial(edges: Seq[(Long, Long)]): Unit = {
+    val df = edges.toDF("src", "dst")
+    val got = GraphAlgs.coloringTrialDF(df).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // exact trajectory agreement with the round-synchronous replay
+    assert(got === sequentialTrial(edges))
+    // properness: no edge is monochromatic
+    assert(!edges.exists { case (a, b) => got(a)._1 == got(b)._1 })
+    // every vertex colored, colors within Delta+1
+    val adj = adjOf(edges)
+    assert(got.keySet === adj.keySet)
+    got.foreach { case (v, (c, _)) => assert(c >= 1 && c <= adj(v).size + 1) }
+  }
+
+  test("trial coloring on a path, a clique, a star, and an isolated edge") {
+    checkTrial(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    checkTrial(for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b))
+    checkTrial((2L to 30L).map(v => (1L, v)))
+    // isolated edges with even id gap: the correlated-proposal shape
+    // where mutual deferral would livelock — the md5 tie-break must
+    // always let one endpoint through
+    checkTrial(Seq((2L, 4L), (6L, 8L), (10L, 12L)))
+  }
+
+  test("trial coloring on the sf0.001 backbone: replay, properness") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .selectExpr("l_orderkey AS o", "l_partkey AS p")
+    val edges = e.as("a").join(e.as("b"), "o")
+      .where($"a.p" < $"b.p")
+      .groupBy($"a.p".cast("long").as("src"), $"b.p".cast("long").as("dst"))
+      .count().where($"count" >= 2)
+      .select($"src", $"dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges.nonEmpty)
+    checkTrial(edges)
+  }
+
+  test("MIS-driven coloring on the sf0.001 backbone: replay, properness") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .selectExpr("l_orderkey AS o", "l_partkey AS p")
+    val edges = e.as("a").join(e.as("b"), "o")
+      .where($"a.p" < $"b.p")
+      .groupBy($"a.p".cast("long").as("src"), $"b.p".cast("long").as("dst"))
+      .count().where($"count" >= 2)
+      .select($"src", $"dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges.nonEmpty)
+    checkMis(edges)
+  }
+
   test("coloring on the sf0.001 backbone: replay, greedy identity, properness") {
     val e = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .selectExpr("l_orderkey AS o", "l_partkey AS p")
