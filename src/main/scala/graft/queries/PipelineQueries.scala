@@ -44,40 +44,6 @@ object PipelineQueries {
       Similarity.pqTrainCodebook(embs(spark, sfDir))
     }
 
-  /** Shared structural-contract reduction for the k-means IVF rows
-   * (learned cell centers cannot be replayed in SQL): exactly k
-   * distinct non-self neighbors per probe query, scores
-   * non-increasing with rank. A broken index (empty cells, self
-   * matches, unsorted heap) flips a boolean and fails the hash.
-   * One definition for the uncapped and capped rows, so a future
-   * contract tweak cannot silently diverge between them — the
-   * oracle twin is [[AnnStructuralOracle]]. */
-  private def annStructuralContract(topk: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-    topk
-      .withColumn("prev_score", lag(col("score"), 1).over(w))
-      .groupBy(col("query_id")).agg(
-        count(lit(1)).as("n"),
-        countDistinct(col("neighbor_id")).as("nd"),
-        min((col("prev_score").isNull ||
-          col("prev_score") >= col("score")).cast("int")).as("mono"),
-        max((col("neighbor_id") === col("query_id")).cast("int")).as("selfhit"))
-      .agg(
-        count(lit(1)).as("n_queries"),
-        sum(col("n")).as("n_rows"),
-        expr("bool_and(n = 5 AND nd = 5)").as("k_ok"),
-        expr("bool_and(mono = 1)").as("monotone_ok"),
-        expr("bool_and(selfhit = 0)").as("no_self_ok"))
-  }
-
-  /** Oracle twin of [[annStructuralContract]]: counts from the
-   * probe-set definition, booleans TRUE. */
-  private val AnnStructuralOracle: String =
-    """SELECT count(*) AS n_queries, CAST(count(*) * 5 AS BIGINT) AS n_rows,
-      |  TRUE AS k_ok, TRUE AS monotone_ok, TRUE AS no_self_ok
-      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
-
   /** Cached (doc_id, shingle) rows — the input of minhash sigs, LSH
    * bands/pairs, and jaccard. */
   private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
@@ -505,23 +471,26 @@ object PipelineQueries {
       Similarity.ivfTopK(embs(s, d), cellCap = 32)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")),
-    // k-means IVF: the learned cell centers cannot be replayed in
-    // SQL, so the gate checks the structural contract instead —
-    // exactly k distinct non-self neighbors per probe query, scores
-    // non-increasing with rank. A broken index (empty cells, self
-    // matches, unsorted heap) flips a boolean and fails the hash.
+    // k-means IVF: the TRAINED coarse quantizer is the deterministic
+    // integer Lloyd k-means, whose whole trajectory replays in SQL —
+    // so the top-k ROWS verify value-level (the structural-contract
+    // reduction this row carried while MLlib-backed is gone; VERDICT
+    // r12 order #5).
     "p_ann_ivf_kmeans" -> ((s, d) =>
-      annStructuralContract(Similarity.ivfKmeansTopK(embs(s, d)))),
+      Similarity.ivfKmeansTopK(embs(s, d))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")),
     // the hot-cell scale path: per-cell candidate set truncated to
-    // cellCap=32 in deterministic hash order BEFORE scoring (bounds
-    // the cell join at O(queries x cap) under any skew — the
+    // cellCap=32 in (md5(vec_id), vec_id) order BEFORE scoring
+    // (bounds the cell join at O(queries x cap) under any skew — the
     // ScaleProbe ivf-hot corpus measures the uncapped path at
     // growth exponent ~2.9). The cap binds on the sf corpus
-    // (~60-member cells), so the gate exercises the truncated
-    // ranking under the same structural contract as the uncapped
-    // k-means row.
+    // (~60-member cells), and the oracle replays the exact
+    // md5-ordered survivor set and its ranking.
     "p_ann_ivf_capped" -> ((s, d) =>
-      annStructuralContract(Similarity.ivfKmeansTopK(embs(s, d), cellCap = 32))),
+      Similarity.ivfKmeansTopK(embs(s, d), cellCap = 32)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")),
     // band-key width pinned to deriveBandBits(500) = 9 — the sf0.01
     // corpus count the driver verifies at — so the static oracle's
     // inlined plane literals replay the identical signature
@@ -843,6 +812,72 @@ object PipelineQueries {
   // a tweak to p_ann_ivf's prediction can never drift the twin)
   def oracles: Map[String, String] =
     oraclesBase + ("p_ann_ivf_persist" -> oraclesBase("p_ann_ivf"))
+
+  /** Oracle for `s_stream_semdedup` ([[graft.streaming.StreamOps
+   * .semDedupStream]]): the drained online dedup equals ONE batch
+   * pass — k-means trained on the STATIC corpus only (the base
+   * kmeans replay), arrivals assigned to the FINAL static centroids
+   * (`c2`, the ones the d3 assignment used — no retraining), and
+   * each arrival checked against corpus + every lower-id arrival
+   * with the exact-integer cosine rule. The three arrival groups
+   * (ids +100000 near-copies of the corpus, +200000 reversed novel
+   * directions, +300000 near-copies of the reversed) exercise the
+   * static-pool, kept, and accumulated-state legs respectively. */
+  lazy val SemDedupStreamOracle: String = {
+    val dot = "CAST(list_dot_product(a.qs::DOUBLE[], b.qs::DOUBLE[]) AS BIGINT)"
+    s"""WITH ${kmeansReplayCtes()},
+       |bqs AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qs
+       |  FROM s),
+       |basesd AS (SELECT d3.vec_id, d3.cluster, bqs.qs,
+       |  CAST(list_dot_product(bqs.qs::DOUBLE[], bqs.qs::DOUBLE[]) AS BIGINT) AS n2
+       |  FROM d3 JOIN bqs USING (vec_id)),
+       |arr AS (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |    [(embedding::DOUBLE[])[1] + 0.1] || (embedding::DOUBLE[])[2:] AS v
+       |  FROM embeddings WHERE vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 200000, list_reverse(embedding::DOUBLE[])
+       |  FROM embeddings WHERE vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 300000,
+       |    [list_reverse(embedding::DOUBLE[])[1] + 0.1]
+       |      || list_reverse(embedding::DOUBLE[])[2:]
+       |  FROM embeddings WHERE vec_id % 7 = 0),
+       |am AS (SELECT vec_id, v,
+       |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+       |  FROM arr),
+       |asx AS (SELECT vec_id, v, 127.0 / max_abs AS scale
+       |  FROM am WHERE max_abs > 0.0),
+       |aq AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT) + 127) AS q
+       |  FROM asx),
+       |ad AS (SELECT vec_id, cluster FROM (
+       |    SELECT aq.vec_id, c.cluster,
+       |      row_number() OVER (PARTITION BY aq.vec_id ORDER BY
+       |        CAST(list_dot_product(aq.q::DOUBLE[], aq.q::DOUBLE[])
+       |          - 2 * list_dot_product(aq.q::DOUBLE[], c.c::DOUBLE[])
+       |          + list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]) AS BIGINT),
+       |        c.cluster) AS rk
+       |    FROM aq CROSS JOIN c2 c)
+       |  WHERE rk = 1),
+       |aqs AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qs
+       |  FROM asx),
+       |arrsd AS MATERIALIZED (SELECT ad.vec_id, ad.cluster, aqs.qs,
+       |  CAST(list_dot_product(aqs.qs::DOUBLE[], aqs.qs::DOUBLE[]) AS BIGINT) AS n2
+       |  FROM ad JOIN aqs USING (vec_id)),
+       |pool AS (SELECT * FROM basesd UNION ALL SELECT * FROM arrsd),
+       |dup AS (
+       |  SELECT b.vec_id, min(a.vec_id) AS dup_of
+       |  FROM pool a JOIN arrsd b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE $dot > 0 AND 10000 * $dot * $dot >= 9216 * a.n2 * b.n2
+       |  GROUP BY b.vec_id)
+       |SELECT arrsd.vec_id, arrsd.cluster, dup.dup_of,
+       |  dup.dup_of IS NULL AS kept
+       |FROM arrsd LEFT JOIN dup ON dup.vec_id = arrsd.vec_id""".stripMargin
+  }
 
   private def oraclesBase: Map[String, String] = Map(
     // the plane constants are embedded verbatim (shortest round-trip
@@ -1324,13 +1359,47 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
-    // structural contract for the k-means IVF paths (see
-    // annStructuralContract): counts from the probe-set definition,
-    // booleans TRUE. The capped variant keeps cap (32) >= k+1 on
-    // every cell, so each probe query still yields exactly k
-    // distinct non-self neighbors in monotone score order.
-    "p_ann_ivf_kmeans" -> AnnStructuralOracle,
-    "p_ann_ivf_capped" -> AnnStructuralOracle,
+    // k-means IVF replayed value-level: the det k-means trajectory
+    // (kmeansReplayCtes — the same CTEs p_kmeans verifies) yields
+    // each vector's cell, then exact cosine top-5 within the
+    // query's cell, ties on neighbor id
+    "p_ann_ivf_kmeans" ->
+      s"""WITH ${kmeansReplayCtes()},
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cand AS (SELECT d3.cluster AS cell, ev.vec_id, ev.v
+         |  FROM ev JOIN d3 USING (vec_id)),
+         |qy AS (SELECT cell, vec_id AS query_id, v AS qv FROM cand
+         |  WHERE vec_id % 10 = 0),
+         |scored AS (SELECT query_id, cand.vec_id AS neighbor_id,
+         |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
+         |  FROM qy JOIN cand USING (cell) WHERE cand.vec_id <> query_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // the capped k-means IVF replayed value-level: per-cell
+    // candidates truncated to the first 32 in (md5(vec_id), vec_id)
+    // order — the identical deterministic order the Spark window
+    // pass uses — queries drawn from ALL cell members
+    "p_ann_ivf_capped" ->
+      s"""WITH ${kmeansReplayCtes()},
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |asg AS (SELECT d3.cluster AS cell, ev.vec_id, ev.v
+         |  FROM ev JOIN d3 USING (vec_id)),
+         |cand AS (SELECT cell, vec_id, v FROM (
+         |  SELECT cell, vec_id, v, row_number() OVER (
+         |    PARTITION BY cell
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cpos
+         |  FROM asg) WHERE cpos <= 32),
+         |qy AS (SELECT cell, vec_id AS query_id, v AS qv FROM asg
+         |  WHERE vec_id % 10 = 0),
+         |scored AS (SELECT query_id, cand.vec_id AS neighbor_id,
+         |  floor(($Cos) * 1e9 + 0.5) / 1e9 AS score
+         |  FROM qy JOIN cand USING (cell) WHERE cand.vec_id <> query_id)
+         |SELECT query_id, rank, neighbor_id, score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
     "p_embed_centroids" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT label, CAST(i - 1 AS BIGINT) AS dim,

@@ -35,9 +35,9 @@ class CertificateInventorySpec extends AnyFunSuite {
     "g_wcc_initial_partition_wcc_check" -> 2,
     "g_wcc_partition_wcc_check" -> 2,
     // (b) sketch-accuracy / roundtrip contracts: the asserted value
-    // exists only on the Spark side
-    "p_ann_ivf_kmeans" -> 3, // k_ok, monotone_ok, no_self_ok
-    "p_ann_ivf_capped" -> 3,
+    // exists only on the Spark side. (The k-means IVF rows left this
+    // list in round 13: their quantizer is the SQL-replayable det
+    // k-means now, so both rows verify value-level.)
     "p_bloom_decontaminate" -> 2, // contains_all_ok, fp_bounded_ok
     "r_aes_roundtrip" -> 1,
     "r_approx_distinct" -> 1,

@@ -99,9 +99,11 @@ class SimilaritySpec extends SparkSpec {
   test("kmeans ivf topk: deterministic, scores agree with brute force") {
     val brute = Similarity.bruteForceTopK(e, k = 500, queryMod = 100).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    def sorted(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).sortBy(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Int])).toSeq
     val a = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100).collect()
     val b = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100).collect()
-    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(sorted(a) === sorted(b))
     a.foreach { r =>
       brute.get((r.getLong(0), r.getLong(2)))
         .foreach(s => assert(math.abs(s - r.getDouble(3)) < 1e-12))
@@ -111,15 +113,17 @@ class SimilaritySpec extends SparkSpec {
   test("kmeans ivf cellCap: non-binding cap is byte-identical; binding cap bounds candidates") {
     // cap far above any cell size: results must equal the uncapped
     // path row-for-row (the 'sub-cap cells byte-identical' contract)
+    def sorted(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).sortBy(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Int])).toSeq
     val uncapped = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100).collect()
     val loose = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100,
       cellCap = 1000000).collect()
-    assert(loose.map(_.toSeq).toSeq === uncapped.map(_.toSeq).toSeq)
+    assert(sorted(loose) === sorted(uncapped))
     // binding cap: still k distinct non-self neighbors per query,
     // deterministic across invocations
     val a = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100, cellCap = 8).collect()
     val b = Similarity.ivfKmeansTopK(e, k = 5, queryMod = 100, cellCap = 8).collect()
-    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(sorted(a) === sorted(b))
     a.groupBy(_.getLong(0)).foreach { case (q, rows) =>
       assert(rows.length === 5)
       assert(rows.map(_.getLong(2)).distinct.length === 5)
