@@ -59,7 +59,8 @@ object SparkEntry {
       "s_stream_observe" -> (graft.streaming.StreamOps.streamObserve _),
       "s_stream_session_window" -> (graft.streaming.StreamOps.sessionWindowStream _),
       "s_wcc_incremental" -> (graft.streaming.StreamOps.incrementalWccStream _),
-      "s_stream_ann" -> (graft.streaming.StreamOps.annRetrieveStream _))
+      "s_stream_ann" -> (graft.streaming.StreamOps.annRetrieveStream _),
+      "s_stream_semdedup" -> (graft.streaming.StreamOps.semDedupStream _))
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AdvancedQueries.oracles ++ GraphQueries.oracles ++
@@ -87,6 +88,11 @@ object SparkEntry {
       // scored against the STATIC persisted index, so the drained
       // union equals the batch cell-probe — one shared oracle
       "s_stream_ann" -> PipelineQueries.oracles("p_ann_ivf"),
+      // online semantic dedup-on-ingest: arrivals staged in ascending
+      // id order, each checked against static pool + every seen
+      // arrival — the drained output equals one batch pass over
+      // corpus + arrivals (see StreamOps.semDedupStream)
+      "s_stream_semdedup" -> PipelineQueries.SemDedupStreamOracle,
       // within-watermark dedup over a drained bounded stream = batch
       // distinct per (user, type), counted per user
       "s_stream_dedup_ww" ->

@@ -253,7 +253,12 @@ object StreamOps {
    * comparison legs: group A (near-copies of corpus vectors) dies
    * against the STATIC pool, group B (reversed vectors — novel
    * directions) is KEPT, and group C (near-copies of group B) dies
-   * against the ACCUMULATED STATE from an earlier micro-batch.
+   * against the ACCUMULATED STATE from an earlier micro-batch —
+   * except the few arrivals whose re-quantization (the +0.1 shift
+   * changes max_abs) lands them in a different k-means cell than
+   * their twin: cluster bucketing never compares cross-cell pairs
+   * (SemDeDup's documented approximation), so those are kept, on
+   * both engines alike.
    * Arrivals are staged in ascending vec_id order, so "lower id" is
    * always already seen and the drained output equals one batch pass
    * over corpus + arrivals — which is what the DuckDB oracle

@@ -120,6 +120,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("s_stream_semdedup drains to the batch answer across all three comparison legs") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = StreamOps.semDedupStream(spark, sfDir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    assert(out.nonEmpty && out.length % 3 === 0)
+    val (a, rest) = out.partition(_._1 < 200000L)
+    val (b, c) = rest.partition(_._1 < 300000L)
+    assert(a.length === b.length && b.length === c.length)
+    // group B (reversed vectors — novel directions) is KEPT
+    assert(b.forall { case (_, dup, kept) => kept && dup.isEmpty })
+    // group A (near-copies of corpus vectors) dies against the
+    // STATIC pool with dup_of = the corpus source id — except the
+    // few arrivals whose re-quantization (different max_abs after
+    // the +0.1 shift) lands them in a different k-means cell than
+    // their source: SemDeDup's cluster bucketing never compares
+    // cross-cell pairs (the documented approximation), so those few
+    // are kept. Same for group C against the ACCUMULATED STATE from
+    // an earlier micro-batch (dup_of = the group-B id).
+    for (g <- Seq(a, c)) {
+      assert(g.filterNot(_._3).forall { case (id, dup, _) =>
+        dup.contains(id - 100000L) })
+      assert(g.count(_._3) <= g.length / 10,
+        "cross-cell misses must stay the rare exception in the fixture")
+    }
+  }
+
   test("update-mode mapGroupsWithState running state equals the batch aggregate") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
