@@ -375,6 +375,20 @@ object ScaleProbe {
           val a = df.agg(max(col("jp_round")), max(col("color"))).head()
           println(s"[scale-probe] skew coloring edges=${coreFree.count()} maxDeg=$hub rounds=${a.getLong(0)} colors=${a.getLong(1)}")
           df.unpersist(blocking = false)
+          // the MIS-driven schedule on the IDENTICAL fixture: fresh
+          // per-round priorities re-draw the race, so the depth is
+          // expected O(log n) where JP's fixed order pays the longest
+          // decreasing chain (the 96->217 growth row in PERF.md)
+          val dfMis = GraphAlgs.coloringMisDF(coreFree, maxIter = 400)
+          val b = dfMis.agg(max(col("mis_round")), max(col("color"))).head()
+          println(s"[scale-probe] skew coloring-mis edges=${coreFree.count()} maxDeg=$hub rounds=${b.getLong(0)} colors=${b.getLong(1)}")
+          dfMis.unpersist(blocking = false)
+          // trial-color on the identical fixture: constant per-round
+          // commit probability at any degree — the O(log n) depth
+          val dfTrial = GraphAlgs.coloringTrialDF(coreFree, maxIter = 400)
+          val c = dfTrial.agg(max(col("trial_round")), max(col("color"))).head()
+          println(s"[scale-probe] skew coloring-trial edges=${coreFree.count()} maxDeg=$hub rounds=${c.getLong(0)} colors=${c.getLong(1)}")
+          dfTrial.unpersist(blocking = false)
           coreFree.unpersist(blocking = false)
         }
         phase("skew greedy matching") {
