@@ -188,6 +188,25 @@ class ColoringSpec extends SparkSpec {
     checkTrial(Seq((2L, 4L), (6L, 8L), (10L, 12L)))
   }
 
+  test("trial coloring colors a 300-clique in O(log n) rounds (JP/MIS need ~n)") {
+    // a clique is the local-minimum schedules' worst case: exactly
+    // one vertex per round can be the minimum of the (all-adjacent)
+    // uncolored set, so JP and the MIS schedule both need ~n rounds.
+    // Trial proposals are palette-random, so a constant fraction is
+    // locally unique each round — the whole clique colors in
+    // O(log n). maxIter = 60 << 300 makes passing AT ALL the proof.
+    val n = 300L
+    val clique = for (a <- 1L to n; b <- (a + 1) to n) yield (a, b)
+    val got = GraphAlgs.coloringTrialDF(clique.toDF("src", "dst"), maxIter = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === n)
+    // proper on a clique = all colors distinct, each within [1, n]
+    assert(got.map(_._2).distinct.length === n.toInt)
+    assert(got.forall { case (_, c, _) => c >= 1 && c <= n })
+    val rounds = got.map(_._3).max
+    assert(rounds <= 60, s"took $rounds rounds")
+  }
+
   test("trial coloring on the sf0.001 backbone: replay, properness") {
     val e = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .selectExpr("l_orderkey AS o", "l_partkey AS p")
