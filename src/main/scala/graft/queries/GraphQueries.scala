@@ -190,18 +190,21 @@ object GraphQueries {
    * the counts come from WccCheck's own DataFrame path, never from
    * TriangleStats. */
   private def wccCheckCnt(spark: SparkSession, sfDir: String): DataFrame =
-    memoize(spark, s"wccCheckCnt:$sfDir") {
-      val df = WccCheck.edgeCommonCounts(canonEdges(spark, sfDir)).cache()
-      df.count(); df
-    }
+    wccCheckStages(spark, sfDir)._1
 
   /** The checks' second shared label-independent stage: the distinct
    * triangles ([[WccCheck.triangleRows]], one row per triangle) each
    * check's intra-community triangle counts join against. */
   private def wccCheckTriangles(spark: SparkSession, sfDir: String): DataFrame =
-    memoize(spark, s"wccCheckTriangles:$sfDir") {
-      val df = WccCheck.triangleRows(canonEdges(spark, sfDir)).cache()
-      df.count(); df
+    wccCheckStages(spark, sfDir)._2
+
+  /** Both stages derive from ONE memoized adjacency scaffold
+   * ([[WccCheck.sharedStages]]) — separate memos paid the
+   * symmetrize + collect_list + double-join build twice. */
+  private def wccCheckStages(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) =
+    memoize(spark, s"wccCheckStages:$sfDir") {
+      WccCheck.sharedStages(canonEdges(spark, sfDir))
     }
 
   /** The checks' third shared label-independent stage: per-vertex

@@ -64,6 +64,22 @@ object WccCheck {
   def edgeCommonCounts(edges: DataFrame): DataFrame =
     cntProjection(edgeNbrJoin(edges))
 
+  /** Both label-independent stages off ONE adjacency build: the
+   * edge/neighbor join (symmetrize + collect_list + two joins — the
+   * expensive scaffold) is materialized once, both projections are
+   * cached and counted, and the scaffold is dropped. A session
+   * memoizing [[edgeCommonCounts]] and [[triangleRows]] separately
+   * would pay the scaffold twice. */
+  def sharedStages(edges: DataFrame): (DataFrame, DataFrame) = {
+    val j = edgeNbrJoin(edges).cache()
+    val cnt = cntProjection(j).cache()
+    cnt.count()
+    val triangles = trianglesProjection(j).cache()
+    triangles.count()
+    j.unpersist(blocking = false)
+    (cnt, triangles)
+  }
+
   /** DISTINCT triangles of the canonical edge set, one row
    * (src, dst, w) with src < dst < w per triangle: the canonical
    * edges have src < dst, so of a triangle {a < b < c}'s three
