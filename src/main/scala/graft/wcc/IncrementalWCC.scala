@@ -372,7 +372,16 @@ object IncrementalWCC {
   /** Fixed-5 refinement (reference `IncrementalWCC.scala:332-393`):
    * no WCC acceptance test; candidates are neighbor communities
    * present in the current stats (always true here because stats are
-   * recomputed from the same graph each iteration). */
+   * recomputed from the same graph each iteration).
+   *
+   * Zero-move short-circuit (value-identical): the movement decision
+   * is a pure function of the current graph state — if an iteration
+   * moves NO vertex, the state is unchanged and every remaining
+   * iteration provably recomputes the identical no-op, so the loop
+   * exits early instead of paying their exchanges. Detection is a
+   * LongAccumulator bumped inside the movement join when a cId
+   * changes — retries can only inflate a NONZERO count, never
+   * fabricate one from a true zero, and only zero-ness is read. */
   private[wcc] def refinePartition(initGraph: Graph[VertexData, Int],
       globalCC: Double, vertexCount: Long): (Graph[VertexData, Int], Map[Long, CommunityData]) = {
     val sc = initGraph.vertices.sparkContext
@@ -388,9 +397,11 @@ object IncrementalWCC {
       var bestCs = CommunityOps.statsFromSurfaces(initGraph, curSurf)
       var g = initGraph
       var it = 0
+      var quiesced = false
       do {
         it += 1
         val bStats = sc.broadcast(bestCs)
+        val movedAcc = sc.longAccumulator(s"idwcc-moves-$it")
         val moved = g.outerJoinVertices(curSurf) { (_, vd, sOpt) =>
           sOpt match {
             case Some(s) =>
@@ -398,8 +409,10 @@ object IncrementalWCC {
               // communities (`:372`), which is vacuous here: stats
               // are recomputed from this same graph, so every
               // neighbor cId is present — pass the full map.
-              DistributedWCC.bestMovementCompact(vd, s.cIds, s.counts,
+              val out = DistributedWCC.bestMovementCompact(vd, s.cIds, s.counts,
                 bStats.value, globalCC, vertexCount)
+              if (out.cId != vd.cId) movedAcc.add(1L)
+              out
             case None => vd
           }
         }
@@ -414,7 +427,12 @@ object IncrementalWCC {
           g.edges.unpersist(blocking = false)
         }
         g = moved
-      } while (it < 5)
+        // statsFromSurfaces materialized the joined vertices, so the
+        // accumulator is populated by the time it is read
+        quiesced = movedAcc.value == 0L
+        if (quiesced && it < 5)
+          System.err.println(s"[graft-idwcc] refine quiesced after iter $it")
+      } while (it < 5 && !quiesced)
       curSurf.unpersist(blocking = false)
       (g, bestCs)
     } else {
@@ -423,13 +441,18 @@ object IncrementalWCC {
       var bestCs = CommunityOps.statsFromDegrees(initGraph, curDeg)
       var g = initGraph
       var it = 0
+      var quiesced = false
       do {
         it += 1
         val bStats = sc.broadcast(bestCs)
+        val movedAcc = sc.longAccumulator(s"idwcc-moves-$it")
         val moved = g.outerJoinVertices(curDeg) { (_, vd, degOpt) =>
           degOpt match {
             case Some(deg) =>
-              DistributedWCC.bestMovement(vd, deg, bStats.value, globalCC, vertexCount)
+              val out = DistributedWCC.bestMovement(vd, deg, bStats.value,
+                globalCC, vertexCount)
+              if (out.cId != vd.cId) movedAcc.add(1L)
+              out
             case None => vd
           }
         }
@@ -444,7 +467,10 @@ object IncrementalWCC {
           g.edges.unpersist(blocking = false)
         }
         g = moved
-      } while (it < 5)
+        quiesced = movedAcc.value == 0L
+        if (quiesced && it < 5)
+          System.err.println(s"[graft-idwcc] refine quiesced after iter $it")
+      } while (it < 5 && !quiesced)
       curDeg.unpersist(blocking = false)
       (g, bestCs)
     }
