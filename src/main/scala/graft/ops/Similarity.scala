@@ -766,6 +766,87 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Deterministic top principal component of the embedding corpus —
+   * the dimensionality-reduction / drift-monitoring primitive of an
+   * embedding pipeline — as an exactly-replayable two-stage job:
+   *
+   *  1. EXACT integer covariance of the signed-int8 quantization
+   *     ([[signedQs]]): one treeAggregate pass accumulating the d x d
+   *     Gram sums in a Long array — order-free (integer addition
+   *     commutes), map-side combined (d^2 longs = 32 KiB per task at
+   *     d = 64), overflow-LOUD via addExact (bound: n * 127^2 * d per
+   *     entry — ~4*10^12 vectors at 64 dims before the guard trips).
+   *     This is the only corpus-sized stage, a single scan at any
+   *     scale.
+   *  2. Driver-side power iteration on the tiny integer matrix:
+   *     20 rounds of v <- normalize(C * v) from v0 = e_1, every fold
+   *     in ascending-index order — so each double is one fixed IEEE
+   *     op sequence and the DuckDB oracle replays the recurrence
+   *     bit-for-bit with ordered list_reduce folds.
+   *
+   * Returns one row per dimension: (dim 1-based, pc) plus the
+   * Rayleigh eigenvalue and explained-variance fraction (eig /
+   * trace), all floor-rounded at 1e-9 on both engines. */
+  def pcaPowerDet(embeddings: DataFrame, iters: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    val rows = signedQs(embeddings).select(col("qs")).rdd
+      .map(_.getSeq[Long](0).toArray)
+    val d = rows.first().length
+    val cov = rows.treeAggregate(new Array[Long](d * d))(
+      seqOp = { (acc, v) =>
+        require(v.length == d,
+          s"pcaPowerDet: ragged embedding widths (${v.length} vs $d)")
+        var i = 0
+        while (i < d) {
+          val vi = v(i); var j = 0
+          while (j < d) {
+            acc(i * d + j) = Math.addExact(acc(i * d + j), vi * v(j)); j += 1
+          }
+          i += 1
+        }
+        acc
+      },
+      combOp = { (a, b) =>
+        var k = 0
+        while (k < a.length) { a(k) = Math.addExact(a(k), b(k)); k += 1 }
+        a
+      })
+    // driver power iteration — ascending-index left folds only
+    val v = new Array[Double](d); v(0) = 1.0
+    def multiply(x: Array[Double]): Array[Double] = {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0; var j = 0
+        while (j < d) { s += cov(i * d + j).toDouble * x(j); j += 1 }
+        w(i) = s; i += 1
+      }
+      w
+    }
+    var it = 0
+    while (it < iters) {
+      val w = multiply(v)
+      var n2 = 0.0; var i = 0
+      while (i < d) { n2 += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      i = 0
+      while (i < d) { v(i) = w(i) / nrm; i += 1 }
+      it += 1
+    }
+    val wf = multiply(v)
+    var eig = 0.0; var trace = 0L
+    var i = 0
+    while (i < d) {
+      eig += v(i) * wf(i); trace = Math.addExact(trace, cov(i * d + i)); i += 1
+    }
+    def rnd9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    val out = (0 until d).map(k =>
+      ((k + 1).toLong, rnd9(v(k)), rnd9(eig), rnd9(eig / trace.toDouble)))
+    spark.createDataFrame(out)
+      .toDF("dim", "pc", "eig", "var_frac")
+      .orderBy("dim")
+  }
+
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     embeddings

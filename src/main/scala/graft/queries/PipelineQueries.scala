@@ -471,6 +471,11 @@ object PipelineQueries {
       Similarity.ivfTopK(embs(s, d), cellCap = 32)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")),
+    // deterministic top principal component: exact integer covariance
+    // of the signed-int8 quantization (one treeAggregate scan) +
+    // driver power iteration with ascending-index IEEE folds — the
+    // DuckDB oracle replays the identical recurrence bit-for-bit
+    "p_embed_pca" -> ((s, d) => Similarity.pcaPowerDet(embs(s, d))),
     // k-means IVF: the TRAINED coarse quantizer is the deterministic
     // integer Lloyd k-means, whose whole trajectory replays in SQL —
     // so the top-k ROWS verify value-level (the structural-contract
@@ -1359,6 +1364,67 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // Exact replay of the deterministic PCA power iteration: integer
+    // Gram sums over the signed quantization (exact BIGINTs), then
+    // 20 unrolled normalize rounds whose every float fold runs in
+    // ascending index order (list_reduce over ORDER BY lists) — the
+    // identical IEEE op sequence the Spark driver executes, so the
+    // component, Rayleigh eigenvalue, and explained-variance
+    // fraction match bit-for-bit after the shared 1e-9 floor-round.
+    "p_embed_pca" -> {
+      def round(i: Int): String =
+        s"""w$i AS MATERIALIZED (
+           |  SELECT cov.i AS i,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(CAST(cov.c AS DOUBLE) * v.x ORDER BY cov.j)),
+           |      (a, b) -> a + b) AS w
+           |  FROM cov JOIN v${i - 1} v ON v.i = cov.j GROUP BY cov.i),
+           |n$i AS MATERIALIZED (
+           |  SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(w * w ORDER BY i)), (a, b) -> a + b)) AS nrm FROM w$i),
+           |v$i AS MATERIALIZED (
+           |  SELECT w$i.i, w$i.w / n$i.nrm AS x FROM w$i, n$i)""".stripMargin
+      val rounds = (1 to 20).map(round).mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+         |  FROM e),
+         |s AS (SELECT vec_id, v, 127.0 / max_abs AS scale
+         |  FROM m WHERE max_abs > 0.0),
+         |q AS MATERIALIZED (SELECT vec_id,
+         |  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qs
+         |  FROM s),
+         |cov AS MATERIALIZED (
+         |  SELECT ti.i AS i, tj.j AS j,
+         |    CAST(sum(q.qs[ti.i] * q.qs[tj.j]) AS BIGINT) AS c
+         |  FROM q,
+         |    unnest(generate_series(1, len(q.qs))) ti(i),
+         |    unnest(generate_series(1, len(q.qs))) tj(j)
+         |  GROUP BY 1, 2),
+         |v0 AS MATERIALIZED (
+         |  SELECT i,
+         |    CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END AS x
+         |  FROM (SELECT DISTINCT i FROM cov)),
+         |$rounds,
+         |wf AS MATERIALIZED (
+         |  SELECT cov.i AS i,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(CAST(cov.c AS DOUBLE) * v.x ORDER BY cov.j)),
+         |      (a, b) -> a + b) AS w
+         |  FROM cov JOIN v20 v ON v.i = cov.j GROUP BY cov.i),
+         |trc AS MATERIALIZED (
+         |  SELECT CAST(sum(c) AS BIGINT) AS tr FROM cov WHERE i = j),
+         |ray AS MATERIALIZED (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(v.x * wf.w ORDER BY v.i)), (a, b) -> a + b) AS eig
+         |  FROM v20 v JOIN wf ON wf.i = v.i)
+         |SELECT v.i AS dim,
+         |  floor(v.x * 1e9 + 0.5) / 1e9 AS pc,
+         |  floor(ray.eig * 1e9 + 0.5) / 1e9 AS eig,
+         |  floor(ray.eig / trc.tr * 1e9 + 0.5) / 1e9 AS var_frac
+         |FROM v20 v, ray, trc""".stripMargin
+    },
     // k-means IVF replayed value-level: the det k-means trajectory
     // (kmeansReplayCtes — the same CTEs p_kmeans verifies) yields
     // each vector's cell, then exact cosine top-5 within the

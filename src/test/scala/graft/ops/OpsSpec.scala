@@ -213,6 +213,36 @@ class SimilaritySpec extends SparkSpec {
     assert(cappedSet !== uncapped)
   }
 
+  test("pca power iteration: unit component, dominant-axis recovery, bit-determinism") {
+    import org.apache.spark.sql.functions._
+    // corpus dominated by the 3rd axis (plus small off-axis noise):
+    // the top principal component of the uncentered Gram matrix must
+    // concentrate there. (The dominant axis must CORRELATE with the
+    // start vector's orbit — a parity-alternating sign would make
+    // dim 3 exactly orthogonal to e_1 under C and invisible to the
+    // power iteration.)
+    val planted = spark.range(0, 40)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(8)), i =>
+          when(i === 3, lit(10.0))
+            .otherwise((col("id") % 5).cast("double") / 10.0)).as("embedding"))
+    val got = Similarity.pcaPowerDet(planted).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 8)
+    // unit norm to rounding noise
+    val n2 = got.map(t => t._2 * t._2).sum
+    assert(math.abs(n2 - 1.0) < 1e-6)
+    // dominant axis: |pc_3| by far the largest loading
+    val byDim = got.map(t => t._1 -> math.abs(t._2)).toMap
+    assert(byDim(3L) > 0.9)
+    // Rayleigh eigenvalue positive and within the trace
+    assert(got.head._3 > 0.0 && got.head._4 > 0.0 && got.head._4 <= 1.0)
+    // bit-deterministic across invocations
+    val again = Similarity.pcaPowerDet(planted).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("pq: codebook, encode, and ADC search all equal the exact driver-side replay") {
     val cb = Similarity.pqTrainCodebook(e)
     assert(cb.size === 8 && cb.forall(_.size === 16) &&
