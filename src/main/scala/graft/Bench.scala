@@ -24,6 +24,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    // measurement honesty (VERDICT r14 order #1): disable the
+    // s_wcc_incremental whole-region shortcut so the streaming row
+    // times a real end-to-end IncrementalWCC.run fold inside
+    // foreachBatch instead of the batch twin's memoized labels
+    System.setProperty("graft.stream.wccShortcut", "off")
     // optional comma-separated name filter for local iteration (the
     // driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

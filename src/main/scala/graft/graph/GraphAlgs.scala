@@ -2604,6 +2604,17 @@ object GraphAlgs {
             i += 1
           }
           val m = deg + 1 - inPal
+          // the proposal mix below multiplies the raw vid; for
+          // vId >= ~9.2e12 the Long product silently wraps while the
+          // DuckDB oracle's BIGINT multiply RAISES — the exact silent
+          // cross-engine divergence class matchingDetDF guards. Fail
+          // loudly instead; to go wider, remap ids (or mix via
+          // Math.multiplyHigh) on BOTH engines in lockstep.
+          require(v < 9000000000000L,
+            s"coloringTrial: vertex id $v >= 9e12 overflows the Long " +
+              "proposal mix (v * 1000003 + round * 10007) that the " +
+              "oracle replays with raising BIGINT arithmetic — remap " +
+              "ids or widen the mix on both engines together")
           val k = Math.floorMod(v * 1000003L + r * 10007L, m.toLong)
           (v, (pick(deg, used, k), md5HexWith(md, s"$v-$r")))
         }

@@ -736,8 +736,14 @@ object Similarity {
     // wrap-around flips the comparison); fail here instead. To go
     // wider, coarsen the quantization or move the test to BigInt on
     // both engines.
-    val maxDims = embeddings
-      .agg(max(size(col("embedding")))).head().getInt(0)
+    // an EMPTY corpus makes the max aggregate NULL — getInt would
+    // then throw a bare NPE instead of this guard's descriptive
+    // error (ADVICE r13/r14); check nullness first and fail loudly
+    val dimsRow = embeddings
+      .agg(max(size(col("embedding")))).head()
+    require(!dimsRow.isNullAt(0),
+      "semDedup: empty embedding corpus — no rows to cluster or deduplicate")
+    val maxDims = dimsRow.getInt(0)
     val safeDims = (math.sqrt(
       Long.MaxValue.toDouble / math.max(tauNum, tauDen)) / (127.0 * 127.0)).toLong
     require(maxDims <= safeDims,
@@ -829,6 +835,15 @@ object Similarity {
       var n2 = 0.0; var i = 0
       while (i < d) { n2 += w(i) * w(i); i += 1 }
       val nrm = math.sqrt(n2)
+      // an all-zero quantized corpus (or an iterate exactly
+      // orthogonal to the e_1 start) gives nrm == 0 and would emit
+      // silent NaN rows whose handling can differ from the DuckDB
+      // replay (ADVICE r13/r14) — fail loudly instead
+      require(nrm > 0.0,
+        s"pcaPowerDet: zero-norm iterate at power iteration ${it + 1} — " +
+          "the quantized corpus is all-zero or the Gram matrix " +
+          "annihilates the e_1 start; pick a different start vector " +
+          "or check the embedding column")
       i = 0
       while (i < d) { v(i) = w(i) / nrm; i += 1 }
       it += 1

@@ -132,8 +132,18 @@ object StreamOps {
    * schema'd source, AvailableNow drain, foreachBatch delivery, batch
    * content — is still exercised and verified end to end; only the
    * duplicate refinement is skipped. Any content mismatch falls back
-   * to the real fold. */
+   * to the real fold.
+   *
+   * Bench honesty (VERDICT r14 order #1): with the shortcut active
+   * this row times plumbing, not the fold it nominally covers, so
+   * benchmark runs disable it via the system property
+   * `graft.stream.wccShortcut=off` (set by [[graft.Bench]] before any
+   * run) — the bench timing then reflects a real end-to-end
+   * `IncrementalWCC.run` inside `foreachBatch`. Correctness dumps
+   * ([[graft.Verify]]) leave the property unset and keep the
+   * memoized twin; both paths emit identical rows. */
   def incrementalWccStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val shortcutEnabled = !sys.props.get("graft.stream.wccShortcut").contains("off")
     val (initial, streamEdges) = graft.queries.GraphQueries.idwccShared(spark, sfDir)
     val regionCount = streamEdges.count() // cached by idwccShared
     val dir = java.nio.file.Files.createTempDirectory("graft-idwcc-stream")
@@ -152,7 +162,7 @@ object StreamOps {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val canon = EdgeOps.canonicalize(batch).cache()
           if (canon.count() > 0) {
-            val wholeRegion = (state eq initial) && !shortcut &&
+            val wholeRegion = shortcutEnabled && (state eq initial) && !shortcut &&
               canon.count() == regionCount &&
               canon.join(streamEdges, Seq("src", "dst"), "left_anti").isEmpty
             if (wholeRegion) shortcut = true

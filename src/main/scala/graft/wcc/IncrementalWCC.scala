@@ -526,6 +526,39 @@ object IncrementalWCC {
     r
   }
 
+  /** Exact shipped-element volume of the [[deltaFlags]] join for this
+   * batch: each batch edge ships BOTH endpoint neighborhoods, so the
+   * volume is sum over batch edges of (deg(src) + deg(dst)) in the
+   * MERGED graph — computable from the already-cached `touchedNbrs`
+   * array lengths (batch endpoints are touched by construction).
+   * One touched-sized job; the driver gate below reads it. */
+  private[wcc] def deltaVolume(newEdges: RDD[Edge[Int]],
+      touchedNbrs: RDD[(Long, Array[Long])]): Long = {
+    val degs = touchedNbrs.mapValues(_.length.toLong)
+    newEdges
+      .flatMap(e => Iterator((e.srcId, 1L), (e.dstId, 1L)))
+      .reduceByKey(_ + _)
+      .join(degs)
+      .map { case (_, (cnt, deg)) => cnt * deg }
+      .fold(0L)(_ + _)
+  }
+
+  /** Delta-path cost fraction above which [[run]] falls back to the
+   * from-scratch support exchange. The gate compares the delta
+   * flagging's ACTUAL shuffle volume ([[deltaVolume]] — what the
+   * neighborhood-shipping join moves) against the from-scratch
+   * exchange's ~O(total degree) adjacency shuffle, NOT the
+   * touched-vertex count: a count gate has a hub-skew hole (ADVICE
+   * r13/r14 — a micro-batch touching one 200k-degree hub counts few
+   * vertices yet pays O(batch_edges x hub_degree)); the volume gate
+   * prices exactly that term. Calibration: the sf0.1 replay's
+   * 0.8-id-split "batch" touches ~37% of all edges and measured
+   * 3.7-5.0 s delta vs 2.2-2.4 s from-scratch (PERF.md round-18) —
+   * at 10% of total degree the delta join moves an order of
+   * magnitude less data than the exchange it replaces, keeping the
+   * crossover comfortably on the winning side of both regimes. */
+  val DeltaFlagMaxVolumeFraction = 0.1
+
   /** One micro-batch (reference `IncrementalWCC.scala:27-71`).
    * CONSUMES `state` by default: the superseded state graph and every
    * intermediate graph generation are uncached once the new state is
@@ -534,34 +567,38 @@ object IncrementalWCC {
    * keeps the input state's graph cached — for callers that hold a
    * SHARED bulk state (e.g. the session-memoized prepare that both
    * the batch replay and its Structured Streaming twin fold from)
-   * and remain its owner. */
-  /** Touched-vertex fraction above which [[run]] falls back to the
-   * from-scratch support exchange: the delta flagging enumerates
-   * every NEW triangle by intersecting batch-edge endpoint
-   * neighborhoods, which wins when the batch is genuinely micro
-   * (O(batch triangles) work against a fixed bulk flag set) but
-   * LOSES once the batch covers a large share of the graph — the
-   * sf0.1 replay's 0.8-id-split "batch" touches ~37% of all edges,
-   * and the measured A/B there is 3.7-5.0 s delta vs 2.2-2.4 s
-   * from-scratch (PERF.md round-18). 10% keeps the crossover
-   * comfortably on the winning side of both regimes. */
-  val DeltaFlagMaxTouchedFraction = 0.1
-
+   * and remain its owner.
+   *
+   * `deltaFlagMaxVolumeFraction` tunes the incremental-flagging gate
+   * (see [[DeltaFlagMaxVolumeFraction]]); `PositiveInfinity` forces
+   * the delta path without paying the volume probe (parity tests and
+   * the continuously-verified `g_wcc_incremental_delta` row).
+   * `expectDeltaPath = true` makes the call fail LOUDLY if the gate
+   * falls back — for callers whose purpose is exercising the delta
+   * path, where a silent fallback would hollow out the check. */
   def run(state: State, newEdges: RDD[Edge[Int]],
       releaseInput: Boolean = true,
-      deltaFlagMaxTouchedFraction: Double = DeltaFlagMaxTouchedFraction): State = {
+      deltaFlagMaxVolumeFraction: Double = DeltaFlagMaxVolumeFraction,
+      expectDeltaPath: Boolean = false): State = {
     val m = timed("merge")(merge(state, newEdges))
     // incremental triangle flagging for genuinely micro batches: the
     // state's batch-invariant bulk flag set + the new triangles this
     // batch's edges close (the merged neighborhoods are already in
     // hand from the delta stat update) — instead of a full support
-    // exchange over the near-bulk-sized merged graph. Adaptive: the
-    // touched-vertex counts are driver-known (the reference itself
-    // collects batch ids), so a batch past the crossover takes the
-    // from-scratch exchange instead.
-    val touched = m.newIds.value.size.toLong + m.borderIds.value.size.toLong
+    // exchange over the near-bulk-sized merged graph. Adaptive on the
+    // delta join's actual shuffle volume vs the ~2|E| elements the
+    // from-scratch exchange ships.
+    val useDelta = state.bulkFlagged.isDefined &&
+      (deltaFlagMaxVolumeFraction.isPosInfinity || {
+        val vol = deltaVolume(newEdges, m.touchedNbrs)
+        vol <= 2.0 * m.fullGraph.numEdges * deltaFlagMaxVolumeFraction
+      })
+    require(!expectDeltaPath || useDelta,
+      "IncrementalWCC.run: expectDeltaPath — the delta-flag volume " +
+        "gate fell back to the from-scratch support exchange (batch " +
+        "too large or too hub-heavy, or state.bulkFlagged is None)")
     val keep = state.bulkFlagged
-      .filter(_ => touched <= m.vertexCount * deltaFlagMaxTouchedFraction)
+      .filter(_ => useDelta)
       .map(_.union(deltaFlags(newEdges, m.touchedNbrs).distinct()))
     val init = timed("initial-partition")(
       performInitialPartition(m.fullGraph, precomputedKeep = keep))

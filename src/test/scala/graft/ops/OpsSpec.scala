@@ -243,6 +243,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("pcaPowerDet fails LOUDLY on a zero-norm power iterate") {
+    import org.apache.spark.sql.functions._
+    // every vector is [0, 1]: the quantized Gram matrix's first
+    // column is all-zero, so C * e_1 = 0 and the first iterate has
+    // zero norm — the loop must raise its descriptive error instead
+    // of silently emitting NaN rows (ADVICE r13/r14)
+    val degenerate = spark.range(0, 5)
+      .select(col("id").as("vec_id"),
+        array(lit(0.0), lit(1.0)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaPowerDet(degenerate)
+    }
+    assert(e.getMessage.contains("zero-norm"))
+  }
+
   test("pq: codebook, encode, and ADC search all equal the exact driver-side replay") {
     val cb = Similarity.pqTrainCodebook(e)
     assert(cb.size === 8 && cb.forall(_.size === 16) &&

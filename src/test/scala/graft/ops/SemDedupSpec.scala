@@ -66,6 +66,20 @@ class SemDedupSpec extends SparkSpec {
       "fixture should both keep and drop vectors")
   }
 
+  test("semDedup fails LOUDLY on an empty corpus instead of NPE-ing") {
+    import org.apache.spark.sql.functions._
+    // an empty input makes the dimensionality max-aggregate NULL; the
+    // overflow guard must raise its descriptive error, not a bare NPE
+    // from getInt on a null cell (ADVICE r13/r14)
+    val empty = spark.range(0, 0)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0), lit(2.0)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(empty)
+    }
+    assert(e.getMessage.contains("empty embedding corpus"))
+  }
+
   test("semDedup fails LOUDLY past the integer-cosine overflow bound") {
     import org.apache.spark.sql.functions._
     // 2048-dim vectors: tauDen*dot^2 can exceed Long.MaxValue, which

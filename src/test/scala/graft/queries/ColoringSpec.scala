@@ -245,4 +245,20 @@ class ColoringSpec extends SparkSpec {
     assert(edges.nonEmpty)
     check(edges)
   }
+
+  test("trial coloring fails LOUDLY on vertex ids past the Long-mix bound") {
+    // v * 1000003 silently wraps for v >= ~9.2e12 while the DuckDB
+    // oracle's BIGINT multiply raises — the guard must throw instead
+    // (ADVICE r13/r14, same class as matchingDet's fixed-width key)
+    val e = intercept[org.apache.spark.SparkException] {
+      GraphAlgs.coloringTrialDF(
+        Seq((9000000000000L, 5L), (5L, 7L)).toDF("src", "dst")).collect()
+    }
+    assert(e.getMessage.contains("proposal mix") ||
+      Option(e.getCause).exists(_.getMessage.contains("proposal mix")))
+    // just below the bound still colors properly
+    val ok = GraphAlgs.coloringTrialDF(
+      Seq((8999999999999L, 5L), (5L, 7L)).toDF("src", "dst")).collect()
+    assert(ok.length === 3)
+  }
 }

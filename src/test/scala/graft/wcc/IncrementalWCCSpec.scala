@@ -114,15 +114,51 @@ class IncrementalWCCSpec extends SparkSpec {
     val state = IncrementalWCC.prepare(
       Graph.fromEdges(bulkEdges, 0)
         .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D))
-    // force the delta path regardless of the adaptive touched-fraction
+    // force the delta path regardless of the adaptive volume
     // crossover (this fixture's 0.8-split batch is far from micro)
     val fast = IncrementalWCC.run(state, batchRdd, releaseInput = false,
-      deltaFlagMaxTouchedFraction = 1.0)
+      deltaFlagMaxVolumeFraction = Double.PositiveInfinity)
       .graph.vertices.map { case (id, vd) => (id, vd.cId) }.collect().sorted.toSeq
     val slow = IncrementalWCC.run(state.copy(bulkFlagged = None), batchRdd,
       releaseInput = false)
       .graph.vertices.map { case (id, vd) => (id, vd.cId) }.collect().sorted.toSeq
     assert(fast === slow)
+  }
+
+  test("deltaVolume prices each batch edge at the sum of its endpoint degrees") {
+    // star: hub 0 - {1..200}, plus triangle edge (1,2) for nonzero stats
+    val bulkEdges = (1L to 200L).map(i => (0L, i)) :+ (1L, 2L)
+    val state = IncrementalWCC.prepare(graphOf(spark, bulkEdges))
+    // batch: 5 new leaves on the hub — merged deg(0) = 205, deg(new) = 1
+    val batch = spark.sparkContext.parallelize(
+      (201L to 205L).map(i => Edge(0L, i, 1)))
+    val m = IncrementalWCC.merge(state, batch)
+    // hub endpoint: 5 incident batch edges x degree 205; each new
+    // leaf: 1 incident batch edge x degree 1
+    assert(IncrementalWCC.deltaVolume(batch, m.touchedNbrs) === 5L * 205L + 5L)
+  }
+
+  test("volume gate falls back on a hub-heavy batch that a count gate would pass") {
+    val bulkEdges = (1L to 200L).map(i => (0L, i)) :+ (1L, 2L)
+    val state = IncrementalWCC.prepare(graphOf(spark, bulkEdges))
+    // 6 touched vertices of 206 (~3% — far under any count gate), but
+    // the delta join would ship the hub's 205-length neighborhood per
+    // batch edge (volume 1030 vs gate 2 * 206 * 0.1 = 41.2): the
+    // volume gate must take the from-scratch exchange, which
+    // expectDeltaPath surfaces loudly (ADVICE hub-skew hazard)
+    val batch = spark.sparkContext.parallelize(
+      (201L to 205L).map(i => Edge(0L, i, 1)))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalWCC.run(state, batch, releaseInput = false,
+        expectDeltaPath = true)
+    }
+    assert(e.getMessage.contains("expectDeltaPath"))
+    // a genuinely light batch on the same state passes the gate:
+    // one leaf-leaf edge ships degree-3 + degree-1 neighborhoods
+    val light = spark.sparkContext.parallelize(Seq(Edge(1L, 201L, 1)))
+    val out = IncrementalWCC.run(state, light, releaseInput = false,
+      expectDeltaPath = true)
+    assert(out.graph.vertices.count() > 0)
   }
 
   test("testStream with multiple micro-batches runs the full replay loop") {
