@@ -25,6 +25,9 @@ class CertificateInventorySpec extends AnyFunSuite {
     "g_wcc_incremental" -> 2, // bulk + merged seeding flag inits
     // two-batch unroll: bulk flag init + one merged flag init PER batch
     "g_wcc_incremental_multibatch" -> 3,
+    // delta-path row: same replay CTE shape, one batch unrolled
+    // (bulk flag init + merged flag init)
+    "g_wcc_incremental_delta" -> 2,
     "g_wcc_incremental_certified" -> 2,
     // the Structured Streaming G9 twin shares g_wcc_incremental's
     // replay oracle verbatim (SparkEntry.oracleSql aliases it), so it
