@@ -797,7 +797,15 @@ object Similarity {
     val spark = embeddings.sparkSession
     val rows = signedQs(embeddings).select(col("qs")).rdd
       .map(_.getSeq[Long](0).toArray)
-    val d = rows.first().length
+    // signedQs drops all-zero vectors, so an empty or all-zero corpus
+    // leaves nothing to analyze — first() would throw a cryptic
+    // "empty collection"; fail with the operator's own message
+    val head = rows.take(1)
+    require(head.nonEmpty,
+      "pcaPowerDet: no nonzero-norm embeddings to analyze (an empty " +
+        "corpus, or every vector is all-zero and was dropped by the " +
+        "quantizer)")
+    val d = head(0).length
     val cov = rows.treeAggregate(new Array[Long](d * d))(
       seqOp = { (acc, v) =>
         require(v.length == d,

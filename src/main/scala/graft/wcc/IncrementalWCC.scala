@@ -645,8 +645,14 @@ object IncrementalWCC {
       bulkStatsFor: Option[Double => TriangleStats.Result] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, greatest, max}
-    val maxVertex = canonicalEdges
-      .agg(max(greatest(col("src"), col("dst")))).head().getLong(0)
+    // an empty edge set nulls the max aggregate — fail with the
+    // operator's own message instead of an NPE from getLong
+    val maxRow = canonicalEdges
+      .agg(max(greatest(col("src"), col("dst")))).head()
+    require(!maxRow.isNullAt(0),
+      "IncrementalWCC.testStream: empty canonical edge set — nothing " +
+        "to split into bulk and stream regions")
+    val maxVertex = maxRow.getLong(0)
     val splitVertex = math.floor(maxVertex * bulkToStreamRatio)
 
     val edgeRdd = canonicalEdges

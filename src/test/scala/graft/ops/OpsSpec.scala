@@ -258,6 +258,20 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("zero-norm"))
   }
 
+  test("pcaPowerDet fails LOUDLY when the quantizer drops every vector") {
+    import org.apache.spark.sql.functions._
+    // all-zero vectors are dropped by signedQs (max_abs = 0), leaving
+    // an empty quantized corpus — the guard must name the cause, not
+    // throw first()'s cryptic "empty collection"
+    val zeros = spark.range(0, 4)
+      .select(col("id").as("vec_id"),
+        array(lit(0.0), lit(0.0)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaPowerDet(zeros)
+    }
+    assert(e.getMessage.contains("no nonzero-norm"))
+  }
+
   test("pq: codebook, encode, and ADC search all equal the exact driver-side replay") {
     val cb = Similarity.pqTrainCodebook(e)
     assert(cb.size === 8 && cb.forall(_.size === 16) &&

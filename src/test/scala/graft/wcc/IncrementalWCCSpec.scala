@@ -161,6 +161,14 @@ class IncrementalWCCSpec extends SparkSpec {
     assert(out.graph.vertices.count() > 0)
   }
 
+  test("testStream fails LOUDLY on an empty canonical edge set") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      IncrementalWCC.testStream(spark, Seq.empty[(Long, Long)].toDF("src", "dst"))
+    }
+    assert(e.getMessage.contains("empty canonical edge set"))
+  }
+
   test("testStream with multiple micro-batches runs the full replay loop") {
     val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
     val canon = EdgeOps.canonicalize(raw)
