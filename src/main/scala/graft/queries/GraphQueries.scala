@@ -40,9 +40,30 @@ object GraphQueries {
         .select(col("src"), col("dst")).cache(); df.count(); df
     }
 
+  /** Partition count for the iterative graph surfaces, sized by EDGE
+   * COUNT (matchingDetDF's idiom: max(8, min(input partitions,
+   * E/250k))) instead of inheriting the shuffle width. Measured
+   * (PERF.md round-19): per-superstep/iteration cost at bench SFs is
+   * task DISPATCH, not data — the sf0.1 co-purchase graph (1.19M
+   * edges) on 32 shuffle partitions carries ~37k edges/task, and
+   * re-sizing to 8 cut the WCC family 12-21% per row with the
+   * one-pass-heavy rows flat. At cluster scale the min() hands
+   * control back to the input's own partitioning (data/128MB >>
+   * E/250k never binds there). `-Dgraft.graph.parts=N` overrides for
+   * A/B probes. The det-family trajectories are partition-count
+   * independent by design (blocked folds, integer recurrences) —
+   * re-pinned by the full sf0.01 oracle sweep after this change. */
+  private def graphParts(spark: SparkSession, sfDir: String): Int =
+    sys.props.get("graft.graph.parts").map(_.toInt).getOrElse {
+      val canon = canonEdges(spark, sfDir)
+      math.max(8, math.min(canon.rdd.getNumPartitions,
+        (canon.count() / 250000L).toInt))
+    }
+
   private def graph(spark: SparkSession, sfDir: String) =
     memoize(spark, s"graph:$sfDir") {
-      val g = EdgeOps.toGraph(canonEdges(spark, sfDir)); g.cache()
+      val g = EdgeOps.toGraph(canonEdges(spark, sfDir),
+        graphParts(spark, sfDir)); g.cache()
       g.numVertices; g
     }
 
@@ -609,7 +630,8 @@ object GraphQueries {
       val bulk = canon.where(col("src") < split && col("dst") < split).rdd
         .map(r => Edge(r.getLong(0), r.getLong(1), 1))
       val state = IncrementalWCC.prepare(
-        Graph.fromEdges(bulk, 0).partitionBy(PartitionStrategy.EdgePartition2D))
+        Graph.fromEdges(bulk, 0).partitionBy(
+          PartitionStrategy.EdgePartition2D, graphParts(spark, sfDir)))
       val streamEdges = canon
         .where(col("src") >= split || col("dst") >= split).cache()
       streamEdges.count()

@@ -150,11 +150,17 @@ object IncrementalWCC {
     // Re-partition the unioned edge set (EdgePartition2D bounds vertex
     // replication) — a plain union leaves batch edges wherever the
     // source RDD put them.
+    // repartition to the STATE graph's partition count, not the
+    // union's (state partitions + batch partitions would otherwise
+    // add up — a micro-batch must not widen the standing layout,
+    // and the state's count carries the edge-count sizing its
+    // builder chose)
     val fg: Graph[VertexData, Int] = Graph(
       state.graph.vertices.union(
         sc.parallelize(newIds.toSeq).map(id => (id, VertexData(id, 0, 0, id)))),
       state.graph.edges.union(newEdges))
-      .partitionBy(PartitionStrategy.EdgePartition2D)
+      .partitionBy(PartitionStrategy.EdgePartition2D,
+        state.graph.edges.getNumPartitions)
     fg.cache()
 
     val nbrs = touchedNeighborhoods(fg, bBorder, bNew)
