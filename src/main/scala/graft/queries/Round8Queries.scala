@@ -92,12 +92,28 @@ object Round8Queries {
    * Session-memoized and kept persisted (like every other shared
    * graph surface): the samplers are the rank-once / sample-forever
    * shape, so the ranked table outlives any one query. */
+  /** Every walk step mixes vertex ids as v * 1000003 (+ prev * 7919
+   * ...); for ids >= ~9.2e12 the Long product silently wraps — in
+   * the node2vec weighted pick a negative mix makes `r < cum` hold
+   * immediately and SILENTLY selects the first neighbor, while the
+   * DuckDB oracle's BIGINT multiply raises (the same divergence
+   * class coloringTrial and matchingDet guard). Every mixed id
+   * passes through the shared walk adjacency, so one loud check
+   * there covers all three walk variants. */
+  private[queries] def requireWalkIdWidth(v: Long): Long = {
+    require(v < 9000000000000L,
+      s"randomWalks/node2vec: vertex id $v >= 9e12 overflows the Long " +
+        "step mix the oracle replays with raising BIGINT arithmetic — " +
+        "remap ids or widen the mix on both engines together")
+    v
+  }
+
   private def adjacencyRDD(spark: SparkSession, sfDir: String)
       : org.apache.spark.rdd.RDD[(Long, Array[Long])] =
     SessionMemo.memoize(spark, s"walkadj:$sfDir") {
       val a = GraphQueries.symmetrizedEdges(spark, sfDir)
         .select(col("src"), col("dst")).rdd
-        .map(r => (r.getLong(0), r.getLong(1)))
+        .map(r => (requireWalkIdWidth(r.getLong(0)), r.getLong(1)))
         .groupByKey()
         .mapValues { ns => val arr = ns.toArray; java.util.Arrays.sort(arr); arr }
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

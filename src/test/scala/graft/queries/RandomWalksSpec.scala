@@ -38,4 +38,15 @@ class RandomWalksSpec extends SparkSpec with TimeLimits {
     assert(again === got)
     }
   }
+
+  test("walk id-width guard: wraps are refused loudly, the bound passes through") {
+    // v * 1000003 wraps for v >= ~9.2e12 — in the node2vec weighted
+    // pick a negative mix silently selects the first neighbor while
+    // the oracle raises; the shared adjacency guard must throw first
+    val e = intercept[IllegalArgumentException] {
+      Round8Queries.requireWalkIdWidth(9000000000000L)
+    }
+    assert(e.getMessage.contains("step mix"))
+    assert(Round8Queries.requireWalkIdWidth(8999999999999L) === 8999999999999L)
+  }
 }
