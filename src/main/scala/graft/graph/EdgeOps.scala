@@ -121,14 +121,16 @@ object EdgeOps {
   /** Build a GraphX graph with Double edge attributes from a
    * (src, dst, len) DataFrame (canonical orientation; undirected
    * semantics come from both-direction messaging, as everywhere). */
-  def toWeightedGraph(edgesDF: DataFrame, lenCol: String = "len"): Graph[Int, Double] = {
+  def toWeightedGraph(edgesDF: DataFrame, lenCol: String = "len",
+      numPartitions: Int = 0): Graph[Int, Double] = {
     val edges: RDD[Edge[Double]] = edgesDF
       .select(col("src").cast("long"), col("dst").cast("long"),
         col(lenCol).cast("double"))
       .rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     val g = Graph.fromEdges(edges, defaultValue = 0)
-    g.partitionBy(PartitionStrategy.EdgePartition2D, edges.getNumPartitions)
+    val p = if (numPartitions > 0) numPartitions else edges.getNumPartitions
+    g.partitionBy(PartitionStrategy.EdgePartition2D, p)
   }
 
   /** G3: per-vertex degree of the undirected graph, from the doubled

@@ -846,7 +846,11 @@ object GraphQueries {
     val weighted = weightedEdges(spark, sfDir)
     val source = weighted.agg(min(col("src"))).head().getLong(0)
     val g = memoize(spark, s"weightedGraph:$sfDir") {
-      val wg = EdgeOps.toWeightedGraph(weighted); wg.cache()
+      // same edge-count partition sizing as the unweighted graph
+      // surface (see graphParts) — the SSSP fixpoint is min over
+      // left-folded path sums, partitioning-invariant by design
+      val wg = EdgeOps.toWeightedGraph(weighted,
+        numPartitions = graphParts(spark, sfDir)); wg.cache()
       wg.numVertices; wg
     }
     val dist = memoize(spark, s"ssspDist:$sfDir") {
@@ -1406,7 +1410,11 @@ object GraphQueries {
     val weighted = weightedEdges(spark, sfDir)
     val source = weighted.agg(min(col("src"))).head().getLong(0)
     val g = memoize(spark, s"weightedGraph:$sfDir") {
-      val wg = EdgeOps.toWeightedGraph(weighted); wg.cache()
+      // same edge-count partition sizing as the unweighted graph
+      // surface (see graphParts) — the SSSP fixpoint is min over
+      // left-folded path sums, partitioning-invariant by design
+      val wg = EdgeOps.toWeightedGraph(weighted,
+        numPartitions = graphParts(spark, sfDir)); wg.cache()
       wg.numVertices; wg
     }
     memoize(spark, s"ssspDist:$sfDir") {
