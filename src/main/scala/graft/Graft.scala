@@ -36,9 +36,13 @@ object Graft {
   /** Dedup + self-loop-drop + canonical (src < dst) direction. */
   def canonicalize(edges: DataFrame): DataFrame = EdgeOps.canonicalize(edges)
 
-  /** Canonical edges -> GraphX graph (EdgePartition2D). */
-  def toGraph(canonicalEdges: DataFrame): Graph[Int, Int] =
-    EdgeOps.toGraph(canonicalEdges)
+  /** Canonical edges -> GraphX graph (EdgePartition2D). Pass
+   * `numPartitions` for iterative workloads on small-to-mid graphs —
+   * superstep cost is task dispatch until per-partition work
+   * dominates, so ~max(8, E/250k) partitions beats inheriting a wide
+   * shuffle layout (PERF.md round-19 A/B). */
+  def toGraph(canonicalEdges: DataFrame, numPartitions: Int = 0): Graph[Int, Int] =
+    EdgeOps.toGraph(canonicalEdges, numPartitions)
 
   // ---- community detection (SURVEY §3) -----------------------------
 

@@ -53,12 +53,14 @@ object GraphQueries {
    * A/B probes. The det-family trajectories are partition-count
    * independent by design (blocked folds, integer recurrences) —
    * re-pinned by the full sf0.01 oracle sweep after this change. */
-  private def graphParts(spark: SparkSession, sfDir: String): Int =
+  private def graphPartsFor(edges: DataFrame): Int =
     sys.props.get("graft.graph.parts").map(_.toInt).getOrElse {
-      val canon = canonEdges(spark, sfDir)
-      math.max(8, math.min(canon.rdd.getNumPartitions,
-        (canon.count() / 250000L).toInt))
+      math.max(8, math.min(edges.rdd.getNumPartitions,
+        (edges.count() / 250000L).toInt))
     }
+
+  private def graphParts(spark: SparkSession, sfDir: String): Int =
+    graphPartsFor(canonEdges(spark, sfDir))
 
   private def graph(spark: SparkSession, sfDir: String) =
     memoize(spark, s"graph:$sfDir") {
@@ -1267,7 +1269,8 @@ object GraphQueries {
 
   private def backboneGraph(spark: SparkSession, sfDir: String) =
     memoize(spark, s"backboneGraph:$sfDir") {
-      val g = EdgeOps.toGraph(backboneEdges(spark, sfDir)); g.cache()
+      val be = backboneEdges(spark, sfDir)
+      val g = EdgeOps.toGraph(be, graphPartsFor(be)); g.cache()
       g.numVertices; g
     }
 

@@ -668,8 +668,16 @@ object IncrementalWCC {
     val bulk = edgeRdd.filter(e => e.srcId < splitVertex && e.dstId < splitVertex)
     val stream = edgeRdd.filter(e => e.srcId >= splitVertex || e.dstId >= splitVertex)
 
+    // edge-count-sized partitioning (the query layer's idiom): at
+    // bench SFs every superstep is task dispatch, so don't inherit a
+    // wide shuffle layout for a small bulk graph; the min() defers to
+    // the input's own partitioning at scale. Micro-batch merges
+    // re-pin to this count (see merge()).
+    val bulkParts = math.max(8, math.min(edgeRdd.getNumPartitions,
+      (bulk.count() / 250000L).toInt))
     var state = prepare(
-      Graph.fromEdges(bulk, 0).partitionBy(PartitionStrategy.EdgePartition2D),
+      Graph.fromEdges(bulk, 0)
+        .partitionBy(PartitionStrategy.EdgePartition2D, bulkParts),
       bulkStatsFor.map(f => f(splitVertex)))
     val microBatchSize = math.floor((maxVertex - splitVertex) / microBatchCount)
     (1 to microBatchCount).foreach { i =>
