@@ -171,12 +171,16 @@ object Bench {
       .mkString("[", ",", "]")
     val medianMap = jmap(medResults.map { case (k, v, ok) =>
       k -> (if (ok) d3(v) else "-1") })
+    // run stamp (VERDICT r15 item 7): a byte-identical re-run must be
+    // distinguishable from a stale artifact copy — every emitted
+    // artifact carries the wall-clock instant it finished
+    val stamp = java.time.Instant.now().toString
     try {
       val fullRuns = runs.zip(fullMaps).map { case (r, m) =>
         s"""{"load":${r.loadJson},"queries":$m}"""
       }.mkString("[", ",", "]")
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"picked":${scoredIdx + 1},"queries_median":$medianMap,"runs":$fullRuns}"""
+        s"""{"generated_at":"$stamp","picked":${scoredIdx + 1},"queries_median":$medianMap,"runs":$fullRuns}"""
           .getBytes("UTF-8")); ()
     } catch { case _: Throwable => () }
 
@@ -195,6 +199,6 @@ object Bench {
     // run whose total is "value") — a query that failed in every
     // green-source run additionally shows as -1 in the map; counting
     // only the -1 entries would underreport when no run is green
-    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${scored.nFailed},"picked_run":${scoredIdx + 1},"query_stat":"per_query_median","median_sum":${d3(medianSum)},"runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${scored.nFailed},"picked_run":${scoredIdx + 1},"query_stat":"per_query_median","median_sum":${d3(medianSum)},"generated_at":"$stamp","runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
   }
 }

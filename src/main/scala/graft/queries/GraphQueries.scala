@@ -54,9 +54,17 @@ object GraphQueries {
    * independent by design (blocked folds, integer recurrences) —
    * re-pinned by the full sf0.01 oracle sweep after this change. */
   private def graphPartsFor(edges: DataFrame): Int =
+    partsFor(edges.rdd.getNumPartitions, edges.count())
+
+  /** The sizing rule on a raw (partition count, edge count) pair, for
+   * surfaces whose edge set is a SUBSET of a cached DataFrame (e.g.
+   * the idwccShared bulk region — ADVICE r15: sizing the bulk graph
+   * from the FULL canonical count was inconsistent with the stated
+   * per-surface idiom). `edgeCount` is by-name so the prop override
+   * skips the count entirely. */
+  private def partsFor(numParts: Int, edgeCount: => Long): Int =
     sys.props.get("graft.graph.parts").map(_.toInt).getOrElse {
-      math.max(8, math.min(edges.rdd.getNumPartitions,
-        (edges.count() / 250000L).toInt))
+      math.max(8, math.min(numParts, (edgeCount / 250000L).toInt))
     }
 
   private def graphParts(spark: SparkSession, sfDir: String): Int =
@@ -592,11 +600,13 @@ object GraphQueries {
       val batchDf = streamEdges
         .where((col("src") >= split || col("dst") >= split) &&
           col("src") < split + z && col("dst") < split + z)
-        .cache()
+      // probe BEFORE caching (ADVICE r15: a cache taken ahead of the
+      // guard leaked if the require tripped)
       require(batchDf.limit(1).count() == 1,
         s"wccIncrementalDelta: the first id window [$split, ${split + z}) " +
           "holds no stream edges — widen the window (lower the 400 " +
           "divisor) in BOTH this query and its oracle")
+      batchDf.cache()
       val batch = batchDf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
       val fin = IncrementalWCC.run(state, batch, releaseInput = false,
         deltaFlagMaxVolumeFraction = Double.PositiveInfinity,
@@ -631,9 +641,15 @@ object GraphQueries {
       val split = math.floor(maxVertex * 0.8)
       val bulk = canon.where(col("src") < split && col("dst") < split).rdd
         .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      bulk.cache()
+      // size from the ACTUAL edge set being partitioned (the bulk
+      // region, ~64% of the canonical count), the same rule every
+      // other surface uses — not the full-graph count (ADVICE r15)
+      val bulkParts = partsFor(bulk.getNumPartitions, bulk.count())
       val state = IncrementalWCC.prepare(
         Graph.fromEdges(bulk, 0).partitionBy(
-          PartitionStrategy.EdgePartition2D, graphParts(spark, sfDir)))
+          PartitionStrategy.EdgePartition2D, bulkParts))
+      bulk.unpersist(blocking = false)
       val streamEdges = canon
         .where(col("src") >= split || col("dst") >= split).cache()
       streamEdges.count()

@@ -113,7 +113,12 @@ object Round8Queries {
     SessionMemo.memoize(spark, s"walkadj:$sfDir") {
       val a = GraphQueries.symmetrizedEdges(spark, sfDir)
         .select(col("src"), col("dst")).rdd
-        .map(r => (requireWalkIdWidth(r.getLong(0)), r.getLong(1)))
+        // both endpoints wrapped: the src-side check alone is
+        // exhaustive only via the symmetrization invariant (every
+        // endpoint appears as a src) — guarding dst too makes the
+        // coverage locally self-evident (ADVICE r15)
+        .map(r => (requireWalkIdWidth(r.getLong(0)),
+          requireWalkIdWidth(r.getLong(1))))
         .groupByKey()
         .mapValues { ns => val arr = ns.toArray; java.util.Arrays.sort(arr); arr }
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

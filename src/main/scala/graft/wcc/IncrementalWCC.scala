@@ -549,6 +549,18 @@ object IncrementalWCC {
       .fold(0L)(_ + _)
   }
 
+  /** Driver-side gate precheck (ADVICE r15): every batch edge ships
+   * at least its own two endpoints' adjacency entries (each merged
+   * endpoint degree >= 1), so 2 x batchEdges lower-bounds the
+   * [[deltaVolume]] the probe would measure. A batch that busts the
+   * 2 x |E| x fraction budget on that bound alone — e.g. the
+   * whole-region streaming fold, which previously paid a shuffle
+   * just to decide to fall back — skips the distributed probe
+   * entirely. Returns true iff the probe is still worth running. */
+  private[wcc] def deltaPrecheck(totalEdges: Long, batchEdges: Long,
+      fraction: Double): Boolean =
+    2.0 * batchEdges <= 2.0 * totalEdges * fraction
+
   /** Delta-path cost fraction above which [[run]] falls back to the
    * from-scratch support exchange. The gate compares the delta
    * flagging's ACTUAL shuffle volume ([[deltaVolume]] — what the
@@ -596,8 +608,14 @@ object IncrementalWCC {
     // from-scratch exchange ships.
     val useDelta = state.bulkFlagged.isDefined &&
       (deltaFlagMaxVolumeFraction.isPosInfinity || {
-        val vol = deltaVolume(newEdges, m.touchedNbrs)
-        vol <= 2.0 * m.fullGraph.numEdges * deltaFlagMaxVolumeFraction
+        val totalEdges = m.fullGraph.numEdges
+        // both edge counts are cached-RDD counts; the union is
+        // duplicate-free (batch edges are new by construction), so
+        // the subtraction is exact
+        val batchEdges = totalEdges - state.graph.edges.count()
+        deltaPrecheck(totalEdges, batchEdges, deltaFlagMaxVolumeFraction) &&
+          deltaVolume(newEdges, m.touchedNbrs) <=
+            2.0 * totalEdges * deltaFlagMaxVolumeFraction
       })
     require(!expectDeltaPath || useDelta,
       "IncrementalWCC.run: expectDeltaPath — the delta-flag volume " +

@@ -96,6 +96,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("s_wcc_incremental emits identical rows with the whole-region shortcut on and off") {
+    // VERDICT r15 item 3: bench runs set graft.stream.wccShortcut=off
+    // (honest fold timing) while verify leaves it unset (memoized
+    // twin) — pin the two paths row-identical so the bench-honesty
+    // gate can never drift from the verify path. The runtime
+    // anti-join guard checks content per run; this spec pins the
+    // cross-path identity permanently.
+    val sfDir = "/root/testdata/sf0.001"
+    val key = "graft.stream.wccShortcut"
+    val before = sys.props.get(key)
+    def rows(): Seq[(Long, Long)] =
+      StreamOps.incrementalWccStream(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    try {
+      sys.props.remove(key)
+      val withShortcut = rows()
+      sys.props(key) = "off"
+      val withoutShortcut = rows()
+      assert(withShortcut.nonEmpty)
+      assert(withShortcut === withoutShortcut)
+    } finally {
+      sys.props.remove(key)
+      before.foreach(sys.props(key) = _)
+    }
+  }
+
   test("s_wcc_incremental file-source twin equals the batch replay") {
     val sfDir = "/root/testdata/sf0.001"
     // both fold the SAME session-memoized bulk state (not consumed:

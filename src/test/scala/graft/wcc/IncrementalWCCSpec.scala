@@ -161,6 +161,34 @@ class IncrementalWCCSpec extends SparkSpec {
     assert(out.graph.vertices.count() > 0)
   }
 
+  test("driver-side precheck skips the volume probe for non-micro batches, keeps it for micro ones") {
+    // ADVICE r15: the whole-region streaming fold paid a distributed
+    // probe join just to decide to fall back. The precheck's 2x
+    // batch-edge lower bound settles obviously-large batches on the
+    // driver: 60% of edges arriving can never fit a 10% volume budget
+    assert(!IncrementalWCC.deltaPrecheck(totalEdges = 1000L,
+      batchEdges = 600L, fraction = 0.1))
+    // a genuinely micro batch passes the precheck — the exact volume
+    // probe (which prices hub skew the count bound cannot see) then
+    // decides, exactly as before
+    assert(IncrementalWCC.deltaPrecheck(totalEdges = 1000L,
+      batchEdges = 50L, fraction = 0.1))
+    // boundary: the bound equals the budget — probe still runs (<=)
+    assert(IncrementalWCC.deltaPrecheck(totalEdges = 1000L,
+      batchEdges = 100L, fraction = 0.1))
+    // end-to-end: a batch past the precheck bound falls back loudly
+    // under expectDeltaPath, same observable contract as the hub case
+    val bulkEdges = (1L to 200L).map(i => (0L, i)) :+ (1L, 2L)
+    val state = IncrementalWCC.prepare(graphOf(spark, bulkEdges))
+    val bigBatch = spark.sparkContext.parallelize(
+      (1L to 150L).map(i => Edge(300L + i, 600L + i, 1)))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalWCC.run(state, bigBatch, releaseInput = false,
+        expectDeltaPath = true)
+    }
+    assert(e.getMessage.contains("expectDeltaPath"))
+  }
+
   test("testStream fails LOUDLY on an empty canonical edge set") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {
