@@ -77,13 +77,45 @@ object CommunityOps {
       m.foreach { case (c, n) => if (c == vd.cId) own += n else ext += n }
       (vd.cId, own, ext)
     }
-    val counts = perVertex
-      .map { case (_, (c, own, ext)) => (c, (1, own, ext)) }
-      .reduceByKey((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
-      .collectAsMap()
-    counts.map { case (c, (r, sameDeg, ext)) =>
-      (c, CommunityData(r, (sameDeg / 2).toDouble, ext))
-    }.toMap
+    statsFromTriples(perVertex)
+  }
+
+  /** Single-stage community-stats fold: per-partition hash maps of
+   * (r, same-degree sum, external-degree sum), merged on the driver.
+   * Replaces the per-iteration reduceByKey + collectAsMap — the
+   * shuffle stage bought nothing (#communities << |V| and the
+   * map-side combine already compacted to one row per (partition,
+   * community)); integer sums are order-free, so the driver-side
+   * completion-order merge is value-identical. */
+  private def statsFromTriples(
+      perVertex: org.apache.spark.rdd.RDD[(VertexId, (Long, Int, Int))])
+      : Map[Long, CommunityData] = {
+    val merged = perVertex.aggregate(new java.util.HashMap[Long, Array[Long]]())(
+      (m, kv) => {
+        val (c, own, ext) = kv._2
+        val a = m.get(c)
+        if (a == null) m.put(c, Array(1L, own.toLong, ext.toLong))
+        else { a(0) += 1L; a(1) += own; a(2) += ext }
+        m
+      },
+      (m1, m2) => {
+        val it = m2.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val a = m1.get(e.getKey)
+          if (a == null) m1.put(e.getKey, e.getValue)
+          else { a(0) += e.getValue()(0); a(1) += e.getValue()(1); a(2) += e.getValue()(2) }
+        }
+        m1
+      })
+    val out = Map.newBuilder[Long, CommunityData]
+    val it = merged.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); val a = e.getValue
+      out += ((e.getKey.longValue(),
+        CommunityData(a(0).toInt, (a(1) / 2).toDouble, a(2).toInt)))
+    }
+    out.result()
   }
 
   private[wcc] def mergeCountMaps(a: Map[Long, Int], b: Map[Long, Int]): Map[Long, Int] =
@@ -189,25 +221,20 @@ object CommunityOps {
         case None => (vd.cId, 0, 0)
       }
     }
-    val counts = perVertex
-      .map { case (_, (c, own, ext)) => (c, (1, own, ext)) }
-      .reduceByKey((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
-      .collectAsMap()
-    counts.map { case (c, (r, sameDeg, ext)) =>
-      (c, CommunityData(r, (sameDeg / 2).toDouble, ext))
-    }.toMap
+    statsFromTriples(perVertex)
   }
 
-  /** G7 on the compact surface: the same-community neighbor arrays
-   * were already built by the fused exchange, so the evaluation is
-   * just the per-edge intersection pass + the WCC_V sum. Only valid
-   * on hub-free graphs (callers' max-degree check); value-identical
-   * to `computeGlobalWCC`'s direct branch. */
-  def computeGlobalWccFromSurfaces(graph: Graph[VertexData, Int],
-      surf: VertexRDD[NbrSurface], stats: Map[Long, CommunityData],
-      vertexCount: Long): Double = {
-    val sc = graph.vertices.sparkContext
-    val bStats = sc.broadcast(stats)
+  /** The label-dependent half of the compact WCC evaluation — the
+   * per-vertex (vd, same-community degree, intra-community triangle
+   * count) scaffold, MATERIALIZED (cached + counted) but with no
+   * community stats consumed. It is independent of the per-iteration
+   * stats collect, so the refinement loop runs the two as CONCURRENT
+   * Spark jobs (the iteration's two heavy jobs were strictly
+   * sequential before — PERF.md r20: ~350 ms stats + ~220 ms eval per
+   * iteration at sf0.1, both dispatch-bound on mostly-idle
+   * executors). The caller owns the returned cache. */
+  def wccEvalScaffold(graph: Graph[VertexData, Int],
+      surf: VertexRDD[NbrSurface]): VertexRDD[(VertexData, Int, Int)] = {
     val gA: Graph[(VertexData, Array[Long]), Int] =
       graph.outerJoinVertices(surf)((_, vd, sOpt) =>
         (vd, sOpt.map(_.sameNbrs).getOrElse(Array.emptyLongArray)))
@@ -216,15 +243,68 @@ object CommunityOps {
         val c = TriangleStats.sortedIntersectCount(ctx.srcAttr._2, ctx.dstAttr._2)
         ctx.sendToSrc(c); ctx.sendToDst(c)
       }, _ + _)
-    val sumWcc = gA.outerJoinVertices(commTri)((_, va, tcOpt) =>
-        (va._1, va._2.length, tcOpt.getOrElse(0) / 2))
+    val scaffold = gA.outerJoinVertices(commTri)((_, va, tcOpt) =>
+      (va._1, va._2.length, tcOpt.getOrElse(0) / 2))
       .vertices
+    scaffold.cache()
+    scaffold.count()
+    scaffold
+  }
+
+  /** The WCC_V fold over a materialized scaffold — the cheap,
+   * stats-dependent tail of the evaluation (one map + sum over a
+   * cached vertex-sized RDD). Bit-identical to folding the uncached
+   * lineage: caching changes neither partition contents nor the
+   * per-partition left-fold order `sum()` uses. */
+  def wccFromScaffold(scaffold: VertexRDD[(VertexData, Int, Int)],
+      stats: Map[Long, CommunityData], vertexCount: Long): Double = {
+    val sc = scaffold.sparkContext
+    val bStats = sc.broadcast(stats)
+    val sumWcc = scaffold
       .map { case (_, (vd, vtC, tC)) =>
         WCCMetric.computeWccV(vd, bStats.value(vd.cId), vtC, tC)
       }
       .sum()
     bStats.destroy()
     sumWcc / vertexCount
+  }
+
+  /** One full partition evaluation — (community stats, global WCC) —
+   * with the two heavy jobs run CONCURRENTLY: the stats collect and
+   * the triangle-exchange scaffold are data-independent (only the
+   * final cheap WCC_V fold consumes the stats), so both jobs'
+   * stages schedule side by side on the mostly-idle slots and the
+   * shared cached inputs are computed once under the BlockManager's
+   * per-block locks. Value-identical to the sequential composition:
+   * each job computes the same deterministic RDDs it did before. */
+  def evalSurfacesConcurrent(graph: Graph[VertexData, Int],
+      surf: VertexRDD[NbrSurface], vertexCount: Long)
+      : (Map[Long, CommunityData], Double) = {
+    val scaffoldF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+      wccEvalScaffold(graph, surf))
+    val cs = statsFromSurfaces(graph, surf)
+    val scaffold = try scaffoldF.join() catch {
+      case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+    val w = wccFromScaffold(scaffold, cs, vertexCount)
+    scaffold.unpersist(blocking = false)
+    (cs, w)
+  }
+
+  /** G7 on the compact surface: the same-community neighbor arrays
+   * were already built by the fused exchange, so the evaluation is
+   * just the per-edge intersection pass + the WCC_V sum. Only valid
+   * on hub-free graphs (callers' max-degree check); value-identical
+   * to `computeGlobalWCC`'s direct branch. Composed from the split
+   * scaffold/fold halves the refinement loop overlaps. */
+  def computeGlobalWccFromSurfaces(graph: Graph[VertexData, Int],
+      surf: VertexRDD[NbrSurface], stats: Map[Long, CommunityData],
+      vertexCount: Long): Double = {
+    val scaffold = wccEvalScaffold(graph, surf)
+    val out = wccFromScaffold(scaffold, stats, vertexCount)
+    scaffold.unpersist(blocking = false)
+    out
   }
 
   /**

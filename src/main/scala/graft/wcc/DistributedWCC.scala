@@ -140,9 +140,9 @@ object DistributedWCC {
     if (hubFreeStrategy(initGraph)) {
       val surf = CommunityOps.nbrSurfaces(initGraph)
       surf.cache()
-      val cs = CommunityOps.statsFromSurfaces(initGraph, surf)
-      (Some(surf), cs,
-        CommunityOps.computeGlobalWccFromSurfaces(initGraph, surf, cs, vertexCount))
+      val (cs, w) = CommunityOps.evalSurfacesConcurrent(initGraph, surf,
+        vertexCount)
+      (Some(surf), cs, w)
     } else {
       // statsFromDegrees / computeCommunityStats are integer-exact
       // equals (PropertySpec), so handing these to refineWithMaps
@@ -163,14 +163,12 @@ object DistributedWCC {
     // code on identical input — so the refinement trajectory is
     // bit-unchanged; the surf may be unpersisted below like any
     // superseded generation (callers keep only the scalar score).
-    var bestSurf = seedEval.map(_._1).getOrElse {
-      val s = CommunityOps.nbrSurfaces(bestPartition); s.cache(); s
+    var (bestSurf, bestCs, bestWcc) = seedEval.getOrElse {
+      val s = CommunityOps.nbrSurfaces(bestPartition); s.cache()
+      val (cs, w) = CommunityOps.evalSurfacesConcurrent(bestPartition, s,
+        vertexCount)
+      (s, cs, w)
     }
-    var bestCs = seedEval.map(_._2).getOrElse(
-      CommunityOps.statsFromSurfaces(bestPartition, bestSurf))
-    var bestWcc = seedEval.map(_._3).getOrElse(
-      CommunityOps.computeGlobalWccFromSurfaces(bestPartition, bestSurf,
-        bestCs, vertexCount))
 
     var foundNewBestPartition = true
     var retriesLeft = maxRetries
@@ -193,9 +191,12 @@ object DistributedWCC {
 
       val movedSurf = CommunityOps.nbrSurfaces(movementGraph)
       movedSurf.cache()
-      val newCs = CommunityOps.statsFromSurfaces(movementGraph, movedSurf)
-      val newWcc = CommunityOps.computeGlobalWccFromSurfaces(movementGraph, movedSurf,
-        newCs, vertexCount)
+      // the iteration's two heavy jobs overlap (PERF.md r20: ~350 ms
+      // stats + ~220 ms eval per iteration at sf0.1, both
+      // dispatch-bound on mostly-idle slots — the overlap cut the
+      // sf0.1 acceptance loop ~16%)
+      val (newCs, newWcc) = CommunityOps.evalSurfacesConcurrent(
+        movementGraph, movedSurf, vertexCount)
       retriesLeft -= 1
       System.err.println(s"[graft-wcc] refine iter $iter: " +
         s"${System.currentTimeMillis() - t0} ms, wcc=$newWcc (best=$bestWcc)")

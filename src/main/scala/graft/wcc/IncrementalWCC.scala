@@ -387,9 +387,19 @@ object IncrementalWCC {
    * exits early instead of paying their exchanges. Detection is a
    * LongAccumulator bumped inside the movement join when a cId
    * changes — retries can only inflate a NONZERO count, never
-   * fabricate one from a true zero, and only zero-ness is read. */
+   * fabricate one from a true zero, and only zero-ness is read.
+   *
+   * Final-iteration dead-work skip (value-identical): iteration 5's
+   * surfaces/stats exist only to feed a 6th movement that never
+   * runs, and [[run]] grafts ONLY the labels (returning the stale
+   * INCOMING stats — reference quirk `IncrementalWCC.scala:69`), so
+   * the last iteration materializes the movement join with a plain
+   * count instead of paying the exchange + collect. Returns the
+   * refined graph alone — there is no truthful stats value to
+   * return once the final recompute is skipped, and no caller
+   * consumed it. */
   private[wcc] def refinePartition(initGraph: Graph[VertexData, Int],
-      globalCC: Double, vertexCount: Long): (Graph[VertexData, Int], Map[Long, CommunityData]) = {
+      globalCC: Double, vertexCount: Long): Graph[VertexData, Int] = {
     val sc = initGraph.vertices.sparkContext
     // Same strategy split as the batch refinement: on hub-free
     // graphs one fused exchange per iteration feeds BOTH the
@@ -423,24 +433,33 @@ object IncrementalWCC {
           }
         }
         moved.cache()
-        val movedSurf = CommunityOps.nbrSurfaces(moved)
-        movedSurf.cache()
-        bestCs = CommunityOps.statsFromSurfaces(moved, movedSurf)
-        curSurf.unpersist(blocking = false)
-        curSurf = movedSurf
+        if (it == 5) {
+          // dead-work skip: no 6th movement consumes these surfaces/
+          // stats — materialize the join (populating the accumulator)
+          // with a count instead of the exchange + collect
+          moved.vertices.count()
+          curSurf.unpersist(blocking = false)
+        } else {
+          val movedSurf = CommunityOps.nbrSurfaces(moved)
+          movedSurf.cache()
+          bestCs = CommunityOps.statsFromSurfaces(moved, movedSurf)
+          curSurf.unpersist(blocking = false)
+          curSurf = movedSurf
+        }
         if (g ne initGraph) {
           g.unpersistVertices(blocking = false)
           g.edges.unpersist(blocking = false)
         }
         g = moved
-        // statsFromSurfaces materialized the joined vertices, so the
-        // accumulator is populated by the time it is read
+        // the action above (stats collect or the final count)
+        // materialized the joined vertices, so the accumulator is
+        // populated by the time it is read
         quiesced = movedAcc.value == 0L
         if (quiesced && it < 5)
           System.err.println(s"[graft-idwcc] refine quiesced after iter $it")
       } while (it < 5 && !quiesced)
-      curSurf.unpersist(blocking = false)
-      (g, bestCs)
+      if (it < 5) curSurf.unpersist(blocking = false)
+      g
     } else {
       var curDeg = CommunityOps.vertexCommunityDegrees(initGraph)
       curDeg.cache()
@@ -463,11 +482,17 @@ object IncrementalWCC {
           }
         }
         moved.cache()
-        val movedDeg = CommunityOps.vertexCommunityDegrees(moved)
-        movedDeg.cache()
-        bestCs = CommunityOps.statsFromDegrees(moved, movedDeg)
-        curDeg.unpersist(blocking = false)
-        curDeg = movedDeg
+        if (it == 5) {
+          // same dead-work skip as the compact path
+          moved.vertices.count()
+          curDeg.unpersist(blocking = false)
+        } else {
+          val movedDeg = CommunityOps.vertexCommunityDegrees(moved)
+          movedDeg.cache()
+          bestCs = CommunityOps.statsFromDegrees(moved, movedDeg)
+          curDeg.unpersist(blocking = false)
+          curDeg = movedDeg
+        }
         if (g ne initGraph) {
           g.unpersistVertices(blocking = false)
           g.edges.unpersist(blocking = false)
@@ -477,8 +502,8 @@ object IncrementalWCC {
         if (quiesced && it < 5)
           System.err.println(s"[graft-idwcc] refine quiesced after iter $it")
       } while (it < 5 && !quiesced)
-      curDeg.unpersist(blocking = false)
-      (g, bestCs)
+      if (it < 5) curDeg.unpersist(blocking = false)
+      g
     }
   }
 
@@ -627,7 +652,7 @@ object IncrementalWCC {
     val init = timed("initial-partition")(
       performInitialPartition(m.fullGraph, precomputedKeep = keep))
     m.touchedNbrs.unpersist(blocking = false)
-    val (finalGraph, _) = timed("refine")(refinePartition(init, m.globalCC, m.vertexCount))
+    val finalGraph = timed("refine")(refinePartition(init, m.globalCC, m.vertexCount))
 
     // graft onto the PREVIOUS graph's vertex/edge set (so batch edges
     // never persist into the state — the next merge unions onto the

@@ -34,6 +34,48 @@ object FlagMsg {
     if (a.size >= b.size) a.addAll(b) else b.addAll(a)
 }
 
+/** Growable superstep-1 message: each neighbor's decision-relevant
+ * coordinates appended into parallel primitive arrays (the same
+ * in-place-merge discipline as [[FlagMsg]]/NbrAgg). Replaces the
+ * immutable Map[Long, NborMsg] combiner whose `a ++ b` rebuilt a
+ * boxed map per merge — O(deg log deg) allocation churn per vertex
+ * on the loop's one full exchange. Senders are unique per receiver
+ * (one canonical edge per pair, no self-loops), so no dedup is
+ * needed; the receiving vertex program sorts by id once. */
+final class SeedMsg(id0: Long, vt0: Int, cc0: Double, center0: Boolean)
+    extends Serializable {
+  var ids: Array[Long] = { val a = new Array[Long](4); a(0) = id0; a }
+  var vts: Array[Int] = { val a = new Array[Int](4); a(0) = vt0; a }
+  var ccs: Array[Double] = { val a = new Array[Double](4); a(0) = cc0; a }
+  var centers: Array[Boolean] = { val a = new Array[Boolean](4); a(0) = center0; a }
+  var size: Int = 1
+
+  private def ensure(extra: Int): Unit = {
+    if (size + extra > ids.length) {
+      val cap = math.max(size + extra, ids.length * 2)
+      ids = java.util.Arrays.copyOf(ids, cap)
+      vts = java.util.Arrays.copyOf(vts, cap)
+      ccs = java.util.Arrays.copyOf(ccs, cap)
+      centers = java.util.Arrays.copyOf(centers, cap)
+    }
+  }
+
+  private[wcc] def addAll(other: SeedMsg): SeedMsg = {
+    ensure(other.size)
+    System.arraycopy(other.ids, 0, ids, size, other.size)
+    System.arraycopy(other.vts, 0, vts, size, other.size)
+    System.arraycopy(other.ccs, 0, ccs, size, other.size)
+    System.arraycopy(other.centers, 0, centers, size, other.size)
+    size += other.size
+    this
+  }
+}
+
+object SeedMsg {
+  def merge(a: SeedMsg, b: SeedMsg): SeedMsg =
+    if (a.size >= b.size) a.addAll(b) else b.addAll(a)
+}
+
 /**
  * Clustering-coefficient-seeded initial partition (G4 in SURVEY.md
  * §2.8): a superstep loop in which every vertex repeatedly adopts the
@@ -104,12 +146,17 @@ object InitialPartition {
   }
 
   /** Superstep-2 vertex program (the cache-building receipt of the
-   * initial broadcast, reference `DistributedWCC.scala:169-207`). */
-  private[wcc] def vprog(st: PState, messages: Map[Long, NborMsg]): PState = {
+   * initial broadcast, reference `DistributedWCC.scala:169-207`):
+   * sort the received coordinates by sender id (unique by
+   * construction; the defensive self-drop mirrors the reference's
+   * self-message no-op branch) and build the id-sorted cache. */
+  private[wcc] def vprog(st: PState, m: SeedMsg): PState = {
     val self = st.data
-    val entries = (messages - self.vId).toArray.sortBy(_._1)
-    val cache = NborCache(entries.map(_._1), entries.map(_._2.vt),
-      entries.map(_._2.cc), entries.map(_._2.isCenter))
+    val order = Array.range(0, m.size)
+      .filter(k => m.ids(k) != self.vId)
+      .sortBy(m.ids(_))
+    val cache = NborCache(order.map(m.ids(_)), order.map(m.vts(_)),
+      order.map(m.ccs(_)), order.map(m.centers(_)))
     decide(self, cache)
   }
 
@@ -144,12 +191,13 @@ object InitialPartition {
     // Superstep 1: every vertex broadcasts itself to all neighbors
     // (`DistributedWCC.scala:161-166`) — the loop's only full
     // exchange, and the only GraphX step.
-    val msgs0: VertexRDD[Map[Long, NborMsg]] = pruned.aggregateMessages(
+    val msgs0: VertexRDD[SeedMsg] = pruned.aggregateMessages(
       ctx => {
-        ctx.sendToDst(Map(ctx.srcId -> NborMsg.of(ctx.srcAttr)))
-        ctx.sendToSrc(Map(ctx.dstId -> NborMsg.of(ctx.dstAttr)))
+        val s = ctx.srcAttr; val d = ctx.dstAttr
+        ctx.sendToDst(new SeedMsg(s.vId, s.vt, s.cc, s.isCenter))
+        ctx.sendToSrc(new SeedMsg(d.vId, d.vt, d.cc, d.isCenter))
       },
-      (a: Map[Long, NborMsg], b: Map[Long, NborMsg]) => a ++ b)
+      SeedMsg.merge)
 
     // Superstep 2 builds the caches and makes the first decisions;
     // from here the state lives under the loop partitioner.
