@@ -26,6 +26,11 @@ object ScaleProbe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val phaseFilter: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(",").toSeq) else None
+    // optional 4th arg: explicit partition count for the replicated
+    // graph build — the sf1-scale A/B of the edge-count sizing rule
+    // (VERDICT r15 item 5: does graphPartsFor's min() hand over to
+    // input partitioning at the right point?)
+    val graphParts: Int = if (args.length > 3) args(3).toInt else 0
     // fail fast on a typo'd token: a misspelled `skew-corenes` would
     // otherwise pass the block gates, pay the generation phases, then
     // run zero loops with no warning
@@ -93,9 +98,10 @@ object ScaleProbe {
 
     lazy val g = {
       val built = phase("graph build") {
-        val g = EdgeOps.toGraph(edges); g.cache(); g.numVertices; g
+        val g = EdgeOps.toGraph(edges, graphParts); g.cache(); g.numVertices; g
       }
-      println(s"[scale-probe] |V|=${built.numVertices} |E|=${built.numEdges}")
+      println(s"[scale-probe] |V|=${built.numVertices} |E|=${built.numEdges} " +
+        s"parts=${built.edges.getNumPartitions}")
       built
     }
 
