@@ -124,7 +124,13 @@ object IncrementalWCC {
       newIds: Broadcast[Set[Long]],
       borderIds: Broadcast[Set[Long]],
       vertexCount: Long,
-      globalCC: Double,
+      /** deterministic merged-graph global cc ([[detGlobalCC]]),
+       * computed as a CONCURRENT job over the already-materialized
+       * cached vertices: its only consumer is the refinement, so the
+       * fold overlaps the gate probe + flagging + Pregel phases
+       * instead of serializing inside the merge. Values unchanged —
+       * the blocked fold is bit-reproducible wherever it runs. */
+      globalCCF: java.util.concurrent.CompletableFuture[Double],
       /** sorted MERGED-graph neighborhoods of the touched
        * (border/new) vertices — built once here, consumed by BOTH
        * the delta stat update and the delta triangle flagging
@@ -168,9 +174,12 @@ object IncrementalWCC {
     val fullGraph = updateVertexData(fg, bBorder, bNew, nbrs)
     fullGraph.cache()
     val vertexCount = fullGraph.numVertices
-    val globalCC = detGlobalCC(fullGraph.vertices, vertexCount)
+    // numVertices above materialized the cached vertices, so the
+    // concurrent fold only re-reads blocks — no racing computation
+    val globalCCF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+      detGlobalCC(fullGraph.vertices, vertexCount))
     bBatch.unpersist(blocking = false)
-    MergeResult(fullGraph, fg, bNew, bBorder, vertexCount, globalCC, nbrs)
+    MergeResult(fullGraph, fg, bNew, bBorder, vertexCount, globalCCF, nbrs)
   }
 
   /** Deterministic global clustering coefficient: ascending-vid left
@@ -652,7 +661,11 @@ object IncrementalWCC {
     val init = timed("initial-partition")(
       performInitialPartition(m.fullGraph, precomputedKeep = keep))
     m.touchedNbrs.unpersist(blocking = false)
-    val finalGraph = timed("refine")(refinePartition(init, m.globalCC, m.vertexCount))
+    val globalCC = try m.globalCCF.join() catch {
+      case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+    val finalGraph = timed("refine")(refinePartition(init, globalCC, m.vertexCount))
 
     // graft onto the PREVIOUS graph's vertex/edge set (so batch edges
     // never persist into the state — the next merge unions onto the

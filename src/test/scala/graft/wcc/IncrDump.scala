@@ -43,8 +43,12 @@ object IncrDump {
     m.fullGraph.vertices.map { case (id, vd) => (id, vd.t, vd.vt, vd.cId) }
       .toDF("vid", "t", "vt", "cid")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/merged_stats")
-    println(s"DUMP split=$split vertexCount=${m.vertexCount} " +
-      s"globalCC=${m.globalCC} bits=${java.lang.Double.doubleToLongBits(m.globalCC)}")
+    // hoist to locals: the movement closure below must not capture
+    // `m` itself (MergeResult now carries a non-serializable future)
+    val globalCC = m.globalCCF.join()
+    val vertexCount = m.vertexCount
+    println(s"DUMP split=$split vertexCount=$vertexCount " +
+      s"globalCC=$globalCC bits=${java.lang.Double.doubleToLongBits(globalCC)}")
 
     val init = IncrementalWCC.performInitialPartition(m.fullGraph)
     init.vertices.map { case (id, vd) => (id, vd.cId) }
@@ -63,7 +67,7 @@ object IncrDump {
       val moved = g.outerJoinVertices(deg) { (_, vd, degOpt) =>
         degOpt match {
           case Some(d) =>
-            DistributedWCC.bestMovement(vd, d, bStats.value, m.globalCC, m.vertexCount)
+            DistributedWCC.bestMovement(vd, d, bStats.value, globalCC, vertexCount)
           case None => vd
         }
       }
