@@ -29,6 +29,10 @@ object Bench {
     // times a real end-to-end IncrementalWCC.run fold inside
     // foreachBatch instead of the batch twin's memoized labels
     System.setProperty("graft.stream.wccShortcut", "off")
+    // optional graph-partition override for local A/B probes (sbt's
+    // forked run does not forward -D flags, so route through env)
+    sys.env.get("SPARK_GRAFT_GRAPH_PARTS").foreach(v =>
+      System.setProperty("graft.graph.parts", v))
     // optional comma-separated name filter for local iteration (the
     // driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -175,7 +179,9 @@ object Bench {
     // distinguishable from a stale artifact copy — every emitted
     // artifact carries the wall-clock instant it finished
     val stamp = java.time.Instant.now().toString
-    try {
+    // a name-filtered (SPARK_GRAFT_ONLY) probe run must never clobber
+    // the committed full-suite artifact
+    if (only.isEmpty) try {
       val fullRuns = runs.zip(fullMaps).map { case (r, m) =>
         s"""{"load":${r.loadJson},"queries":$m}"""
       }.mkString("[", ",", "]")

@@ -80,14 +80,39 @@ object CommunityOps {
     statsFromTriples(perVertex)
   }
 
-  /** Single-stage community-stats fold: per-partition hash maps of
-   * (r, same-degree sum, external-degree sum), merged on the driver.
-   * Replaces the per-iteration reduceByKey + collectAsMap — the
-   * shuffle stage bought nothing (#communities << |V| and the
-   * map-side combine already compacted to one row per (partition,
-   * community)); integer sums are order-free, so the driver-side
-   * completion-order merge is value-identical. */
+  /** Community-stats fold from per-vertex (cId, own, ext) triples.
+   * Two value-identical forms, picked by partition count:
+   *
+   *  - <= 64 partitions (bench SFs, small clusters): a single-stage
+   *    `aggregate` of per-partition hash maps merged on the driver.
+   *    Replaces the per-iteration reduceByKey + collectAsMap, whose
+   *    shuffle stage bought nothing at this width — the map-side
+   *    combine already compacted to one row per (partition,
+   *    community), and the dispatch of the extra stage dominated the
+   *    dispatch-bound refinement iterations (PERF.md r20).
+   *  - wider: the reduceByKey + collectAsMap shape — at 10^4-10^5
+   *    partitions a direct aggregate would ship one
+   *    #communities-sized map PER PARTITION to the driver, while the
+   *    shuffle first combines to #communities total rows. The 100 TB
+   *    path keeps the scale-correct form.
+   *
+   * Integer sums are order-free, so both forms (and the driver's
+   * completion-order merge) produce identical values. */
   private def statsFromTriples(
+      perVertex: org.apache.spark.rdd.RDD[(VertexId, (Long, Int, Int))])
+      : Map[Long, CommunityData] =
+    if (perVertex.getNumPartitions <= 64) statsFromTriplesNarrow(perVertex)
+    else {
+      val counts = perVertex
+        .map { case (_, (c, own, ext)) => (c, (1L, own.toLong, ext.toLong)) }
+        .reduceByKey((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3))
+        .collectAsMap()
+      counts.map { case (c, (r, sameDeg, ext)) =>
+        (c, CommunityData(r.toInt, (sameDeg / 2).toDouble, ext.toInt))
+      }.toMap
+    }
+
+  private def statsFromTriplesNarrow(
       perVertex: org.apache.spark.rdd.RDD[(VertexId, (Long, Int, Int))])
       : Map[Long, CommunityData] = {
     val merged = perVertex.aggregate(new java.util.HashMap[Long, Array[Long]]())(
