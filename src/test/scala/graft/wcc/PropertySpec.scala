@@ -105,6 +105,15 @@ class PropertySpec extends SparkSpec {
           g, CommunityOps.nbrSurfaces(g), s1, g.numVertices)
         val w2 = CommunityOps.computeGlobalWCC(g, s3, g.numVertices)
         assert(math.abs(w1 - w2) < 1e-12, s"wcc $w1 vs $w2")
+        // the refinement loop's CONCURRENT evaluation (stats collect
+        // and triangle-exchange scaffold as overlapping jobs) equals
+        // the sequential composition: stats integer-exact, the WCC
+        // scalar up to float summation order
+        val surf3 = CommunityOps.nbrSurfaces(g); surf3.cache()
+        val (cs, w3) = CommunityOps.evalSurfacesConcurrent(g, surf3, g.numVertices)
+        surf3.unpersist(blocking = false)
+        assert(cs === s1)
+        assert(math.abs(w3 - w1) < 1e-12, s"wcc $w3 vs $w1")
       }
     }
   }
