@@ -170,57 +170,95 @@ object DistributedWCC {
       (s, cs, w)
     }
 
-    var foundNewBestPartition = true
-    var retriesLeft = maxRetries
+    // Pipelined acceptance loop (PERF.md r20). One movement
+    // generation = (movement join, fused surfaces, derived stats) —
+    // the strictly sequential chain an iteration cannot avoid. The
+    // WCC evaluation of generation k, however, only gates ACCEPTANCE,
+    // and a rejection EXITS the loop — so generation k+1's chain runs
+    // CONCURRENTLY with k's evaluation (speculation wasted exactly
+    // once, on the final rejected iteration; never on an accept,
+    // because speculation only happens when an accept provably
+    // continues the loop). The trajectory is bit-identical to the
+    // sequential form: generation k+1 is built from generation k with
+    // k's stats broadcast, exactly as the sequential loop would after
+    // accepting k.
+    final case class Gen(no: Int, graph: Graph[VertexData, Int],
+        surf: VertexRDD[CommunityOps.NbrSurface], cs: Map[Long, CommunityData])
+    def releaseGen(g: Gen): Unit = {
+      g.surf.unpersist(blocking = false)
+      if (g.graph ne initGraph) {
+        g.graph.unpersistVertices(blocking = false)
+        g.graph.edges.unpersist(blocking = false)
+      }
+    }
+    val sc = initGraph.vertices.sparkContext
     var iter = 0
-    do {
-      val t0 = System.currentTimeMillis()
-      val sc = bestPartition.vertices.sparkContext
-      val bStats = sc.broadcast(bestCs)
-      val movementGraph = bestPartition.outerJoinVertices(bestSurf) { (_, vd, sOpt) =>
+    def advance(baseGraph: Graph[VertexData, Int],
+        baseSurf: VertexRDD[CommunityOps.NbrSurface],
+        baseCs: Map[Long, CommunityData]): Gen = {
+      val bStats = sc.broadcast(baseCs)
+      val mg = baseGraph.outerJoinVertices(baseSurf) { (_, vd, sOpt) =>
         sOpt match {
           case Some(s) => bestMovementCompact(vd, s.cIds, s.counts, bStats.value,
             globalCC, vertexCount)
           case None => vd
         }
       }
-      movementGraph.cache()
+      mg.cache()
       iter += 1
-      val sc0 = movementGraph.vertices.sparkContext
-      if (iter % 8 == 0 && sc0.getCheckpointDir.isDefined) movementGraph.checkpoint()
+      if (iter % 8 == 0 && sc.getCheckpointDir.isDefined) mg.checkpoint()
+      val ms = CommunityOps.nbrSurfaces(mg)
+      ms.cache()
+      // the stats fold is the generation's materializing job
+      Gen(iter, mg, ms, CommunityOps.statsFromSurfaces(mg, ms))
+    }
 
-      val movedSurf = CommunityOps.nbrSurfaces(movementGraph)
-      movedSurf.cache()
-      // the iteration's two heavy jobs overlap (PERF.md r20: ~350 ms
-      // stats + ~220 ms eval per iteration at sf0.1, both
-      // dispatch-bound on mostly-idle slots — the overlap cut the
-      // sf0.1 acceptance loop ~16%)
-      val (newCs, newWcc) = CommunityOps.evalSurfacesConcurrent(
-        movementGraph, movedSurf, vertexCount)
+    var retriesLeft = maxRetries
+    var cand = advance(bestPartition, bestSurf, bestCs)
+    var continueLoop = true
+    while (continueLoop) {
+      val t0 = System.currentTimeMillis()
+      val scaffoldF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        CommunityOps.wccEvalScaffold(cand.graph, cand.surf))
+      // speculate the next generation only when an accept would
+      // certainly continue the loop (post-decrement retries >= 1)
+      val spec = if (retriesLeft > 1) Some(advance(cand.graph, cand.surf, cand.cs))
+        else None
+      val scaffold = try scaffoldF.join() catch {
+        case e: java.util.concurrent.CompletionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+      val newWcc = CommunityOps.wccFromScaffold(scaffold, cand.cs, vertexCount)
+      scaffold.unpersist(blocking = false)
       retriesLeft -= 1
-      System.err.println(s"[graft-wcc] refine iter $iter: " +
+      System.err.println(s"[graft-wcc] refine iter ${cand.no}: " +
         s"${System.currentTimeMillis() - t0} ms, wcc=$newWcc (best=$bestWcc)")
 
       if (newWcc > bestWcc) {
         if (newWcc / bestWcc - 1 > Threshold) retriesLeft = maxRetries
         val prev = bestPartition
         val prevSurf = bestSurf
-        bestPartition = movementGraph
-        bestSurf = movedSurf
+        bestPartition = cand.graph
+        bestSurf = cand.surf
         bestWcc = newWcc
-        bestCs = newCs
+        bestCs = cand.cs
         prevSurf.unpersist(blocking = false)
         if (prev ne initGraph) {
           prev.unpersistVertices(blocking = false)
           prev.edges.unpersist(blocking = false)
         }
+        if (retriesLeft > 0)
+          cand = spec.getOrElse(advance(bestPartition, bestSurf, bestCs))
+        else {
+          spec.foreach(releaseGen)
+          continueLoop = false
+        }
       } else {
-        foundNewBestPartition = false
-        movedSurf.unpersist(blocking = false)
-        movementGraph.unpersistVertices(blocking = false)
-        movementGraph.edges.unpersist(blocking = false)
+        spec.foreach(releaseGen)
+        releaseGen(cand)
+        continueLoop = false
       }
-    } while (foundNewBestPartition && retriesLeft > 0)
+    }
     bestSurf.unpersist(blocking = false)
 
     (bestPartition, bestCs, bestWcc, globalCC)
