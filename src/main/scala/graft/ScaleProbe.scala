@@ -35,8 +35,8 @@ object ScaleProbe {
     // otherwise pass the block gates, pay the generation phases, then
     // run zero loops with no warning
     val KnownTokens = Set(
-      "wcc", "coreness", "k-truss", "msf", "hits", "det", "pagerank",
-      "eigen", "label", "floatdet",
+      "wcc", "wcc-refine", "coreness", "k-truss", "msf", "hits", "det",
+      "pagerank", "eigen", "label", "floatdet",
       "skew", "skew-pagerank", "skew-cc", "skew-coreness", "skew-wcc",
       "skew-ktruss", "skew-idwcc", "skew-betweenness", "skew-mis",
       "skew-scc", "dedup-hot", "ivf-hot", "pq", "stream-dedup")
@@ -122,6 +122,18 @@ object ScaleProbe {
         println(s"[scale-probe] communities=${cs.size} wcc=$wcc")
         surf.unpersist(blocking = false)
       }
+    }
+
+    // full batch DWCC — preprocess + seeding + the PIPELINED
+    // acceptance refinement (r20): at 10x this holds up to three
+    // live movement generations (best/candidate/speculative), so the
+    // probe watches peak heap as much as wall clock
+    // explicit opt-in only (the bare "wcc" token must keep its
+    // single-iteration shape, and a no-filter run must not pay a
+    // full multi-minute DWCC)
+    if (phaseFilter.exists(_.contains("wcc-refine"))) phase("wcc-refine loop (full DWCC)") {
+      val out = DistributedWCC.run(g)
+      println(s"[scale-probe] wcc=${out.bestWcc} communities=${out.communityStats.size}")
     }
 
     // ---- peel loops + deterministic fixpoint family ----------------
