@@ -197,10 +197,19 @@ object DistributedWCC {
         baseSurf: VertexRDD[CommunityOps.NbrSurface],
         baseCs: Map[Long, CommunityData]): Gen = {
       val bStats = sc.broadcast(baseCs)
+      // movement-count telemetry (log-only — never read for control
+      // flow, so task retries inflating it are harmless): sizes the
+      // would-be win of a delta-surface iteration (O(Σdeg(moved))
+      // exchange instead of O(|E|)) against the measured move
+      // profile. See PERF.md round-21.
+      val movedAcc = sc.longAccumulator(s"wcc-moves-gen")
       val mg = baseGraph.outerJoinVertices(baseSurf) { (_, vd, sOpt) =>
         sOpt match {
-          case Some(s) => bestMovementCompact(vd, s.cIds, s.counts, bStats.value,
-            globalCC, vertexCount)
+          case Some(s) =>
+            val out = bestMovementCompact(vd, s.cIds, s.counts, bStats.value,
+              globalCC, vertexCount)
+            if (out.cId != vd.cId) movedAcc.add(1L)
+            out
           case None => vd
         }
       }
@@ -210,7 +219,10 @@ object DistributedWCC {
       val ms = CommunityOps.nbrSurfaces(mg)
       ms.cache()
       // the stats fold is the generation's materializing job
-      Gen(iter, mg, ms, CommunityOps.statsFromSurfaces(mg, ms))
+      val cs = CommunityOps.statsFromSurfaces(mg, ms)
+      // populated by the stats fold above (it materialized mg)
+      System.err.println(s"[graft-wcc] gen $iter moves=${movedAcc.value}")
+      Gen(iter, mg, ms, cs)
     }
 
     var retriesLeft = maxRetries
