@@ -118,6 +118,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stats fold: wide (>64-part reduceByKey) form equals the narrow aggregate form") {
+    // statsFromTriples picks its shape by partition count (narrow
+    // single-stage aggregate at bench widths, map-side-combined
+    // reduceByKey at cluster widths). Every other suite runs at <= 64
+    // partitions, so without this pin the 100 TB form could drift
+    // unexercised. Integer sums are order-free — the forms must be
+    // exactly equal.
+    forAll(edgeGen, 4) { edges =>
+      if (edges.nonEmpty) {
+        val canon = edges.map(e => if (e._1 < e._2) e else e.swap).distinct
+        val sc = spark.sparkContext
+        def gAt(parts: Int) = {
+          val g0 = org.apache.spark.graphx.Graph.fromEdges(
+            sc.parallelize(canon.map(e =>
+              org.apache.spark.graphx.Edge(e._1, e._2, 1)), parts), 0)
+          g0.mapVertices((id, _) => VertexData(id, 0, 2, id % 3))
+        }
+        val narrow = gAt(4)
+        val wide = gAt(80)
+        assert(wide.vertices.getNumPartitions > 64,
+          "premise: the wide graph must cross the 64-partition strategy split")
+        val sN = CommunityOps.statsFromSurfaces(narrow, CommunityOps.nbrSurfaces(narrow))
+        val sW = CommunityOps.statsFromSurfaces(wide, CommunityOps.nbrSurfaces(wide))
+        assert(sN === sW)
+      }
+    }
+  }
+
   test("DWCC output covers every vertex exactly once with a valid community") {
     forAll(edgeGen, 4) { edges =>
       if (edges.nonEmpty) {
