@@ -307,14 +307,22 @@ object CommunityOps {
       : (Map[Long, CommunityData], Double) = {
     val scaffoldF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
       wccEvalScaffold(graph, surf))
-    val cs = statsFromSurfaces(graph, surf)
-    val scaffold = try scaffoldF.join() catch {
-      case e: java.util.concurrent.CompletionException =>
-        throw Option(e.getCause).getOrElse(e)
+    var scaffold: VertexRDD[(VertexData, Int, Int)] = null
+    try {
+      val cs = statsFromSurfaces(graph, surf)
+      scaffold = WccUtil.joinUnwrapped(scaffoldF)
+      val w = wccFromScaffold(scaffold, cs, vertexCount)
+      (cs, w)
+    } finally {
+      // release the scaffold on EVERY exit: if the stats collect
+      // threw before the join, await the future (its job is running
+      // regardless) so the cached block it materialized cannot stay
+      // pinned for the rest of a long-lived session
+      val s = if (scaffold != null) scaffold
+        else try WccUtil.joinUnwrapped(scaffoldF)
+          catch { case _: Throwable => null }
+      if (s != null) s.unpersist(blocking = false)
     }
-    val w = wccFromScaffold(scaffold, cs, vertexCount)
-    scaffold.unpersist(blocking = false)
-    (cs, w)
   }
 
   /** G7 on the compact surface: the same-community neighbor arrays

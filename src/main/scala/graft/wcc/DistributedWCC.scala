@@ -232,15 +232,26 @@ object DistributedWCC {
       val t0 = System.currentTimeMillis()
       val scaffoldF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
         CommunityOps.wccEvalScaffold(cand.graph, cand.surf))
+      // on any failure below, the in-flight scaffold job must be
+      // observed and its cache released — a thrown-through iteration
+      // must not leave a materialized block pinned for the session
+      def dropScaffold(): Unit =
+        try WccUtil.joinUnwrapped(scaffoldF).unpersist(blocking = false)
+        catch { case _: Throwable => () }
       // speculate the next generation only when an accept would
       // certainly continue the loop (post-decrement retries >= 1)
-      val spec = if (retriesLeft > 1) Some(advance(cand.graph, cand.surf, cand.cs))
+      val spec = try {
+        if (retriesLeft > 1) Some(advance(cand.graph, cand.surf, cand.cs))
         else None
-      val scaffold = try scaffoldF.join() catch {
-        case e: java.util.concurrent.CompletionException =>
-          throw Option(e.getCause).getOrElse(e)
+      } catch { case t: Throwable => dropScaffold(); throw t }
+      val scaffold = try WccUtil.joinUnwrapped(scaffoldF) catch {
+        case t: Throwable => spec.foreach(releaseGen); throw t
       }
-      val newWcc = CommunityOps.wccFromScaffold(scaffold, cand.cs, vertexCount)
+      val newWcc = try
+        CommunityOps.wccFromScaffold(scaffold, cand.cs, vertexCount)
+      catch { case t: Throwable =>
+        scaffold.unpersist(blocking = false); spec.foreach(releaseGen); throw t
+      }
       scaffold.unpersist(blocking = false)
       retriesLeft -= 1
       System.err.println(s"[graft-wcc] refine iter ${cand.no}: " +
@@ -262,7 +273,10 @@ object DistributedWCC {
         if (retriesLeft > 0)
           cand = spec.getOrElse(advance(bestPartition, bestSurf, bestCs))
         else {
-          spec.foreach(releaseGen)
+          // spec is provably None here: it is built only when
+          // pre-decrement retriesLeft > 1, i.e. post-decrement >= 1,
+          // and the Threshold reset can only RAISE retriesLeft — so
+          // an accept landing at 0 retries implies no speculation ran
           continueLoop = false
         }
       } else {

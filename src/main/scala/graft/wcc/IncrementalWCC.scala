@@ -633,6 +633,7 @@ object IncrementalWCC {
       deltaFlagMaxVolumeFraction: Double = DeltaFlagMaxVolumeFraction,
       expectDeltaPath: Boolean = false): State = {
     val m = timed("merge")(merge(state, newEdges))
+    try {
     // incremental triangle flagging for genuinely micro batches: the
     // state's batch-invariant bulk flag set + the new triangles this
     // batch's edges close (the merged neighborhoods are already in
@@ -661,10 +662,7 @@ object IncrementalWCC {
     val init = timed("initial-partition")(
       performInitialPartition(m.fullGraph, precomputedKeep = keep))
     m.touchedNbrs.unpersist(blocking = false)
-    val globalCC = try m.globalCCF.join() catch {
-      case e: java.util.concurrent.CompletionException =>
-        throw Option(e.getCause).getOrElse(e)
-    }
+    val globalCC = WccUtil.joinUnwrapped(m.globalCCF)
     val finalGraph = timed("refine")(refinePartition(init, globalCC, m.vertexCount))
 
     // graft onto the PREVIOUS graph's vertex/edge set (so batch edges
@@ -691,6 +689,24 @@ object IncrementalWCC {
     // bulkFlagged carries over unchanged: the graft-back keeps the
     // result's edge set identical to the state's (bulk) edge set.
     State(resultGraph, state.stats, state.bulkFlagged)
+    } catch {
+      case t: Throwable =>
+        // A failure between the merge and the state hand-off — the
+        // expectDeltaPath require included — must not abandon the
+        // concurrent global-cc fold unobserved (its job would keep
+        // running on the shared context with any failure swallowed)
+        // or leave the merge's caches pinned for the session. Await
+        // the fold, drop everything the merge materialized, rethrow.
+        // Double-unpersist of surfaces the body already released on
+        // a later failure is a harmless no-op.
+        try { m.globalCCF.join(); () } catch { case _: Throwable => () }
+        m.touchedNbrs.unpersist(blocking = false)
+        release(m.merged)
+        release(m.fullGraph)
+        m.newIds.unpersist(blocking = false)
+        m.borderIds.unpersist(blocking = false)
+        throw t
+    }
   }
 
   /**

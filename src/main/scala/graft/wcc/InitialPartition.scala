@@ -152,9 +152,38 @@ object InitialPartition {
    * self-message no-op branch) and build the id-sorted cache. */
   private[wcc] def vprog(st: PState, m: SeedMsg): PState = {
     val self = st.data
-    val order = Array.range(0, m.size)
+    val order0 = Array.range(0, m.size)
       .filter(k => m.ids(k) != self.vId)
       .sortBy(m.ids(_))
+    // collapse duplicate senders: the old Map[Long, NborMsg] combiner
+    // deduped by sender id implicitly; the parallel-array SeedMsg
+    // keeps every copy, and a duplicated cache entry would let
+    // applyFlags' binarySearch flip only ONE copy on a center
+    // transition, leaving decide() reading the stale twin. Duplicate
+    // senders are outside the canonical-edge contract (no parallel
+    // edges survive canonicalize, and micro-batch edges are new by
+    // construction), but dedup here is one adjacent-equality pass —
+    // cheaper than trusting every caller forever. Payloads from the
+    // same sender are identical (one vertex, one attribute), so
+    // keeping the first is deterministic.
+    val order = if (order0.length < 2) order0 else {
+      var dups = 0
+      var k = 1
+      while (k < order0.length) {
+        if (m.ids(order0(k)) == m.ids(order0(k - 1))) dups += 1
+        k += 1
+      }
+      if (dups == 0) order0 else {
+        val out = new Array[Int](order0.length - dups)
+        out(0) = order0(0)
+        var w = 1; k = 1
+        while (k < order0.length) {
+          if (m.ids(order0(k)) != m.ids(order0(k - 1))) { out(w) = order0(k); w += 1 }
+          k += 1
+        }
+        out
+      }
+    }
     val cache = NborCache(order.map(m.ids(_)), order.map(m.vts(_)),
       order.map(m.ccs(_)), order.map(m.centers(_)))
     decide(self, cache)

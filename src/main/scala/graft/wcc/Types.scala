@@ -92,3 +92,16 @@ final case class CommunityData(r: Int, a: Double, b: Int) {
   def addVertex(dIn: Int, dOut: Int): CommunityData =
     CommunityData(r + 1, a + dIn, b - dIn + dOut)
 }
+
+/** Shared helper for the WCC pipelines' concurrent Spark jobs. */
+private[wcc] object WccUtil {
+  /** `join()` with the wrapper peeled: a failure inside a
+   * `CompletableFuture` job surfaces as the underlying Spark
+   * exception, not a `CompletionException` — one definition for
+   * every overlap site so failure handling cannot drift. */
+  def joinUnwrapped[T](f: java.util.concurrent.CompletableFuture[T]): T =
+    try f.join() catch {
+      case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+}

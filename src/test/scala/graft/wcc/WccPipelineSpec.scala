@@ -15,6 +15,33 @@ class InitialPartitionSpec extends SparkSpec {
     assert(parts === Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("a duplicated (parallel) edge does not perturb the partition") {
+    // Duplicate senders are outside the canonical-edge contract, but
+    // vprog dedups the neighbor cache defensively (the old Map
+    // combiner did so implicitly; the parallel-array SeedMsg keeps
+    // copies, and a duplicated cache entry would let applyFlags flip
+    // only one twin on a center transition). Pin: a hand-built graph
+    // carrying a parallel edge yields the same labels as its clean
+    // twin.
+    // the duplicate must bypass TriangleStats (it would perturb the
+    // (t, vt) inputs too) — feed InitialPartition.run directly with
+    // identical vertex attributes and only the edge list differing
+    import org.apache.spark.graphx.{Edge, Graph}
+    val attrs = Seq(
+      (1L, VertexData(1L, 1, 2, 1L)), (2L, VertexData(2L, 1, 2, 2L)),
+      (3L, VertexData(3L, 2, 4, 3L)), (4L, VertexData(4L, 1, 2, 4L)),
+      (5L, VertexData(5L, 1, 2, 5L)))
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val g = Graph(
+        spark.sparkContext.parallelize(attrs),
+        spark.sparkContext.parallelize(edges.map(e => Edge(e._1, e._2, 1))))
+      InitialPartition.run(g)
+        .vertices.collect().map { case (id, vd) => (id, vd.cId) }.toMap
+    }
+    assert(labelsOf(clean :+ ((2L, 3L))) === labelsOf(clean))
+  }
+
   test("two disjoint triangles partition independently") {
     val g = graphOf(spark, Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L)))
     val init = InitialPartition.run(TriangleStats.run(g).pruned)
