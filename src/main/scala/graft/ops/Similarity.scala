@@ -726,29 +726,40 @@ object Similarity {
    * Returns every clustered vector as (vec_id, cluster, dup_of,
    * kept): dup_of = smallest matching lower id (null for
    * survivors), kept = dup_of IS NULL. */
-  def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
-      tauNum: Long = 9216L, tauDen: Long = 10000L): DataFrame = {
-    // LOUD overflow guard: the exact integer test below computes
-    // tauDen*dot^2 and tauNum*n2a*n2b with dot, n2 <= D*127^2 for
-    // D-dim embeddings, so max(tauNum, tauDen) * (D*127^2)^2 must
-    // fit a Long — D <= ~1882 at the default tau scale. Past the
-    // bound the keep/drop decisions would corrupt SILENTLY (Long
-    // wrap-around flips the comparison); fail here instead. To go
-    // wider, coarsen the quantization or move the test to BigInt on
-    // both engines.
-    // an EMPTY corpus makes the max aggregate NULL — getInt would
-    // then throw a bare NPE instead of this guard's descriptive
-    // error (ADVICE r13/r14); check nullness first and fail loudly
+  /** Default semantic-duplicate threshold: cos^2 >= 9216/10000
+   * (cos >= 0.96). ONE definition for the batch operator and its
+   * streaming twin — an inlined copy in either diverges silently if
+   * the default ever moves. */
+  val SemDedupTauNum = 9216L
+  val SemDedupTauDen = 10000L
+
+  /** LOUD overflow guard shared by the batch and streaming semantic
+   * dedup: the exact integer test computes tauDen*dot^2 and
+   * tauNum*n2a*n2b with dot, n2 <= D*127^2 for D-dim embeddings, so
+   * max(tauNum, tauDen) * (D*127^2)^2 must fit a Long — D <= ~1882
+   * at the default tau scale. Past the bound the keep/drop decisions
+   * would corrupt SILENTLY (Long wrap-around flips the comparison);
+   * fail here instead. To go wider, coarsen the quantization or move
+   * the test to BigInt on both engines. An EMPTY corpus makes the
+   * max aggregate NULL — getInt would throw a bare NPE instead of a
+   * descriptive error (ADVICE r13/r14); check nullness first. */
+  private[graft] def requireSemDedupDims(embeddings: DataFrame,
+      tauNum: Long, tauDen: Long, who: String): Unit = {
     val dimsRow = embeddings
       .agg(max(size(col("embedding")))).head()
     require(!dimsRow.isNullAt(0),
-      "semDedup: empty embedding corpus — no rows to cluster or deduplicate")
+      s"$who: empty embedding corpus — no rows to cluster or deduplicate")
     val maxDims = dimsRow.getInt(0)
     val safeDims = (math.sqrt(
       Long.MaxValue.toDouble / math.max(tauNum, tauDen)) / (127.0 * 127.0)).toLong
     require(maxDims <= safeDims,
-      s"semDedup: $maxDims-dim embeddings overflow the exact integer " +
+      s"$who: $maxDims-dim embeddings overflow the exact integer " +
         s"cosine test (safe bound: $safeDims dims at tau = $tauNum/$tauDen)")
+  }
+
+  def semDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+      tauNum: Long = SemDedupTauNum, tauDen: Long = SemDedupTauDen): DataFrame = {
+    requireSemDedupDims(embeddings, tauNum, tauDen, "semDedup")
     val assigned = kmeansDet(embeddings, k, iters)
       .select(col("vec_id"), col("cluster"))
     val side = assigned.join(signedQs(embeddings), "vec_id")
