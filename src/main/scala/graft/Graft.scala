@@ -112,8 +112,14 @@ object Graft {
 
   /** Full near-dup clustering: MinHash -> LSH banding -> candidate
    * pairs -> connected components; (doc_id, cluster_id). */
+  /** Near-dup cluster labels via the STAR-reduced bucket edges —
+   * identical components to the pair clique (spec-pinned), m-1 edges
+   * per LSH bucket instead of m(m-1)/2, so a hot boilerplate bucket
+   * cannot detonate the clustering entrypoint (this facade is the
+   * path the star reduction exists for; the pair LIST product stays
+   * on [[Dedup.lshCandidatePairs]]). */
   def duplicateClusters(docs: DataFrame): DataFrame =
-    Dedup.clusters(Dedup.lshCandidatePairs(docs))
+    Dedup.clusters(Dedup.lshClusterEdges(Dedup.lshBands(docs)))
 
   // ---- similarity search -------------------------------------------
 

@@ -95,8 +95,10 @@ object Dedup {
    * collapse the bucket into one component), but the star emits
    * m-1 edges where the pair self-join emits m(m-1)/2 — the
    * difference between a linear pass and job death on the hot
-   * buckets every web-scale corpus has (boilerplate pages, empty
-   * docs, templated text collide into buckets of millions). Shape:
+   * buckets every web-scale corpus has (boilerplate pages and
+   * templated text collide into buckets of millions; note docs
+   * under 3 words produce NO shingles, so they bypass the minhash
+   * pipeline entirely and are caught only by exact dedup). Shape:
    * one groupBy for the bucket minimum + one equi-join back on the
    * bucket key — both stream through sort-merge machinery at any
    * bucket size, no windowed buffering, no pair materialization.
@@ -126,8 +128,16 @@ object Dedup {
       .map(r => (r.getLong(0), r.getLong(1)))
     val g = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0)
     val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(g)
+    // materialize the labels BEFORE releasing the Pregel result:
+    // cc's cached vertex/edge RDDs otherwise stay pinned for the
+    // session, one pair per invocation (review r16); the cached
+    // label frame is what callers consume (their own .cache() on it
+    // is an idempotent no-op)
     val out = spark.createDataFrame(cc.vertices.map { case (id, root) => (id, root) })
-      .toDF("doc_id", "cluster_id")
+      .toDF("doc_id", "cluster_id").cache()
+    out.count()
+    cc.unpersistVertices(blocking = false)
+    cc.edges.unpersist(blocking = false)
     g.unpersistVertices(blocking = false)
     g.edges.unpersist(blocking = false)
     out

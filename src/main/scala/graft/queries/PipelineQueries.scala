@@ -139,7 +139,11 @@ object PipelineQueries {
    * independently oracle-checked operator. */
   def corpusSelect(spark: SparkSession, sfDir: String): DataFrame = {
     val ds = docs(spark, sfDir)
-    val keepCl = Dedup.keepDecisions(ds, Dedup.clusters(lshPairs(spark, sfDir)))
+    // the memoized STAR-reduced labels (identical components to the
+    // pair clique, spec-pinned): routing through the clique pair list
+    // here re-created the hot-bucket m(m-1)/2 blowup on the capstone
+    // path and ran a second, unmemoized CC job (review r16)
+    val keepCl = Dedup.keepDecisions(ds, clusterLabels(spark, sfDir))
       .select(col("doc_id"), col("keep").as("cluster_keep"))
     val quality = TextOps.textStats(ds).select(col("doc_id"), col("quality"))
     val langOk = TextOps.langId(ds).select(col("doc_id"),
