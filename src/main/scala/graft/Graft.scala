@@ -110,14 +110,18 @@ object Graft {
     est
   }
 
-  /** Full near-dup clustering: MinHash -> LSH banding -> candidate
-   * pairs -> connected components; (doc_id, cluster_id). */
   /** Near-dup cluster labels via the STAR-reduced bucket edges —
    * identical components to the pair clique (spec-pinned), m-1 edges
    * per LSH bucket instead of m(m-1)/2, so a hot boilerplate bucket
    * cannot detonate the clustering entrypoint (this facade is the
    * path the star reduction exists for; the pair LIST product stays
-   * on [[Dedup.lshCandidatePairs]]). */
+   * on [[Dedup.lshCandidatePairs]]).
+   *
+   * CACHE OWNERSHIP: the returned label frame is CACHED and the
+   * caller owns it — `unpersist()` it when done, or repeated calls
+   * in a long-lived session pin one label frame each (see
+   * [[Dedup.clusters]]; the session-memoized PipelineQueries path
+   * releases exactly this way). */
   def duplicateClusters(docs: DataFrame): DataFrame =
     Dedup.clusters(Dedup.lshClusterEdges(Dedup.lshBands(docs)))
 

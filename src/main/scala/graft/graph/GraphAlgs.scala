@@ -2735,16 +2735,27 @@ object GraphAlgs {
       val knocked = matched
         .flatMap { case (u, v, _) => Iterator((u, ()), (v, ())) }
         .reduceByKey(p, (a, _) => a)
-      // drop every edge incident to a matched vertex (either side)
+      // drop every edge incident to a matched vertex (either side).
+      // Termination count (VERDICT r16 item 1): bumped by an
+      // accumulator inside the subtract chain's own materialization,
+      // so the round's single job both caches `next` and yields
+      // nUndecided — no separate full count pass over the cached
+      // result. Transformation-side accumulators are at-least-once
+      // under task retries, but the loop only tests `> 0`, and a
+      // retry can never inflate zero into nonzero (retried empty
+      // partitions add nothing) — the decision is retry-exact, only
+      // the require() diagnostic below could read high.
+      val nUndecidedAcc = spark.sparkContext.longAccumulator(s"matching-undecided-r$r")
       val next = undecided.subtractByKey(knocked, p)
         .map { case (u, (v, k)) => (v, (u, k)) }
         .subtractByKey(knocked, p)
-        .map { case (v, (u, k)) => (u, (v, k)) }
+        .map { case (v, (u, k)) => nUndecidedAcc.add(1L); (u, (v, k)) }
         .partitionBy(p).persist()
       // cut the state lineage every 16 rounds (see misDetDF)
       if (round % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)
         next.checkpoint()
-      nUndecided = next.count()
+      next.foreachPartition(_ => ()) // materialize; populates the accumulator
+      nUndecided = nUndecidedAcc.value
       retired += undecided
       undecided = next
       matchedParts += matched

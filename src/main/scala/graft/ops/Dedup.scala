@@ -120,7 +120,15 @@ object Dedup {
    * transitive, but dedup keep-one-per-cluster policies need the
    * transitive closure — at scale this is the standard GraphX CC
    * (hash-partitioned Pregel, converges in O(component diameter)
-   * supersteps; near-dup components are shallow in practice). */
+   * supersteps; near-dup components are shallow in practice).
+   *
+   * CACHE OWNERSHIP (ADVICE r16): the returned frame is CACHED so
+   * the GraphX intermediates can be released eagerly here — the
+   * CALLER owns that cache and must `unpersist()` it when done.
+   * Session-memoized consumers (PipelineQueries) satisfy this by
+   * holding exactly one instance; ad-hoc repeat callers that drop
+   * the reference without unpersisting pin one label frame per
+   * call for the session lifetime. */
   def clusters(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs

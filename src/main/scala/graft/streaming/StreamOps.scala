@@ -86,6 +86,22 @@ object StreamOps {
     paths.foreach(exitCleanupPaths.add)
   }
 
+  /** Drain the exit-cleanup queue NOW (ADVICE r16): file-sink temp
+   * trees (output + checkpoint dirs) otherwise accumulate on disk
+   * for the whole process lifetime, which is fine for the
+   * fresh-session Verify/Bench harness but not for a long-lived
+   * interactive session. CONTRACT: DataFrames returned by the
+   * file-sink queries read their parquet LAZILY — materialize
+   * (collect/write/cache+count) every result you still need BEFORE
+   * draining, or its next action fails on the deleted files.
+   * Returns the number of trees deleted. */
+  def drainExitCleanup(): Int = {
+    var n = 0
+    var p = exitCleanupPaths.poll()
+    while (p != null) { cleanupTree(p); n += 1; p = exitCleanupPaths.poll() }
+    n
+  }
+
   /** Run `body` with the RocksDB state-store provider set on the
    * session, restoring the previous value after. transformWithState
    * requires RocksDB, and the provider class is only readable from

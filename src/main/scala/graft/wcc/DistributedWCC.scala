@@ -100,7 +100,14 @@ object DistributedWCC {
    * from them (`statsFromDegrees` — integer-exact, value-identical to
    * the two-scan form, trajectory unchanged), so an iteration costs
    * one degree pass plus the two-pass WCC evaluation. */
-  private def refinePartition(initGraph: Graph[VertexData, Int], vertexCount: Long,
+  /** TEST-ONLY failure seam: when >= 0, the compact refinement loop
+   * throws at the top of the iteration whose generation number
+   * matches — lets the leak spec prove the thrown-through release
+   * coverage (cand / bestSurf / bestPartition, ADVICE r16). Never
+   * set outside specs. */
+  @volatile private[wcc] var testFailAtIter: Int = -1
+
+  private[wcc] def refinePartition(initGraph: Graph[VertexData, Int], vertexCount: Long,
       maxRetries: Int,
       seedEval: Option[(Option[VertexRDD[CommunityOps.NbrSurface]],
         Map[Long, CommunityData], Double)] = None): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
@@ -155,6 +162,10 @@ object DistributedWCC {
       maxRetries: Int, globalCC: Double,
       seedEval: Option[(VertexRDD[CommunityOps.NbrSurface],
         Map[Long, CommunityData], Double)] = None): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
+    // entry snapshot for the failure-path sweep (leak-spec finding,
+    // r17): a precomputed seed surface and the init graph predate
+    // this, so the sweep can never touch caller-owned caches
+    val sweepBase = WccUtil.cacheSnapshot(initGraph.vertices.sparkContext)
     var bestPartition = initGraph
     // The iteration-0 evaluation of the seed partition may arrive
     // precomputed (GraphQueries memoizes it so the seeding value
@@ -226,9 +237,19 @@ object DistributedWCC {
     }
 
     var retriesLeft = maxRetries
-    var cand = advance(bestPartition, bestSurf, bestCs)
+    var cand: Gen = null
     var continueLoop = true
+    // Thrown-through hygiene (ADVICE r16): the inner catch arms
+    // release the SPECULATIVE generation and the scaffold, but the
+    // current generation `cand`, the best surface and the best
+    // partition are cached across arms — a rethrow must not leave
+    // them pinned for the session. Double-release of a generation an
+    // inner arm or the accept branch already freed is a no-op.
+    try {
+    cand = advance(bestPartition, bestSurf, bestCs)
     while (continueLoop) {
+      if (cand.no == testFailAtIter)
+        throw new RuntimeException(s"injected test failure at iter ${cand.no}")
       val t0 = System.currentTimeMillis()
       val scaffoldF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
         CommunityOps.wccEvalScaffold(cand.graph, cand.surf))
@@ -284,6 +305,22 @@ object DistributedWCC {
         releaseGen(cand)
         continueLoop = false
       }
+    }
+    } catch {
+      case t: Throwable =>
+        if (cand != null) releaseGen(cand)
+        // unconditional, like the success path below: callers keep
+        // only the scalar score of a precomputed seed evaluation
+        bestSurf.unpersist(blocking = false)
+        if (bestPartition ne initGraph) {
+          bestPartition.unpersistVertices(blocking = false)
+          bestPartition.edges.unpersist(blocking = false)
+        }
+        // drop the GraphX-internal self-persists the names above
+        // cannot reach (upgraded replicated views etc.) — everything
+        // registered since entry is this call's garbage on failure
+        WccUtil.sweepNewCaches(initGraph.vertices.sparkContext, sweepBase)
+        throw t
     }
     bestSurf.unpersist(blocking = false)
 

@@ -47,6 +47,16 @@ object IncrementalWCC {
   final case class State(graph: Graph[VertexData, Int], stats: Map[Long, CommunityData],
       bulkFlagged: Option[RDD[(Long, Long)]] = None)
 
+  /** TEST-ONLY failure seam: when set, [[run]] throws right after
+   * the named phase ("initial-partition" | "refine" | "graft")
+   * completes, so the leak spec can exercise the catch's release
+   * coverage for POST-merge cached generations (ADVICE r16). Never
+   * set outside specs; reads cost one volatile load per phase. */
+  @volatile private[wcc] var testFailAfter: Option[String] = None
+  private def failpoint(phase: String): Unit =
+    if (testFailAfter.contains(phase))
+      throw new RuntimeException(s"injected test failure after $phase")
+
   private def release(g: Graph[_, _]): Unit = {
     g.unpersistVertices(blocking = false)
     g.edges.unpersist(blocking = false)
@@ -632,7 +642,24 @@ object IncrementalWCC {
       releaseInput: Boolean = true,
       deltaFlagMaxVolumeFraction: Double = DeltaFlagMaxVolumeFraction,
       expectDeltaPath: Boolean = false): State = {
-    val m = timed("merge")(merge(state, newEdges))
+    val sc = state.graph.vertices.sparkContext
+    // entry snapshot for the failure-path sweep: on a thrown-through
+    // path every cache this call registered is garbage — including
+    // GraphX-internal self-persists (Graph.apply, upgraded replicated
+    // views) no targeted release can name (leak-spec finding, r17)
+    val sweepBase = WccUtil.cacheSnapshot(sc)
+    val m = try timed("merge")(merge(state, newEdges)) catch {
+      case t: Throwable => WccUtil.sweepNewCaches(sc, sweepBase); throw t
+    }
+    // cached generations the catch below must be able to release: a
+    // failure in performInitialPartition / refinePartition / the
+    // graft-back would otherwise leave them pinned (ADVICE r16 — the
+    // same leak class the merge-side catch was added to close).
+    // `failpoint` is the spec-injected seam that PROVES the coverage
+    // (IncrementalWCCSpec's phase-failure leak test).
+    var initG: Graph[VertexData, Int] = null
+    var finG: Graph[VertexData, Int] = null
+    var resG: Graph[VertexData, Int] = null
     try {
     // incremental triangle flagging for genuinely micro batches: the
     // state's batch-invariant bulk flag set + the new triangles this
@@ -661,9 +688,13 @@ object IncrementalWCC {
       .map(_.union(deltaFlags(newEdges, m.touchedNbrs).distinct()))
     val init = timed("initial-partition")(
       performInitialPartition(m.fullGraph, precomputedKeep = keep))
+    initG = init
+    failpoint("initial-partition")
     m.touchedNbrs.unpersist(blocking = false)
     val globalCC = WccUtil.joinUnwrapped(m.globalCCF)
     val finalGraph = timed("refine")(refinePartition(init, globalCC, m.vertexCount))
+    finG = finalGraph
+    failpoint("refine")
 
     // graft onto the PREVIOUS graph's vertex/edge set (so batch edges
     // never persist into the state — the next merge unions onto the
@@ -674,9 +705,11 @@ object IncrementalWCC {
     val resultGraph = state.graph.outerJoinVertices(finalGraph.vertices) { (id, _, vdOpt) =>
       graftQuirk(id, vdOpt)
     }
+    resG = resultGraph
     resultGraph.cache()
     resultGraph.vertices.count()
     resultGraph.edges.count()
+    failpoint("graft")
     release(m.merged)
     release(m.fullGraph)
     release(init)
@@ -703,8 +736,20 @@ object IncrementalWCC {
         m.touchedNbrs.unpersist(blocking = false)
         release(m.merged)
         release(m.fullGraph)
+        // post-merge generations (ADVICE r16): whichever of the
+        // initial partition / refined graph / graft-back result had
+        // materialized by the failure point is pinned too — release
+        // them all; double-release of one the body already freed on
+        // a later failure is the same harmless no-op
+        if (initG != null) release(initG)
+        if (finG != null && (finG ne initG)) release(finG)
+        if (resG != null) release(resG)
         m.newIds.unpersist(blocking = false)
         m.borderIds.unpersist(blocking = false)
+        // the targeted releases above drop what this method can name;
+        // the sweep drops the GraphX-internal self-persists it cannot
+        // (everything registered since entry is this call's garbage)
+        WccUtil.sweepNewCaches(sc, sweepBase)
         throw t
     }
   }

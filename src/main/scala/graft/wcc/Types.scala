@@ -104,4 +104,28 @@ private[wcc] object WccUtil {
       case e: java.util.concurrent.CompletionException =>
         throw Option(e.getCause).getOrElse(e)
     }
+
+  /** Entry snapshot for [[sweepNewCaches]]: the ids of every RDD the
+   * context currently has registered as persistent. */
+  def cacheSnapshot(sc: org.apache.spark.SparkContext): Set[Int] =
+    sc.getPersistentRDDs.keySet.toSet
+
+  /** Failure-path cache sweep (leak-spec finding, r17): unpersist
+   * every RDD registered with the context AFTER `beforeIds` was
+   * snapshotted. GraphX operators self-persist internals that
+   * targeted releases cannot name from the outside — `Graph.apply`
+   * caches both sides, `aggregateMessages`/`outerJoinVertices`
+   * re-persist upgraded replicated-view generations — so a
+   * thrown-through path that frees only the graphs it can see still
+   * leaks. On failure everything the call registered is garbage by
+   * definition, and caller-owned inputs predate the snapshot, so the
+   * sweep is exact. PRECONDITION: no concurrent caller registers
+   * caches between snapshot and sweep (the harness runs queries
+   * sequentially; the in-call concurrent fold is joined before
+   * sweeping). */
+  def sweepNewCaches(sc: org.apache.spark.SparkContext,
+      beforeIds: Set[Int]): Unit =
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!beforeIds.contains(id)) rdd.unpersist(blocking = false)
+    }
 }

@@ -201,6 +201,20 @@ class StreamOpsSpec extends SparkSpec {
     assert(resumed.toSeq === batch.toSeq)
   }
 
+  test("drainExitCleanup removes file-sink temp trees once results are materialized") {
+    val sfDir = "/root/testdata/sf0.001"
+    // flush trees left behind by earlier tests so the counts below
+    // are this test's own
+    StreamOps.drainExitCleanup()
+    val rows = StreamOps.fileSinkRoundtrip(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // result is materialized -> draining now is safe and removes the
+    // sink's output + checkpoint trees (ADVICE r16: without a drain
+    // they persist for the whole process lifetime)
+    assert(StreamOps.drainExitCleanup() == 2)
+    assert(StreamOps.drainExitCleanup() == 0) // queue drained, idempotent
+  }
+
   test("stream-stream left outer join: inner matches plus watermark-gated null rows") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"

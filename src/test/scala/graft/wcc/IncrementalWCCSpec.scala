@@ -197,6 +197,38 @@ class IncrementalWCCSpec extends SparkSpec {
     assert(e.getMessage.contains("empty canonical edge set"))
   }
 
+  test("post-merge phase failures release every cached surface (ADVICE r16)") {
+    // inject a failure after each post-merge phase and assert the
+    // catch drops EVERYTHING run() materialized — initial partition,
+    // refined graph and graft-back result included, not just the
+    // merge's own caches (the leak class ADVICE r16 flagged)
+    val bulk = graphOf(spark, Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val state = IncrementalWCC.prepare(bulk)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    for (phase <- Seq("initial-partition", "refine", "graft")) {
+      IncrementalWCC.testFailAfter = Some(phase)
+      try {
+        val newEdges = spark.sparkContext.parallelize(Seq(
+          Edge(3L, 4L, 1), Edge(4L, 5L, 1), Edge(3L, 5L, 1)))
+        val e = intercept[RuntimeException] {
+          IncrementalWCC.run(state, newEdges, releaseInput = false)
+        }
+        assert(e.getMessage.contains(phase))
+      } finally IncrementalWCC.testFailAfter = None
+      val leaked = spark.sparkContext.getPersistentRDDs.view
+        .filterKeys(!before.contains(_)).toMap
+      assert(leaked.isEmpty,
+        s"'$phase' failure leaked persisted RDDs: " +
+          leaked.map { case (id, r) => s"$id=$r" }.mkString("; "))
+    }
+    // seam off: the same state still runs clean end to end
+    val out = IncrementalWCC.run(state, spark.sparkContext.parallelize(Seq(
+      Edge(3L, 4L, 1), Edge(4L, 5L, 1), Edge(3L, 5L, 1))), releaseInput = false)
+    assert(out.graph.vertices.collect().map(_._1).toSet === Set(1L, 2L, 3L))
+    out.graph.unpersistVertices(blocking = false)
+    out.graph.edges.unpersist(blocking = false)
+  }
+
   test("testStream with multiple micro-batches runs the full replay loop") {
     val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
     val canon = EdgeOps.canonicalize(raw)

@@ -85,6 +85,38 @@ class DistributedWCCSpec extends SparkSpec {
     assert(parts(1L) === parts(2L) && parts(2L) === parts(3L))
   }
 
+  test("refinement thrown-through failure releases cand/bestSurf (ADVICE r16)") {
+    // hub-free two-triangle graph -> the compact pipelined loop;
+    // inject a failure at the top of iteration 1 and assert the new
+    // outer catch drops the current generation AND the best surface
+    // (the best partition here IS the caller's init graph, which the
+    // catch must NOT release)
+    val g = graphOf(spark,
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L)))
+    val res = TriangleStats.run(g)
+    val init = InitialPartition.run(res.pruned)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DistributedWCC.testFailAtIter = 1
+    try {
+      val e = intercept[RuntimeException] {
+        DistributedWCC.refinePartition(init, g.numVertices, 5)
+      }
+      assert(e.getMessage.contains("injected test failure"))
+    } finally DistributedWCC.testFailAtIter = -1
+    val leaked = spark.sparkContext.getPersistentRDDs.view
+      .filterKeys(!before.contains(_)).toMap
+    assert(leaked.isEmpty, "leaked persisted RDDs: " +
+      leaked.map { case (id, r) => s"$id=$r" }.mkString("; "))
+    // seam off: the same inputs refine clean
+    val (best, _, wcc, _) = DistributedWCC.refinePartition(init, g.numVertices, 5)
+    assert(wcc > 0.0)
+    assert(best.vertices.count() > 0L)
+    if (best ne init) {
+      best.unpersistVertices(blocking = false)
+      best.edges.unpersist(blocking = false)
+    }
+  }
+
   test("invariants on the reference fixture graph (email-Eu-core)") {
     val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
     val g = EdgeOps.toGraph(EdgeOps.canonicalize(raw))
