@@ -1582,10 +1582,19 @@ object GraphAlgs {
     var round = 0
     var curN = cur.count()
     while (!stable && round < maxRounds) {
-      val nextPlan = star(star(cur, large = true), large = false)
+      // materialize the large-star half-round: the small-star plan
+      // references its input FOUR times (sym doubles it for the min
+      // side and again for the neighbor side), and Catalyst does not
+      // dedupe unmaterialized common subplans — without this cache
+      // the large-star's shuffles replay once per reference
+      val largePlan = star(cur, large = true)
+      val largeRdd = largePlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val nextPlan = star(
+        spark.createDataFrame(largeRdd, largePlan.schema), large = false)
       val rdd = nextPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       val next = spark.createDataFrame(rdd, nextPlan.schema)
       val nextN = rdd.count()
+      largeRdd.unpersist(blocking = false) // superseded once next is cached
       // fixpoint: the star steps are idempotent on a forest of
       // depth-1 stars, so an unchanged edge COUNT at these semantics
       // means an unchanged edge set (both steps only ever lower dst
