@@ -754,13 +754,20 @@ object GraphQueries {
     val sym = EdgeOps.symmetrize(canonEdges(spark, sfDir))
     val deg = adjW(spark, sfDir).select(col("vid"), size(col("nbrs")).as("degree"))
     val hubs = deg.orderBy(col("degree").desc, col("vid")).limit(100)
-    val pairs = sym.join(broadcast(hubs.select(col("vid"))), sym("src") === col("vid"))
+    // hub-incident edges, used twice: wedge starts AND the direct-edge
+    // exclusion set. Every excluded pair has a ∈ hubs, so the anti
+    // join only ever needs these ~Σdeg(hub) rows — shuffling the full
+    // doubled edge set there (the previous shape) moved |E| rows to
+    // exclude from a hub-rooted pair list (r17)
+    val hubEdges = sym
+      .join(broadcast(hubs.select(col("vid"))), sym("src") === col("vid"))
       .select(col("src").as("a"), col("dst").as("z"))
+    val pairs = hubEdges
       .join(sym.select(col("src").as("z"), col("dst").as("b")), "z")
       .where(col("b") =!= col("a"))
       .select("a", "b").distinct()
     pairs
-      .join(sym.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_anti")
+      .join(hubEdges.select(col("a"), col("z").as("b")), Seq("a", "b"), "left_anti")
       .groupBy("a")
       .agg(count(lit(1)).as("n_two_hop"))
       .join(broadcast(hubs), col("a") === hubs("vid"))

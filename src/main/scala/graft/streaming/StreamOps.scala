@@ -102,6 +102,32 @@ object StreamOps {
     n
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set
+   * to `n`, restoring the previous value after. For STATEFUL
+   * streaming queries the shuffle partition count IS the state-store
+   * instance count (a stream-stream join keeps FOUR stores per
+   * partition), so a bounded local drain at the session default of
+   * 32 pays 128 store open/commit cycles per micro-batch for state
+   * that fits in a handful — at cluster scale the same knob is sized
+   * to state volume, not left at the relational default. Values are
+   * partition-count independent for the queries this wraps (set
+   * semantics / per-key folds). Session-global like the RocksDB
+   * provider flip: relies on the harness's strictly-sequential
+   * query execution. */
+  /** State-store partition count for the bounded stateful drains:
+   * the state of every s_* query here is key-cardinality-bounded and
+   * tiny, so 8 stores amortize the per-store open/commit overhead
+   * without starving the 32-thread scheduler (sources and sinks stay
+   * at full width; only the stateful exchange narrows). */
+  private val StreamStatePartitions = 8
+
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run `body` with the RocksDB state-store provider set on the
    * session, restoring the previous value after. transformWithState
    * requires RocksDB, and the provider class is only readable from
@@ -115,7 +141,10 @@ object StreamOps {
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
+    // every RocksDB query here also narrows its stateful exchange:
+    // one RocksDB INSTANCE (native allocation + SST churn) per
+    // partition is the dominant per-query constant on a bounded drain
+    try withShufflePartitions(spark, StreamStatePartitions)(body)
     finally prevProvider match {
       case Some(p) => spark.conf.set(providerKey, p)
       case None => spark.conf.unset(providerKey)
@@ -509,14 +538,16 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
 
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanup(dir)
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = sessions.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally cleanup(dir)
+    }
     spark.table(name)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
         (floor(col("sum_value") * 1e4 + 0.5) / 1e4).as("sum_value"))
@@ -535,14 +566,16 @@ object StreamOps {
     val src = eventsStream(spark, dir.toString)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
-    val q = src.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanup(dir)
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = src.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally cleanup(dir)
+    }
     spark.table(name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
@@ -564,14 +597,16 @@ object StreamOps {
     val src = eventsStream(spark, dir.toString)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-    val q = src.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanup(dir)
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = src.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally cleanup(dir)
+    }
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_types"))
@@ -628,14 +663,16 @@ object StreamOps {
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanup(dir)
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally cleanup(dir)
+    }
     spark.table(name).orderBy("purchase_id", "view_id")
   }
 
@@ -664,27 +701,29 @@ object StreamOps {
     val state = scala.collection.mutable.HashMap.empty[Long, (Long, Double)]
     val applied = scala.collection.mutable.HashSet.empty[Long]
     var batches = 0
-    val q = eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
-      .writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (applied.add(batchId)) {
-          batches += 1
-          // distributed per-batch partial aggregate; only the per-user
-          // summary rows (user-cardinality-sized) reach the driver merge
-          batch.groupBy("user_id")
-            .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
-            .collect()
-            .foreach { r =>
-              val (n0, m0) = state.getOrElse(r.getLong(0), (0L, Double.MinValue))
-              state(r.getLong(0)) = (n0 + r.getLong(1), math.max(m0, r.getDouble(2)))
-            }
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (applied.add(batchId)) {
+            batches += 1
+            // distributed per-batch partial aggregate; only the per-user
+            // summary rows (user-cardinality-sized) reach the driver merge
+            batch.groupBy("user_id")
+              .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+              .collect()
+              .foreach { r =>
+                val (n0, m0) = state.getOrElse(r.getLong(0), (0L, Double.MinValue))
+                state(r.getLong(0)) = (n0 + r.getLong(1), math.max(m0, r.getDouble(2)))
+              }
+          }
         }
-      }
-      .start()
-    try q.awaitTermination()
-    finally cleanupTree(dir)
+        .start()
+      try q.awaitTermination()
+      finally cleanupTree(dir)
+    }
     System.err.println(s"[graft-stream] multiBatchTopUsers drained $batches batches")
     val top = state.toSeq
       .map { case (u, (n, mx)) => (u, n, math.floor(mx * 1e4 + 0.5) / 1e4) }
@@ -711,14 +750,16 @@ object StreamOps {
         (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanup(dir)
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally cleanup(dir)
+    }
     spark.table(name).orderBy("hour", "event_type")
   }
 
@@ -747,15 +788,17 @@ object StreamOps {
         (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir.toString)
-      .option("checkpointLocation", ckptDir.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanup(dir)
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally cleanup(dir)
+    }
     spark.read.parquet(outDir.toString).orderBy("hour", "event_type")
   }
 
@@ -809,7 +852,7 @@ object StreamOps {
     val dir = stagedEventsDir(sfDir)
     val ckpt = java.nio.file.Files.createTempDirectory(
       s"graft-stream-ssr${callSeq.incrementAndGet()}")
-    try {
+    try withShufflePartitions(spark, StreamStatePartitions) {
       val q = eventsStream(spark, dir.toString)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
@@ -851,14 +894,16 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanup(dir)
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally cleanup(dir)
+    }
     spark.table(name).orderBy("hour", "event_type")
   }
 
@@ -928,14 +973,16 @@ object StreamOps {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
 
-    val q = rows.toDF().writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanupTree(dir)
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = rows.toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally cleanupTree(dir)
+    }
     // final state = the monotone-max running count per user
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
@@ -970,14 +1017,16 @@ object StreamOps {
         unix_micros(col("sw.start")).as("start_us"),
         unix_micros(col("sw.end")).as("end_us"),
         col("n_events"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanup(dir)
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally cleanup(dir)
+    }
     spark.table(name).orderBy("user_id", "start_us")
   }
 
@@ -1020,7 +1069,10 @@ object StreamOps {
         .start()
       q.awaitTermination()
     }
-    try {
+    // one wrap across BOTH drains: a checkpointed query must resume
+    // with the partition count it was created with (state is laid
+    // out per-partition), so the narrow setting spans stop + resume
+    try withShufflePartitions(spark, StreamStatePartitions) {
       runOnce()
       ev.where(col("event_id") % 2 === 1)
         .repartition(1).write.mode("append").parquet(dir.toString)
@@ -1062,14 +1114,16 @@ object StreamOps {
       "left_outer")
       .select(col("p_user").as("user_id"), col("purchase_id"),
         coalesce(col("view_id"), lit(-1L)).as("view_id"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanup(dir)
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally cleanup(dir)
+    }
     spark.table(name).orderBy("purchase_id", "view_id")
   }
 
