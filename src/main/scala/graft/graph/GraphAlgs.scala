@@ -1578,8 +1578,15 @@ object GraphAlgs {
     }
     var cur = canonical.select("src", "dst")
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    // hoisted so the failure path can release the in-flight round's
+    // persists (review r17: a failed round job otherwise leaves up to
+    // three MEMORY_AND_DISK generations pinned for the session)
+    var curLarge: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var curRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var outDf: DataFrame = null
     var stable = false
     var round = 0
+    try {
     var curN = cur.count()
     while (!stable && round < maxRounds) {
       // materialize the large-star half-round: the small-star plan
@@ -1588,20 +1595,22 @@ object GraphAlgs {
       // dedupe unmaterialized common subplans — without this cache
       // the large-star's shuffles replay once per reference
       val largePlan = star(cur, large = true)
-      val largeRdd = largePlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      curLarge = largePlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       val nextPlan = star(
-        spark.createDataFrame(largeRdd, largePlan.schema), large = false)
-      val rdd = nextPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val next = spark.createDataFrame(rdd, nextPlan.schema)
-      val nextN = rdd.count()
-      largeRdd.unpersist(blocking = false) // superseded once next is cached
+        spark.createDataFrame(curLarge, largePlan.schema), large = false)
+      curRdd = nextPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = spark.createDataFrame(curRdd, nextPlan.schema)
+      val nextN = curRdd.count()
+      curLarge.unpersist(blocking = false) // superseded once next is cached
+      curLarge = null
       // fixpoint: the star steps are idempotent on a forest of
       // depth-1 stars, so an unchanged edge COUNT at these semantics
       // means an unchanged edge set (both steps only ever lower dst
       // labels; equal cardinality with monotone relabeling = no move)
       stable = nextN == curN && next.except(cur).isEmpty
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
-      prevRdd = rdd
+      prevRdd = curRdd
+      curRdd = null
       cur = next
       curN = nextN
       round += 1
@@ -1613,10 +1622,19 @@ object GraphAlgs {
     val out = members.union(roots)
       .groupBy("vid").agg(min(col("component")).as("component"))
       .cache()
+    outDf = out
     out.count()
     val last = prevRdd
     if (last != null) last.unpersist(blocking = false)
     CCTwoPhase(out, round, stable, () => { out.unpersist(blocking = false); () })
+    } catch {
+      case t: Throwable =>
+        if (curLarge != null) curLarge.unpersist(blocking = false)
+        if (curRdd != null) curRdd.unpersist(blocking = false)
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        if (outDf != null) outDf.unpersist(blocking = false)
+        throw t
+    }
   }
 
   /** K-truss fixpoint result: the surviving canonical edges (backed
@@ -1801,12 +1819,17 @@ object GraphAlgs {
     import org.apache.spark.sql.graft.GraftExpressions.intersectCount
     val spark = canonical.sparkSession
     var cur = canonical.select("src", "dst")
-    var curN = cur.count()
     var r1N = -1L
     var converged = false
     var round = 0
     var keepDf: DataFrame = cur
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    // hoisted for the failure path (review r17, same class as the
+    // two-phase CC loop): a failed round job must not leave the
+    // in-flight or previous generation pinned for the session
+    var curRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    try {
+    var curN = cur.count()
     while (!converged && round < maxRounds) {
       val sym = cur.union(
         cur.select(col("dst").as("src"), col("src").as("dst")))
@@ -1827,12 +1850,13 @@ object GraphAlgs {
         .select(col("src"), col("dst"),
           intersectCount(col("na"), col("nb")).as("support"))
         .where(col("support") >= k - 2)
-      val rdd = keepPlan.rdd.persist(
+      curRdd = keepPlan.rdd.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      keepDf = spark.createDataFrame(rdd, keepPlan.schema)
-      val keepN = rdd.count()
+      keepDf = spark.createDataFrame(curRdd, keepPlan.schema)
+      val keepN = curRdd.count()
       if (prevRdd != null) prevRdd.unpersist(blocking = false)
-      prevRdd = rdd
+      prevRdd = curRdd
+      curRdd = null
       if (round == 0) r1N = keepN
       converged = keepN == curN
       curN = keepN
@@ -1842,6 +1866,12 @@ object GraphAlgs {
     val last = prevRdd
     KTruss(keepDf, r1N, converged,
       () => if (last != null) { last.unpersist(blocking = false); () })
+    } catch {
+      case t: Throwable =>
+        if (curRdd != null) curRdd.unpersist(blocking = false)
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        throw t
+    }
   }
 
   /**

@@ -102,6 +102,13 @@ object StreamOps {
     n
   }
 
+  /** State-store partition count for the bounded stateful drains:
+   * the state of every s_* query here is key-cardinality-bounded and
+   * tiny, so 8 stores amortize the per-store open/commit overhead
+   * without starving the 32-thread scheduler (sources and sinks stay
+   * at full width; only the stateful exchange narrows). */
+  private val StreamStatePartitions = 8
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set
    * to `n`, restoring the previous value after. For STATEFUL
    * streaming queries the shuffle partition count IS the state-store
@@ -114,19 +121,30 @@ object StreamOps {
    * semantics / per-key folds). Session-global like the RocksDB
    * provider flip: relies on the harness's strictly-sequential
    * query execution. */
-  /** State-store partition count for the bounded stateful drains:
-   * the state of every s_* query here is key-cardinality-bounded and
-   * tiny, so 8 stores amortize the per-store open/commit overhead
-   * without starving the 32-thread scheduler (sources and sinks stay
-   * at full width; only the stateful exchange narrows). */
-  private val StreamStatePartitions = 8
-
   private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, prev)
   }
+
+  /** Start-and-drain a bounded stateful streaming query under the
+   * narrowed state-store partitioning ([[StreamStatePartitions]]),
+   * running `cleanupFn` whether or not the drain succeeds. ONE
+   * definition so the narrowing cannot be forgotten on a new drain
+   * site (review r17). `start` is by-name: the partition count is
+   * read when the query starts, so the start must happen inside the
+   * conf wrap. Drains whose scope is wider than start+await (the
+   * state-reader's post-drain store read, the resume pair's two
+   * drains under one setting) keep their bespoke wraps. */
+  private def drainNarrow(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)(
+      cleanupFn: => Unit): Unit =
+    withShufflePartitions(spark, StreamStatePartitions) {
+      val q = start
+      try q.awaitTermination()
+      finally cleanupFn
+    }
 
   /** Run `body` with the RocksDB state-store provider set on the
    * session, restoring the previous value after. transformWithState
@@ -538,16 +556,12 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(handle)
 
-    withShufflePartitions(spark, StreamStatePartitions) {
-      val q = sessions.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally cleanup(dir)
-    }
+    drainNarrow(spark)(sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start())(cleanup(dir))
     spark.table(name)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
         (floor(col("sum_value") * 1e4 + 0.5) / 1e4).as("sum_value"))
@@ -566,16 +580,12 @@ object StreamOps {
     val src = eventsStream(spark, dir.toString)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
-    withShufflePartitions(spark, StreamStatePartitions) {
-      val q = src.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally cleanup(dir)
-    }
+    drainNarrow(spark)(src.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start())(cleanup(dir))
     spark.table(name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
@@ -597,16 +607,12 @@ object StreamOps {
     val src = eventsStream(spark, dir.toString)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-    withShufflePartitions(spark, StreamStatePartitions) {
-      val q = src.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally cleanup(dir)
-    }
+    drainNarrow(spark)(src.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start())(cleanup(dir))
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_types"))
@@ -663,16 +669,12 @@ object StreamOps {
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-    withShufflePartitions(spark, StreamStatePartitions) {
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally cleanup(dir)
-    }
+    drainNarrow(spark)(joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start())(cleanup(dir))
     spark.table(name).orderBy("purchase_id", "view_id")
   }
 
@@ -701,29 +703,25 @@ object StreamOps {
     val state = scala.collection.mutable.HashMap.empty[Long, (Long, Double)]
     val applied = scala.collection.mutable.HashSet.empty[Long]
     var batches = 0
-    withShufflePartitions(spark, StreamStatePartitions) {
-      val q = eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
-        .writeStream
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          if (applied.add(batchId)) {
-            batches += 1
-            // distributed per-batch partial aggregate; only the per-user
-            // summary rows (user-cardinality-sized) reach the driver merge
-            batch.groupBy("user_id")
-              .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
-              .collect()
-              .foreach { r =>
-                val (n0, m0) = state.getOrElse(r.getLong(0), (0L, Double.MinValue))
-                state(r.getLong(0)) = (n0 + r.getLong(1), math.max(m0, r.getDouble(2)))
-              }
-          }
+    drainNarrow(spark)(eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (applied.add(batchId)) {
+          batches += 1
+          // distributed per-batch partial aggregate; only the per-user
+          // summary rows (user-cardinality-sized) reach the driver merge
+          batch.groupBy("user_id")
+            .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+            .collect()
+            .foreach { r =>
+              val (n0, m0) = state.getOrElse(r.getLong(0), (0L, Double.MinValue))
+              state(r.getLong(0)) = (n0 + r.getLong(1), math.max(m0, r.getDouble(2)))
+            }
         }
-        .start()
-      try q.awaitTermination()
-      finally cleanupTree(dir)
-    }
+      }
+      .start())(cleanupTree(dir))
     System.err.println(s"[graft-stream] multiBatchTopUsers drained $batches batches")
     val top = state.toSeq
       .map { case (u, (n, mx)) => (u, n, math.floor(mx * 1e4 + 0.5) / 1e4) }
@@ -750,16 +748,12 @@ object StreamOps {
         (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
-    withShufflePartitions(spark, StreamStatePartitions) {
-      val q = agg.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally cleanup(dir)
-    }
+    drainNarrow(spark)(agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start())(cleanup(dir))
     spark.table(name).orderBy("hour", "event_type")
   }
 
@@ -788,17 +782,13 @@ object StreamOps {
         (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
-    withShufflePartitions(spark, StreamStatePartitions) {
-      val q = agg.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", outDir.toString)
-        .option("checkpointLocation", ckptDir.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally cleanup(dir)
-    }
+    drainNarrow(spark)(agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckptDir.toString)
+      .trigger(Trigger.AvailableNow())
+      .start())(cleanup(dir))
     spark.read.parquet(outDir.toString).orderBy("hour", "event_type")
   }
 
@@ -894,16 +884,12 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_value"))
-    withShufflePartitions(spark, StreamStatePartitions) {
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally cleanup(dir)
-    }
+    drainNarrow(spark)(agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start())(cleanup(dir))
     spark.table(name).orderBy("hour", "event_type")
   }
 
@@ -973,16 +959,12 @@ object StreamOps {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fold)
 
-    withShufflePartitions(spark, StreamStatePartitions) {
-      val q = rows.toDF().writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally cleanupTree(dir)
-    }
+    drainNarrow(spark)(rows.toDF().writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start())(cleanupTree(dir))
     // final state = the monotone-max running count per user
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
@@ -1017,16 +999,12 @@ object StreamOps {
         unix_micros(col("sw.start")).as("start_us"),
         unix_micros(col("sw.end")).as("end_us"),
         col("n_events"), col("sum_value"))
-    withShufflePartitions(spark, StreamStatePartitions) {
-      val q = agg.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally cleanup(dir)
-    }
+    drainNarrow(spark)(agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start())(cleanup(dir))
     spark.table(name).orderBy("user_id", "start_us")
   }
 
@@ -1114,16 +1092,12 @@ object StreamOps {
       "left_outer")
       .select(col("p_user").as("user_id"), col("purchase_id"),
         coalesce(col("view_id"), lit(-1L)).as("view_id"))
-    withShufflePartitions(spark, StreamStatePartitions) {
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally cleanup(dir)
-    }
+    drainNarrow(spark)(joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start())(cleanup(dir))
     spark.table(name).orderBy("purchase_id", "view_id")
   }
 

@@ -61,6 +61,11 @@ object DistributedWCC {
       precomputedSeedEval: Option[(Option[VertexRDD[CommunityOps.NbrSurface]],
         Map[Long, CommunityData], Double)] = None): Output = {
     val vertexCount = graph.numVertices
+    // failure-path sweep (review r17): precomputed inputs predate the
+    // snapshot and survive; a failure in any phase below drops every
+    // cache this call registered (incl. GraphX self-persists)
+    val sweepBase = WccUtil.cacheSnapshot(graph.vertices.sparkContext)
+    try {
 
     // Phase: preprocessing (`DistributedWCC.scala:88-130`)
     val tri = timed("preprocess") {
@@ -89,6 +94,11 @@ object DistributedWCC {
 
     Output(resultGraph, bestCs, bestWcc, globalCC, tri.fullStats, initGraph,
       pruned, best)
+    } catch {
+      case t: Throwable =>
+        WccUtil.sweepNewCaches(graph.vertices.sparkContext, sweepBase)
+        throw t
+    }
   }
 
   /** Refinement loop (G5, reference `DistributedWCC.scala:260-329`):
@@ -100,11 +110,12 @@ object DistributedWCC {
    * from them (`statsFromDegrees` — integer-exact, value-identical to
    * the two-scan form, trajectory unchanged), so an iteration costs
    * one degree pass plus the two-pass WCC evaluation. */
-  /** TEST-ONLY failure seam: when >= 0, the compact refinement loop
-   * throws at the top of the iteration whose generation number
-   * matches — lets the leak spec prove the thrown-through release
-   * coverage (cand / bestSurf / bestPartition, ADVICE r16). Never
-   * set outside specs. */
+  /** TEST-ONLY failure seam: when >= 0, the refinement loops throw
+   * at the matching point — 0 = right after the compact path's
+   * iteration-0 seed evaluation, k >= 1 = the top of generation k
+   * (compact) / after movement-graph k is cached (maps) — letting
+   * the leak specs prove the thrown-through release coverage on
+   * every stage of both strategies. Never set outside specs. */
   @volatile private[wcc] var testFailAtIter: Int = -1
 
   private[wcc] def refinePartition(initGraph: Graph[VertexData, Int], vertexCount: Long,
@@ -174,11 +185,23 @@ object DistributedWCC {
     // code on identical input — so the refinement trajectory is
     // bit-unchanged; the surf may be unpersisted below like any
     // superseded generation (callers keep only the scalar score).
-    var (bestSurf, bestCs, bestWcc) = seedEval.getOrElse {
-      val s = CommunityOps.nbrSurfaces(bestPartition); s.cache()
-      val (cs, w) = CommunityOps.evalSurfacesConcurrent(bestPartition, s,
-        vertexCount)
-      (s, cs, w)
+    var (bestSurf, bestCs, bestWcc) = try {
+      val seed = seedEval.getOrElse {
+        val s = CommunityOps.nbrSurfaces(bestPartition); s.cache()
+        val (cs, w) = CommunityOps.evalSurfacesConcurrent(bestPartition, s,
+          vertexCount)
+        (s, cs, w)
+      }
+      if (testFailAtIter == 0)
+        throw new RuntimeException("injected test failure after seed evaluation")
+      seed
+    } catch {
+      // iteration-0 failure (review r17): the seed surface and the
+      // exchange's GraphX self-persists are already registered —
+      // nothing is nameable yet, so the sweep is the whole release
+      case t: Throwable =>
+        WccUtil.sweepNewCaches(initGraph.vertices.sparkContext, sweepBase)
+        throw t
     }
 
     // Pipelined acceptance loop (PERF.md r20). One movement
@@ -330,7 +353,15 @@ object DistributedWCC {
   private def refineWithMaps(initGraph: Graph[VertexData, Int], vertexCount: Long,
       maxRetries: Int, globalCC: Double,
       seedEval: Option[(Map[Long, CommunityData], Double)] = None): (Graph[VertexData, Int], Map[Long, CommunityData], Double, Double) = {
+    // entry snapshot for the failure-path sweep — same contract as
+    // the compact path (review r17: the hub-graph strategy needs the
+    // identical thrown-through hygiene; a mid-refinement failure must
+    // not pin the degree maps, candidate generations, or GraphX
+    // self-persists for the session). Caller-owned inputs (initGraph,
+    // the memoized seed stats) predate the snapshot and survive.
+    val sweepBase = WccUtil.cacheSnapshot(initGraph.vertices.sparkContext)
     var bestPartition = initGraph
+    try {
     var bestDeg = CommunityOps.vertexCommunityDegrees(bestPartition)
     bestDeg.cache()
     var bestCs = seedEval.map(_._1).getOrElse(
@@ -347,6 +378,8 @@ object DistributedWCC {
         globalCC, vertexCount)
       movementGraph.cache()
       iter += 1
+      if (iter == testFailAtIter)
+        throw new RuntimeException(s"injected test failure at iter $iter")
       // truncate lineage periodically: each accepted iteration chains
       // joins + aggregations and the DAG must not compound over 5-50
       // iterations (SURVEY.md §7.3). localCheckpoint is unusable here
@@ -386,6 +419,15 @@ object DistributedWCC {
     bestDeg.unpersist(blocking = false)
 
     (bestPartition, bestCs, bestWcc, globalCC)
+    } catch {
+      case t: Throwable =>
+        // everything registered since entry is this call's garbage on
+        // failure; the accepted bestPartition (when not the caller's
+        // init graph) postdates the snapshot, so the sweep reaches it
+        // and the degree maps without naming them
+        WccUtil.sweepNewCaches(initGraph.vertices.sparkContext, sweepBase)
+        throw t
+    }
   }
 
   /** One movement step (reference `DistributedWCC.scala:331-365`):

@@ -99,6 +99,12 @@ object IncrementalWCC {
    * the reference semantics need it. */
   def prepare(graph: Graph[Int, Int],
       precomputedStats: Option[TriangleStats.Result] = None): State = {
+    // failure-path sweep (review r17, same contract as [[run]]):
+    // the input graph and any precomputed stats predate the snapshot
+    // and survive; everything this call registers is garbage on a
+    // thrown-through path
+    val sweepBase = WccUtil.cacheSnapshot(graph.vertices.sparkContext)
+    try {
     val out = DistributedWCC.run(graph, precomputedStats = precomputedStats)
     val stateGraph = out.graph.mapVertices((id, vd) =>
       graftQuirk(id, Some(vd)))
@@ -124,6 +130,11 @@ object IncrementalWCC {
     out.triangleStats.unpersist(blocking = false)
     release(graph)
     State(stateGraph, out.communityStats, Some(bulkFlagged))
+    } catch {
+      case t: Throwable =>
+        WccUtil.sweepNewCaches(graph.vertices.sparkContext, sweepBase)
+        throw t
+    }
   }
 
   final case class MergeResult(

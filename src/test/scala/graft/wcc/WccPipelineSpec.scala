@@ -117,6 +117,53 @@ class DistributedWCCSpec extends SparkSpec {
     }
   }
 
+  test("seed-evaluation failure sweeps the seed surface (review r17)") {
+    // iteration-0 seam: the seed surface and the exchange's GraphX
+    // self-persists are registered before the loop's try begins —
+    // the dedicated seed-eval catch must sweep them
+    val g = graphOf(spark,
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L)))
+    val res = TriangleStats.run(g)
+    val init = InitialPartition.run(res.pruned)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DistributedWCC.testFailAtIter = 0
+    try {
+      val e = intercept[RuntimeException] {
+        DistributedWCC.refinePartition(init, g.numVertices, 5)
+      }
+      assert(e.getMessage.contains("seed evaluation"))
+    } finally DistributedWCC.testFailAtIter = -1
+    val leaked = spark.sparkContext.getPersistentRDDs.view
+      .filterKeys(!before.contains(_)).toMap
+    assert(leaked.isEmpty, "leaked persisted RDDs: " +
+      leaked.map { case (id, r) => s"$id=$r" }.mkString("; "))
+  }
+
+  test("hub-path refinement thrown-through failure releases every cached surface (review r17)") {
+    // hub degree > HubDegreeThreshold routes refinePartition to the
+    // Map-based strategy — the branch review r17 found had NO
+    // failure-path hygiene; the sweep must reach the degree maps and
+    // the candidate generation without naming them
+    val n = 10500L
+    val hubEdges = (1L to n).map(i => (0L, i)) ++
+      (1L until n).map(i => (i, i + 1))
+    val g = graphOf(spark, hubEdges)
+    val res = TriangleStats.run(g)
+    val init = InitialPartition.run(res.pruned)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DistributedWCC.testFailAtIter = 1
+    try {
+      val e = intercept[RuntimeException] {
+        DistributedWCC.refinePartition(init, g.numVertices, 5)
+      }
+      assert(e.getMessage.contains("injected test failure at iter 1"))
+    } finally DistributedWCC.testFailAtIter = -1
+    val leaked = spark.sparkContext.getPersistentRDDs.view
+      .filterKeys(!before.contains(_)).toMap
+    assert(leaked.isEmpty, "leaked persisted RDDs: " +
+      leaked.map { case (id, r) => s"$id=$r" }.mkString("; "))
+  }
+
   test("invariants on the reference fixture graph (email-Eu-core)") {
     val raw = EdgeOps.loadCsvEdges(spark, "/root/reference/test_graph.csv")
     val g = EdgeOps.toGraph(EdgeOps.canonicalize(raw))
