@@ -1629,10 +1629,14 @@ object GraphAlgs {
     CCTwoPhase(out, round, stable, () => { out.unpersist(blocking = false); () })
     } catch {
       case t: Throwable =>
-        if (curLarge != null) curLarge.unpersist(blocking = false)
-        if (curRdd != null) curRdd.unpersist(blocking = false)
-        if (prevRdd != null) prevRdd.unpersist(blocking = false)
-        if (outDf != null) outDf.unpersist(blocking = false)
+        // swallowed cleanup failures: a throwing unpersist (stopped
+        // context — often the root cause itself) must not mask `t`
+        try {
+          if (curLarge != null) curLarge.unpersist(blocking = false)
+          if (curRdd != null) curRdd.unpersist(blocking = false)
+          if (prevRdd != null) prevRdd.unpersist(blocking = false)
+          if (outDf != null) outDf.unpersist(blocking = false)
+        } catch { case _: Throwable => () }
         throw t
     }
   }
@@ -1868,8 +1872,11 @@ object GraphAlgs {
       () => if (last != null) { last.unpersist(blocking = false); () })
     } catch {
       case t: Throwable =>
-        if (curRdd != null) curRdd.unpersist(blocking = false)
-        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        // swallowed cleanup failures — same contract as the CC loop
+        try {
+          if (curRdd != null) curRdd.unpersist(blocking = false)
+          if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        } catch { case _: Throwable => () }
         throw t
     }
   }

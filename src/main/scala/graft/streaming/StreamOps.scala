@@ -130,20 +130,25 @@ object StreamOps {
 
   /** Start-and-drain a bounded stateful streaming query under the
    * narrowed state-store partitioning ([[StreamStatePartitions]]),
-   * running `cleanupFn` whether or not the drain succeeds. ONE
-   * definition so the narrowing cannot be forgotten on a new drain
-   * site (review r17). `start` is by-name: the partition count is
-   * read when the query starts, so the start must happen inside the
-   * conf wrap. Drains whose scope is wider than start+await (the
-   * state-reader's post-drain store read, the resume pair's two
-   * drains under one setting) keep their bespoke wraps. */
+   * running `cleanupFn` whether or not the drain — or the START —
+   * succeeds (review r17: a throwing `start` must still release the
+   * staging temp tree). ONE definition so the narrowing cannot be
+   * forgotten on a new drain site. `start` is by-name: the partition
+   * count is read when the query starts, so the start must happen
+   * inside the conf wrap. Returns the drained query (observe-metric
+   * consumers read progress off it). Drains whose scope is wider
+   * than start+await (the state-reader's post-drain store read, the
+   * resume pair's two drains under one setting) keep their bespoke
+   * wraps. */
   private def drainNarrow(spark: SparkSession)(
       start: => org.apache.spark.sql.streaming.StreamingQuery)(
-      cleanupFn: => Unit): Unit =
+      cleanupFn: => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     withShufflePartitions(spark, StreamStatePartitions) {
-      val q = start
-      try q.awaitTermination()
-      finally cleanupFn
+      try {
+        val q = start
+        q.awaitTermination()
+        q
+      } finally cleanupFn
     }
 
   /** Run `body` with the RocksDB state-store provider set on the
@@ -634,14 +639,12 @@ object StreamOps {
     val agg = src.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
         (floor(sum(col("value")) * 1e4 + 0.5) / 1e4).as("sum_value"))
-    val q = agg.writeStream
+    drainNarrow(spark)(agg.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanup(dir)
+      .start())(cleanup(dir))
     spark.table(name).orderBy("c_mktsegment")
   }
 
@@ -1272,15 +1275,16 @@ object StreamOps {
         count(lit(1)).as("n_rows"),
         sum(col("value")).as("sum_value"),
         expr("count_if(value > 250.0)").as("n_big"))
-    val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally cleanup(dir)
+    // the observed metrics ride the SOURCE-side tasks (pre-shuffle),
+    // so the narrowed stateful exchange cannot move their values
+    val q = drainNarrow(spark)(
+      src.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start())(cleanup(dir))
     val metrics = q.recentProgress.toSeq
       .flatMap(p => Option(p.observedMetrics.get("graft_metrics")))
       .lastOption

@@ -96,7 +96,15 @@ object DistributedWCC {
       pruned, best)
     } catch {
       case t: Throwable =>
-        WccUtil.sweepNewCaches(graph.vertices.sparkContext, sweepBase)
+        // a PRECOMPUTED seed surface predates the snapshot, so the
+        // sweep cannot reach it — but the documented contract says
+        // refinement owns its release and callers keep only the
+        // scalar score, so a failure BEFORE refinement consumed it
+        // must release it here (review r17)
+        WccUtil.quietly(precomputedSeedEval.foreach(
+          _._1.foreach(_.unpersist(blocking = false))))
+        WccUtil.quietly(
+          WccUtil.sweepNewCaches(graph.vertices.sparkContext, sweepBase))
         throw t
     }
   }
@@ -196,11 +204,14 @@ object DistributedWCC {
         throw new RuntimeException("injected test failure after seed evaluation")
       seed
     } catch {
-      // iteration-0 failure (review r17): the seed surface and the
-      // exchange's GraphX self-persists are already registered —
-      // nothing is nameable yet, so the sweep is the whole release
+      // iteration-0 failure (review r17): an internally-built seed
+      // surface and the exchange's GraphX self-persists are swept; a
+      // PRECOMPUTED seed surface predates the snapshot and needs the
+      // named release (the contract hands its release to this loop)
       case t: Throwable =>
-        WccUtil.sweepNewCaches(initGraph.vertices.sparkContext, sweepBase)
+        WccUtil.quietly(seedEval.foreach(_._1.unpersist(blocking = false)))
+        WccUtil.quietly(
+          WccUtil.sweepNewCaches(initGraph.vertices.sparkContext, sweepBase))
         throw t
     }
 
@@ -331,18 +342,21 @@ object DistributedWCC {
     }
     } catch {
       case t: Throwable =>
-        if (cand != null) releaseGen(cand)
-        // unconditional, like the success path below: callers keep
-        // only the scalar score of a precomputed seed evaluation
-        bestSurf.unpersist(blocking = false)
-        if (bestPartition ne initGraph) {
-          bestPartition.unpersistVertices(blocking = false)
-          bestPartition.edges.unpersist(blocking = false)
+        WccUtil.quietly {
+          if (cand != null) releaseGen(cand)
+          // unconditional, like the success path below: callers keep
+          // only the scalar score of a precomputed seed evaluation
+          bestSurf.unpersist(blocking = false)
+          if (bestPartition ne initGraph) {
+            bestPartition.unpersistVertices(blocking = false)
+            bestPartition.edges.unpersist(blocking = false)
+          }
         }
         // drop the GraphX-internal self-persists the names above
         // cannot reach (upgraded replicated views etc.) — everything
         // registered since entry is this call's garbage on failure
-        WccUtil.sweepNewCaches(initGraph.vertices.sparkContext, sweepBase)
+        WccUtil.quietly(
+          WccUtil.sweepNewCaches(initGraph.vertices.sparkContext, sweepBase))
         throw t
     }
     bestSurf.unpersist(blocking = false)
@@ -425,7 +439,8 @@ object DistributedWCC {
         // failure; the accepted bestPartition (when not the caller's
         // init graph) postdates the snapshot, so the sweep reaches it
         // and the degree maps without naming them
-        WccUtil.sweepNewCaches(initGraph.vertices.sparkContext, sweepBase)
+        WccUtil.quietly(
+          WccUtil.sweepNewCaches(initGraph.vertices.sparkContext, sweepBase))
         throw t
     }
   }

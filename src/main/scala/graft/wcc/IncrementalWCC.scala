@@ -132,7 +132,8 @@ object IncrementalWCC {
     State(stateGraph, out.communityStats, Some(bulkFlagged))
     } catch {
       case t: Throwable =>
-        WccUtil.sweepNewCaches(graph.vertices.sparkContext, sweepBase)
+        WccUtil.quietly(
+          WccUtil.sweepNewCaches(graph.vertices.sparkContext, sweepBase))
         throw t
     }
   }
@@ -660,7 +661,8 @@ object IncrementalWCC {
     // views) no targeted release can name (leak-spec finding, r17)
     val sweepBase = WccUtil.cacheSnapshot(sc)
     val m = try timed("merge")(merge(state, newEdges)) catch {
-      case t: Throwable => WccUtil.sweepNewCaches(sc, sweepBase); throw t
+      case t: Throwable =>
+        WccUtil.quietly(WccUtil.sweepNewCaches(sc, sweepBase)); throw t
     }
     // cached generations the catch below must be able to release: a
     // failure in performInitialPartition / refinePartition / the
@@ -743,24 +745,29 @@ object IncrementalWCC {
         // the fold, drop everything the merge materialized, rethrow.
         // Double-unpersist of surfaces the body already released on
         // a later failure is a harmless no-op.
+        // every cleanup below is quietly-guarded (review r17): a
+        // throwing unpersist must neither mask `t` nor skip the
+        // sweep sequenced after it
         try { m.globalCCF.join(); () } catch { case _: Throwable => () }
-        m.touchedNbrs.unpersist(blocking = false)
-        release(m.merged)
-        release(m.fullGraph)
-        // post-merge generations (ADVICE r16): whichever of the
-        // initial partition / refined graph / graft-back result had
-        // materialized by the failure point is pinned too — release
-        // them all; double-release of one the body already freed on
-        // a later failure is the same harmless no-op
-        if (initG != null) release(initG)
-        if (finG != null && (finG ne initG)) release(finG)
-        if (resG != null) release(resG)
-        m.newIds.unpersist(blocking = false)
-        m.borderIds.unpersist(blocking = false)
+        WccUtil.quietly {
+          m.touchedNbrs.unpersist(blocking = false)
+          release(m.merged)
+          release(m.fullGraph)
+          // post-merge generations (ADVICE r16): whichever of the
+          // initial partition / refined graph / graft-back result had
+          // materialized by the failure point is pinned too — release
+          // them all; double-release of one the body already freed on
+          // a later failure is the same harmless no-op
+          if (initG != null) release(initG)
+          if (finG != null && (finG ne initG)) release(finG)
+          if (resG != null) release(resG)
+          m.newIds.unpersist(blocking = false)
+          m.borderIds.unpersist(blocking = false)
+        }
         // the targeted releases above drop what this method can name;
         // the sweep drops the GraphX-internal self-persists it cannot
         // (everything registered since entry is this call's garbage)
-        WccUtil.sweepNewCaches(sc, sweepBase)
+        WccUtil.quietly(WccUtil.sweepNewCaches(sc, sweepBase))
         throw t
     }
   }

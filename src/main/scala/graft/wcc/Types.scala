@@ -105,6 +105,13 @@ private[wcc] object WccUtil {
         throw Option(e.getCause).getOrElse(e)
     }
 
+  /** Run a failure-path cleanup without letting IT fail (review
+   * r17): a throwing unpersist/sweep (stopped context, lost block
+   * manager — often the very condition that caused the original
+   * failure) must never mask the root-cause exception the catch is
+   * about to rethrow, nor skip the releases sequenced after it. */
+  def quietly(f: => Unit): Unit = try f catch { case _: Throwable => () }
+
   /** Entry snapshot for [[sweepNewCaches]]: the ids of every RDD the
    * context currently has registered as persistent. */
   def cacheSnapshot(sc: org.apache.spark.SparkContext): Set[Int] =
