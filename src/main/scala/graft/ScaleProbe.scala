@@ -36,10 +36,11 @@ object ScaleProbe {
     // run zero loops with no warning
     val KnownTokens = Set(
       "wcc", "wcc-refine", "coreness", "k-truss", "msf", "hits", "det",
-      "pagerank", "eigen", "label", "floatdet",
+      "pagerank", "eigen", "label", "floatdet", "scc", "matching",
       "skew", "skew-pagerank", "skew-cc", "skew-coreness", "skew-wcc",
       "skew-ktruss", "skew-idwcc", "skew-betweenness", "skew-mis",
-      "skew-scc", "dedup-hot", "ivf-hot", "pq", "stream-dedup")
+      "skew-scc", "dedup-hot", "ivf-hot", "pq", "stream-dedup",
+      "stream-state")
     phaseFilter.foreach(_.foreach { tok =>
       require(KnownTokens.contains(tok),
         s"unknown probe token '$tok' — known: ${KnownTokens.toSeq.sorted.mkString(", ")}")
@@ -150,6 +151,39 @@ object ScaleProbe {
       val n = kt.edges.count()
       println(s"[scale-probe] ktruss survivors=$n converged=${kt.converged}")
       kt.release()
+    }
+
+    // det/peel sf1 probes on the REPLICATED (hub-free) graph
+    // (VERDICT r17 item 5): coreness and k-truss have had tokens
+    // since r16; scc and matching complete the family — the question
+    // at 10x is whether the rounds x dispatch floor hands over to
+    // volume-bound scaling without a partition-sizing cliff.
+    if (wanted("scc")) phase("scc det (md5-oriented digraph)") {
+      // the g_scc fixture rule on the replicated edges: orient every
+      // edge by hash parity, 1/16 reciprocal (same shape as the
+      // skew-scc probe, minus the Zipf hub)
+      import org.apache.spark.sql.functions.{concat, lit, md5, substring, when}
+      val h = edges.withColumn("h", md5(concat(
+        col("src").cast("string"), lit("-"), col("dst").cast("string"))))
+      val cond = substring(col("h"), 2, 1) < "8"
+      val dedges = h.select(
+        when(cond, col("src")).otherwise(col("dst")).as("src"),
+        when(cond, col("dst")).otherwise(col("src")).as("dst"))
+        .unionAll(h.where(substring(col("h"), 3, 1) === "0").select(
+          when(cond, col("dst")).otherwise(col("src")).as("src"),
+          when(cond, col("src")).otherwise(col("dst")).as("dst")))
+        .distinct()
+      val df = GraphAlgs.sccDetDF(dedges)
+      val a = df.agg(count(lit(1)), max(col("scc_size"))).head()
+      println(s"[scale-probe] scc verts=${a.getLong(0)} maxScc=${a.getLong(1)}")
+      df.unpersist(blocking = false)
+    }
+
+    if (wanted("matching")) phase("greedy matching (edge-luby)") {
+      val df = GraphAlgs.matchingDetDF(edges)
+      val rounds = df.agg(max(col("match_round"))).head().getLong(0)
+      println(s"[scale-probe] matching matched=${df.count()} rounds=$rounds")
+      df.unpersist(blocking = false)
     }
 
     if (wanted("msf")) phase("boruvka msf") {
@@ -598,6 +632,63 @@ object ScaleProbe {
           .queryName("sdprobe").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         println(s"[scale-probe] stream-dedup distinct=${spark.table("sdprobe").count()}")
+      }
+    }
+
+    // Streaming state-store sizing growth table (VERDICT r17 item 4):
+    // the r17 fix narrowed the bounded drains to 8 store partitions
+    // because their state is tiny; this probe measures WHERE that
+    // stops being true. Fixed event volume (nBase x replicas), swept
+    // key cardinality (= state volume) x store width, 8 micro-batches
+    // each (maxFilesPerTrigger=1), so every cell pays 8 open/commit
+    // cycles per store instance — the constant the narrowing
+    // amortizes — plus the per-store share of state maintenance that
+    // widening amortizes. The crossover feeds
+    // StreamOps.statePartitionsFor's documented rule.
+    if (phaseFilter.exists(_.exists(_ == "stream-state"))) {
+      import org.apache.spark.sql.streaming.Trigger
+      val nEv = (nBase * replicas).max(100000L)
+      for (keys <- Seq(nEv / 1000, nEv / 10, nEv).map(_.max(8L)).distinct) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-ssprobe-$keys").toString
+        phase(s"stream-state gen keys=$keys") {
+          spark.range(nEv).select(
+            expr("timestamp_micros(CAST(1700000000000000 + id * 1000 AS BIGINT))").as("ts"),
+            (col("id") % keys).as("k"),
+            (col("id") % 97).cast("double").as("v"))
+            .repartition(8).write.mode("overwrite").parquet(dir)
+        }
+        for (parts <- Seq(8, 32)) {
+          phase(s"stream-state drain keys=$keys parts=$parts") {
+            val key = "spark.sql.shuffle.partitions"
+            val prev = spark.conf.get(key)
+            spark.conf.set(key, parts.toString)
+            try {
+              val schema = spark.read.parquet(dir).schema
+              val src = spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(dir)
+                .withWatermark("ts", "1 hour")
+                .groupBy(window(col("ts"), "1 minute"), col("k"))
+                .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+              val name = s"ssprobe_${keys}_$parts"
+              val q = src.writeStream.outputMode("append")
+                .format("memory").queryName(name)
+                .trigger(Trigger.AvailableNow()).start()
+              q.awaitTermination()
+              println(s"[scale-probe] stream-state keys=$keys parts=$parts " +
+                s"rows=${spark.table(name).count()} batches=${q.recentProgress.length}")
+              spark.catalog.dropTempView(name)
+            } finally spark.conf.set(key, prev)
+          }
+        }
+        // best-effort temp cleanup (probe tool; tree is a few MB)
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+            .asScala.toSeq.reverse.foreach(p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: java.io.IOException => () })
+        } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
       }
     }
 

@@ -2764,8 +2764,12 @@ object GraphAlgs {
       scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
     while (nUndecided > 0) {
       round += 1
+      // "~" because the count comes from a transformation-side
+      // accumulator (at-least-once under task retries, ADVICE r17):
+      // the > 0 loop decision is retry-exact, the magnitude may read
+      // high on a retried run
       require(round <= maxIter,
-        s"matchingDet: $nUndecided edges undecided after $maxIter rounds — raise maxIter")
+        s"matchingDet: ~$nUndecided edges undecided after $maxIter rounds — raise maxIter")
       val r = round
       val minAtV = undecided
         .flatMap { case (u, (v, k)) => Iterator((u, k), (v, k)) }

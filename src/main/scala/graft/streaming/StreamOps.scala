@@ -121,12 +121,43 @@ object StreamOps {
    * semantics / per-key folds). Session-global like the RocksDB
    * provider flip: relies on the harness's strictly-sequential
    * query execution. */
-  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[streaming] def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // Guard rails (ADVICE r17): the narrowing is session-global, so a
+    // concurrent scope on the SAME session would run someone else's
+    // query at n and the restore would clobber a concurrent setter.
+    // Overlap from another thread fails LOUDLY here instead of
+    // silently mis-sizing both queries; same-thread nesting (the
+    // RocksDB wrap composes this) stays legal — the inner scope
+    // restores to the outer scope's value like a stack.
+    val me = Thread.currentThread()
+    val owner = narrowScopeOwner.putIfAbsent(spark, me)
+    if (owner != null && (owner ne me))
+      throw new IllegalStateException(
+        s"concurrent withShufflePartitions scopes on one SparkSession " +
+          s"(held by thread '${owner.getName}') — the session-global " +
+          "narrowing requires sequential stateful drains; clone the " +
+          "session (spark.newSession()) for concurrent streaming work")
+    val outermost = owner == null
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    try body finally {
+      if (outermost) narrowScopeOwner.remove(spark)
+      // restore-don't-clobber: if some concurrent setter changed the
+      // value mid-scope (not detectable at entry when it holds no
+      // scope of its own), keep ITS value and say so, loudly
+      val cur = spark.conf.get(key)
+      if (cur == n.toString) spark.conf.set(key, prev)
+      else System.err.println(s"[graft-stream] $key changed mid-scope " +
+        s"($n -> $cur) by a concurrent setter — NOT restoring to $prev")
+    }
   }
+
+  /** Active [[withShufflePartitions]] scope owner per session (see
+   * the guard above). Entries are removed when the outermost scope
+   * exits, so the map stays one-entry-per-live-drain. */
+  private val narrowScopeOwner =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Thread]()
 
   /** Start-and-drain a bounded stateful streaming query under the
    * narrowed state-store partitioning ([[StreamStatePartitions]]),

@@ -112,10 +112,34 @@ private[wcc] object WccUtil {
    * about to rethrow, nor skip the releases sequenced after it. */
   def quietly(f: => Unit): Unit = try f catch { case _: Throwable => () }
 
+  /** A [[cacheSnapshot]] handle: the persisted-RDD ids at scope entry
+   * plus a global sequence number — [[sweepNewCaches]] uses the
+   * sequence to tell "a NEWER scope opened on another thread"
+   * (overlap — sweeping would drop its caches) from "an older scope
+   * on another thread ran and finished long ago" (stale, harmless). */
+  final case class CacheSnapshot(ids: Set[Int], seq: Long)
+
+  private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Most recent [[cacheSnapshot]] (seq, caller thread) per context:
+   * the sweep's cheap sequentiality probe (ADVICE r17). Under the
+   * documented single-caller precondition every snapshot newer than
+   * the sweeping call's own is taken by the same thread (nested
+   * same-thread scopes — prepare -> run — qualify and are fine); a
+   * newer snapshot from a DIFFERENT thread means another pipeline
+   * scope opened after ours, and a context-wide sweep could drop its
+   * caches. */
+  private val lastSnapshot =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, (Long, Thread)]()
+
   /** Entry snapshot for [[sweepNewCaches]]: the ids of every RDD the
    * context currently has registered as persistent. */
-  def cacheSnapshot(sc: org.apache.spark.SparkContext): Set[Int] =
-    sc.getPersistentRDDs.keySet.toSet
+  def cacheSnapshot(sc: org.apache.spark.SparkContext): CacheSnapshot = {
+    val seq = snapshotSeq.incrementAndGet()
+    lastSnapshot.put(sc, (seq, Thread.currentThread()))
+    CacheSnapshot(sc.getPersistentRDDs.keySet.toSet, seq)
+  }
 
   /** Failure-path cache sweep (leak-spec finding, r17): unpersist
    * every RDD registered with the context AFTER `beforeIds` was
@@ -131,8 +155,39 @@ private[wcc] object WccUtil {
    * sequentially; the in-call concurrent fold is joined before
    * sweeping). */
   def sweepNewCaches(sc: org.apache.spark.SparkContext,
-      beforeIds: Set[Int]): Unit =
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!beforeIds.contains(id)) rdd.unpersist(blocking = false)
+      snap: CacheSnapshot): Unit = {
+    // Guard rails (ADVICE r17): the context-wide sweep is only exact
+    // under the sequential-caller precondition, so (a) a deployment
+    // that shares one session across concurrent queries can disable
+    // it outright, and (b) a detectably violated precondition — a
+    // snapshot taken by ANOTHER thread after ours, i.e. an
+    // overlapping pipeline scope whose fresh caches a context-wide
+    // sweep would drop — degrades to a loud no-op: leaking this
+    // call's garbage on an already-failing path beats silently
+    // unpersisting a live concurrent query's state.
+    if (sys.props.get("graft.wcc.failureSweep").contains("off")) {
+      System.err.println("[graft-wcc] failure-path cache sweep disabled " +
+        "(graft.wcc.failureSweep=off) — caches registered by the failed " +
+        "call may remain persisted")
+      return
     }
+    val last = lastSnapshot.get(sc)
+    if (last != null && last._1 > snap.seq &&
+        (last._2 ne Thread.currentThread())) {
+      System.err.println("[graft-wcc] SKIPPING failure-path cache sweep: " +
+        s"a newer cacheSnapshot was taken by thread '${last._2.getName}' — " +
+        "concurrent pipeline scopes violate the sweep's sequential " +
+        "precondition; leaving all caches persisted (possible leak)")
+      return
+    }
+    val swept = sc.getPersistentRDDs.collect {
+      case (id, rdd) if !snap.ids.contains(id) =>
+        rdd.unpersist(blocking = false)
+        s"$id:${rdd.toString.take(80)}"
+    }
+    if (swept.nonEmpty)
+      System.err.println(
+        s"[graft-wcc] failure-path sweep unpersisted ${swept.size} RDD(s): " +
+          swept.mkString("; "))
+  }
 }

@@ -38,6 +38,85 @@ class LoopPlanGuardSpec extends SparkSpec with TimeLimits {
     }
   }
 
+  test("two-phase CC runs one bounded shuffle set per round — the large-star half is materialized") {
+    // VERDICT r17 item 6: pin the r17 find (the large-star half-round
+    // is persisted per round) so a regression that re-inlines
+    // star(star(cur)) cannot land silently. The observable is
+    // tag-scoped SHUFFLE READ RECORDS, differenced between a 3-round
+    // and a 2-round run on the same fixture (the deterministic
+    // 2-round prefix and the identically-shaped finish cancel, so the
+    // difference is exactly one round's cost). Read records — not
+    // stage counts or write records: exchange/AQE-stage reuse dedupes
+    // the replayed subplan's MAP side (both regimes submit ~13-14
+    // stages and write identical records), but each of the small-star
+    // plan's FOUR references to its input re-executes the REDUCE side,
+    // re-reading the deduped map outputs — calibrated on this fixture
+    // at 668 records/round materialized vs 977 lazy (and 15.05 vs
+    // 10.19 s solo wall at sf0.1, PERF r17).
+    failAfter(240.seconds) {
+      import spark.implicits._
+      // a 64-vertex path: converges in ~6 alternating rounds, so
+      // rounds 1-3 are all "regular" (count still shrinking, no
+      // early-stability run shape divergence)
+      val edges = (1L until 64L).map(v => (v, v + 1)).toDF("src", "dst")
+      def stagesFor(maxRounds: Int): (Int, Long) = {
+        val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+        val records = new java.util.concurrent.atomic.AtomicLong(0L)
+        val tag = s"graft-cc2p-probe-$maxRounds-${java.util.UUID.randomUUID()}"
+        val tagged = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageSubmitted(
+              ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+            if (ss.properties != null &&
+                tag == ss.properties.getProperty("spark.jobGroup.id")) {
+              counter.incrementAndGet()
+              tagged.add(ss.stageInfo.stageId)
+            }
+            ()
+          }
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            if (tagged.contains(sc.stageInfo.stageId))
+              records.addAndGet(
+                sc.stageInfo.taskMetrics.shuffleReadMetrics.recordsRead)
+            ()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          spark.sparkContext.setJobGroup(tag, "two-phase CC stage probe")
+          val cc = try graft.graph.GraphAlgs
+            .connectedComponentsTwoPhase(edges, maxRounds = maxRounds)
+            finally spark.sparkContext.clearJobGroup()
+          cc.release()
+          // the listener bus is async — poll until the count is stable
+          var prev = -1L; var cur = counter.get() + records.get(); var spins = 0
+          while (cur != prev && spins < 100) {
+            prev = cur; Thread.sleep(100); cur = counter.get() + records.get()
+            spins += 1
+          }
+          (counter.get(), records.get())
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val (s2, r2) = stagesFor(2)
+      val (s3, r3) = stagesFor(3)
+      val perRound = s3 - s2
+      val recsPerRound = r3 - r2
+      info(s"two-phase CC stages: 2 rounds=$s2, 3 rounds=$s3, per-round=$perRound; " +
+        s"shuffle records: $r2 -> $r3, per-round=$recsPerRound")
+      // 820 sits between the calibrated regimes (668 materialized,
+      // 977 lazy): +22% headroom for plan drift on version bumps,
+      // -16% below the regressed regime. Records are content-
+      // deterministic on this fixed fixture, unlike wall clock.
+      assert(recsPerRound > 0, s"read records not increasing: $r2 -> $r3")
+      assert(recsPerRound <= 820,
+        s"two-phase CC read $recsPerRound shuffle records for ONE round " +
+          s"($r2 -> $r3; calibrated: 668 materialized / 977 lazy) — the " +
+          "large-star half-round is no longer materialized and its reduce " +
+          "side is re-executing once per small-star reference")
+    }
+  }
+
   test("materializeStep truncates lineage across 8 self-joining rounds") {
     failAfter(120.seconds) {
       import spark.implicits._

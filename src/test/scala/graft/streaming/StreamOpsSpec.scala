@@ -210,9 +210,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     // result is materialized -> draining now is safe and removes the
     // sink's output + checkpoint trees (ADVICE r16: without a drain
-    // they persist for the whole process lifetime)
-    assert(StreamOps.drainExitCleanup() == 2)
+    // they persist for the whole process lifetime). ">= 2", not
+    // "== 2" (ADVICE r17): the two trees named by the contract are
+    // fileSinkRoundtrip's parquet OUTPUT dir and its CHECKPOINT dir;
+    // a query that later registers more trees (or a parallel suite)
+    // must not fail this spec spuriously — the leak signal is "fewer
+    // than the two this call just registered".
+    assert(StreamOps.drainExitCleanup() >= 2)
     assert(StreamOps.drainExitCleanup() == 0) // queue drained, idempotent
+  }
+
+  test("withShufflePartitions: same-thread nesting stacks; cross-thread overlap fails loudly") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    // same-thread nesting (the RocksDB wrap composes the narrowing):
+    // inner scope restores to the outer scope's value, outer to before
+    StreamOps.withShufflePartitions(spark, 8) {
+      assert(spark.conf.get(key) == "8")
+      StreamOps.withShufflePartitions(spark, 6) {
+        assert(spark.conf.get(key) == "6")
+      }
+      assert(spark.conf.get(key) == "8")
+    }
+    assert(spark.conf.get(key) == before)
+    // cross-thread overlap (ADVICE r17): a second scope on the same
+    // session from another thread must fail LOUDLY, not silently run
+    // someone else's query at the narrowed width
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      StreamOps.withShufflePartitions(spark, 8) {
+        entered.countDown(); release.await()
+      })
+    holder.start()
+    entered.await()
+    try {
+      val e = intercept[IllegalStateException] {
+        StreamOps.withShufflePartitions(spark, 8) { fail("must not enter") }
+      }
+      assert(e.getMessage.contains("concurrent withShufflePartitions"))
+    } finally { release.countDown(); holder.join() }
+    assert(spark.conf.get(key) == before)
   }
 
   test("stream-stream left outer join: inner matches plus watermark-gated null rows") {

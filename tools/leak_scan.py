@@ -43,8 +43,21 @@ def files():
             yield p
 
 
+def infer_round():
+    """Default round when no argv is given (ADVICE r17: a restamp
+    without the arg wrote "round": null). The driver writes
+    CORRECTNESS_r{N}.json at the END of round N, so during round N+1
+    the max existing N plus one is the round being stamped."""
+    ns = []
+    for n in os.listdir(ROOT):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", n)
+        if m:
+            ns.append(int(m.group(1)))
+    return max(ns) + 1 if ns else None
+
+
 def main():
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else infer_round()
     hits = {k: [] for k in PATTERNS}
     for path in files():
         rel = os.path.relpath(path, ROOT)
