@@ -47,6 +47,18 @@ object DistributedWCC {
   /** Phase wall-clock logging, mirroring the reference's
    * instrumentation points (`DistributedWCC.scala:43,59,281,295-302`,
    * see BASELINE.md). */
+  /** Cumulative stop-the-world GC milliseconds of this JVM — the
+   * refine-iteration log carries the per-iteration delta so a wall
+   * spike can be attributed (or not) to collector pauses without
+   * re-running under external GC logging (PERF r18: the residency
+   * spike investigation). local-mode only telemetry: driver and
+   * executors share the JVM, so this sees executor-side GC too. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   private def timed[T](phase: String)(f: => T): T = {
     val t0 = System.currentTimeMillis()
     val r = f
@@ -285,6 +297,7 @@ object DistributedWCC {
       if (cand.no == testFailAtIter)
         throw new RuntimeException(s"injected test failure at iter ${cand.no}")
       val t0 = System.currentTimeMillis()
+      val gc0 = gcMillis()
       val scaffoldF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
         CommunityOps.wccEvalScaffold(cand.graph, cand.surf))
       // on any failure below, the in-flight scaffold job must be
@@ -310,7 +323,8 @@ object DistributedWCC {
       scaffold.unpersist(blocking = false)
       retriesLeft -= 1
       System.err.println(s"[graft-wcc] refine iter ${cand.no}: " +
-        s"${System.currentTimeMillis() - t0} ms, wcc=$newWcc (best=$bestWcc)")
+        s"${System.currentTimeMillis() - t0} ms, gc=${gcMillis() - gc0} ms, " +
+        s"wcc=$newWcc (best=$bestWcc)")
 
       if (newWcc > bestWcc) {
         if (newWcc / bestWcc - 1 > Threshold) retriesLeft = maxRetries
