@@ -57,6 +57,14 @@ object Bench {
     // permanently busy box still produces an artifact (annotated
     // with the load it actually ran under).
     val maxStartLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble).getOrElse(2.0)
+    // the 15-min gate gets a LOOSER threshold: that average decays
+    // slowly (~5 min per 0.5 near the threshold), so demanding the
+    // same 2.0 burns the whole wait budget on a marginal signal —
+    // the r18 closing series waited the full 900 s for 2.02 -> <2.0
+    // and measured no benefit. 3.0 still rejects the 3.6-5.1 starts
+    // that produced r17's 1.7x spread.
+    val maxStartLoad15 = sys.env.get("SPARK_GRAFT_MAX_LOAD15").map(_.toDouble)
+      .getOrElse(math.max(3.0, maxStartLoad))
     val maxWaitMs = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toLong * 1000L)
       .getOrElse(900000L)
     // only the FIRST run gets the full wait budget: with 3 runs a
@@ -73,16 +81,16 @@ object Bench {
     def quietGate(runIdx: Int): Long = {
       val budgetMs = if (runIdx == 1) maxWaitMs else math.min(maxWaitMs, 120000L)
       def busy(): Option[String] =
-        if (load1() > maxStartLoad) Some(s"1-min load ${load1()}")
-        else if (runIdx == 1 && load15() > maxStartLoad)
-          Some(s"15-min load ${load15()}")
+        if (load1() > maxStartLoad) Some(s"1-min load ${load1()} > $maxStartLoad")
+        else if (runIdx == 1 && load15() > maxStartLoad15)
+          Some(s"15-min load ${load15()} > $maxStartLoad15")
         else None
       val t0 = System.currentTimeMillis()
       var waited = 0L
       var reason = busy()
       while (reason.isDefined &&
           (System.currentTimeMillis() - t0) < budgetMs) {
-        System.err.println(s"[bench] ${reason.get} > $maxStartLoad — waiting")
+        System.err.println(s"[bench] ${reason.get} — waiting")
         Thread.sleep(15000L)
         waited = System.currentTimeMillis() - t0
         reason = busy()
