@@ -80,11 +80,16 @@ object Bench {
     // execution, so that gate could never pass.
     def quietGate(runIdx: Int): Long = {
       val budgetMs = if (runIdx == 1) maxWaitMs else math.min(maxWaitMs, 120000L)
-      def busy(): Option[String] =
-        if (load1() > maxStartLoad) Some(s"1-min load ${load1()} > $maxStartLoad")
-        else if (runIdx == 1 && load15() > maxStartLoad15)
-          Some(s"15-min load ${load15()} > $maxStartLoad15")
+      // sample each average ONCE per check: re-reading /proc/loadavg
+      // for the message can print a value that no longer exceeds the
+      // threshold (review r18)
+      def busy(): Option[String] = {
+        val l1 = load1(); val l15 = load15()
+        if (l1 > maxStartLoad) Some(s"1-min load $l1 > $maxStartLoad")
+        else if (runIdx == 1 && l15 > maxStartLoad15)
+          Some(s"15-min load $l15 > $maxStartLoad15")
         else None
+      }
       val t0 = System.currentTimeMillis()
       var waited = 0L
       var reason = busy()

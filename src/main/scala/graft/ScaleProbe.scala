@@ -651,6 +651,7 @@ object ScaleProbe {
       for (keys <- Seq(nEv / 1000, nEv / 10, nEv).map(_.max(8L)).distinct) {
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft-ssprobe-$keys").toString
+        try {
         phase(s"stream-state gen keys=$keys") {
           spark.range(nEv).select(
             expr("timestamp_micros(CAST(1700000000000000 + id * 1000 AS BIGINT))").as("ts"),
@@ -681,14 +682,21 @@ object ScaleProbe {
             } finally spark.conf.set(key, prev)
           }
         }
-        // best-effort temp cleanup (probe tool; tree is a few MB)
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
-            .asScala.toSeq.reverse.foreach(p =>
+        // best-effort temp cleanup (probe tool; tree is a few MB) —
+        // in a finally so a failed gen/drain cell does not strand the
+        // tree, with the walk stream closed (review r18)
+        } finally {
+          try {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+            val paths = try walk.iterator().asScala.toSeq finally walk.close()
+            paths.reverse.foreach(p =>
               try java.nio.file.Files.deleteIfExists(p)
               catch { case _: java.io.IOException => () })
-        } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+          }
+        }
       }
     }
 

@@ -172,14 +172,19 @@ object StreamOps {
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
     try body finally {
-      if (outermost) narrowScopeOwner.remove(spark)
       // restore-don't-clobber: if some concurrent setter changed the
       // value mid-scope (not detectable at entry when it holds no
-      // scope of its own), keep ITS value and say so, loudly
+      // scope of its own), keep ITS value and say so, loudly.
+      // Restore BEFORE releasing the owner slot (review r18): the
+      // reverse order opens a window where a second thread legally
+      // enters, reads the still-narrowed value as its "previous", and
+      // either gets clobbered by our late restore or later "restores"
+      // the session to the narrowed width permanently.
       val cur = spark.conf.get(key)
       if (cur == n.toString) spark.conf.set(key, prev)
       else System.err.println(s"[graft-stream] $key changed mid-scope " +
         s"($n -> $cur) by a concurrent setter — NOT restoring to $prev")
+      if (outermost) narrowScopeOwner.remove(spark)
     }
   }
 

@@ -121,23 +121,36 @@ private[wcc] object WccUtil {
 
   private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Most recent [[cacheSnapshot]] (seq, caller thread) per context:
-   * the sweep's cheap sequentiality probe (ADVICE r17). Under the
-   * documented single-caller precondition every snapshot newer than
-   * the sweeping call's own is taken by the same thread (nested
-   * same-thread scopes — prepare -> run — qualify and are fine); a
-   * newer snapshot from a DIFFERENT thread means another pipeline
-   * scope opened after ours, and a context-wide sweep could drop its
-   * caches. */
-  private val lastSnapshot =
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.SparkContext, (Long, Thread)]()
+  /** Latest [[cacheSnapshot]] sequence PER (context, thread): the
+   * sweep's sequentiality probe (ADVICE r17). A sweep with snapshot
+   * seq S is vetoed when any OTHER thread holds a snapshot newer
+   * than S — that thread's pipeline scope opened after ours and a
+   * context-wide sweep could drop its caches. Per-thread maxima (not
+   * a single latest slot, review r18): a same-thread NESTED snapshot
+   * (run -> refine takes one every call) would otherwise overwrite
+   * and mask an interleaved other-thread snapshot. Outer map is
+   * weak-keyed so stopped contexts are not pinned for the JVM
+   * lifetime; inner per-thread entries are bounded by the threads
+   * that ever ran a pipeline on the context. */
+  private val snapshotsByContext = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      java.util.concurrent.ConcurrentHashMap[Thread, Long]]())
+
+  private def threadSeqs(sc: org.apache.spark.SparkContext) =
+    snapshotsByContext.synchronized {
+      var m = snapshotsByContext.get(sc)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[Thread, Long]()
+        snapshotsByContext.put(sc, m)
+      }
+      m
+    }
 
   /** Entry snapshot for [[sweepNewCaches]]: the ids of every RDD the
    * context currently has registered as persistent. */
   def cacheSnapshot(sc: org.apache.spark.SparkContext): CacheSnapshot = {
     val seq = snapshotSeq.incrementAndGet()
-    lastSnapshot.put(sc, (seq, Thread.currentThread()))
+    threadSeqs(sc).put(Thread.currentThread(), seq)
     CacheSnapshot(sc.getPersistentRDDs.keySet.toSet, seq)
   }
 
@@ -171,13 +184,19 @@ private[wcc] object WccUtil {
         "call may remain persisted")
       return
     }
-    val last = lastSnapshot.get(sc)
-    if (last != null && last._1 > snap.seq &&
-        (last._2 ne Thread.currentThread())) {
+    val me = Thread.currentThread()
+    val newerForeign = {
+      import scala.jdk.CollectionConverters._
+      threadSeqs(sc).asScala.collectFirst {
+        case (t, seq) if (t ne me) && seq > snap.seq => t
+      }
+    }
+    if (newerForeign.isDefined) {
       System.err.println("[graft-wcc] SKIPPING failure-path cache sweep: " +
-        s"a newer cacheSnapshot was taken by thread '${last._2.getName}' — " +
-        "concurrent pipeline scopes violate the sweep's sequential " +
-        "precondition; leaving all caches persisted (possible leak)")
+        s"a newer cacheSnapshot was taken by thread " +
+        s"'${newerForeign.get.getName}' — concurrent pipeline scopes " +
+        "violate the sweep's sequential precondition; leaving all caches " +
+        "persisted (possible leak)")
       return
     }
     val swept = sc.getPersistentRDDs.collect {

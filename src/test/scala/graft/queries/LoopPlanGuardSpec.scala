@@ -89,11 +89,15 @@ class LoopPlanGuardSpec extends SparkSpec with TimeLimits {
             .connectedComponentsTwoPhase(edges, maxRounds = maxRounds)
             finally spark.sparkContext.clearJobGroup()
           cc.release()
-          // the listener bus is async — poll until the count is stable
-          var prev = -1L; var cur = counter.get() + records.get(); var spins = 0
-          while (cur != prev && spins < 100) {
-            prev = cur; Thread.sleep(100); cur = counter.get() + records.get()
-            spins += 1
+          // the listener bus is async — poll until the counters hold
+          // still for 5 consecutive 100 ms samples (review r18: a
+          // single quiet 100 ms gap can be a bus stall or GC pause,
+          // and an under-counted run weakens the assertion)
+          var stable = 0; var prev = -1L; var spins = 0
+          while (stable < 5 && spins < 200) {
+            val cur = counter.get() + records.get()
+            if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+            Thread.sleep(100); spins += 1
           }
           (counter.get(), records.get())
         } finally spark.sparkContext.removeSparkListener(listener)

@@ -217,6 +217,9 @@ class StreamOpsSpec extends SparkSpec {
     // must not fail this spec spuriously — the leak signal is "fewer
     // than the two this call just registered".
     assert(StreamOps.drainExitCleanup() >= 2)
+    // idempotence: valid because this project's suites share one JVM
+    // and run SEQUENTIALLY (SparkSpec contract) — under parallel
+    // suites this would be as racy as the == 2 it replaced
     assert(StreamOps.drainExitCleanup() == 0) // queue drained, idempotent
   }
 

@@ -82,7 +82,11 @@ def main():
     }
     with open(os.path.join(ROOT, "LEAKCHECK.json"), "w") as f:
         json.dump(out, f, indent=2)
-    print(f"LEAKCHECK.json: {out['n_hits']} hits @ {sha[:12]}")
+    # round is printed so a wrong inference is visible at stamp time:
+    # the inference assumes restamps happen BEFORE the driver lands
+    # CORRECTNESS_r{N}.json for the round being stamped — pass the
+    # round explicitly when stamping after a round-closing commit.
+    print(f"LEAKCHECK.json: {out['n_hits']} hits @ {sha[:12]} (round {rnd})")
     for cat, v in hits.items():
         for h in v[:10]:
             print(f"  [{cat}] {h}")
