@@ -223,6 +223,17 @@ class StreamOpsSpec extends SparkSpec {
     assert(StreamOps.drainExitCleanup() == 0) // queue drained, idempotent
   }
 
+  test("statePartitionsFor: floor 8, one store per 1M keys, capped") {
+    // the measured rule (PERF r18): bounded drains resolve to the
+    // floor; width grows with state volume for cluster memory fit
+    assert(StreamOps.statePartitionsFor(0) == 8)
+    assert(StreamOps.statePartitionsFor(16384) == 8)
+    assert(StreamOps.statePartitionsFor(1L << 20) == 8)
+    assert(StreamOps.statePartitionsFor(9L << 20) == 9)
+    assert(StreamOps.statePartitionsFor(100L << 20) == 100)
+    assert(StreamOps.statePartitionsFor(Long.MaxValue / 2) == (1 << 15))
+  }
+
   test("withShufflePartitions: same-thread nesting stacks; cross-thread overlap fails loudly") {
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
