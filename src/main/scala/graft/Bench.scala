@@ -108,14 +108,52 @@ object Bench {
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    final case class Run(results: Seq[(String, Double, Boolean)], loadJson: String) {
+    // Host-epoch calibration probe (VERDICT r18 item 5): this box has
+    // multi-hour speed epochs (byte-identical code measured uniformly
+    // ~1.25x slower across a reboot, PERF round-23 item 1), so every
+    // cross-round comparison needs a denominator. A fixed-work
+    // single-threaded xorshift loop (pure register arithmetic — no
+    // alloc, no memory traffic, JIT-stable) timed before each run
+    // gives exactly that: calib_ms scales with the epoch, not with
+    // the suite's content. ~2 s of work so a transient scheduler
+    // blip cannot dominate the reading.
+    @volatile var calibBlackhole = 0L
+    def calibrate(): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val n = 1200000000L
+      val t0 = System.nanoTime()
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      calibBlackhole = x // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1000000L
+    }
+
+    final case class Run(results: Seq[(String, Double, Boolean)], loadJson: String,
+        calibMs: Long = -1L) {
       def total: Double = results.collect { case (_, v, true) => v }.sum
       def nFailed: Int = results.count(!_._3)
     }
 
     def runSuite(runIdx: Int): Run = {
       val waitedSec = quietGate(runIdx)
+      val calibMs = calibrate()
       val loadStart = loadAvg()
+      // Mid-run load trace (VERDICT r18 item 1): the start/end pair is
+      // blind to transient co-tenant windows INSIDE a run (a 23 s
+      // stalled iteration with gc<=14 ms, run 1 of BENCH_r18 burning
+      // 689 s from a 0-load start). A daemon sampler records the 1-min
+      // average every ~15 s so a stalled run is legible in the
+      // artifact itself, not only by cross-run comparison.
+      val trace = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      @volatile var tracing = true
+      val tracer = new Thread(() => {
+        while (tracing) {
+          trace.add(load1())
+          try Thread.sleep(15000L) catch { case _: InterruptedException => () }
+        }
+      }, "bench-load-trace")
+      tracer.setDaemon(true)
+      tracer.start()
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -141,17 +179,42 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
       val loadEnd = loadAvg()
+      tracing = false
+      tracer.interrupt()
       graft.queries.SessionMemo.clear(spark)
       spark.stop()
+      val traceJson = {
+        import scala.jdk.CollectionConverters._
+        trace.asScala.map(v => d3(v)).mkString("[", ",", "]")
+      }
       val loadJson =
-        s"""{"start":"$loadStart","end":"$loadEnd","waited_sec":$waitedSec}"""
-      val run = Run(results, loadJson)
+        s"""{"start":"$loadStart","end":"$loadEnd","waited_sec":$waitedSec,"calib_ms":$calibMs,"trace_1m":$traceJson}"""
+      val run = Run(results, loadJson, calibMs)
       System.err.println(
         s"[bench] run $runIdx: total=${d3(run.total)} failed=${run.nFailed} load=$loadJson")
       run
     }
 
-    val runs = (1 to math.max(1, nRuns)).map(runSuite)
+    var runs = (1 to math.max(1, nRuns)).map(runSuite).toVector
+    // Spread-triggered extra runs (VERDICT r18 item 1): ~1-in-3 runs
+    // on this box catch an external stall window that multiplies
+    // whatever row is running 5-8x, and with 3 runs one stalled run
+    // leaves the median exposed to the second-worst. When the green
+    // runs' totals spread beyond 1.3x, run up to 2 extras and take
+    // the median of the wider set — the stalled run(s) fall to the
+    // tail. Extras reuse the short top-up quiet gate.
+    val maxExtra = sys.env.get("SPARK_GRAFT_MAX_EXTRA_RUNS").map(_.toInt).getOrElse(2)
+    def greenSpread(rs: Seq[Run]): Double = {
+      val greens = rs.filter(_.nFailed == 0).map(_.total)
+      if (greens.size >= 2 && greens.min > 0) greens.max / greens.min else 1.0
+    }
+    var extra = 0
+    while (extra < maxExtra && runs.size >= 2 && greenSpread(runs) > 1.3) {
+      System.err.println(
+        f"[bench] green-run spread ${greenSpread(runs)}%.2fx > 1.30x — running extra run ${runs.size + 1}")
+      runs = runs :+ runSuite(runs.size + 1)
+      extra += 1
+    }
 
     // the scored run: median total (UPPER-middle on even counts — for
     // 2 runs that is the slower one, so the scored number is never
@@ -215,7 +278,7 @@ object Bench {
         s"""{"load":${r.loadJson},"queries":$m}"""
       }.mkString("[", ",", "]")
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"generated_at":"$stamp","picked":${scoredIdx + 1},"queries_median":$medianMap,"runs":$fullRuns}"""
+        s"""{"generated_at":"$stamp","picked":${scoredIdx + 1},"calibration_ms":${runs.head.calibMs},"queries_median":$medianMap,"runs":$fullRuns}"""
           .getBytes("UTF-8")); ()
     } catch { case _: Throwable => () }
 
@@ -234,6 +297,6 @@ object Bench {
     // run whose total is "value") — a query that failed in every
     // green-source run additionally shows as -1 in the map; counting
     // only the -1 entries would underreport when no run is green
-    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${scored.nFailed},"picked_run":${scoredIdx + 1},"query_stat":"per_query_median","median_sum":${d3(medianSum)},"generated_at":"$stamp","runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${scored.nFailed},"picked_run":${scoredIdx + 1},"query_stat":"per_query_median","median_sum":${d3(medianSum)},"calibration_ms":${runs.head.calibMs},"generated_at":"$stamp","runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -1550,7 +1550,14 @@ object GraphAlgs {
   final case class CCTwoPhase(labels: DataFrame, rounds: Int, converged: Boolean,
       release: () => Unit)
 
-  def connectedComponentsTwoPhase(canonical: DataFrame, maxRounds: Int = 25): CCTwoPhase = {
+  /** `materializeLargeStar = false` is a TEST-CALIBRATION knob only
+   * (ADVICE r18): LoopPlanGuardSpec pins the materialization win as a
+   * same-JVM RATIO between the two regimes — absolute shuffle-record
+   * counts drift with Spark/AQE versions, a ratio cancels that drift.
+   * Production callers must leave it true (the lazy regime replays the
+   * large-star's shuffles once per small-star reference). */
+  def connectedComponentsTwoPhase(canonical: DataFrame, maxRounds: Int = 25,
+      materializeLargeStar: Boolean = true): CCTwoPhase = {
     val spark = canonical.sparkSession
     import org.apache.spark.storage.StorageLevel
     def sym(e: DataFrame): DataFrame =
@@ -1595,13 +1602,16 @@ object GraphAlgs {
       // dedupe unmaterialized common subplans — without this cache
       // the large-star's shuffles replay once per reference
       val largePlan = star(cur, large = true)
-      curLarge = largePlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val nextPlan = star(
-        spark.createDataFrame(curLarge, largePlan.schema), large = false)
+      val largeDf = if (materializeLargeStar) {
+        curLarge = largePlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        spark.createDataFrame(curLarge, largePlan.schema)
+      } else largePlan
+      val nextPlan = star(largeDf, large = false)
       curRdd = nextPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       val next = spark.createDataFrame(curRdd, nextPlan.schema)
       val nextN = curRdd.count()
-      curLarge.unpersist(blocking = false) // superseded once next is cached
+      if (curLarge != null) // superseded once next is cached
+        curLarge.unpersist(blocking = false)
       curLarge = null
       // fixpoint: the star steps are idempotent on a forest of
       // depth-1 stars, so an unchanged edge COUNT at these semantics

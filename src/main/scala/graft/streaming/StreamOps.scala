@@ -122,7 +122,13 @@ object StreamOps {
    * executor's memory and its commit inside a task's time budget —
    * which is exactly what the keys-per-store divisor expresses. */
   private[streaming] def statePartitionsFor(approxStateKeys: Long): Int = {
-    val byVolume = (approxStateKeys + MaxKeysPerStore - 1) / MaxKeysPerStore
+    // divide-then-round-up (ADVICE r18): the ceiling-divide written as
+    // (keys + Max - 1) / Max overflows Long for keys near Long.MaxValue,
+    // flipping byVolume negative so an astronomically large estimate
+    // would get the FLOOR instead of the cap
+    val byVolume =
+      approxStateKeys / MaxKeysPerStore +
+        (if (approxStateKeys % MaxKeysPerStore != 0) 1L else 0L)
     math.max(8L, math.min(1L << 15, byVolume)).toInt
   }
 

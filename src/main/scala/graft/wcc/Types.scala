@@ -187,7 +187,16 @@ private[wcc] object WccUtil {
     val me = Thread.currentThread()
     val newerForeign = {
       import scala.jdk.CollectionConverters._
-      threadSeqs(sc).asScala.collectFirst {
+      val seqs = threadSeqs(sc)
+      // Prune dead threads while scanning (ADVICE r18): a churning
+      // thread pool would otherwise strongly retain every Thread that
+      // ever ran a pipeline for the SparkContext's lifetime, and each
+      // stale entry is re-scanned by every future veto check. A dead
+      // thread can never open a new scope, so its seq is harmless to
+      // drop.
+      seqs.asScala.collect { case (t, _) if !t.isAlive => t }
+        .foreach(seqs.remove)
+      seqs.asScala.collectFirst {
         case (t, seq) if (t ne me) && seq > snap.seq => t
       }
     }

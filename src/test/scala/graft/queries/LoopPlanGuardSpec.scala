@@ -59,7 +59,7 @@ class LoopPlanGuardSpec extends SparkSpec with TimeLimits {
       // rounds 1-3 are all "regular" (count still shrinking, no
       // early-stability run shape divergence)
       val edges = (1L until 64L).map(v => (v, v + 1)).toDF("src", "dst")
-      def stagesFor(maxRounds: Int): (Int, Long) = {
+      def stagesFor(maxRounds: Int, materialize: Boolean = true): (Int, Long) = {
         val counter = new java.util.concurrent.atomic.AtomicInteger(0)
         val records = new java.util.concurrent.atomic.AtomicLong(0L)
         val tag = s"graft-cc2p-probe-$maxRounds-${java.util.UUID.randomUUID()}"
@@ -86,7 +86,8 @@ class LoopPlanGuardSpec extends SparkSpec with TimeLimits {
         try {
           spark.sparkContext.setJobGroup(tag, "two-phase CC stage probe")
           val cc = try graft.graph.GraphAlgs
-            .connectedComponentsTwoPhase(edges, maxRounds = maxRounds)
+            .connectedComponentsTwoPhase(edges, maxRounds = maxRounds,
+              materializeLargeStar = materialize)
             finally spark.sparkContext.clearJobGroup()
           cc.release()
           // the listener bus is async — poll until the counters hold
@@ -108,16 +109,28 @@ class LoopPlanGuardSpec extends SparkSpec with TimeLimits {
       val recsPerRound = r3 - r2
       info(s"two-phase CC stages: 2 rounds=$s2, 3 rounds=$s3, per-round=$perRound; " +
         s"shuffle records: $r2 -> $r3, per-round=$recsPerRound")
-      // 820 sits between the calibrated regimes (668 materialized,
-      // 977 lazy): +22% headroom for plan drift on version bumps,
-      // -16% below the regressed regime. Records are content-
-      // deterministic on this fixed fixture, unlike wall clock.
       assert(recsPerRound > 0, s"read records not increasing: $r2 -> $r3")
-      assert(recsPerRound <= 820,
-        s"two-phase CC read $recsPerRound shuffle records for ONE round " +
-          s"($r2 -> $r3; calibrated: 668 materialized / 977 lazy) — the " +
-          "large-star half-round is no longer materialized and its reduce " +
-          "side is re-executing once per small-star reference")
+      // same-JVM lazy calibration (ADVICE r18: an absolute record
+      // bound — the previous <= 820 — is sensitive to Spark/AQE
+      // version and partition-count drift; the RATIO between the two
+      // regimes measured back-to-back cancels all of that). The knob
+      // re-runs the identical fixture with the large-star persist
+      // removed — the exact regression this test pins.
+      val (_, r2l) = stagesFor(2, materialize = false)
+      val (_, r3l) = stagesFor(3, materialize = false)
+      val lazyPerRound = r3l - r2l
+      info(s"lazy-calibration shuffle records: $r2l -> $r3l, per-round=$lazyPerRound")
+      assert(lazyPerRound > 0, s"lazy calibration not increasing: $r2l -> $r3l")
+      // calibrated ratio on this fixture: 668/977 = 0.68; 0.85 gives
+      // headroom for per-round noise while still failing when the
+      // production path reads as many records per round as the
+      // known-regressed lazy regime
+      assert(recsPerRound.toDouble <= 0.85 * lazyPerRound,
+        s"two-phase CC read $recsPerRound shuffle records for ONE round vs " +
+          s"$lazyPerRound in the same-JVM lazy calibration (ratio " +
+          f"${recsPerRound.toDouble / lazyPerRound}%.2f, expected ~0.68) — " +
+          "the large-star half-round is no longer materialized and its " +
+          "reduce side is re-executing once per small-star reference")
     }
   }
 

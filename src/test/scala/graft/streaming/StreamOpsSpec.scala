@@ -232,6 +232,10 @@ class StreamOpsSpec extends SparkSpec {
     assert(StreamOps.statePartitionsFor(9L << 20) == 9)
     assert(StreamOps.statePartitionsFor(100L << 20) == 100)
     assert(StreamOps.statePartitionsFor(Long.MaxValue / 2) == (1 << 15))
+    // overflow guard (ADVICE r18): the old (keys + Max - 1) ceiling
+    // add wrapped negative near Long.MaxValue and returned the FLOOR
+    assert(StreamOps.statePartitionsFor(Long.MaxValue) == (1 << 15))
+    assert(StreamOps.statePartitionsFor(Long.MaxValue - 1) == (1 << 15))
   }
 
   test("withShufflePartitions: same-thread nesting stacks; cross-thread overlap fails loudly") {

@@ -44,16 +44,25 @@ def files():
 
 
 def infer_round():
-    """Default round when no argv is given (ADVICE r17: a restamp
-    without the arg wrote "round": null). The driver writes
-    CORRECTNESS_r{N}.json at the END of round N, so during round N+1
-    the max existing N plus one is the round being stamped."""
+    """Refusal-with-hint when no argv is given (ADVICE r18: the old
+    max(N)+1 inference silently stamps round N+1 when a restamp for
+    round N runs after the driver already landed CORRECTNESS_r{N}.json
+    — a scripted caller never reads the printed notice). When any
+    CORRECTNESS files exist the round is ambiguous by one, so require
+    it explicitly; with none, round 1 is unambiguous."""
     ns = []
     for n in os.listdir(ROOT):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", n)
         if m:
             ns.append(int(m.group(1)))
-    return max(ns) + 1 if ns else None
+    if not ns:
+        return 1
+    mx = max(ns)
+    sys.exit(
+        f"leak_scan.py: round is ambiguous (CORRECTNESS_r{mx:02d}.json "
+        f"exists — is this a restamp of round {mx} or a scan during "
+        f"round {mx + 1}?). Pass the round explicitly: "
+        f"tools/leak_scan.py <round>")
 
 
 def main():
