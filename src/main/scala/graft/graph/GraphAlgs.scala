@@ -1676,6 +1676,34 @@ object GraphAlgs {
     c
   }
 
+  /** `a` minus `rm` over sorted distinct Long arrays; result stays
+   * sorted (the k-truss overlay's lazy neighbor removal). */
+  private[graph] def sortedRemove(a: Array[Long], rm: Array[Long]): Array[Long] = {
+    if (rm.isEmpty) return a
+    val out = new scala.collection.mutable.ArrayBuffer[Long](a.length)
+    var i = 0; var j = 0
+    while (i < a.length) {
+      val x = a(i)
+      while (j < rm.length && rm(j) < x) j += 1
+      if (j < rm.length && rm(j) == x) { i += 1; j += 1 }
+      else { out += x; i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Union of two sorted distinct Long arrays, sorted distinct —
+   * associative, so safe as a reduceByKey merge. */
+  private[graph] def sortedMergeDistinct(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](a.length + b.length)
+    var i = 0; var j = 0
+    while (i < a.length || j < b.length) {
+      if (j >= b.length || (i < a.length && a(i) < b(j))) { out += a(i); i += 1 }
+      else if (i >= a.length || b(j) < a(i)) { out += b(j); j += 1 }
+      else { out += a(i); i += 1; j += 1 }
+    }
+    out.toArray
+  }
+
   private[graph] def sortedIntersect(a: Array[Long], b: Array[Long]): Array[Long] = {
     val out = new scala.collection.mutable.ArrayBuffer[Long](
       math.min(a.length, b.length))
@@ -1935,6 +1963,19 @@ object GraphAlgs {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
     val spark = canonical.sparkSession
+    // probe-only phase timing (graft.ktruss.log=on or env
+    // SPARK_GRAFT_KTRUSS_LOG=on): attributes the peel's wall to
+    // round-0 support vs the per-round delta phases — the r18 10x
+    // slope (6.4x per 5x volume) needed exactly this split
+    val logOn = sys.props.get("graft.ktruss.log")
+      .orElse(sys.env.get("SPARK_GRAFT_KTRUSS_LOG")).contains("on")
+    var tMark = System.nanoTime()
+    def tlog(msg: => String): Unit = if (logOn) {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[graft-ktruss] $msg (${(now - tMark) / 1e9}%.2f s)")
+      tMark = now
+    }
     val edges0 = canonical.select("src", "dst").rdd
       .map(r => (r.getLong(0), r.getLong(1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1951,6 +1992,7 @@ object GraphAlgs {
       .mapValues { it => val a = it.toArray; java.util.Arrays.sort(a); a }
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
+    tlog(s"adjacency built (|E|=$nE, parts=$parts)")
 
     // sup_0: both endpoint arrays co-located with min-side shipping
     // (see coLocatedIntersect) — exactly one support record per
@@ -1959,29 +2001,89 @@ object GraphAlgs {
     val (sup0, rel0) = coLocatedIntersect(edges0, adj, pv) {
       (u, v, nu, nv) => ((u, v), sortedIntersectCount(nu, nv))
     }
-    var state: RDD[((Long, Long), Int)] =
+    var base: RDD[((Long, Long), Int)] =
       sup0.partitionBy(pe).persist(StorageLevel.MEMORY_AND_DISK)
-    var stateN = state.count()
+    var survivors = base.count()
     rel0()
     edges0.unpersist(blocking = false)
+    tlog(s"round-0 supports ($survivors edges)")
+
+    // OVERLAY STATE (VERDICT r18 item 2): the r17 shape re-persisted
+    // the FULL survivor state and adjacency every round, so a tail
+    // round deleting 40 edges still rewrote 11M cached entries —
+    // per-round cost ∝ survivors, the one super-linear trend on the
+    // r18 10x board (and at cluster scale, a full TB-state rewrite
+    // per peel round). Instead the persisted `base`/`adj` stay fixed
+    // while two SMALL persisted overlays accumulate the peel's
+    // effects — `mods` (per-edge cumulative decrement + deleted
+    // flag) and `remAdj` (per-vertex removed-neighbor arrays) — and
+    // the effective state/adjacency are 1-level zipPartitions views
+    // (read-only scans, no cache writes). When the overlay exceeds
+    // 1/8 of the live edges, base and adjacency are compacted (the
+    // old full rewrite) and the overlays reset — so heavy early
+    // rounds behave as before while the geometric tail pays only
+    // frontier-sized writes. Lineage stays constant-depth: every
+    // overlay generation is persisted and counted before use.
+    def emptyMods(): RDD[((Long, Long), (Int, Boolean))] =
+      spark.sparkContext.emptyRDD[((Long, Long), (Int, Boolean))].partitionBy(pe)
+    def emptyRem(): RDD[(Long, Array[Long])] =
+      spark.sparkContext.emptyRDD[(Long, Array[Long])].partitionBy(pv)
+    var mods: RDD[((Long, Long), (Int, Boolean))] = emptyMods()
+    var modsN = 0L
+    var remAdj: RDD[(Long, Array[Long])] = emptyRem()
+
+    // effective survivor state: base minus deleted, supports less
+    // cumulative decrements
+    def effState(b: RDD[((Long, Long), Int)],
+        m: RDD[((Long, Long), (Int, Boolean))]): RDD[((Long, Long), Int)] =
+      b.zipPartitions(m, preservesPartitioning = true) { (sIt, mIt) =>
+        val mm = new java.util.HashMap[(Long, Long), (Int, Boolean)]()
+        mIt.foreach { case (e, v) => mm.put(e, v) }
+        if (mm.isEmpty) sIt
+        else sIt.flatMap { case (e, s) =>
+          val mod = mm.get(e)
+          if (mod == null) Iterator.single((e, s))
+          else if (mod._2) Iterator.empty
+          else Iterator.single((e, s - mod._1))
+        }
+      }
+    // effective adjacency: removed neighbors stripped, every vertex
+    // slot KEPT (even when its array empties) — coLocatedIntersect's
+    // loud routing check requires a slot for every query endpoint
+    def effAdj(a: RDD[(Long, Array[Long])],
+        r: RDD[(Long, Array[Long])]): RDD[(Long, Array[Long])] =
+      a.zipPartitions(r, preservesPartitioning = true) { (aIt, rIt) =>
+        val mm = new java.util.HashMap[Long, Array[Long]]()
+        rIt.foreach { case (v, arr) => mm.put(v, arr) }
+        if (mm.isEmpty) aIt
+        else aIt.map { case (v, nbrs) =>
+          val rm = mm.get(v)
+          if (rm == null) (v, nbrs) else (v, sortedRemove(nbrs, rm))
+        }
+      }
 
     var r1N = -1L
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val d = state.filter(_._2 < k - 2).persist(StorageLevel.MEMORY_AND_DISK)
+      val d = effState(base, mods).filter(_._2 < k - 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val nD = d.count()
+      tlog(s"round $round: delete-set scan (nD=$nD)")
       if (nD == 0L) {
         converged = true
-        if (r1N < 0) r1N = stateN
+        if (r1N < 0) r1N = survivors
         d.unpersist(blocking = false)
       } else {
         // dead triangles: for each deleted (u,v), the apexes
         // x ∈ N(u) ∩ N(v) in A_r (min-side-shipped co-location, same
         // hub-safety as sup_0); each dead triangle decrements its
-        // OTHER two edges, dedup'd by (edge, triangle)
+        // OTHER two edges, dedup'd by (edge, triangle). A_r (this
+        // round's effective adjacency) still CONTAINS this round's
+        // deleted edges — decrements landing on them are dropped by
+        // the deleted flag, exactly as the old physical filter did.
         val (dApex, relD) = coLocatedIntersect(
-          d.map { case ((u, v), _) => (u, v) }, adj, pv) {
+          d.map { case ((u, v), _) => (u, v) }, effAdj(adj, remAdj), pv) {
           (u, v, nu, nv) => ((u, v), sortedIntersect(nu, nv))
         }
         val dec: RDD[((Long, Long), Int)] = dApex
@@ -1998,52 +2100,69 @@ object GraphAlgs {
           }.distinct(parts)
           .map { case (e, _) => (e, 1) }
           .reduceByKey(pe, _ + _)
-        // survivors: drop D, apply decrements (hashed small side)
-        val newState = state.zipPartitions(dec, preservesPartitioning = true) {
-          (sIt, decIt) =>
-            val m = new java.util.HashMap[(Long, Long), Int]()
-            decIt.foreach { case (e, c) => m.put(e, c) }
-            sIt.filter(_._2 >= k - 2).map { case (e, s) =>
-              (e, s - m.getOrDefault(e, 0))
-            }
-        }.persist(StorageLevel.MEMORY_AND_DISK)
-        val newN = newState.count()
+        // fold this round's deletions + decrements into the overlay
+        // (frontier-sized shuffle; the only cache WRITE of the round)
+        val newMods = mods
+          .union(dec.map { case (e, c) => (e, (c, false)) })
+          .union(d.map { case (e, _) => (e, (0, true)) })
+          .reduceByKey(pe, (x: (Int, Boolean), y: (Int, Boolean)) =>
+            (x._1 + y._1, x._2 || y._2))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val newModsN = newMods.count()
         relD()
-        // A_{r+1}: strip the deleted pairs (removal side is small)
-        val rem = d.flatMap { case ((u, v), _) => Iterator((u, v), (v, u)) }
-          .groupByKey(pv)
-          .mapValues { it =>
-            val s = new java.util.HashSet[Long]()
-            it.foreach(s.add(_)); s
-          }
-        val newAdj = adj.zipPartitions(rem, preservesPartitioning = true) {
-          (aIt, rIt) =>
-            val m = new java.util.HashMap[Long, java.util.HashSet[Long]]()
-            rIt.foreach { case (v, s) => m.put(v, s) }
-            aIt.map { case (v, nbrs) =>
-              val rm = m.get(v)
-              if (rm == null) (v, nbrs)
-              else (v, nbrs.filterNot(rm.contains(_)))
-            }
-        }.persist(StorageLevel.MEMORY_AND_DISK)
-        newAdj.count()
-        if (round == 0) r1N = newN
-        // fixpoint is detected by the NEXT round's empty delete set
-        state.unpersist(blocking = false)
-        adj.unpersist(blocking = false)
+        survivors -= nD
+        if (round == 0) r1N = survivors
+        tlog(s"round $round: nD=$nD, survivors -> $survivors, overlay=$newModsN")
+        // removed-neighbor overlay: merge this round's deleted pairs
+        val remNew: RDD[(Long, Array[Long])] = d
+          .flatMap { case ((u, v), _) => Iterator((u, Array(v)), (v, Array(u))) }
+        val newRemAdj = remAdj.union(remNew)
+          .reduceByKey(pv, sortedMergeDistinct _)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        newRemAdj.count()
+        tlog(s"round $round: removed-adjacency folded")
+        mods.unpersist(blocking = false)
+        remAdj.unpersist(blocking = false)
         d.unpersist(blocking = false)
-        state = newState
-        adj = newAdj
-        stateN = newN
+        mods = newMods
+        modsN = newModsN
+        remAdj = newRemAdj
+        // compact when the overlay stops being small relative to the
+        // live state: heavy rounds rewrite (as the old shape always
+        // did), the geometric tail never does
+        if (modsN * 8 > survivors) {
+          val nb = effState(base, mods).persist(StorageLevel.MEMORY_AND_DISK)
+          nb.count()
+          val na = effAdj(adj, remAdj).persist(StorageLevel.MEMORY_AND_DISK)
+          na.count()
+          base.unpersist(blocking = false)
+          adj.unpersist(blocking = false)
+          mods.unpersist(blocking = false)
+          remAdj.unpersist(blocking = false)
+          base = nb
+          adj = na
+          mods = emptyMods()
+          remAdj = emptyRem()
+          modsN = 0L
+          tlog(s"round $round: compacted (base=$survivors)")
+        }
       }
       round += 1
     }
+    // final state: materialize the overlay view BEFORE releasing its
+    // parents (an unpersisted parent would silently recompute the
+    // whole peel from the source on the caller's first action)
+    val finalState = effState(base, mods)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    finalState.count()
+    base.unpersist(blocking = false)
+    mods.unpersist(blocking = false)
+    remAdj.unpersist(blocking = false)
     adj.unpersist(blocking = false)
-    val finalState = state
     val edgesDf = spark.createDataFrame(
       finalState.map { case ((u, v), s) => (u, v, s) })
       .toDF("src", "dst", "support")
-    if (r1N < 0) r1N = stateN
+    if (r1N < 0) r1N = survivors
     KTruss(edgesDf, r1N, converged,
       () => { finalState.unpersist(blocking = false); () })
   }
