@@ -647,6 +647,13 @@ object ScaleProbe {
     // StreamOps.statePartitionsFor's documented rule.
     if (phaseFilter.exists(_.exists(_ == "stream-state"))) {
       import org.apache.spark.sql.streaming.Trigger
+      // provider dimension (VERDICT r18 item 3): the r18 growth table
+      // ran on the heap provider; SPARK_GRAFT_SS_PROVIDER=rocksdb
+      // re-runs the same cells under RocksDB (native memtables + SST
+      // compaction move the per-store open/commit constant the
+      // statePartitionsFor rule amortizes)
+      val rocks = sys.env.get("SPARK_GRAFT_SS_PROVIDER").contains("rocksdb")
+      val provTag = if (rocks) " rocksdb" else ""
       val nEv = (nBase * replicas).max(100000L)
       for (keys <- Seq(nEv / 1000, nEv / 10, nEv).map(_.max(8L)).distinct) {
         val dir = java.nio.file.Files
@@ -660,10 +667,14 @@ object ScaleProbe {
             .repartition(8).write.mode("overwrite").parquet(dir)
         }
         for (parts <- Seq(8, 32)) {
-          phase(s"stream-state drain keys=$keys parts=$parts") {
+          phase(s"stream-state drain keys=$keys parts=$parts$provTag") {
             val key = "spark.sql.shuffle.partitions"
+            val provKey = "spark.sql.streaming.stateStore.providerClass"
             val prev = spark.conf.get(key)
+            val prevProv = spark.conf.getOption(provKey)
             spark.conf.set(key, parts.toString)
+            if (rocks) spark.conf.set(provKey,
+              "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
             try {
               val schema = spark.read.parquet(dir).schema
               val src = spark.readStream.schema(schema)
@@ -679,7 +690,13 @@ object ScaleProbe {
               println(s"[scale-probe] stream-state keys=$keys parts=$parts " +
                 s"rows=${spark.table(name).count()} batches=${q.recentProgress.length}")
               spark.catalog.dropTempView(name)
-            } finally spark.conf.set(key, prev)
+            } finally {
+              spark.conf.set(key, prev)
+              if (rocks) prevProv match {
+                case Some(p) => spark.conf.set(provKey, p)
+                case None => spark.conf.unset(provKey)
+              }
+            }
           }
         }
         // best-effort temp cleanup (probe tool; tree is a few MB) —

@@ -138,6 +138,18 @@ object DistributedWCC {
    * every stage of both strategies. Never set outside specs. */
   @volatile private[wcc] var testFailAtIter: Int = -1
 
+  /** Test seams for RefineLoopGuardSpec (VERDICT r18 item 4): an
+   * injected delay inside the async scaffold supplier, and a flag
+   * recording whether some iteration OBSERVED the scaffold evaluation
+   * still in flight after the speculative next generation was built —
+   * i.e. the two genuinely ran concurrently. A regression that
+   * serializes the scaffold (inline call, or joining the future
+   * before speculating) can never set the flag. Production cost: one
+   * volatile read/write per iteration. Never set the delay outside
+   * specs. */
+  @volatile private[wcc] var testScaffoldDelayMs: Long = 0L
+  @volatile private[wcc] var lastScaffoldOverlapped: Boolean = false
+
   private[wcc] def refinePartition(initGraph: Graph[VertexData, Int], vertexCount: Long,
       maxRetries: Int,
       seedEval: Option[(Option[VertexRDD[CommunityOps.NbrSurface]],
@@ -298,8 +310,10 @@ object DistributedWCC {
         throw new RuntimeException(s"injected test failure at iter ${cand.no}")
       val t0 = System.currentTimeMillis()
       val gc0 = gcMillis()
-      val scaffoldF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
-        CommunityOps.wccEvalScaffold(cand.graph, cand.surf))
+      val scaffoldF = java.util.concurrent.CompletableFuture.supplyAsync(() => {
+        if (testScaffoldDelayMs > 0L) Thread.sleep(testScaffoldDelayMs)
+        CommunityOps.wccEvalScaffold(cand.graph, cand.surf)
+      })
       // on any failure below, the in-flight scaffold job must be
       // observed and its cache released — a thrown-through iteration
       // must not leave a materialized block pinned for the session
@@ -312,6 +326,9 @@ object DistributedWCC {
         if (retriesLeft > 1) Some(advance(cand.graph, cand.surf, cand.cs))
         else None
       } catch { case t: Throwable => dropScaffold(); throw t }
+      // the overlap record: speculation finished while the scaffold
+      // evaluation was still running (RefineLoopGuardSpec's pin)
+      if (spec.isDefined && !scaffoldF.isDone) lastScaffoldOverlapped = true
       val scaffold = try WccUtil.joinUnwrapped(scaffoldF) catch {
         case t: Throwable => spec.foreach(releaseGen); throw t
       }
