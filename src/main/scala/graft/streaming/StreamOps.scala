@@ -121,15 +121,27 @@ object StreamOps {
    * scale is per-store FIT — a store's state must sit in one
    * executor's memory and its commit inside a task's time budget —
    * which is exactly what the keys-per-store divisor expresses. */
-  private[streaming] def statePartitionsFor(approxStateKeys: Long): Int = {
+  private[streaming] def statePartitionsFor(approxStateKeys: Long,
+      approxBatchRows: Long = 0L): Int = {
     // divide-then-round-up (ADVICE r18): the ceiling-divide written as
     // (keys + Max - 1) / Max overflows Long for keys near Long.MaxValue,
     // flipping byVolume negative so an astronomically large estimate
     // would get the FLOOR instead of the cap
-    val byVolume =
-      approxStateKeys / MaxKeysPerStore +
-        (if (approxStateKeys % MaxKeysPerStore != 0) 1L else 0L)
-    math.max(8L, math.min(1L << 15, byVolume)).toInt
+    def ceilDiv(n: Long, d: Long): Long = n / d + (if (n % d != 0) 1L else 0L)
+    val byVolume = ceilDiv(approxStateKeys, MaxKeysPerStore)
+    // RocksDB throughput term (PERF round-24): at 12M events the wide
+    // drain beat the narrow one ~20-25% under RocksDB at EVERY key
+    // cardinality including 12k keys — the per-BATCH commit work
+    // (memtable flush + SST churn scales with the rows a store
+    // ingests per batch, and parallelizes across instances) is a
+    // second widening trigger independent of state volume. Measured
+    // bracket: 190k rows/store/batch clearly narrow-loses, 47k wins;
+    // 64k splits it conservatively. The heap provider never showed
+    // this (its per-batch cost is memory copies that the narrow drain
+    // amortizes better), so callers pass rows only on RocksDB paths;
+    // the default 0 keeps every existing drain's width byte-identical.
+    val byThroughput = ceilDiv(approxBatchRows, MaxBatchRowsPerStore)
+    math.max(8L, math.min(1L << 15, math.max(byVolume, byThroughput))).toInt
   }
 
   /** Measured-safe per-store key budget: the 10x probe ran 1.5M keys
@@ -137,6 +149,12 @@ object StreamOps {
    * fatter values (session windows, top-k lists) than the probe's
    * (count, sum) pairs. */
   private val MaxKeysPerStore = 1L << 20
+
+  /** RocksDB per-batch ingest budget per store instance (PERF
+   * round-24): above ~190k rows/store/batch the narrow drain measured
+   * ~20-25% slower at every key cardinality; 47k/store measured
+   * fastest. 64k sits conservatively inside the bracket. */
+  private val MaxBatchRowsPerStore = 1L << 16
 
   /** State-store partition count for the bounded stateful drains:
    * the state of every s_* query here is key-cardinality-bounded and

@@ -236,6 +236,13 @@ class StreamOpsSpec extends SparkSpec {
     // add wrapped negative near Long.MaxValue and returned the FLOOR
     assert(StreamOps.statePartitionsFor(Long.MaxValue) == (1 << 15))
     assert(StreamOps.statePartitionsFor(Long.MaxValue - 1) == (1 << 15))
+    // RocksDB throughput term (PERF r24): per-batch rows per store is
+    // a second widening trigger, independent of key count; 64k
+    // rows/store budget, default 0 changes nothing
+    assert(StreamOps.statePartitionsFor(16384, 0) == 8)
+    assert(StreamOps.statePartitionsFor(12000, 1500000) == 23)
+    assert(StreamOps.statePartitionsFor(9L << 20, 1L << 16) == 9)
+    assert(StreamOps.statePartitionsFor(0, Long.MaxValue) == (1 << 15))
   }
 
   test("withShufflePartitions: same-thread nesting stacks; cross-thread overlap fails loudly") {
