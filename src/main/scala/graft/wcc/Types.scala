@@ -148,9 +148,26 @@ private[wcc] object WccUtil {
 
   /** Entry snapshot for [[sweepNewCaches]]: the ids of every RDD the
    * context currently has registered as persistent. */
+  /** Retention bound for the per-context thread-seq map (ADVICE r18):
+   * a churning pool on a long-lived context would otherwise retain
+   * every Thread that ever ran a pipeline. Eviction only touches DEAD
+   * threads and only the OLDEST seqs beyond the cap, so a recent dead
+   * thread's entry — a legitimate overlap signal whose scope's caches
+   * outlive it (SweepGuardSpec) — always survives; a veto miss would
+   * need more than this many newer-than-live-scope dead entries. */
+  private val MaxThreadSeqEntries = 4096
+
   def cacheSnapshot(sc: org.apache.spark.SparkContext): CacheSnapshot = {
     val seq = snapshotSeq.incrementAndGet()
-    threadSeqs(sc).put(Thread.currentThread(), seq)
+    val m = threadSeqs(sc)
+    m.put(Thread.currentThread(), seq)
+    if (m.size > MaxThreadSeqEntries) {
+      import scala.jdk.CollectionConverters._
+      m.asScala.toSeq.collect { case (t, s) if !t.isAlive => (t, s) }
+        .sortBy(_._2)
+        .take(m.size - MaxThreadSeqEntries)
+        .foreach { case (t, _) => m.remove(t) }
+    }
     CacheSnapshot(sc.getPersistentRDDs.keySet.toSet, seq)
   }
 
@@ -187,16 +204,15 @@ private[wcc] object WccUtil {
     val me = Thread.currentThread()
     val newerForeign = {
       import scala.jdk.CollectionConverters._
-      val seqs = threadSeqs(sc)
-      // Prune dead threads while scanning (ADVICE r18): a churning
-      // thread pool would otherwise strongly retain every Thread that
-      // ever ran a pipeline for the SparkContext's lifetime, and each
-      // stale entry is re-scanned by every future veto check. A dead
-      // thread can never open a new scope, so its seq is harmless to
-      // drop.
-      seqs.asScala.collect { case (t, _) if !t.isAlive => t }
-        .foreach(seqs.remove)
-      seqs.asScala.collectFirst {
+      // NOTE a dead thread's entry is NOT pruned here (ADVICE r18
+      // suggested it; SweepGuardSpec pins the opposite): the veto
+      // protects the overlapping SCOPE's caches, which outlive the
+      // thread that registered them — a pool task can open a scope,
+      // die, and leave its cached RDDs owned by a consumer elsewhere.
+      // Growth is bounded at snapshot time instead (see
+      // [[cacheSnapshot]]), where only oldest-seq dead entries are
+      // evicted and only beyond a hard cap.
+      threadSeqs(sc).asScala.collectFirst {
         case (t, seq) if (t ne me) && seq > snap.seq => t
       }
     }
