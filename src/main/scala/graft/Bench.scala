@@ -196,26 +196,6 @@ object Bench {
     }
 
     var runs = (1 to math.max(1, nRuns)).map(runSuite).toVector
-    // Spread-triggered extra runs (VERDICT r18 item 1): ~1-in-3 runs
-    // on this box catch an external stall window that multiplies
-    // whatever row is running 5-8x, and with 3 runs one stalled run
-    // leaves the median exposed to the second-worst. When the green
-    // runs' totals spread beyond 1.3x, run up to 2 extras and take
-    // the median of the wider set — the stalled run(s) fall to the
-    // tail. Extras reuse the short top-up quiet gate.
-    val maxExtra = sys.env.get("SPARK_GRAFT_MAX_EXTRA_RUNS").map(_.toInt).getOrElse(2)
-    def greenSpread(rs: Seq[Run]): Double = {
-      val greens = rs.filter(_.nFailed == 0).map(_.total)
-      if (greens.size >= 2 && greens.min > 0) greens.max / greens.min else 1.0
-    }
-    var extra = 0
-    while (extra < maxExtra && runs.size >= 2 && greenSpread(runs) > 1.3) {
-      System.err.println(
-        f"[bench] green-run spread ${greenSpread(runs)}%.2fx > 1.30x — running extra run ${runs.size + 1}")
-      runs = runs :+ runSuite(runs.size + 1)
-      extra += 1
-    }
-
     // the scored run: median total (UPPER-middle on even counts — for
     // 2 runs that is the slower one, so the scored number is never
     // the fastest run; an even count must not bias optimistic,
@@ -223,11 +203,35 @@ object Bench {
     // total: a failed query contributes 0 s, so its run's total is
     // artificially small and must not win the pick while a fully
     // green sibling exists.
-    val byTotal = runs.zipWithIndex.sortBy { case (r, _) => (r.nFailed, r.total) }
-    val nGreen = runs.count(_.nFailed == 0)
-    val (scored, scoredIdx) =
-      if (nGreen > 0) byTotal(nGreen / 2)
-      else byTotal(byTotal.size / 2)
+    def pickOf(rs: Vector[Run]): (Run, Int) = {
+      val byTotal = rs.zipWithIndex.sortBy { case (r, _) => (r.nFailed, r.total) }
+      val nGreen = rs.count(_.nFailed == 0)
+      if (nGreen > 0) byTotal(nGreen / 2) else byTotal(byTotal.size / 2)
+    }
+    // Stall-triggered extra runs (VERDICT r18 item 1): ~1-in-3 runs
+    // on this box catch an external stall window that multiplies
+    // whatever row is running 5-8x, and with 3 runs TWO stalled runs
+    // push the stall into the median pick. Extras run only while the
+    // PICK ITSELF is contaminated — its total more than 1.3x the
+    // fastest green run (review r19: a raw max/min spread check
+    // latches on one stalled run and burns both extras after the
+    // median is already secured by a fast majority). Extras reuse
+    // the short top-up quiet gate.
+    val maxExtra = sys.env.get("SPARK_GRAFT_MAX_EXTRA_RUNS").map(_.toInt).getOrElse(2)
+    def pickOutlierRatio(rs: Vector[Run]): Double = {
+      val greens = rs.filter(_.nFailed == 0).map(_.total)
+      if (greens.size >= 2 && greens.min > 0) pickOf(rs)._1.total / greens.min
+      else 1.0
+    }
+    var extra = 0
+    while (extra < maxExtra && runs.size >= 2 && pickOutlierRatio(runs) > 1.3) {
+      System.err.println(
+        f"[bench] scored-run total ${pickOutlierRatio(runs)}%.2fx the fastest green (> 1.30x) — running extra run ${runs.size + 1}")
+      runs = runs :+ runSuite(runs.size + 1)
+      extra += 1
+    }
+
+    val (scored, scoredIdx) = pickOf(runs)
     val results = scored.results
 
     // per-query MEDIANS across the green runs (all runs if none are
@@ -239,7 +243,8 @@ object Bench {
       val s = vs.sorted; val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    val medianSrc = if (nGreen > 0) runs.filter(_.nFailed == 0) else runs
+    val greens = runs.filter(_.nFailed == 0)
+    val medianSrc = if (greens.nonEmpty) greens else runs
     val medResults: Seq[(String, Double, Boolean)] = results.map { case (name, _, _) =>
       val vs = medianSrc.flatMap(_.results.collect {
         case (`name`, v, true) => v })
@@ -278,7 +283,7 @@ object Bench {
         s"""{"load":${r.loadJson},"queries":$m}"""
       }.mkString("[", ",", "]")
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"generated_at":"$stamp","picked":${scoredIdx + 1},"calibration_ms":${runs.head.calibMs},"queries_median":$medianMap,"runs":$fullRuns}"""
+        s"""{"generated_at":"$stamp","picked":${scoredIdx + 1},"calibration_ms":${scored.calibMs},"queries_median":$medianMap,"runs":$fullRuns}"""
           .getBytes("UTF-8")); ()
     } catch { case _: Throwable => () }
 
@@ -297,6 +302,6 @@ object Bench {
     // run whose total is "value") — a query that failed in every
     // green-source run additionally shows as -1 in the map; counting
     // only the -1 entries would underreport when no run is green
-    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${scored.nFailed},"picked_run":${scoredIdx + 1},"query_stat":"per_query_median","median_sum":${d3(medianSum)},"calibration_ms":${runs.head.calibMs},"generated_at":"$stamp","runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${scored.nFailed},"picked_run":${scoredIdx + 1},"query_stat":"per_query_median","median_sum":${d3(medianSum)},"calibration_ms":${scored.calibMs},"generated_at":"$stamp","runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
   }
 }

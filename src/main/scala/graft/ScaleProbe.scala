@@ -174,8 +174,11 @@ object ScaleProbe {
           .map(r => Edge(r.getLong(0), r.getLong(1), 1))
         bulk.cache()
         val bulkN = bulk.count()
-        val bulkParts = math.max(8,
-          math.min(bulk.getNumPartitions, (bulkN / 250000L).toInt))
+        // THE flagship's sizing rule, not an inline copy (review
+        // r19): honors -Dgraft.graph.parts and cannot desync from
+        // the recipe if the constant moves
+        val bulkParts = graft.queries.GraphQueries
+          .partsFor(bulk.getNumPartitions, bulkN)
         println(s"[scale-probe] idwcc bulk |E|=$bulkN parts=$bulkParts")
         val s = IncrementalWCC.prepare(Graph.fromEdges(bulk, 0)
           .partitionBy(PartitionStrategy.EdgePartition2D, bulkParts))

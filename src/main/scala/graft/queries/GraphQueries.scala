@@ -62,7 +62,7 @@ object GraphQueries {
    * from the FULL canonical count was inconsistent with the stated
    * per-surface idiom). `edgeCount` is by-name so the prop override
    * skips the count entirely. */
-  private def partsFor(numParts: Int, edgeCount: => Long): Int =
+  private[graft] def partsFor(numParts: Int, edgeCount: => Long): Int =
     sys.props.get("graft.graph.parts").map(_.toInt).getOrElse {
       math.max(8, math.min(numParts, (edgeCount / 250000L).toInt))
     }

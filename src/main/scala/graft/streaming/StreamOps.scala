@@ -138,8 +138,13 @@ object StreamOps {
     // bracket: 190k rows/store/batch clearly narrow-loses, 47k wins;
     // 64k splits it conservatively. The heap provider never showed
     // this (its per-batch cost is memory copies that the narrow drain
-    // amortizes better), so callers pass rows only on RocksDB paths;
-    // the default 0 keeps every existing drain's width byte-identical.
+    // amortizes better). HONESTY NOTE (review r19): no drain in this
+    // library currently passes the parameter — every s_* source is a
+    // bounded sf-table drain whose batches sit far below the budget,
+    // so the term resolves to the floor anyway; it encodes the
+    // measured cluster rule for a RocksDB deployment with real event
+    // rates and is pinned by StreamOpsSpec, and the default 0 keeps
+    // every existing drain's width byte-identical.
     val byThroughput = ceilDiv(approxBatchRows, MaxBatchRowsPerStore)
     math.max(8L, math.min(1L << 15, math.max(byVolume, byThroughput))).toInt
   }

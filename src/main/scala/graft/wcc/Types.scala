@@ -146,8 +146,6 @@ private[wcc] object WccUtil {
       m
     }
 
-  /** Entry snapshot for [[sweepNewCaches]]: the ids of every RDD the
-   * context currently has registered as persistent. */
   /** Retention bound for the per-context thread-seq map (ADVICE r18):
    * a churning pool on a long-lived context would otherwise retain
    * every Thread that ever ran a pipeline. Eviction only touches DEAD
@@ -157,6 +155,8 @@ private[wcc] object WccUtil {
    * need more than this many newer-than-live-scope dead entries. */
   private val MaxThreadSeqEntries = 4096
 
+  /** Entry snapshot for [[sweepNewCaches]]: the ids of every RDD the
+   * context currently has registered as persistent. */
   def cacheSnapshot(sc: org.apache.spark.SparkContext): CacheSnapshot = {
     val seq = snapshotSeq.incrementAndGet()
     val m = threadSeqs(sc)

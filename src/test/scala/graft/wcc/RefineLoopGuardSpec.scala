@@ -114,27 +114,37 @@ class RefineLoopGuardSpec extends SparkSpec with TimeLimits {
       val g = graphOf(spark, edges)
       val res = TriangleStats.run(g)
       val init = InitialPartition.run(res.pruned)
-      DistributedWCC.lastScaffoldOverlapped = false
-      // 1.5 s delay >> the fixture's advance time: if the loop still
+      // 4 s delay >> the fixture's advance time (~0.1-0.3 s; a
+      // documented 5-8x host stall still fits): if the loop
       // pipelines, speculation finishes while the scaffold future
       // sleeps and the loop records the overlap; a serialized loop
       // (inline scaffold, or join-before-speculate) just gets slower
-      // and can never set the flag
-      DistributedWCC.testScaffoldDelayMs = 1500L
+      // and can never set the flag. The moves=0 fixture rejects on
+      // iteration 1, so each refinement gives ONE overlap chance —
+      // retry the whole refinement up to 3 times so a freak stall
+      // during advance() cannot fail the pin spuriously (review r19).
+      DistributedWCC.testScaffoldDelayMs = 4000L
+      // reset BEFORE the attempts: other suites' refinements may have
+      // set the flag, and a stale true would pass this pin vacuously
+      DistributedWCC.lastScaffoldOverlapped = false
       try {
-        val (best, _, wcc, _) =
-          DistributedWCC.refinePartition(init, g.numVertices, 2)
-        assert(wcc > 0.0)
-        if (best ne init) {
-          best.unpersistVertices(blocking = false)
-          best.edges.unpersist(blocking = false)
+        var attempt = 0
+        while (!DistributedWCC.lastScaffoldOverlapped && attempt < 3) {
+          val (best, _, wcc, _) =
+            DistributedWCC.refinePartition(init, g.numVertices, 2)
+          assert(wcc > 0.0)
+          if (best ne init) {
+            best.unpersistVertices(blocking = false)
+            best.edges.unpersist(blocking = false)
+          }
+          attempt += 1
         }
       } finally DistributedWCC.testScaffoldDelayMs = 0L
       assert(DistributedWCC.lastScaffoldOverlapped,
-        "no refine iteration observed the eval scaffold in flight after " +
-          "speculation completed — the pipelined acceptance loop has been " +
-          "serialized (scaffold inlined or joined before the speculative " +
-          "generation is built)")
+        "no refine iteration (3 attempts) observed the eval scaffold in " +
+          "flight after speculation completed — the pipelined acceptance " +
+          "loop has been serialized (scaffold inlined or joined before the " +
+          "speculative generation is built)")
       init.unpersistVertices(blocking = false)
       init.edges.unpersist(blocking = false)
     }
