@@ -119,17 +119,30 @@ object Bench {
     // blip cannot dominate the reading.
     @volatile var calibBlackhole = 0L
     def calibrate(): Long = {
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0L
       val n = 1200000000L
+      // untimed warm-up (~2% of the work) so run 1's reading is not
+      // inflated by JIT compilation of the loop itself (ADVICE r19):
+      // the probe exists as a cross-round denominator, so every
+      // invocation must measure the same steady-state code
+      var w = 0x9E3779B97F4A7C15L
+      var j = 0L
+      while (j < n / 50) { w ^= w << 13; w ^= w >>> 7; w ^= w << 17; j += 1 }
+      var x = w
+      var i = 0L
       val t0 = System.nanoTime()
       while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
       calibBlackhole = x // defeat dead-code elimination
       (System.nanoTime() - t0) / 1000000L
     }
 
+    // loadJson embeds the full trace_1m array (for bench_full.json and
+    // stderr); loadJsonCompact carries only summary fields (start/end,
+    // waited_sec, calib_ms, trace max/mean/n) for the scored STDOUT
+    // line — BENCH_r19.json came back "parsed": null because the full
+    // per-run traces pushed the scored line past the driver's ~4 KB
+    // stdout tail capture (VERDICT r19 item 1)
     final case class Run(results: Seq[(String, Double, Boolean)], loadJson: String,
-        calibMs: Long = -1L) {
+        loadJsonCompact: String, calibMs: Long = -1L) {
       def total: Double = results.collect { case (_, v, true) => v }.sum
       def nFailed: Int = results.count(!_._3)
     }
@@ -183,13 +196,23 @@ object Bench {
       tracer.interrupt()
       graft.queries.SessionMemo.clear(spark)
       spark.stop()
-      val traceJson = {
+      val traceVals = {
         import scala.jdk.CollectionConverters._
-        trace.asScala.map(v => d3(v)).mkString("[", ",", "]")
+        trace.asScala.toVector
       }
+      val traceJson = traceVals.map(d3).mkString("[", ",", "]")
       val loadJson =
         s"""{"start":"$loadStart","end":"$loadEnd","waited_sec":$waitedSec,"calib_ms":$calibMs,"trace_1m":$traceJson}"""
-      val run = Run(results, loadJson, calibMs)
+      // compact per-run load summary for the scored stdout line: the
+      // trace collapses to max/mean/n so a stalled run is still
+      // legible in the artifact without the array that broke r19's
+      // tail capture
+      val traceMax = if (traceVals.nonEmpty) traceVals.max else -1.0
+      val traceMean =
+        if (traceVals.nonEmpty) traceVals.sum / traceVals.size else -1.0
+      val loadJsonCompact =
+        s"""{"start":"$loadStart","end":"$loadEnd","waited_sec":$waitedSec,"calib_ms":$calibMs,"trace_max":${d3(traceMax)},"trace_mean":${d3(traceMean)},"trace_n":${traceVals.size}}"""
+      val run = Run(results, loadJson, loadJsonCompact, calibMs)
       System.err.println(
         s"[bench] run $runIdx: total=${d3(run.total)} failed=${run.nFailed} load=$loadJson")
       run
@@ -218,15 +241,29 @@ object Bench {
     // median is already secured by a fast majority). Extras reuse
     // the short top-up quiet gate.
     val maxExtra = sys.env.get("SPARK_GRAFT_MAX_EXTRA_RUNS").map(_.toInt).getOrElse(2)
+    // denominator = MEDIAN of the non-pick green totals, not the
+    // minimum (ADVICE r19): against the min, one anomalously fast
+    // green would keep the ratio latched past 1.3x forever and burn
+    // both extras even after a sound majority exists; against the
+    // median of the others, a lone outlier (fast OR slow) is diluted
+    // as soon as two concordant greens agree with the pick. With only
+    // 2-3 discordant greens the trigger still fires — correctly, since
+    // the samples don't yet identify which one is the truth.
     def pickOutlierRatio(rs: Vector[Run]): Double = {
-      val greens = rs.filter(_.nFailed == 0).map(_.total)
-      if (greens.size >= 2 && greens.min > 0) pickOf(rs)._1.total / greens.min
-      else 1.0
+      val pick = pickOf(rs)._1
+      val others = rs.filter(r => r.nFailed == 0 && !(r eq pick)).map(_.total)
+      if (others.nonEmpty && pick.nFailed == 0) {
+        val s = others.sorted
+        val med =
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        if (med > 0) pick.total / med else 1.0
+      } else 1.0
     }
     var extra = 0
     while (extra < maxExtra && runs.size >= 2 && pickOutlierRatio(runs) > 1.3) {
       System.err.println(
-        f"[bench] scored-run total ${pickOutlierRatio(runs)}%.2fx the fastest green (> 1.30x) — running extra run ${runs.size + 1}")
+        f"[bench] scored-run total ${pickOutlierRatio(runs)}%.2fx the median of the other greens (> 1.30x) — running extra run ${runs.size + 1}")
       runs = runs :+ runSuite(runs.size + 1)
       extra += 1
     }
@@ -268,7 +305,7 @@ object Bench {
       System.err.println(s"[bench-full] run=${i + 1} ${fullMaps(i)}")
     }
     val runsJson = runs.map(r =>
-      s"""{"total":${d3(r.total)},"failed":${r.nFailed},"load":${r.loadJson}}""")
+      s"""{"total":${d3(r.total)},"failed":${r.nFailed},"load":${r.loadJsonCompact}}""")
       .mkString("[", ",", "]")
     val medianMap = jmap(medResults.map { case (k, v, ok) =>
       k -> (if (ok) d3(v) else "-1") })
@@ -298,10 +335,26 @@ object Bench {
     val qs =
       if (sys.env.get("SPARK_GRAFT_FULL_QUERIES").contains("1")) medianMap
       else jmap(groups ++ failed ++ slow)
+    // Calibration-normalized headline (VERDICT r19 item 4): the box
+    // has multi-hour speed epochs; calib_ms (fixed-work probe, see
+    // calibrate()) is the denominator. CALIB_REF_MS = 2300 pins the
+    // r19 epoch as the fixed reference, so
+    //   value_calib_normalized = value * CALIB_REF_MS / calib_ms
+    // is directly comparable across rounds without manual division
+    // (PERF.md "variance protocol" references this field).
+    val calibRefMs = 2300.0
+    val valueNorm =
+      if (scored.calibMs > 0) scored.total * calibRefMs / scored.calibMs
+      else scored.total
+    val medianSumNorm =
+      if (scored.calibMs > 0) medianSum * calibRefMs / scored.calibMs
+      else medianSum
     // the headline "failed" is the SCORED run's failure count (the
     // run whose total is "value") — a query that failed in every
     // green-source run additionally shows as -1 in the map; counting
-    // only the -1 entries would underreport when no run is green
-    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${scored.nFailed},"picked_run":${scoredIdx + 1},"query_stat":"per_query_median","median_sum":${d3(medianSum)},"calibration_ms":${scored.calibMs},"generated_at":"$stamp","runs":$runsJson,"load":${scored.loadJson},"queries":$qs,"sf":"$sfDir"}""")
+    // only the -1 entries would underreport when no run is green.
+    // The scored line uses COMPACT load summaries throughout (full
+    // trace_1m arrays live in bench_full.json): VERDICT r19 item 1.
+    println(s"""{"metric":"total","value":${d3(scored.total)},"unit":"sec","n":${results.size},"failed":${scored.nFailed},"picked_run":${scoredIdx + 1},"query_stat":"per_query_median","median_sum":${d3(medianSum)},"calibration_ms":${scored.calibMs},"calib_ref_ms":${d3(calibRefMs)},"value_calib_normalized":${d3(valueNorm)},"median_sum_calib_normalized":${d3(medianSumNorm)},"generated_at":"$stamp","runs":$runsJson,"load":${scored.loadJsonCompact},"queries":$qs,"sf":"$sfDir"}""")
   }
 }

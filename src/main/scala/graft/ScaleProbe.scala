@@ -36,6 +36,7 @@ object ScaleProbe {
     // run zero loops with no warning
     val KnownTokens = Set(
       "wcc", "wcc-refine", "idwcc", "coreness", "k-truss", "msf", "hits", "det",
+      "betweenness",
       "pagerank", "eigen", "label", "floatdet", "scc", "matching",
       "skew", "skew-pagerank", "skew-cc", "skew-coreness", "skew-wcc",
       "skew-ktruss", "skew-idwcc", "skew-betweenness", "skew-mis",
@@ -197,6 +198,30 @@ object ScaleProbe {
         batch.unpersist(blocking = false)
         out.graph.unpersistVertices(blocking = false)
         out.graph.edges.unpersist(blocking = false)
+      }
+    }
+
+    // g_betweenness shape at scale (VERDICT r19 item 2): the exact
+    // bench recipe — sampled-pivot Brandes from 5 deterministic
+    // hash-picked roots at the shared 8-hop horizon — on the
+    // replicated graph, with the per-phase (adjacency / forward BFS /
+    // backward accumulation) split from the gated in-algo log. The
+    // closeness/harmonic rows share the 5-root/8-hop multi-source BFS
+    // contract, so this slope covers them too. Note the replicated
+    // graph is K disjoint copies and the 5 roots land in few
+    // replicas, so the REACHED set inside 8 hops is roughly
+    // replica-invariant — what grows with K is the full-graph terms
+    // (adjacency build; per-hop full-state zipPartitions scans),
+    // which is exactly the sub-linear-vs-linear question.
+    if (wanted("betweenness")) {
+      System.setProperty("graft.betweenness.log", "on")
+      phase("betweenness (5 roots, 8 hops)") {
+        val roots = edges.select(col("src")).distinct()
+          .orderBy(md5(col("src").cast("string")), col("src")).limit(5)
+          .collect().map(_.getLong(0))
+        val r = GraphAlgs.sampledBetweennessRDD(g, roots, maxHops = 8)
+        println(s"[scale-probe] betweenness rows=${r.count()}")
+        r.unpersist(blocking = false)
       }
     }
 

@@ -268,6 +268,20 @@ object GraphAlgs {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
     require(sources.length <= 64, "source set is a small sample")
+    // probe-only phase timing (graft.betweenness.log=on or env
+    // SPARK_GRAFT_BC_LOG=on): attributes the wall to the adjacency
+    // build vs the forward sigma BFS vs the backward Brandes
+    // accumulation — the per-phase split the 10x slope probe needs
+    // (VERDICT r19 item 2)
+    val logOn = sys.props.get("graft.betweenness.log")
+      .orElse(sys.env.get("SPARK_GRAFT_BC_LOG")).contains("on")
+    var tMark = System.nanoTime()
+    def tlog(msg: => String): Unit = if (logOn) {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[graft-betweenness] $msg (${(now - tMark) / 1e9}%.2f s)")
+      tMark = now
+    }
     val k = sources.length
     val INF = Int.MaxValue
     val sc = g.edges.sparkContext
@@ -285,6 +299,7 @@ object GraphAlgs {
           Iterator.single(m)
         }.persist(StorageLevel.MEMORY_AND_DISK)
     adjMap.count()
+    tlog(s"adjacency built (|E|=$nEdges)")
 
     // ---- forward: dist + sigma, synchronous hop layers ----
     // state: vid -> (dist per source, sigma per source, lastMask)
@@ -374,6 +389,7 @@ object GraphAlgs {
     if (prevState != null) prevState.unpersist(blocking = false)
     if (prevMsgs != null) prevMsgs.unpersist(blocking = false)
     val maxD = round // deepest layer actually reached
+    tlog(s"forward BFS done ($maxD hop layers)")
 
     // ---- backward: Brandes dependency accumulation per depth ----
     // bstate: vid -> (dist, sigma, delta)
@@ -471,6 +487,7 @@ object GraphAlgs {
       prevB.unpersist(blocking = false)
       dDepth -= 1
     }
+    tlog(s"backward accumulation done ($maxD depth layers)")
 
     // ascending-source-id fold over the (source, vertex) pairs with
     // hop distance >= 1
@@ -534,6 +551,15 @@ object GraphAlgs {
    * returned RDD stays persisted until `release()`. */
   private def corenessStates[V](g: Graph[V, Int],
       maxIter: Int): (org.apache.spark.rdd.RDD[(Long, Int)], () => Unit) = {
+    // probe-only per-round log (graft.kcore.log=on or env
+    // SPARK_GRAFT_KCORE_LOG=on): VERDICT r19 item 3 asks whether this
+    // peel needs the k-truss overlay treatment — the decisive numbers
+    // are the per-round WRITE volumes (CoreState objects actually
+    // allocated: receivers + send-gate clears; everything else passes
+    // through by reference) against the frontier, and the wall of the
+    // tail rounds against the job-dispatch floor
+    val logOn = sys.props.get("graft.kcore.log")
+      .orElse(sys.env.get("SPARK_GRAFT_KCORE_LOG")).contains("on")
     // largest k <= bound with >= k neighbor estimates >= k, from a
     // histogram clipped at deg (cum accumulates the >= k tail,
     // including buckets above bound)
@@ -623,11 +649,20 @@ object GraphAlgs {
     var it = 1
     var quiescent = false
     while (!quiescent && it < maxIter) {
+      val tRound = System.nanoTime()
+      val writeAcc =
+        if (logOn) Some(g.edges.sparkContext.longAccumulator("kcoreWrites"))
+        else None
+      val frontierAcc =
+        if (logOn) Some(g.edges.sparkContext.longAccumulator("kcoreFrontier"))
+        else None
       // the frontier filter preserves keys, so the co-partitioning
       // with adjMap (derived from adj under the same partitioner)
       // survives and zipPartitions lines up
       val frontier = state.mapPartitions(
-        _.collect { case (v, st) if st.prev != st.est => (v, (st.prev, st.est)) },
+        _.collect { case (v, st) if st.prev != st.est =>
+          frontierAcc.foreach(_.add(1L))
+          (v, (st.prev, st.est)) },
         preservesPartitioning = true)
       val dmsgs = frontier.zipPartitions(adjMap) { (fIt, mIt) =>
         val m = mIt.next()
@@ -672,15 +707,27 @@ object GraphAlgs {
                   c(math.min(m.news(j), deg)) += 1
                   j += 1
                 }
+                writeAcc.foreach(_.add(1L))
                 CoreState(math.min(st.est, hIndexOf(st.est, deg, c)), st.est, c)
               } else {
                 // clear the send gate on non-receivers: a vertex only
                 // re-sends in the round after it changed
-                if (st.prev != st.est) st.copy(prev = st.est) else st
+                if (st.prev != st.est) {
+                  writeAcc.foreach(_.add(1L))
+                  st.copy(prev = st.est)
+                } else st
               }
               (id, next)
             }
         }.persist()
+        if (logOn) {
+          // probe-only extra action: materialize this generation NOW
+          // so the round's accumulators read complete (the production
+          // path keeps one job per round and lets the next round's
+          // count materialize it)
+          state.count()
+          System.err.println(f"[graft-kcore] round $it: frontier=${frontierAcc.fold(-1L)(_.value)} receivers=$n rewritten=${writeAcc.fold(-1L)(_.value)} wall=${(System.nanoTime() - tRound) / 1e9}%.3f s")
+        }
       }
     }
     state.count() // materialize the final generation
@@ -2022,8 +2069,14 @@ object GraphAlgs {
     // 1/8 of the live edges, base and adjacency are compacted (the
     // old full rewrite) and the overlays reset — so heavy early
     // rounds behave as before while the geometric tail pays only
-    // frontier-sized writes. Lineage stays constant-depth: every
-    // overlay generation is persisted and counted before use.
+    // frontier-sized writes. Live cache footprint stays constant
+    // (base + one overlay generation, each persisted and counted
+    // before the previous is released); lineage still CHAINS through
+    // the unpersisted generations, so a cached-block loss late in
+    // the peel recomputes through the overlay/union chain — same
+    // exposure as the old per-round state chain, nil in local mode;
+    // checkpoint at compaction points if executor-loss recovery
+    // matters (ADVICE r19).
     def emptyMods(): RDD[((Long, Long), (Int, Boolean))] =
       spark.sparkContext.emptyRDD[((Long, Long), (Int, Boolean))].partitionBy(pe)
     def emptyRem(): RDD[(Long, Array[Long])] =

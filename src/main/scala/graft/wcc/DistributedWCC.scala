@@ -327,8 +327,13 @@ object DistributedWCC {
         else None
       } catch { case t: Throwable => dropScaffold(); throw t }
       // the overlap record: speculation finished while the scaffold
-      // evaluation was still running (RefineLoopGuardSpec's pin)
-      if (spec.isDefined && !scaffoldF.isDone) lastScaffoldOverlapped = true
+      // evaluation was still running (RefineLoopGuardSpec's pin).
+      // Gated on the injected-delay seam so production iterations
+      // never write the global flag — concurrent refinePartition
+      // calls would otherwise interleave writes (ADVICE r19); the
+      // spec always sets the delay before reading the flag.
+      if (testScaffoldDelayMs > 0 && spec.isDefined && !scaffoldF.isDone)
+        lastScaffoldOverlapped = true
       val scaffold = try WccUtil.joinUnwrapped(scaffoldF) catch {
         case t: Throwable => spec.foreach(releaseGen); throw t
       }
