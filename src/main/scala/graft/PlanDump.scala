@@ -1,0 +1,50 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool (optimization rounds): dump `.explain("formatted")` for a
+  * named set of queries to plans/<tag>/<query>_<suffix>.txt — the
+  * before/after plan evidence the optimization deliverables require.
+  *
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> q1,q2,...
+  *
+  * Each query is EXECUTED first (count) so AQE finalizes and the dump
+  * carries the final plan (AQEShuffleRead nodes, chosen join
+  * strategies) rather than `isFinalPlan=false`; the executed plan is
+  * then rendered in formatted mode. RDD-backed surfaces (the GraphX /
+  * deterministic-fixpoint families) show as a scan of an existing RDD
+  * — their evidence is the gated phase logs + code, noted in
+  * OPTIMIZATION_r20.md.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, suffix, namesCsv) = args.take(4)
+    val names = namesCsv.split(",").toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val df = fn(spark, sfDir)
+      df.count() // finalize AQE
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), formatted)
+      System.err.println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
+    }
+    graft.queries.SessionMemo.clear(spark)
+    spark.stop()
+  }
+}

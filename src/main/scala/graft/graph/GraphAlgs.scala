@@ -944,11 +944,22 @@ object GraphAlgs {
   def pagerankDetRDD(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
       rounds: Int = 10): org.apache.spark.rdd.RDD[(Long, Long)] = {
     val p = adj.partitioner.get
+    // ONE Spark job for the whole fixed-round loop (the hitsDetRDD
+    // job-elision discipline, extended): no round needs a
+    // driver-side scalar, so the generations chain LAZILY —
+    // `rounds` shuffle stages inside the single job the final
+    // count() launches — instead of paying a persist + count job
+    // per round (10 jobs -> 1; on a scheduler-latency-bound local
+    // run the dispatch floor was most of the wall). Values are
+    // byte-identical: the same recurrence evaluates once, stagewise,
+    // and each generation is consumed by exactly one downstream
+    // round, so nothing recomputes. Lineage depth = `rounds`
+    // (fixed, ~10) — the standard depth of any multi-stage SQL job;
+    // shuffle outputs provide the usual stage-level recovery.
     var rank: org.apache.spark.rdd.RDD[(Long, Long)] =
-      adj.mapValues(_ => 1000000L).persist()
-    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
+      adj.mapValues(_ => 1000000L)
     (1 to rounds).foreach { _ =>
-      val next = adj.zipPartitions(rank) { (aIt, rIt) =>
+      rank = adj.zipPartitions(rank) { (aIt, rIt) =>
         val m = new java.util.HashMap[Long, Long]()
         rIt.foreach(kv => m.put(kv._1, kv._2))
         aIt.flatMap { case (u, nbrs) =>
@@ -957,13 +968,9 @@ object GraphAlgs {
         }
       }.reduceByKey(p, Math.addExact(_, _))
         .mapValues(s => 150000L + mulDiv(s, 850000L, 1000000L))
-        .persist()
-      next.count()
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = rank
-      rank = next
     }
-    if (prev != null) prev.unpersist(blocking = false)
+    rank.persist()
+    rank.count()
     rank
   }
 
@@ -981,13 +988,13 @@ object GraphAlgs {
       seeds: Set[Long], rounds: Int = 10): org.apache.spark.rdd.RDD[(Long, Long)] = {
     val p = adj.partitioner.get
     val bc = adj.sparkContext.broadcast(seeds)
+    // lazy fixed-round chain, one job total — see pagerankDetRDD
     var rank: org.apache.spark.rdd.RDD[(Long, Long)] =
       adj.mapPartitions(_.map { case (v, _) =>
         (v, if (bc.value(v)) 1000000L else 0L) },
-        preservesPartitioning = true).persist()
-    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
+        preservesPartitioning = true)
     (1 to rounds).foreach { _ =>
-      val next = adj.zipPartitions(rank) { (aIt, rIt) =>
+      rank = adj.zipPartitions(rank) { (aIt, rIt) =>
         val m = new java.util.HashMap[Long, Long]()
         rIt.foreach(kv => m.put(kv._1, kv._2))
         aIt.flatMap { case (u, nbrs) =>
@@ -998,13 +1005,9 @@ object GraphAlgs {
         .mapPartitions(_.map { case (v, s) =>
           (v, (if (bc.value(v)) 150000L else 0L) + mulDiv(s, 850000L, 1000000L)) },
           preservesPartitioning = true)
-        .persist()
-      next.count()
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = rank
-      rank = next
     }
-    if (prev != null) prev.unpersist(blocking = false)
+    rank.persist()
+    rank.count()
     rank
   }
 
@@ -1019,10 +1022,25 @@ object GraphAlgs {
   def eigenCentralityDetRDD(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
       rounds: Int = 12): org.apache.spark.rdd.RDD[(Long, Long)] = {
     val p = adj.partitioner.get
+    // ONE Spark job per round (the hitsDetRDD job-elision
+    // discipline): the max-normalization needs a driver-side scalar,
+    // so a round cannot be fully lazy — but the max-fold is the
+    // round's ONLY action. It materializes the persisted raw-sum
+    // generation en route, and the normalized scores are a LAZY
+    // mapValues view over that cache (partitioning preserved),
+    // consumed by the next round's zipPartitions — no separate
+    // count() job per round (24 jobs -> 13 for 12 rounds). The raw
+    // generation backing a lazy view must outlive its consumer, so
+    // unpersists trail by one round; the FINAL round materializes a
+    // concrete persisted RDD so the caller's existing
+    // unpersist-after-copy contract keeps working and no backing
+    // cache leaks. Values byte-identical — same recurrence, same
+    // integer ops, evaluated once per round either way.
     var x: org.apache.spark.rdd.RDD[(Long, Long)] =
-      adj.mapValues(_ => 1000000L).persist()
-    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
-    (1 to rounds).foreach { _ =>
+      adj.mapValues(_ => 1000000L)
+    var rawLive: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    var prevRaw: org.apache.spark.rdd.RDD[(Long, Long)] = null
+    (1 to rounds).foreach { r =>
       val sums = adj.zipPartitions(x) { (aIt, xIt) =>
         val m = new java.util.HashMap[Long, Long]()
         xIt.foreach(kv => m.put(kv._1, kv._2))
@@ -1042,15 +1060,21 @@ object GraphAlgs {
           (id, Math.addExact(own, m.getOrDefault(id, 0L)))
         }
       }.persist()
-      val mx = s.map(_._2).fold(1L)(math.max)
-      val next = s.mapValues(v => mulDiv(v, 1000000L, mx)).persist()
-      next.count()
-      s.unpersist(blocking = false)
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = x
-      x = next
+      val mx = s.map(_._2).fold(1L)(math.max) // materializes s
+      if (prevRaw != null) prevRaw.unpersist(blocking = false)
+      prevRaw = rawLive
+      rawLive = s
+      x = s.mapValues(v => mulDiv(v, 1000000L, mx))
+      if (r == rounds) {
+        // concrete final generation: callers unpersist the returned
+        // RDD after copying, so the result must own its own cache
+        x = x.persist()
+        x.count()
+        rawLive.unpersist(blocking = false)
+        rawLive = null
+      }
     }
-    if (prev != null) prev.unpersist(blocking = false)
+    if (prevRaw != null) prevRaw.unpersist(blocking = false)
     x
   }
 
@@ -1061,30 +1085,54 @@ object GraphAlgs {
   def labelPropagationDetRDD(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
       rounds: Int = 4): org.apache.spark.rdd.RDD[(Long, Long)] = {
     val p = adj.partitioner.get
+    // Round shape: ONE exchange instead of two. The previous form
+    // shuffled ((receiver, label), 1) pairs, reduced, then paid a
+    // SECOND shuffle of the distinct (receiver, (count, label))
+    // triples to the receiver's partition for the argmax. Keying by
+    // the receiver directly with a map-side label->count combiner
+    // ships the same information in the first exchange (combiners
+    // collapse duplicate (receiver, label) pairs per map partition,
+    // exactly like the old first reduceByKey) and the argmax runs
+    // locally — the second exchange's ~2|E|-bounded triples never
+    // move. Counts and the (count DESC, label ASC) argmax are
+    // integer-exact and total-ordered, so the labels are
+    // byte-identical. Also lazily chained across the fixed rounds
+    // (one job total — see pagerankDetRDD).
     var lab: org.apache.spark.rdd.RDD[(Long, Long)] =
       adj.mapPartitions(_.map { case (v, _) => (v, v) }, preservesPartitioning = true)
-        .persist()
-    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
     (1 to rounds).foreach { _ =>
-      val next = adj.zipPartitions(lab) { (aIt, lIt) =>
+      lab = adj.zipPartitions(lab) { (aIt, lIt) =>
         val m = new java.util.HashMap[Long, Long]()
         lIt.foreach(kv => m.put(kv._1, kv._2))
         aIt.flatMap { case (u, nbrs) =>
           val lu = m.get(u)
-          nbrs.iterator.map(n => ((n, lu), 1L))
+          nbrs.iterator.map(n => (n, lu))
         }
-      }.reduceByKey(_ + _)
-        .map { case ((v, l), c) => (v, (c, l)) }
-        .reduceByKey(p, (a, b) =>
-          if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
-        .mapValues(_._2)
-        .persist()
-      next.count()
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = lab
-      lab = next
+      }.combineByKey[java.util.HashMap[Long, Long]](
+        (l: Long) => {
+          val m = new java.util.HashMap[Long, Long](); m.put(l, 1L); m
+        },
+        (m: java.util.HashMap[Long, Long], l: Long) => {
+          m.merge(l, 1L, (a, b) => a + b); m
+        },
+        (a: java.util.HashMap[Long, Long], b: java.util.HashMap[Long, Long]) => {
+          // merge the smaller map into the larger: O(min) inserts per
+          // combine, bounded total by the receiver's degree
+          val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+          small.forEach((l, c) => big.merge(l, c, (x, y) => x + y))
+          big
+        },
+        p)
+        .mapValues { counts =>
+          var bestL = Long.MaxValue; var bestC = 0L
+          counts.forEach { (l, c) =>
+            if (c > bestC || (c == bestC && l < bestL)) { bestL = l; bestC = c }
+          }
+          bestL
+        }
     }
-    if (prev != null) prev.unpersist(blocking = false)
+    lab.persist()
+    lab.count()
     lab
   }
 
