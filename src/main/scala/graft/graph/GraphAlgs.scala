@@ -1519,26 +1519,25 @@ object GraphAlgs {
       math.max(8, math.min(g.edges.getNumPartitions, (2 * nEdges / 500000L).toInt)))
     val ctx = detFoldCtx(
       g.edges.flatMap(e => Iterator((e.srcId, e.dstId), (e.dstId, e.srcId))), p)
+    // lazy fixed-round chain, one job total (see pagerankDetRDD): no
+    // round needs a driver-side scalar, so the final count() runs the
+    // whole loop as `iters` chained shuffle stages instead of a
+    // persist + count job per round. Doubles byte-identical — the
+    // identical sender-sorted folds evaluate once, stagewise.
     var cur: org.apache.spark.rdd.RDD[(Long, Double)] = g.vertices
-      .map { case (id, _) => (id, 1.0) }.partitionBy(p).persist()
-    cur.count()
-    var prev: org.apache.spark.rdd.RDD[(Long, Double)] = null
+      .map { case (id, _) => (id, 1.0) }.partitionBy(p)
     var i = 0
     while (i < iters) {
       // share = rank/deg exactly like the oracle's rank/deg; the
       // division repeats per receiver PARTITION — same double.
       // Symmetric graph: every vertex has >= 1 neighbor, so the sum
       // covers the full vertex set — no dangling-vertex patch-up
-      val next = detFoldRound(ctx, cur)((x, deg) => x / deg)
-        .mapValues(s => 0.15 + 0.85 * s).persist()
-      next.count()
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = cur
-      cur = next
+      cur = detFoldRound(ctx, cur)((x, deg) => x / deg)
+        .mapValues(s => 0.15 + 0.85 * s)
       i += 1
     }
-    if (prev != null) prev.unpersist(blocking = false)
-    val last = cur
+    val last = cur.persist()
+    last.count()
     (last, () => {
       ctx.release()
       last.unpersist(blocking = false)
@@ -1564,7 +1563,17 @@ object GraphAlgs {
       .map { case (id, _) => (id, 1.0) }.partitionBy(p).persist()
     cur.count()
 
-    var prev: org.apache.spark.rdd.RDD[(Long, Double)] = null
+    // ONE Spark job per round (the hitsDetRDD job-elision
+    // discipline): the max-normalization needs a driver-side scalar,
+    // so the round cannot be fully lazy — but the max-fold is the
+    // round's ONLY action (it materializes the persisted raw
+    // generation en route), and the normalized scores ride a LAZY
+    // mapValues view over that cache. The previous raw generation is
+    // fully materialized before its successor's fold returns, so it
+    // is released right after; the FINAL round materializes a
+    // concrete persisted RDD so the release() contract keeps
+    // working. Doubles byte-identical — same ops, same order.
+    var backer: org.apache.spark.rdd.RDD[(Long, Double)] = cur
     var i = 0
     while (i < iters) {
       // deterministic sender-sorted fold (see detFoldCtx) — the
@@ -1583,15 +1592,16 @@ object GraphAlgs {
       }
       raw.persist()
       val mx = math.max(raw.map(_._2).fold(0.0)(math.max), Double.MinPositiveValue)
-      val next = raw.mapValues(_ / mx).persist()
-      next.count() // materializes next (raw already forced by the max)
-      raw.unpersist(blocking = false)
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = cur
-      cur = next
+      backer.unpersist(blocking = false) // raw fully materialized above
+      backer = raw
+      cur = raw.mapValues(_ / mx)
       i += 1
     }
-    if (prev != null) prev.unpersist(blocking = false)
+    if (iters > 0) {
+      cur = cur.persist()
+      cur.count()
+      backer.unpersist(blocking = false)
+    }
     val finalScores = cur
     (cur, () => {
       finalScores.unpersist(blocking = false)
