@@ -37,7 +37,12 @@ object PlanDump {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val df = fn(spark, sfDir)
-      df.count() // finalize AQE
+      // run the frame's OWN executed plan (count()/foreach()/rdd all
+      // spawn DERIVED query executions and leave df's top-level
+      // AdaptiveSparkPlan un-finalized — the dump would show only the
+      // initial plan); executing the AdaptiveSparkPlanExec instance
+      // itself finalizes it in place
+      df.queryExecution.executedPlan.execute().foreach(_ => ())
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(

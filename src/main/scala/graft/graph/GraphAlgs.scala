@@ -3091,12 +3091,24 @@ object GraphAlgs {
       val msg = eF.join(st, p)
         .map { case (_, (dst, l)) => (dst, l + 1L) }
         .reduceByKey(p, math.max(_: Long, _: Long))
+      // changed-count fused into the round's materializing job via a
+      // transformation-side accumulator (see sccDetDF): the old shape
+      // paid an extra JOIN of next against st plus a count pass per
+      // round just to detect convergence. Retry-exact for the same
+      // reason — only zero-ness is read.
+      val changedAcc = spark.sparkContext
+        .longAccumulator(s"daglevels-changed-$round")
       val next = st.leftOuterJoin(msg, p)
-        .mapValues { case (l, m) => math.max(l, m.getOrElse(l)) }
+        .mapValues { case (l, m) =>
+          val l2 = math.max(l, m.getOrElse(l))
+          if (l2 != l) changedAcc.add(1L)
+          l2
+        }
         .persist()
       if (round % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)
         next.checkpoint()
-      changed = next.join(st, p).filter { case (_, (a, b)) => a != b }.count()
+      next.foreachPartition(_ => ()) // materialize; populates the accumulator
+      changed = changedAcc.value
       retired += st
       st = next
     }
@@ -3202,16 +3214,29 @@ object GraphAlgs {
             (nbr, if (isFwd) (f, INF) else (INF, b)) }
           .reduceByKey(p, (x, y) =>
             (math.min(x._1, y._1), math.min(x._2, y._2)))
+        // changed-count via a transformation-side accumulator bumped
+        // inside the round's own materializing job (the matchingDetDF
+        // discipline) — the old shape paid a SECOND full pass over
+        // the persisted state per inner round just to count flags.
+        // At-least-once under task retries: the loop only tests > 0,
+        // and a retry can never inflate a true zero (retried
+        // partitions with no changes add nothing) — the convergence
+        // decision is retry-exact, like matching's.
+        val changedAcc = spark.sparkContext
+          .longAccumulator(s"scc-changed-$outer-$inner")
         val next = st.leftOuterJoin(msg, p)
           .mapValues { case ((f, b, fp, bp, _), m) =>
             val f2 = math.min(f, m.fold(INF)(_._1))
             val b2 = math.min(b, m.fold(INF)(_._2))
-            (f2, b2, fp, bp, f2 != f || b2 != b)
+            val ch = f2 != f || b2 != b
+            if (ch) changedAcc.add(1L)
+            (f2, b2, fp, bp, ch)
           }.persist()
         // cut the state lineage every 16 rounds (see misDetDF)
         if (inner % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)
           next.checkpoint()
-        changed = next.filter(_._2._5).count()
+        next.foreachPartition(_ => ()) // materialize; populates the accumulator
+        changed = changedAcc.value
         retired += st
         st = next
         if (changed > 0 && inner % 2 == 0) {
