@@ -2977,25 +2977,55 @@ object GraphAlgs {
     val nE = canon.count()
     val p = new org.apache.spark.HashPartitioner(
       math.max(8, math.min(canon.rdd.getNumPartitions, (nE / 250000L).toInt)))
-    // undecided edges keyed by src: (u, (v, key)). The tie-break
-    // suffix is FIXED-WIDTH 12-digit zero-padded endpoints — and the
-    // DuckDB oracle's lpad(...,12,'0') TRUNCATES rather than widens,
-    // so an id >= 10^12 would silently diverge across engines and
-    // break the lexicographic total order. Fail loudly instead; to
-    // go wider, widen the padding on BOTH engines in lockstep.
-    var undecided = canon.rdd
+    // SYMMETRIC copy set: each undecided edge is stored under BOTH
+    // endpoints, the two copies sharing ONE tie-break key built from
+    // the canonical orientation. The key suffix is FIXED-WIDTH
+    // 12-digit zero-padded endpoints — and the DuckDB oracle's
+    // lpad(...,12,'0') TRUNCATES rather than widens, so an id >=
+    // 10^12 would silently diverge across engines and break the
+    // lexicographic total order. Fail loudly instead; to go wider,
+    // widen the padding on BOTH engines in lockstep.
+    //
+    // Why symmetric (optimization r20): with every incident edge's
+    // key locally present at each endpoint's partition, the
+    // per-endpoint MINIMUM is a partition-local fold — the old
+    // shape's 2|E| key exchange (flatMap + reduceByKey) is gone —
+    // and the survives-both-minima test needs ONE vertex-bounded
+    // shuffle (each endpoint forwards at most its single minimum
+    // edge) instead of the |E|-sized re-key join. The knocked-edge
+    // drop exploits that the copy set is CLOSED UNDER SWAP: filter
+    // x-knocked copies locally, swap every survivor to its other
+    // endpoint (the round's one O(E) exchange — the same re-key the
+    // old chain paid TWICE around its two subtracts), filter again —
+    // the result is exactly the symmetric copy set of the surviving
+    // edges. Per-round matched set, round numbering, and emitted
+    // rows are IDENTICAL to the old formulation (same minima, same
+    // total order, canonical orientation) — MatchingSpec and the
+    // oracle replay pin it.
+    var undecided: org.apache.spark.rdd.RDD[(Long, (Long, String))] = canon.rdd
       .map(r => (r.getLong(0), r.getLong(1)))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (u, v) =>
+        it.flatMap { case (u, v) =>
           require(u < 1000000000000L && v < 1000000000000L,
             s"matchingDet: vertex id >= 1e12 overflows the fixed-width " +
               s"12-digit tie-break key (edge $u-$v) — widen the padding " +
               "in matchingDetDF AND its oracle lpad together")
-          (u, (v, f"${md5HexWith(md, s"$u-$v")}$u%012d$v%012d"))
+          val k = f"${md5HexWith(md, s"$u-$v")}$u%012d$v%012d"
+          Iterator((u, (v, k)), (v, (u, k)))
         }
       }
       .partitionBy(p).persist()
+    // partition-local per-endpoint minimum key over the symmetric
+    // copies — every edge incident to x has a copy at x's partition
+    def localMinK(rows: Array[(Long, (Long, String))]): java.util.HashMap[Long, String] = {
+      val minK = new java.util.HashMap[Long, String]()
+      rows.foreach { case (x, (_, k)) =>
+        val cur = minK.get(x)
+        if (cur == null || k < cur) minK.put(x, k)
+      }
+      minK
+    }
     var nUndecided = nE
     var round = 0L
     val matchedParts = scala.collection.mutable.ListBuffer
@@ -3011,41 +3041,50 @@ object GraphAlgs {
       require(round <= maxIter,
         s"matchingDet: ~$nUndecided edges undecided after $maxIter rounds — raise maxIter")
       val r = round
-      val minAtV = undecided
-        .flatMap { case (u, (v, k)) => Iterator((u, k), (v, k)) }
-        .reduceByKey(p, (a, b) => if (a < b) a else b)
-      // survives the src-side min, then the dst-side min
-      val matched = undecided.join(minAtV, p)
-        .filter { case (_, ((_, k), mk)) => k == mk }
-        .map { case (u, ((v, k), _)) => (v, (u, k)) }
-        .join(minAtV, p)
-        .filter { case (_, ((_, k), mk)) => k == mk }
-        .map { case (v, ((u, _), _)) => (u, v, r) }
-        .persist()
+      // copies that ARE their endpoint's minimum, forwarded to the
+      // other endpoint: at most one record per undecided vertex
+      val cand = undecided.mapPartitions { it =>
+        val rows = it.toArray
+        val minK = localMinK(rows)
+        rows.iterator.filter { case (x, (_, k)) => k == minK.get(x) }
+          .map { case (x, (y, k)) => (y, (x, k)) }
+      }.partitionBy(p)
+      // matched = key is the minimum at BOTH endpoints. Both copies
+      // of a matched edge pass both tests, so the edge is seen at
+      // both receivers — emit exactly once, from the max-endpoint
+      // receiver, already in canonical (min, max) orientation.
+      val matched = undecided.zipPartitions(cand) { (uIt, cIt) =>
+        val minK = localMinK(uIt.toArray)
+        cIt.filter { case (y, (x, k)) => y > x && k == minK.get(y) }
+          .map { case (y, (x, _)) => (x, y, r) }
+      }.persist()
       val knocked = matched
         .flatMap { case (u, v, _) => Iterator((u, ()), (v, ())) }
         .reduceByKey(p, (a, _) => a)
-      // drop every edge incident to a matched vertex (either side).
-      // Termination count (VERDICT r16 item 1): bumped by an
-      // accumulator inside the subtract chain's own materialization,
-      // so the round's single job both caches `next` and yields
-      // nUndecided — no separate full count pass over the cached
-      // result. Transformation-side accumulators are at-least-once
-      // under task retries, but the loop only tests `> 0`, and a
-      // retry can never inflate zero into nonzero (retried empty
-      // partitions add nothing) — the decision is retry-exact, only
-      // the require() diagnostic below could read high.
+      // drop every copy incident to a matched vertex (either side):
+      // filter the keyed side locally, swap, re-key (the round's one
+      // O(E) exchange), filter the other side locally. Termination
+      // count (VERDICT r16 item 1): bumped by an accumulator inside
+      // the round's own materializing job — each surviving EDGE
+      // contributes exactly its two copies, so the count is acc / 2;
+      // the loop only tests > 0, which retries cannot fabricate.
       val nUndecidedAcc = spark.sparkContext.longAccumulator(s"matching-undecided-r$r")
-      val next = undecided.subtractByKey(knocked, p)
-        .map { case (u, (v, k)) => (v, (u, k)) }
-        .subtractByKey(knocked, p)
-        .map { case (v, (u, k)) => nUndecidedAcc.add(1L); (u, (v, k)) }
-        .partitionBy(p).persist()
+      val phaseA = undecided.zipPartitions(knocked) { (uIt, kIt) =>
+        val dead = new java.util.HashSet[Long]()
+        kIt.foreach(kv => dead.add(kv._1))
+        uIt.collect { case (x, (y, k)) if !dead.contains(x) => (y, (x, k)) }
+      }.partitionBy(p)
+      val next = phaseA.zipPartitions(knocked) { (aIt, kIt) =>
+        val dead = new java.util.HashSet[Long]()
+        kIt.foreach(kv => dead.add(kv._1))
+        aIt.collect { case (x, (y, k)) if !dead.contains(x) =>
+          nUndecidedAcc.add(1L); (x, (y, k)) }
+      }.persist()
       // cut the state lineage every 16 rounds (see misDetDF)
       if (round % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)
         next.checkpoint()
       next.foreachPartition(_ => ()) // materialize; populates the accumulator
-      nUndecided = nUndecidedAcc.value
+      nUndecided = nUndecidedAcc.value / 2
       retired += undecided
       undecided = next
       matchedParts += matched
