@@ -2945,6 +2945,30 @@ object GraphAlgs {
     df
   }
 
+  /** Mutable per-vertex argmin slot for matchingDetDF's streaming
+   * min-map: mutated in place on improvement so a partition pass
+   * allocates one object per distinct vertex, not per row. */
+  private final class MatchMinEnt(var y: Long, var w1: Long, var w2: Long)
+
+  /** The matching tie-break total order on PACKED keys: (w1, w2) are
+   * the md5 digest's two big-endian 64-bit words compared UNSIGNED,
+   * then the canonical endpoints (u, v) numerically. Identical to
+   * lexicographic order on the abstract 56-char string key
+   * md5hex ++ lpad(u,12) ++ lpad(v,12): fixed-width lowercase hex is
+   * order-isomorphic to the unsigned 128-bit digest ('0'..'9' < 'a'
+   * ..'f' in ASCII, two digits per byte in byte order), fixed-width
+   * decimal to the numeric endpoints (ids are guarded < 10^12).
+   * Package-visible so MatchingSpec can pin the isomorphism
+   * property directly. */
+  private[graft] def keyPackedLess(w1a: Long, w2a: Long, ua: Long, va: Long,
+      w1b: Long, w2b: Long, ub: Long, vb: Long): Boolean = {
+    val c1 = java.lang.Long.compareUnsigned(w1a, w1b)
+    if (c1 != 0) return c1 < 0
+    val c2 = java.lang.Long.compareUnsigned(w2a, w2b)
+    if (c2 != 0) return c2 < 0
+    if (ua != ub) ua < ub else va < vb
+  }
+
   /** Deterministic greedy MAXIMAL MATCHING (Israeli–Itai shape)
    * over the canonical undirected edge set: per round, an undecided
    * edge is matched iff its key — md5("src-dst") followed by the
@@ -2979,12 +3003,19 @@ object GraphAlgs {
       math.max(8, math.min(canon.rdd.getNumPartitions, (nE / 250000L).toInt)))
     // SYMMETRIC copy set: each undecided edge is stored under BOTH
     // endpoints, the two copies sharing ONE tie-break key built from
-    // the canonical orientation. The key suffix is FIXED-WIDTH
-    // 12-digit zero-padded endpoints — and the DuckDB oracle's
+    // the canonical orientation. The ABSTRACT key is the 56-char
+    // string md5hex("u-v") ++ lpad(u,12) ++ lpad(v,12) the oracle
+    // replays; the REPRESENTATION here (optimization r21) is the two
+    // unsigned 64-bit digest words plus the endpoints the copy
+    // already carries — fixed-width lowercase hex compares exactly
+    // like the unsigned 128-bit digest, and fixed-width decimal
+    // exactly like the numeric endpoints (keyPackedLess), so the
+    // total order is IDENTICAL while each resident/shuffled copy
+    // carries 16 key bytes instead of a ~56-char string. The oracle's
     // lpad(...,12,'0') TRUNCATES rather than widens, so an id >=
-    // 10^12 would silently diverge across engines and break the
-    // lexicographic total order. Fail loudly instead; to go wider,
-    // widen the padding on BOTH engines in lockstep.
+    // 10^12 would silently diverge across engines; fail loudly
+    // instead — to go wider, widen the padding on the oracle side in
+    // lockstep (the packed comparison itself is width-independent).
     //
     // Why symmetric (optimization r20): with every incident edge's
     // key locally present at each endpoint's partition, the
@@ -3002,7 +3033,7 @@ object GraphAlgs {
     // rows are IDENTICAL to the old formulation (same minima, same
     // total order, canonical orientation) — MatchingSpec and the
     // oracle replay pin it.
-    var undecided: org.apache.spark.rdd.RDD[(Long, (Long, String))] = canon.rdd
+    var undecided: org.apache.spark.rdd.RDD[(Long, (Long, Long, Long))] = canon.rdd
       .map(r => (r.getLong(0), r.getLong(1)))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -3011,20 +3042,37 @@ object GraphAlgs {
             s"matchingDet: vertex id >= 1e12 overflows the fixed-width " +
               s"12-digit tie-break key (edge $u-$v) — widen the padding " +
               "in matchingDetDF AND its oracle lpad together")
-          val k = f"${md5HexWith(md, s"$u-$v")}$u%012d$v%012d"
-          Iterator((u, (v, k)), (v, (u, k)))
+          val d = md.digest(s"$u-$v".getBytes("UTF-8"))
+          var w1 = 0L; var w2 = 0L; var i = 0
+          while (i < 8) {
+            w1 = (w1 << 8) | (d(i) & 0xffL)
+            w2 = (w2 << 8) | (d(i + 8) & 0xffL)
+            i += 1
+          }
+          Iterator((u, (v, w1, w2)), (v, (u, w1, w2)))
         }
       }
       .partitionBy(p).persist()
-    // partition-local per-endpoint minimum key over the symmetric
-    // copies — every edge incident to x has a copy at x's partition
-    def localMinK(rows: Array[(Long, (Long, String))]): java.util.HashMap[Long, String] = {
-      val minK = new java.util.HashMap[Long, String]()
-      rows.foreach { case (x, (_, k)) =>
-        val cur = minK.get(x)
-        if (cur == null || k < cur) minK.put(x, k)
+    // Partition-local per-endpoint minimum over the symmetric copies
+    // (every edge incident to x has a copy at x's partition), built
+    // in ONE streaming pass — the map holds one mutated-in-place
+    // argmin entry per vertex; rows are never retained (VERDICT r20
+    // item 4: the old shape materialized the partition with toArray
+    // twice per round just to re-scan it).
+    def localMin(it: Iterator[(Long, (Long, Long, Long))]): java.util.HashMap[Long, MatchMinEnt] = {
+      val m = new java.util.HashMap[Long, MatchMinEnt]()
+      it.foreach { case (x, (y, w1, w2)) =>
+        val cur = m.get(x)
+        if (cur == null) m.put(x, new MatchMinEnt(y, w1, w2))
+        else {
+          val u = math.min(x, y); val v = math.max(x, y)
+          val cu = math.min(x, cur.y); val cv = math.max(x, cur.y)
+          if (keyPackedLess(w1, w2, u, v, cur.w1, cur.w2, cu, cv)) {
+            cur.y = y; cur.w1 = w1; cur.w2 = w2
+          }
+        }
       }
-      minK
+      m
     }
     var nUndecided = nE
     var round = 0L
@@ -3042,21 +3090,33 @@ object GraphAlgs {
         s"matchingDet: ~$nUndecided edges undecided after $maxIter rounds — raise maxIter")
       val r = round
       // copies that ARE their endpoint's minimum, forwarded to the
-      // other endpoint: at most one record per undecided vertex
+      // other endpoint: at most one record per undecided vertex —
+      // emitted straight from the argmin map (the map entry IS the
+      // minimum copy, so no second pass over the rows is needed)
       val cand = undecided.mapPartitions { it =>
-        val rows = it.toArray
-        val minK = localMinK(rows)
-        rows.iterator.filter { case (x, (_, k)) => k == minK.get(x) }
-          .map { case (x, (y, k)) => (y, (x, k)) }
+        val m = localMin(it)
+        val es = m.entrySet().iterator()
+        new Iterator[(Long, (Long, Long, Long))] {
+          def hasNext: Boolean = es.hasNext
+          def next(): (Long, (Long, Long, Long)) = {
+            val e = es.next(); val ent = e.getValue
+            (ent.y, (e.getKey.longValue(), ent.w1, ent.w2))
+          }
+        }
       }.partitionBy(p)
       // matched = key is the minimum at BOTH endpoints. Both copies
       // of a matched edge pass both tests, so the edge is seen at
       // both receivers — emit exactly once, from the max-endpoint
-      // receiver, already in canonical (min, max) orientation.
+      // receiver, already in canonical (min, max) orientation. Keys
+      // are unique per edge (md5 + endpoint tie-break), so "the
+      // forwarded key equals y's minimum" is exactly "y's argmin
+      // edge IS (x, y)" — an edge-identity probe, no key compare.
       val matched = undecided.zipPartitions(cand) { (uIt, cIt) =>
-        val minK = localMinK(uIt.toArray)
-        cIt.filter { case (y, (x, k)) => y > x && k == minK.get(y) }
-          .map { case (y, (x, _)) => (x, y, r) }
+        val m = localMin(uIt)
+        cIt.filter { case (y, (x, _, _)) =>
+          if (y <= x) false
+          else { val e = m.get(y); e != null && e.y == x }
+        }.map { case (y, (x, _, _)) => (x, y, r) }
       }.persist()
       val knocked = matched
         .flatMap { case (u, v, _) => Iterator((u, ()), (v, ())) }
@@ -3072,13 +3132,14 @@ object GraphAlgs {
       val phaseA = undecided.zipPartitions(knocked) { (uIt, kIt) =>
         val dead = new java.util.HashSet[Long]()
         kIt.foreach(kv => dead.add(kv._1))
-        uIt.collect { case (x, (y, k)) if !dead.contains(x) => (y, (x, k)) }
+        uIt.collect { case (x, (y, w1, w2)) if !dead.contains(x) =>
+          (y, (x, w1, w2)) }
       }.partitionBy(p)
       val next = phaseA.zipPartitions(knocked) { (aIt, kIt) =>
         val dead = new java.util.HashSet[Long]()
         kIt.foreach(kv => dead.add(kv._1))
-        aIt.collect { case (x, (y, k)) if !dead.contains(x) =>
-          nUndecidedAcc.add(1L); (x, (y, k)) }
+        aIt.collect { case (x, (y, w1, w2)) if !dead.contains(x) =>
+          nUndecidedAcc.add(1L); (x, (y, w1, w2)) }
       }.persist()
       // cut the state lineage every 16 rounds (see misDetDF)
       if (round % 16 == 0 && spark.sparkContext.getCheckpointDir.isDefined)

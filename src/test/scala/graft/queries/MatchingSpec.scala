@@ -64,6 +64,45 @@ class MatchingSpec extends SparkSpec {
     assert(canon.forall { case (u, v) => hit(u) || hit(v) })
   }
 
+  test("packed long tie-break keys are order-isomorphic to the 56-char string keys") {
+    // optimization r21: matchingDetDF stores (md5-word1, md5-word2)
+    // per copy and compares (w1 unsig, w2 unsig, u, v) — the total
+    // order must equal lexicographic order on the abstract string
+    // key md5hex ++ lpad(u,12) ++ lpad(v,12) the oracle replays.
+    // Deterministic LCG sample plus adversarial near-bound /
+    // shared-digest-prefix pairs.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def packed(u: Long, v: Long): (Long, Long) = {
+      val d = md.digest(s"$u-$v".getBytes("UTF-8"))
+      var w1 = 0L; var w2 = 0L; var i = 0
+      while (i < 8) {
+        w1 = (w1 << 8) | (d(i) & 0xffL); w2 = (w2 << 8) | (d(i + 8) & 0xffL)
+        i += 1
+      }
+      (w1, w2)
+    }
+    var s = 0x2545F4914F6CDD1DL
+    def rnd(bound: Long): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(s >>> 11, bound)
+    }
+    val edges = (Seq((1L, 2L), (999999999999L, 999999999998L).swap,
+      (0L, 999999999999L), (7L, 8L), (70L, 80L)) ++
+      (1 to 400).map { _ =>
+        val a = rnd(1000000000000L); val b = rnd(1000000000000L)
+        if (a == b) (a, b + 1) else (math.min(a, b), math.max(a, b))
+      }).distinct
+    val withKeys = edges.map { case (u, v) =>
+      val (w1, w2) = packed(u, v)
+      (keyOf(u, v), (w1, w2, u, v))
+    }
+    for ((ka, (w1a, w2a, ua, va)) <- withKeys; (kb, (w1b, w2b, ub, vb)) <- withKeys) {
+      assert((ka < kb) ===
+        GraphAlgs.keyPackedLess(w1a, w2a, ua, va, w1b, w2b, ub, vb),
+        s"order mismatch for ($ua,$va) vs ($ub,$vb)")
+    }
+  }
+
   test("matching on a path, a clique, and a star") {
     check(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
     check(for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b))
