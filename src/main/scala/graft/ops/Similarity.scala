@@ -665,25 +665,49 @@ object Similarity {
       .select(col("vec_id"), col("q"))
   }
 
-  /** Nearest-centroid assignment of (vec_id, q) rows against a
-   * broadcast centroid literal — the shuffle-free side of Lloyd and
-   * the on-arrival cell assignment of a streaming ingest. Ties break
-   * on the smaller cluster id. */
-  def assignToCentroids(q: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
-    val spark = q.sparkSession
-    val cdf = spark.createDataFrame(
-      centroids.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) })
-      .toDF("cluster", "c")
-    q.crossJoin(broadcast(cdf))
-      .withColumn("dist2", aggregate(
-        zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (s, x) => s + x))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist2"), col("cluster"))))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("q"), col("cluster"), col("dist2"))
+  /** (dist2, cluster) of the nearest centroid as a struct column —
+   * an argmin FOLD over a centroid literal, evaluated per row with
+   * ZERO exchanges (optimization r21: the old shape was a crossJoin
+   * against a broadcast k-row frame plus a row_number window, i.e. a
+   * k-fold row blowup and a full sort-shuffle per assignment pass —
+   * pure overhead at any scale since the argmin is row-local).
+   * array_min on (dist2, cluster) structs is lexicographic — minimum
+   * squared distance, ties to the smaller cluster id — exactly the
+   * old window's orderBy(dist2, cluster) pick. */
+  private def centroidArgmin(qCol: Column, centroids: Array[Array[Long]]): Column = {
+    // ONE array<array<long>> literal (not a k x D tree of lit nodes —
+    // that bloats per-batch analysis); cluster id = position in the
+    // literal via transform's index variant
+    val cArr = typedLit(centroids.toSeq.map(_.toSeq))
+    array_min(transform(cArr, (c, i) =>
+      struct(
+        aggregate(zip_with(qCol, c,
+          (a, b) => (a - b) * (a - b)), lit(0L), (s, x) => s + x).as("dist2"),
+        i.cast("long").as("cluster"))))
   }
+
+  /** Nearest-centroid assignment of (vec_id, q) rows against a
+   * centroid literal — the shuffle-free side of Lloyd and the
+   * on-arrival cell assignment of a streaming ingest. Ties break on
+   * the smaller cluster id. */
+  def assignToCentroids(q: DataFrame, centroids: Array[Array[Long]]): DataFrame =
+    q.withColumn("best", centroidArgmin(col("q"), centroids))
+      .select(col("vec_id"), col("q"),
+        col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
+
+  /** [[signedQs]] plus the k-means cell in ONE projection: the
+   * shifted quantization [[shiftedQ]] assigns against is exactly
+   * `qs + 127` elementwise (same scale, same rounding), so cell
+   * assignment needs neither a second quantization pass nor a
+   * vec_id join — the semantic-dedup ingest shape (optimization
+   * r21: the per-arrival signedQs-join and its exchanges vanish).
+   * Returns (vec_id, cluster, qs, n2), value-identical to
+   * assignToCentroids(shiftedQ(e), cs) joined with signedQs(e). */
+  def signedQsWithCell(embeddings: DataFrame, centroids: Array[Array[Long]]): DataFrame =
+    signedQs(embeddings).select(col("vec_id"),
+      centroidArgmin(transform(col("qs"), x => x + lit(127L)), centroids)
+        .getField("cluster").as("cluster"),
+      col("qs"), col("n2"))
 
   /** Signed int8 quantization + squared norm — the exact-integer
    * cosine side of [[semDedup]]. Returns (vec_id, qs, n2). */

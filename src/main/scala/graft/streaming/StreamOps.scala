@@ -486,6 +486,17 @@ object StreamOps {
    * per-batch check runs as the same cluster-keyed join. */
   def semDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Similarity
+    // probe-only phase timer (optimization r21, same gate pattern as
+    // graft.kcore.log): never on in bench/verify runs
+    val logOn = sys.props.get("graft.semdedup.log")
+      .orElse(sys.env.get("SPARK_GRAFT_SEMDD_LOG")).contains("on")
+    var tMark = System.nanoTime()
+    def tlog(msg: => String): Unit = if (logOn) {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[graft-semdedup] $msg (${(now - tMark) / 1e9}%.2f s)")
+      tMark = now
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-semdd")
     try {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -497,11 +508,17 @@ object StreamOps {
       // while semDedup fails loudly (review r16)
       Similarity.requireSemDedupDims(base,
         Similarity.SemDedupTauNum, Similarity.SemDedupTauDen, "semDedupStream")
-      val (assignedBase, centroids) = Similarity.kmeansDetWithCentroids(base)
-      val pool0 = assignedBase.select(col("vec_id"), col("cluster"))
-        .join(Similarity.signedQs(base), "vec_id")
-        .select(col("vec_id"), col("cluster"), col("qs"), col("n2")).cache()
+      tlog("read + dim guard")
+      val (_, centroids) = Similarity.kmeansDetWithCentroids(base)
+      tlog("static k-means")
+      // one projection (optimization r21): the k-means final
+      // assignment IS the argmin against the returned centroids, so
+      // the pool carries qs/n2/cluster from a single scan instead of
+      // re-deriving the assignment lineage and joining signedQs on
+      // vec_id — value-identical (deterministic argmin, same rows)
+      val pool0 = Similarity.signedQsWithCell(base, centroids).cache()
       pool0.count()
+      tlog("static pool build")
       try {
 
       // stage the three arrival groups as one file each, mtimes
@@ -509,7 +526,9 @@ object StreamOps {
       def shifted(c: org.apache.spark.sql.Column) =
         concat(array(element_at(c, 1) + lit(0.1)),
           slice(c, 2, Int.MaxValue))
-      val src7 = base.where(col("vec_id") % 7 === 0)
+      // cached: the three group writes below would otherwise each
+      // re-scan the embeddings parquet (optimization r21)
+      val src7 = base.where(col("vec_id") % 7 === 0).cache()
       val groups = Seq(
         src7.select((col("vec_id") + 100000L).as("vec_id"),
           shifted(col("embedding")).as("embedding")),
@@ -536,7 +555,10 @@ object StreamOps {
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
 
+      src7.unpersist(blocking = false)
+      tlog("arrival staging")
       val schema = spark.read.parquet(arrDir.toString).schema
+      tlog("schema read")
       val seen = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Seq[Long], Long)]
       val out = scala.collection.mutable.ArrayBuffer
@@ -546,11 +568,10 @@ object StreamOps {
         .writeStream
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val arrived = Similarity
-            .assignToCentroids(Similarity.shiftedQ(batch), centroids)
-            .select(col("vec_id"), col("cluster"))
-            .join(Similarity.signedQs(batch), "vec_id")
-            .select(col("vec_id"), col("cluster"), col("qs"), col("n2"))
+          // qs/n2/cell in one shuffle-free projection over the
+          // arrival batch (see signedQsWithCell): the old shape paid
+          // a second quantization pass plus a vec_id join per batch
+          val arrived = Similarity.signedQsWithCell(batch, centroids)
             .cache()
           val stateDf =
             if (seen.isEmpty) pool0
@@ -564,7 +585,11 @@ object StreamOps {
             col("qs").as("a_qs"), col("n2").as("a_n2"))
           val b = arrived.select(col("cluster"), col("vec_id").as("b_id"),
             col("qs").as("b_qs"), col("n2").as("b_n2"))
-          val dup = a.join(b, Seq("cluster"))
+          // the arrival side is micro-batch-sized by construction:
+          // broadcast it so the state side never exchanges (the
+          // cluster-keyed BHJ the 100 TB shape runs), and skip AQE's
+          // per-batch re-derivation of the same choice
+          val dup = a.join(broadcast(b), Seq("cluster"))
             .where(col("a_id") < col("b_id"))
             .withColumn("dot", aggregate(
               zip_with(col("a_qs"), col("b_qs"), (x, y) => x * y),
@@ -574,7 +599,7 @@ object StreamOps {
                 lit(Similarity.SemDedupTauNum) * col("a_n2") * col("b_n2"))
             .groupBy(col("b_id").as("vec_id"))
             .agg(min(col("a_id")).as("dup_of"))
-          val rows = arrived.join(dup, Seq("vec_id"), "left")
+          val rows = arrived.join(broadcast(dup), Seq("vec_id"), "left")
             .select(col("vec_id"), col("cluster"), col("dup_of"), col("qs"), col("n2"))
             .collect()
           out.synchronized {
@@ -586,10 +611,12 @@ object StreamOps {
             }
           }
           arrived.unpersist(blocking = false)
+          tlog(s"micro-batch (${rows.length} arrivals)")
           ()
         }
         .start()
       q.awaitTermination()
+      tlog("stream drained")
       spark.createDataFrame(out.toSeq)
         .toDF("vec_id", "cluster", "dup_of", "kept")
         .orderBy("vec_id")
